@@ -1,0 +1,93 @@
+package graft.rdf
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Per-datatype triple validation, as pure Catalyst column expressions.
+  *
+  * Replicates the reference's closed-world validator
+  * (lib/validateTriple.js:33-139) branch by branch, including its quirks —
+  * deliberately, since the valid/invalid/corrected partitioning is the
+  * service's observable contract:
+  *
+  *   - `xsd:integer` is validated with JS `Number(value)` + `isNaN`
+  *     (validateTriple.js:136-139), which accepts floats, exponents,
+  *     hex/octal/binary, `Infinity`, and even the empty string
+  *     (`Number("") === 0`). We encode JS `Number` coercion as a regex.
+  *   - date/dateTime are regex-shape checks only — `1997-99-99` passes
+  *     (validateTriple.js:110-129, reference's own TODO).
+  *   - `geosparql:wktLiteral` only requires an embedded `<http…>` CRS URL,
+  *     if present, to use the `http:` scheme (validateTriple.js:71-90).
+  *
+  * Everything here composes from built-ins (`when`/`rlike`/`isin`) so the
+  * whole cascade stays inside whole-stage codegen — no UDF boundary, which
+  * matters when this runs over 100 TB of extracted triples.
+  */
+object Validation {
+
+  /** `^-?[0-9]{4,}-[0-9]{2}-[0-9]{2}(([-+][0-9]{2}:[0-9]{2})|Z)?$`
+    * (validateTriple.js:110-116). */
+  val dateRegex: String =
+    "^-?[0-9][0-9][0-9][0-9]+-[0-9][0-9]-[0-9][0-9](([-+][0-9][0-9]:[0-9][0-9])|Z)?$"
+
+  /** validateTriple.js:123-129. */
+  val dateTimeRegex: String =
+    "^-?[0-9][0-9][0-9][0-9]+-[0-9][0-9]-[0-9][0-9]T[0-9][0-9]:[0-9][0-9]:[0-9][0-9](\\.[0-9]+)?(([-+][0-9][0-9]:[0-9][0-9])|Z)?$"
+
+  /** Lexical forms accepted by JS `Number(value)` (i.e. `!isNaN(Number(v))`,
+    * validateTriple.js:136-139): optional-sign decimal/exponent/Infinity,
+    * or unsigned hex/binary/octal, or pure whitespace (coerces to 0). */
+  val jsNumberRegex: String =
+    "^\\s*([+-]?((\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?|Infinity)|0[xX][0-9a-fA-F]+|0[bB][01]+|0[oO][0-7]+)?\\s*$"
+
+  /** First `<http(s)://…>` URL embedded in a WKT literal
+    * (validateTriple.js:77). */
+  val wktCrsRegex: String = "<(https?://[^\\s>]+)>"
+
+  /** JS-`Number`-coercible check (see [[jsNumberRegex]]). Null-safe: null → false. */
+  def isJsNumber(value: Column): Column =
+    coalesce(value.rlike(jsNumberRegex), lit(false))
+
+  /** WKT literal validity (validateTriple.js:71-90): non-empty, and if a
+    * `<scheme://…>` CRS URL is embedded, its scheme must be exactly `http`.
+    * `regexp_extract` returns "" when the pattern does not match, which maps
+    * to the reference's "no CRS ⇒ assume ok" branch. */
+  def isValidWkt(value: Column): Column = {
+    val crs = regexp_extract(value, wktCrsRegex, 1)
+    (length(value) > 0) && (crs === "" || crs.startsWith("http://"))
+  }
+
+  /** Validity of a single term struct column — the §1.2 truth table
+    * (validateTriple.js:33-69). `term` must be a struct
+    * `(termType, value, datatype, lang)`. */
+  def isValidTerm(term: Column): Column = {
+    val tt = term.getField("termType")
+    val v  = term.getField("value")
+    val dt = term.getField("datatype")
+    val lang = term.getField("lang")
+    when(tt === Term.BlankNode, lit(false))
+      // "no datatype ⇒ valid on virtuoso" (validateTriple.js:36-38)
+      .when(dt.isNull || dt === "", lit(true))
+      .when(dt === Vocab.rdfsLiteral, lit(false))
+      .when(dt === Vocab.rdfLangString, coalesce(length(lang) > 0, lit(false)))
+      .when(dt === Vocab.xsdString, lit(true))
+      .when(dt === Vocab.rdfHTML, lit(true))
+      .when(dt === Vocab.rdfXMLLiteral, lit(false))
+      .when(dt === Vocab.xsdBoolean, v.isin("true", "false"))
+      .when(dt === Vocab.xsdDate, coalesce(v.rlike(dateRegex), lit(false)))
+      .when(dt === Vocab.xsdDateTime, coalesce(v.rlike(dateTimeRegex), lit(false)))
+      .when(dt === Vocab.xsdInteger, isJsNumber(v))
+      .when(dt === Vocab.wktLiteral, coalesce(isValidWkt(v), lit(false)))
+      .otherwise(lit(false))
+  }
+
+  /** Validity of a whole triple: subject ∧ predicate ∧ object
+    * (validateTriple.js:17-21). Columns are the three term structs. */
+  def isValidTriple(subject: Column, predicate: Column, obj: Column): Column =
+    isValidTerm(subject) && isValidTerm(predicate) && isValidTerm(obj)
+
+  /** Convenience over a quad-shaped row. */
+  def isValidQuad(quad: Column): Column =
+    isValidTriple(quad.getField("subject"), quad.getField("predicate"),
+      quad.getField("obj"))
+}

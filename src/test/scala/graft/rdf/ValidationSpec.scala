@@ -1,0 +1,97 @@
+package graft.rdf
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Truth table from SURVEY §1.2 / reference lib/validateTriple.js — one
+  * case per branch, including the documented quirks. */
+class ValidationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def validate(terms: Seq[Term]): Seq[Boolean] = {
+    terms.toDS().withColumn("ok", Validation.isValidTerm(struct(
+      $"termType", $"value", $"datatype", $"lang")))
+      .select("ok").as[Boolean].collect().toSeq
+  }
+
+  private def check(term: Term, expected: Boolean, clue: String): Unit =
+    assert(validate(Seq(term)) == Seq(expected), s"case: $clue ($term)")
+
+  test("blank nodes are invalid (validateTriple.js:34-35)") {
+    check(Term.blank("b0"), expected = false, "blank node")
+  }
+
+  test("IRI / no datatype is valid (validateTriple.js:36-38)") {
+    check(Term.iri("http://example.org/x"), expected = true, "IRI")
+  }
+
+  test("rdfs:Literal is invalid (validateTriple.js:40-41)") {
+    check(Term.typed("abc", Vocab.rdfsLiteral), expected = false, "rdfs:Literal")
+  }
+
+  test("langString requires a non-empty tag (validateTriple.js:42-45,92-94)") {
+    check(Term.langLit("hallo", "nl"), expected = true, "lang nl")
+    check(Term(Term.Literal, "hallo", Vocab.rdfLangString, ""), expected = false, "empty tag")
+    check(Term(Term.Literal, "hallo", Vocab.rdfLangString, null), expected = false, "null tag")
+  }
+
+  test("xsd:string and rdf:HTML are valid; rdf:XMLLiteral is not") {
+    check(Term.lit("plain"), expected = true, "xsd:string")
+    check(Term.typed("<p>x</p>", Vocab.rdfHTML), expected = true, "rdf:HTML")
+    check(Term.typed("<x/>", Vocab.rdfXMLLiteral), expected = false, "XMLLiteral")
+  }
+
+  test("xsd:boolean accepts exactly lowercase true/false (validateTriple.js:101-103)") {
+    check(Term.typed("true", Vocab.xsdBoolean), expected = true, "true")
+    check(Term.typed("false", Vocab.xsdBoolean), expected = true, "false")
+    check(Term.typed("TRUE", Vocab.xsdBoolean), expected = false, "TRUE")
+    check(Term.typed("1", Vocab.xsdBoolean), expected = false, "1")
+  }
+
+  test("xsd:date shape check only — bad calendar dates pass (validateTriple.js:110-116)") {
+    check(Term.typed("2023-05-04", Vocab.xsdDate), expected = true, "plain")
+    check(Term.typed("2023-05-04Z", Vocab.xsdDate), expected = true, "Z")
+    check(Term.typed("2023-05-04+02:00", Vocab.xsdDate), expected = true, "offset")
+    check(Term.typed("-0044-03-15", Vocab.xsdDate), expected = true, "negative year")
+    check(Term.typed("1997-99-99", Vocab.xsdDate), expected = true, "quirk: shape-only")
+    check(Term.typed("May 4 2023", Vocab.xsdDate), expected = false, "prose date")
+    check(Term.typed("2023-5-4", Vocab.xsdDate), expected = false, "unpadded")
+  }
+
+  test("xsd:dateTime shape check (validateTriple.js:123-129)") {
+    check(Term.typed("2023-05-04T10:11:12", Vocab.xsdDateTime), expected = true, "local")
+    check(Term.typed("2023-05-04T10:11:12.5Z", Vocab.xsdDateTime), expected = true, "frac+Z")
+    check(Term.typed("2023-05-04T10:11:12-05:00", Vocab.xsdDateTime), expected = true, "offset")
+    check(Term.typed("2023-05-04 10:11:12", Vocab.xsdDateTime), expected = false, "space sep")
+    check(Term.typed("2023-05-04", Vocab.xsdDateTime), expected = false, "date only")
+  }
+
+  test("xsd:integer via JS Number() — floats/hex/empty accepted (validateTriple.js:136-139)") {
+    check(Term.typed("42", Vocab.xsdInteger), expected = true, "int")
+    check(Term.typed("-42", Vocab.xsdInteger), expected = true, "neg")
+    check(Term.typed("4.5", Vocab.xsdInteger), expected = true, "quirk: float")
+    check(Term.typed("1e5", Vocab.xsdInteger), expected = true, "quirk: exponent")
+    check(Term.typed("0x1F", Vocab.xsdInteger), expected = true, "quirk: hex")
+    check(Term.typed("Infinity", Vocab.xsdInteger), expected = true, "quirk: Infinity")
+    check(Term.typed("", Vocab.xsdInteger), expected = true, "quirk: empty → 0")
+    check(Term.typed("  12  ", Vocab.xsdInteger), expected = true, "quirk: ws-trim")
+    check(Term.typed("abc", Vocab.xsdInteger), expected = false, "NaN")
+    check(Term.typed("NaN", Vocab.xsdInteger), expected = false, "literal NaN")
+    check(Term.typed("+0x1F", Vocab.xsdInteger), expected = false, "signed hex NaN")
+  }
+
+  test("wktLiteral: CRS URL must be http, absent CRS is ok (validateTriple.js:71-90)") {
+    check(Term.typed("POINT(1 2)", Vocab.wktLiteral), expected = true, "no CRS")
+    check(Term.typed("<http://www.opengis.net/def/crs/EPSG/0/31370> POINT(1 2)",
+      Vocab.wktLiteral), expected = true, "http CRS")
+    check(Term.typed("<https://www.opengis.net/def/crs/EPSG/0/31370> POINT(1 2)",
+      Vocab.wktLiteral), expected = false, "https CRS")
+    check(Term.typed("", Vocab.wktLiteral), expected = false, "empty")
+  }
+
+  test("unknown datatypes are invalid (validateTriple.js:65-67)") {
+    check(Term.typed("12", Vocab.xsdInt), expected = false, "xsd:int (not integer)")
+    check(Term.typed("1.5", "http://www.w3.org/2001/XMLSchema#decimal"),
+      expected = false, "xsd:decimal")
+  }
+}
