@@ -1,0 +1,134 @@
+package graft.ops
+
+import graft.rdf.{Repair, Term, Validation, Vocab}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's triple-pattern queries, run against a *real* quad table
+  * (subject/predicate/object as columns) built from the driver tables —
+  * the property-graph-over-triples layer of SURVEY §1.4.
+  *
+  * The quad table is the 100 TB-scale core of the engine: every task /
+  * container / file entity lives in it. These operators prove the two
+  * SPARQL join shapes the reference relies on — the star (J2: N properties
+  * of one subject, rebuilt via groupBy-subject + conditional aggregation,
+  * i.e. a pivot without a shuffle per property) and the chain (J1: 2-hop
+  * s→o→o' traversal as self-joins on the quad table).
+  */
+object QuadOps {
+
+  /** nation+region as a quad table:
+    *   urn:nation:N  urn:p:name    <name literal>
+    *   urn:nation:N  urn:p:region  urn:region:R
+    *   urn:region:R  urn:p:name    <name literal>
+    * Deterministic, string-only — usable as an oracle-checkable stand-in
+    * for the task/metadata graph (lib/task.js:83-156). */
+  def geoQuads(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    val nationName = n.select(
+      concat(lit("urn:nation:"), col("n_nationkey")).as("subject"),
+      lit("urn:p:name").as("predicate"),
+      col("n_name").as("obj"))
+    val nationRegion = n.select(
+      concat(lit("urn:nation:"), col("n_nationkey")).as("subject"),
+      lit("urn:p:region").as("predicate"),
+      concat(lit("urn:region:"), col("n_regionkey")).as("obj"))
+    val regionName = r.select(
+      concat(lit("urn:region:"), col("r_regionkey")).as("subject"),
+      lit("urn:p:name").as("predicate"),
+      col("r_name").as("obj"))
+    nationName.unionAll(nationRegion).unionAll(regionName)
+  }
+
+  /** J2 star join (lib/task.js:83-99): reassemble an entity row from its
+    * property triples — groupBy(subject) + `max(when(predicate == p))` per
+    * property. One shuffle total, however many properties; the SPARQL
+    * equivalent is an N-way self-join. OPTIONAL properties fall out as
+    * nulls for free (here: regions have no urn:p:region). */
+  def starPivot(s: SparkSession, d: String): DataFrame =
+    geoQuads(s, d)
+      .groupBy(col("subject"))
+      .agg(
+        max(when(col("predicate") === "urn:p:name", col("obj"))).as("name"),
+        max(when(col("predicate") === "urn:p:region", col("obj"))).as("region"))
+      .orderBy(col("subject"))
+
+  /** J1 2-hop chain join (lib/pipeline-import.js:131-139): follow
+    * nation --urn:p:region--> region --urn:p:name--> literal, i.e.
+    * `?n :region ?r . ?r :name ?rn . ?n :name ?nn` as quad self-joins.
+    * The link edges are a fraction of the quad table — Catalyst prunes
+    * each scan to one predicate before the joins (predicate pushdown). */
+  def chainTraversal(s: SparkSession, d: String): DataFrame = {
+    val q = geoQuads(s, d)
+    val nationNames = q.filter(col("predicate") === "urn:p:name" &&
+      col("subject").startsWith("urn:nation:"))
+      .select(col("subject").as("nation"), col("obj").as("nation_name"))
+    val links = q.filter(col("predicate") === "urn:p:region")
+      .select(col("subject").as("nation"), col("obj").as("region"))
+    val regionNames = q.filter(col("predicate") === "urn:p:name" &&
+      col("subject").startsWith("urn:region:"))
+      .select(col("subject").as("region"), col("obj").as("region_name"))
+    nationNames.join(links, "nation").join(regionNames, "region")
+      .select(col("nation_name"), col("region_name"))
+      .orderBy(col("nation_name"))
+  }
+
+  // ------------------------------------------------------------ validation
+
+  /** Deterministic validator corpus: one RDF object term synthesized per
+    * document row, cycling through the §1.2 datatype branches. Drives the
+    * real Validation/Repair columns (P4/D5/A3) under the DuckDB oracle —
+    * the oracle encodes the expected verdict per branch. */
+  def validationCorpus(s: SparkSession, d: String): DataFrame = {
+    val idx = col("doc_id") % 7
+    val sub3 = col("doc_id") % 3
+    val sub2 = col("doc_id") % 2
+    val termType = when(idx === 0, Term.NamedNode).otherwise(Term.Literal)
+    val datatype = when(idx === 0, lit(null).cast("string"))
+      .when(idx === 1, Vocab.xsdString)
+      .when(idx === 2, Vocab.xsdBoolean)
+      .when(idx === 3, Vocab.xsdDate)
+      .when(idx === 4, Vocab.xsdInteger)
+      .when(idx === 5, Vocab.rdfXMLLiteral)
+      .otherwise(Vocab.wktLiteral)
+    val value = when(idx === 0, concat(lit("urn:doc:"), col("doc_id")))
+      .when(idx === 1, substring(col("text"), 1, 20))
+      .when(idx === 2,
+        when(sub3 === 0, "true").when(sub3 === 1, "TRUE").otherwise("yes"))
+      .when(idx === 3, when(sub2 === 0, "2023-05-04").otherwise("2023/05/04"))
+      .when(idx === 4,
+        when(sub3 === 0, col("n_chars").cast("string"))
+          .when(sub3 === 1, "4.5e2").otherwise("abc"))
+      .when(idx === 5, "<x/>")
+      .otherwise(when(sub2 === 0,
+        "<http://www.opengis.net/def/crs/EPSG/0/31370> POINT(1 2)")
+        .otherwise("<https://www.opengis.net/def/crs/EPSG/0/31370> POINT(1 2)"))
+    Tables.documents(s, d).select(
+      col("doc_id"), termType.as("termType"), datatype.as("datatype"),
+      value.as("value"))
+  }
+
+  /** P4 per-triple validity + D5 verdict tagging over the corpus, using
+    * the production validator/repair cascade (lib/validateTriple.js,
+    * lib/fixTriple.js). */
+  def validateCorpus(s: SparkSession, d: String): DataFrame = {
+    val term = struct(col("termType"), col("value"), col("datatype"),
+      lit(null).cast("string").as("lang"))
+    validationCorpus(s, d)
+      .withColumn("verdict",
+        when(Validation.isValidTerm(term), "valid")
+          .when(Repair.isTermFixable(term), "corrected")
+          .otherwise("invalid"))
+      .select(col("doc_id"), coalesce(col("datatype"), lit("none")).as("datatype"),
+        col("value"), col("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** A3 partition counts (lib/pipeline-import.js:220-241): sizes of the
+    * valid / invalid / corrected splits. */
+  def verdictCounts(s: SparkSession, d: String): DataFrame =
+    validateCorpus(s, d)
+      .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+      .orderBy(col("verdict"))
+}
