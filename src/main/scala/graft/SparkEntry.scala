@@ -34,6 +34,23 @@ object SparkEntry {
     "t_chain_join"      -> ((s, d) => QuadOps.chainTraversal(s, d)),
     "p4_validate"       -> ((s, d) => QuadOps.validateCorpus(s, d)),
     "a3_verdict_counts" -> ((s, d) => QuadOps.verdictCounts(s, d)),
+    // North-star extension operators (dedup / similarity / text / events /
+    // multimodal). x_dedup_minhash, x_dedup_simhash and x_sim_lsh have no
+    // SQL-expressible oracle (custom hash families) → rows-only check;
+    // their recall is asserted against the exact operators in the specs.
+    "x_dedup_exact"     -> ((s, d) => Dedup.exact(s, d)),
+    "x_dedup_jaccard"   -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "x_dedup_minhash"   -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "x_dedup_simhash"   -> ((s, d) => Dedup.simhash(s, d)),
+    "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
+    "x_txt_tokens"      -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "x_txt_quality"     -> ((s, d) => TextAnalysis.qualityScores(s, d)),
+    "x_txt_langid"      -> ((s, d) => TextAnalysis.langId(s, d)),
+    "x_txt_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "x_sessionize"      -> ((s, d) => Sessionize.sessions(s, d)),
+    "x_window_hourly"   -> ((s, d) => Sessionize.hourlyWindows(s, d)),
+    "x_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(s, d)),
   )
 
   /** Shared quad-table CTE for the t_* oracles. */
@@ -149,5 +166,96 @@ object SparkEntry {
     "a3_verdict_counts" -> (corpusCte +
       """
         |SELECT verdict, count(*) AS n FROM tagged GROUP BY verdict ORDER BY verdict""".stripMargin),
+    "x_dedup_exact" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "x_dedup_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id, round(i * 1.0 / (sa.n + sb.n - i), 3) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE round(i * 1.0 / (sa.n + sb.n - i), 3) >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+    "x_sim_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+        |scored AS (
+        |  SELECT qid, cid, round(list_cosine_similarity(qe, ce), 4) AS sim
+        |  FROM q CROSS JOIN c WHERE qid <> cid),
+        |ranked AS (
+        |  SELECT qid, cid, sim,
+        |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        |  FROM scored)
+        |SELECT qid, cid, sim, CAST(rn AS BIGINT) AS rn FROM ranked
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "x_txt_tokens" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_ws_tokens,
+        |CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_txt_quality" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS INT) AS n_tokens,
+        |    length(regexp_replace(lower(text), '\s', '', 'g')) AS n_nonws,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS n_stop,
+        |    len(regexp_extract_all(lower(text), '[a-z]')) AS n_alpha,
+        |    length(text) AS n_chars
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  round(n_nonws * 1.0 / n_tokens, 3) AS avg_token_len,
+        |  round(n_stop * 1.0 / n_tokens, 3) AS stopword_ratio,
+        |  round(n_alpha * 1.0 / n_chars, 3) AS alpha_ratio,
+        |  (n_tokens >= 5 AND n_tokens <= 100000
+        |   AND round(n_stop * 1.0 / n_tokens, 3) > 0.001
+        |   AND round(n_nonws * 1.0 / n_tokens, 3) < 12) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "x_txt_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS INT) AS en_score,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht)\b')) AS INT) AS de_score,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|los)\b')) AS INT) AS es_score,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|de|et|les|des)\b')) AS INT) AS fr_score
+        |  FROM documents)
+        |SELECT doc_id, labeled_lang, en_score, de_score, es_score, fr_score,
+        |  CASE WHEN greatest(en_score, de_score, es_score, fr_score) = 0 THEN 'und'
+        |       WHEN en_score >= de_score AND en_score >= es_score AND en_score >= fr_score THEN 'en'
+        |       WHEN de_score >= es_score AND de_score >= fr_score THEN 'de'
+        |       WHEN es_score >= fr_score THEN 'es'
+        |       ELSE 'fr' END AS predicted
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "x_txt_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |l AS (SELECT user_id, us,
+        |        us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS gap FROM e),
+        |f AS (SELECT user_id, us,
+        |        CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM l),
+        |sess AS (SELECT user_id, us,
+        |        CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us) AS BIGINT) AS sess_id FROM f)
+        |SELECT user_id, sess_id, count(*) AS n_events, min(us) AS start_us,
+        |       max(us) AS end_us, max(us) - min(us) AS duration_us
+        |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+    "x_window_hourly" ->
+      """SELECT epoch_ns(ts) // 1000 // 3600000000 AS hour_bucket, event_type,
+        |count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+        |CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
+        |CAST(doc_id % 30 + 1 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

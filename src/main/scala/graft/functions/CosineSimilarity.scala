@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Cosine similarity between two `array<float>` embedding columns.
+  *
+  * A native Catalyst expression (with codegen) rather than a UDF or a
+  * `zip_with`/`aggregate` composition: the builtin higher-order-function
+  * route allocates a lambda frame per element, while this compiles to one
+  * static call on the unsafe array data — the difference is the whole
+  * game when scoring billions of candidate pairs in an ANN sweep.
+  *
+  * Accumulates in double precision, sequentially, as
+  * `dot / (sqrt(na) * sqrt(nb))` — bitwise-aligned with the DuckDB oracle
+  * (`list_cosine_similarity` over `DOUBLE[]`), verified empirically.
+  * Returns null for null/empty/mismatched-length inputs.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val out = CosineSimilarity.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (out.isNaN) null else java.lang.Double.valueOf(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = graft.functions.CosineSimilarity.compute($a, $b);
+         |if (Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** Hot loop shared by interpreted and generated code paths. NaN signals
+    * "no result" (empty, length mismatch, or zero-norm vector). */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (n == 0 || n != b.numElements()) return Double.NaN
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) Double.NaN else dot / denom
+  }
+
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(CosineSimilarity(
+      ColumnBridge.toExpr(a), ColumnBridge.toExpr(b)))
+}

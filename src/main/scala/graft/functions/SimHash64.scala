@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit SimHash document fingerprint (Charikar 2002) as a native
+  * codegen'd Catalyst expression.
+  *
+  * Tokenizes on ASCII whitespace and hashes each token with FNV-1a 64
+  * (public-domain hash; self-contained so the fingerprint is stable across
+  * Spark versions), then sign-aggregates the 64 bit-planes. Near-duplicate
+  * documents differ in few bits, so candidate pairs come from banding the
+  * fingerprint (4×16-bit bands ⇒ any pair within Hamming distance 3 shares
+  * at least one full band — pigeonhole) and equi-joining on band values:
+  * dedup at 100 TB is then a plain shuffle join on (band_id, band_value),
+  * never a cross join.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash64.compute(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+
+  private def fnv1a64(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = FnvOffset
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** Whitespace-tokenize + sign-aggregate per bit plane. */
+  def compute(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isSpace(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isSpace(bytes(i))) i += 1
+      if (i > start) {
+        val h = fnv1a64(bytes, start, i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f'
+
+  def apply(c: Column): Column =
+    ColumnBridge.toColumn(SimHash64(ColumnBridge.toExpr(c)))
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.{CosineSimilarity, SimHash64}
+import org.apache.spark.sql.functions._
+
+/** Extension-operator invariants at sf0.001/sf0.01 — each approximate
+  * operator is checked against its exact counterpart, not against fixed
+  * numbers, so the assertions hold at any scale factor. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("minhash LSH recalls the exact-jaccard near-dup pairs (est ≈ true)") {
+    val exact = Dedup.ngramJaccard(spark, sf)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(spark, sf)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    // 32 minhashes / 8 bands at J≥0.5 → recall should be total on J≥0.9
+    // planted dups; allow the odd borderline miss near the threshold.
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall; exact=${exact.size} lsh=${lsh.size}")
+  }
+
+  test("simhash pairs are genuinely near-duplicates (subset of jaccard pairs)") {
+    val jacc = Dedup.ngramJaccard(spark, sf)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val sim = Dedup.simhash(spark, sf)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(sim.nonEmpty)
+    val precision = (sim & jacc).size.toDouble / sim.size
+    assert(precision >= 0.9, s"precision $precision vs exact jaccard ≥0.5 pairs")
+  }
+
+  test("exact dedup keeps one survivor per digest and covers all docs") {
+    val out = Dedup.exact(spark, sf)
+    val total = out.agg(sum("n_copies")).as[Long].head()
+    val docs = Tables.documents(spark, sf).count()
+    assert(total == docs)
+    assert(out.select("keep_id").distinct().count() == out.count())
+  }
+
+  test("CosineSimilarity expression matches the built-in HOF composition") {
+    val emb = Tables.embeddings(spark, sf).limit(50)
+    val pairs = emb.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .filter(col("a_id") < col("b_id")).limit(200)
+    val viaHof = pairs.select(
+      (aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _) /
+        (sqrt(aggregate(col("a"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))) *
+          sqrt(aggregate(col("b"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double")))))
+        .as("sim")).as[Double].collect()
+    val viaExpr = pairs.select(CosineSimilarity(col("a"), col("b")).as("sim"))
+      .as[Double].collect()
+    viaHof.zip(viaExpr).foreach { case (h, e) =>
+      assert(math.abs(h - e) < 1e-12, s"$h vs $e") }
+  }
+
+  test("SimHash64: identical text → identical fp; small edit → small hamming") {
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val edited = base.replace("lazy", "sleepy")
+    val other = "completely different content about spark shuffles entirely " * 8
+    val fps = Seq(base, base, edited, other).toDF("text")
+      .select(SimHash64(col("text"))).as[Long].collect()
+    assert(fps(0) == fps(1))
+    assert(java.lang.Long.bitCount(fps(0) ^ fps(2)) <= 12)
+    assert(java.lang.Long.bitCount(fps(0) ^ fps(3)) > 12)
+  }
+
+  test("brute-force top-k: k rows per query, sims descending, no self-match") {
+    val out = Similarity.bruteForceTopK(spark, sf, nQueries = 4, k = 5)
+      .select("qid", "cid", "sim", "rn")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.length == 20)
+    out.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(-(_: Double)).toSeq)
+      assert(g.forall(r => r._1 != r._2))
+    }
+  }
+
+  test("sessionization: per-user event counts are preserved") {
+    val sess = Sessionize.sessions(spark, sf)
+    val fromSessions = sess.groupBy("user_id").agg(sum("n_events").as("n"))
+      .orderBy("user_id").as[(Long, Long)].collect()
+    val fromEvents = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n")).orderBy("user_id").as[(Long, Long)].collect()
+    assert(fromSessions.toSeq == fromEvents.toSeq)
+    // durations are non-negative and bounded by the observed range
+    assert(sess.filter(col("duration_us") < 0).count() == 0)
+  }
+
+  test("multimodal stub decode: one meta row per doc, payload length preserved") {
+    val meta = graft.multimodal.Multimodal.mediaMeta(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    assert(meta.count() == docs.count())
+    val mismatch = meta.join(docs, "doc_id")
+      .filter(col("n_bytes") =!= length(col("text"))).count() // ASCII corpus
+    assert(mismatch == 0)
+  }
+}
