@@ -12,9 +12,11 @@ import graft.ops._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
+    * full reference ETL — RDFa extraction → externalization → provenance →
+    * validate/repair → verdict summary — over synthesized harvest pages. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    graft.pipeline.ExtractPipeline.pipelineSummary(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> ((s, d) => Relational.q1Agg(s, d)),
@@ -51,6 +53,10 @@ object SparkEntry {
     "x_sessionize"      -> ((s, d) => Sessionize.sessions(s, d)),
     "x_window_hourly"   -> ((s, d) => Sessionize.hourlyWindows(s, d)),
     "x_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(s, d)),
+    // The reference's core operator (G1-G4): RDFa extraction pipeline over
+    // deterministic synthesized pages. Not SQL-expressible → rows-only
+    // check; exact semantics are pinned by golden fixtures in the specs.
+    "rdfa_pipeline"     -> ((s, d) => graft.pipeline.ExtractPipeline.pipelineSummary(s, d)),
   )
 
   /** Shared quad-table CTE for the t_* oracles. */

@@ -1,0 +1,255 @@
+package graft.html
+
+import scala.collection.mutable
+
+/** Minimal, tolerant HTML parser — tokenizer + tree builder, no external
+  * dependencies (the environment is intentionally offline; the reference
+  * leans on jsdom, lib/rdfa-extractor.js:72-74, which we replace with ~200
+  * lines sufficient for the RDFa attribute walk).
+  *
+  * Supported: nested elements, attributes (double/single/unquoted/bare),
+  * comments, doctype/processing instructions, void elements, self-closing
+  * syntax, raw-text elements (script/style), character references
+  * (named basics + decimal/hex), and mismatched end tags (closed by
+  * popping to the nearest matching open element, else ignored — the
+  * usual lenient behavior). Not a WHATWG-conformant tree builder: no
+  * implied end tags / foster parenting; harvested besluit pages are
+  * machine-generated markup that doesn't rely on those recovery paths.
+  */
+object HtmlParser {
+
+  sealed trait Node {
+    /** Concatenated descendant text (entity-decoded). */
+    def text: String
+  }
+
+  final case class TextNode(content: String) extends Node {
+    def text: String = content
+  }
+
+  final case class Element(
+      tag: String,
+      attrs: Map[String, String],
+      children: Vector[Node]) extends Node {
+    def attr(name: String): Option[String] = attrs.get(name)
+    def text: String = children.map(_.text).mkString
+    /** Re-serialized inner HTML (for rdf:HTML literals, G2). */
+    def innerHtml: String = children.map(render).mkString
+  }
+
+  private val voidElements = Set("area", "base", "br", "col", "embed", "hr",
+    "img", "input", "link", "meta", "param", "source", "track", "wbr")
+  private val rawTextElements = Set("script", "style")
+
+  /** Parse a full document; returns a synthetic root element. */
+  def parse(html: String): Element = {
+    val tokens = tokenize(html)
+    val root = new Builder("#root", Map.empty)
+    val stack = mutable.Stack[Builder](root)
+    tokens.foreach {
+      case Tok.Text(t) =>
+        if (t.nonEmpty) stack.top.children += TextNode(t)
+      case Tok.Open(tag, attrs, selfClosing) =>
+        if (selfClosing || voidElements(tag)) {
+          stack.top.children += Element(tag, attrs, Vector.empty)
+        } else {
+          val b = new Builder(tag, attrs)
+          stack.top.childBuilders += b
+          stack.top.children += null // placeholder, patched on close
+          b.placeholderIndex = stack.top.children.length - 1
+          stack.push(b)
+        }
+      case Tok.Close(tag) =>
+        if (stack.exists(b => b.tag == tag && b.tag != "#root")) {
+          while (stack.top.tag != tag) finish(stack)
+          finish(stack)
+        } // else: stray end tag, ignored
+    }
+    while (stack.top.tag != "#root") finish(stack)
+    root.build()
+  }
+
+  private def finish(stack: mutable.Stack[Builder]): Unit = {
+    val done = stack.pop()
+    stack.top.children(done.placeholderIndex) = done.build()
+  }
+
+  private final class Builder(val tag: String, val attrs: Map[String, String]) {
+    val children = mutable.ArrayBuffer[Node]()
+    val childBuilders = mutable.ArrayBuffer[Builder]()
+    var placeholderIndex: Int = -1
+    def build(): Element = {
+      // any still-null placeholders are unclosed children finished bottom-up
+      Element(tag, attrs, children.iterator.filter(_ != null).toVector)
+    }
+  }
+
+  // -------------------------------------------------------------- tokens
+
+  private object Tok {
+    sealed trait T
+    final case class Text(t: String) extends T
+    final case class Open(tag: String, attrs: Map[String, String],
+        selfClosing: Boolean) extends T
+    final case class Close(tag: String) extends T
+  }
+
+  private def tokenize(s: String): Iterator[Tok.T] = new Iterator[Tok.T] {
+    private var i = 0
+    private var pendingRawText: String = null
+
+    def hasNext: Boolean = i < s.length || pendingRawText != null
+
+    def next(): Tok.T = {
+      if (pendingRawText != null) {
+        val t = Tok.Text(pendingRawText); pendingRawText = null; return t
+      }
+      if (s(i) != '<') {
+        val start = i
+        val lt = s.indexOf('<', i)
+        i = if (lt < 0) s.length else lt
+        return Tok.Text(decodeEntities(s.substring(start, i)))
+      }
+      // '<'
+      if (s.startsWith("<!--", i)) {
+        val end = s.indexOf("-->", i + 4)
+        i = if (end < 0) s.length else end + 3
+        return Tok.Text("")
+      }
+      if (i + 1 < s.length && (s(i + 1) == '!' || s(i + 1) == '?')) {
+        val end = s.indexOf('>', i)
+        i = if (end < 0) s.length else end + 1
+        return Tok.Text("")
+      }
+      if (i + 1 < s.length && s(i + 1) == '/') {
+        val end = s.indexOf('>', i)
+        if (end < 0) { i = s.length; return Tok.Text("") }
+        val tag = s.substring(i + 2, end).trim.toLowerCase
+        i = end + 1
+        return Tok.Close(tag)
+      }
+      // open tag
+      parseOpenTag() match {
+        case Some(open) =>
+          if (rawTextElements(open.tag) && !open.selfClosing) {
+            val closeSeq = s"</${open.tag}"
+            val end = s.toLowerCase.indexOf(closeSeq, i)
+            if (end >= 0) {
+              pendingRawText = s.substring(i, end)
+              i = end
+            }
+          }
+          open
+        case None =>
+          // lone '<' that isn't a tag — treat literally
+          i += 1
+          Tok.Text("<")
+      }
+    }
+
+    private def parseOpenTag(): Option[Tok.Open] = {
+      var j = i + 1
+      val nameStart = j
+      while (j < s.length && (s(j).isLetterOrDigit || s(j) == '-' || s(j) == ':')) j += 1
+      if (j == nameStart) return None
+      val tag = s.substring(nameStart, j).toLowerCase
+      val attrs = Map.newBuilder[String, String]
+      var selfClosing = false
+      var done = false
+      while (!done && j < s.length) {
+        while (j < s.length && s(j).isWhitespace) j += 1
+        if (j >= s.length) done = true
+        else s(j) match {
+          case '>' => j += 1; done = true
+          case '/' =>
+            if (j + 1 < s.length && s(j + 1) == '>') { selfClosing = true; j += 2; done = true }
+            else j += 1
+          case _ =>
+            val aStart = j
+            while (j < s.length && !s(j).isWhitespace && s(j) != '=' &&
+              s(j) != '>' && s(j) != '/') j += 1
+            val name = s.substring(aStart, j).toLowerCase
+            while (j < s.length && s(j).isWhitespace) j += 1
+            if (j < s.length && s(j) == '=') {
+              j += 1
+              while (j < s.length && s(j).isWhitespace) j += 1
+              if (j < s.length && (s(j) == '"' || s(j) == '\'')) {
+                val quote = s(j); j += 1
+                val vStart = j
+                while (j < s.length && s(j) != quote) j += 1
+                attrs += name -> decodeEntities(s.substring(vStart, j))
+                if (j < s.length) j += 1
+              } else {
+                val vStart = j
+                while (j < s.length && !s(j).isWhitespace && s(j) != '>') j += 1
+                attrs += name -> decodeEntities(s.substring(vStart, j))
+              }
+            } else if (name.nonEmpty) attrs += name -> ""
+        }
+      }
+      i = j
+      Some(Tok.Open(tag, attrs.result(), selfClosing))
+    }
+  }
+
+  // ------------------------------------------------------------ entities
+
+  private val namedEntities = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "eacute" -> "é", "egrave" -> "è", "agrave" -> "à",
+    "ccedil" -> "ç", "uuml" -> "ü", "ouml" -> "ö", "auml" -> "ä",
+    "euro" -> "€", "mdash" -> "—", "ndash" -> "–",
+    "rsquo" -> "’", "lsquo" -> "‘",
+    "ldquo" -> "“", "rdquo" -> "”", "hellip" -> "…")
+
+  def decodeEntities(t: String): String = {
+    if (t.indexOf('&') < 0) return t
+    val sb = new StringBuilder(t.length)
+    var i = 0
+    while (i < t.length) {
+      if (t(i) == '&') {
+        val semi = t.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val body = t.substring(i + 1, semi)
+          val decoded: Option[String] =
+            if (body.startsWith("#x") || body.startsWith("#X"))
+              try Some(new String(Character.toChars(
+                Integer.parseInt(body.substring(2), 16)))) catch { case _: Exception => None }
+            else if (body.startsWith("#"))
+              try Some(new String(Character.toChars(
+                Integer.parseInt(body.substring(1))))) catch { case _: Exception => None }
+            else namedEntities.get(body)
+          decoded match {
+            case Some(d) => sb.append(d); i = semi + 1
+            case None => sb.append('&'); i += 1
+          }
+        } else { sb.append('&'); i += 1 }
+      } else { sb.append(t(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Re-serialize a node (innerHtml support). Attribute order is the parse
+    * order of a Scala Map — stable for the small attr counts here. */
+  def render(n: Node): String = n match {
+    case TextNode(t) => escapeText(t)
+    case e: Element =>
+      val attrs = e.attrs.map { case (k, v) =>
+        s""" $k="${v.replace("&", "&amp;").replace("\"", "&quot;")}""""
+      }.mkString
+      if (voidElements(e.tag)) s"<${e.tag}$attrs/>"
+      else s"<${e.tag}$attrs>${e.children.map(render).mkString}</${e.tag}>"
+  }
+
+  private def escapeText(t: String): String =
+    t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Depth-first traversal of an element and its descendants. */
+  def walk(root: Element)(f: Element => Unit): Unit = {
+    f(root)
+    root.children.foreach {
+      case e: Element => walk(e)(f)
+      case _ =>
+    }
+  }
+}

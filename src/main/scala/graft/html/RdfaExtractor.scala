@@ -1,0 +1,252 @@
+package graft.html
+
+import graft.rdf.{Quad, Term, Vocab}
+import scala.collection.mutable
+
+/** RDFa 1.1 attribute walk over the [[HtmlParser]] tree — the engine's
+  * equivalent of the reference's jsdom + @lblod/graph-rdfa-processor
+  * extraction (lib/rdfa-extractor.js:58-101, G1 in SURVEY §2.8).
+  *
+  * Covers the attribute subset harvested besluit pages exercise
+  * (FIXTURES.md §3): `vocab`, `prefix`, `about`, `resource`, `href`,
+  * `src`, `typeof`, `property`, `content`, `datatype`, `datetime`,
+  * `lang`/`xml:lang`, with CURIE / safe-CURIE / term resolution and a
+  * seeded set of common prefixes (RDFa initial context). Not covered
+  * (documented deviation): `rel`/`rev` chaining, `@inlist`, incomplete-
+  * triple completion.
+  *
+  * lblod behaviors reproduced:
+  *   - `specialHtmlPredicates`: a `property="prov:value"` whose object is
+  *     an `rdf:HTML` literal is rewired to
+  *     `lblod…/besluit/extractedDecisionContent`
+  *     (lib/rdfa-extractor.js:13-14, 78-83);
+  *   - U+FFFD stripped from the source before parsing
+  *     (lib/rdfa-extractor.js:72);
+  *   - provenance (`prov:wasDerivedFrom`, once per subject) is appended by
+  *     [[graft.pipeline.ExtractPipeline]] as a DataFrame union (G3/D3) —
+  *     not inside the walker, so it stays a declarative plan step.
+  */
+object RdfaExtractor {
+
+  /** RDFa initial-context prefixes (W3C) + those observed in harvested
+    * pages; page-level `prefix` attributes extend/override these. */
+  val defaultPrefixes: Map[String, String] = Map(
+    "rdf" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs" -> "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd" -> "http://www.w3.org/2001/XMLSchema#",
+    "dc" -> "http://purl.org/dc/terms/",
+    "dct" -> "http://purl.org/dc/terms/",
+    "foaf" -> "http://xmlns.com/foaf/0.1/",
+    "prov" -> "http://www.w3.org/ns/prov#",
+    "skos" -> "http://www.w3.org/2004/02/skos/core#",
+    "schema" -> "http://schema.org/",
+    "eli" -> "http://data.europa.eu/eli/ontology#",
+    "besluit" -> "http://data.vlaanderen.be/ns/besluit#",
+    "mandaat" -> "http://data.vlaanderen.be/ns/mandaat#",
+    "persoon" -> "http://data.vlaanderen.be/ns/persoon#",
+    "ext" -> "http://mu.semte.ch/vocabularies/ext/")
+
+  private final case class Ctx(
+      base: String,
+      subject: String,
+      prefixes: Map[String, String],
+      vocab: Option[String],
+      lang: Option[String])
+
+  /** Extract all RDFa triples from an HTML document. `baseUri` doubles as
+    * the initial subject (the reference passes the page url as baseURI,
+    * lib/rdfa-extractor.js:77). */
+  def extract(html: String, baseUri: String): Seq[Quad] = {
+    // U+FFFD strip, lib/rdfa-extractor.js:72
+    val cleaned = html.replace("\uFFFD", "")
+    val root = HtmlParser.parse(cleaned)
+    val out = mutable.ArrayBuffer[Quad]()
+    walk(root, Ctx(baseUri, baseUri, defaultPrefixes, None, None), out)
+    out.toSeq
+  }
+
+  private var blankCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def freshBlank(): String = s"rdfagen${blankCounter.incrementAndGet()}"
+
+  private def walk(e: HtmlParser.Element, ctx0: Ctx,
+      out: mutable.ArrayBuffer[Quad]): Unit = {
+    var ctx = ctx0
+
+    // prefix / vocab / lang updates apply to this element and descendants
+    e.attr("prefix").foreach { p =>
+      ctx = ctx.copy(prefixes = ctx.prefixes ++ parsePrefixAttr(p)) }
+    e.attr("vocab").foreach(v => ctx = ctx.copy(vocab = Some(v.trim)))
+    e.attr("xml:lang").orElse(e.attr("lang"))
+      .foreach(l => ctx = ctx.copy(lang = if (l.isEmpty) None else Some(l)))
+
+    val about = e.attr("about").flatMap(resolveResource(_, ctx))
+    val resource = e.attr("resource").orElse(e.attr("href"))
+      .orElse(e.attr("src")).flatMap(resolveResource(_, ctx))
+    val properties = e.attr("property").toSeq
+      .flatMap(_.trim.split("\\s+")).flatMap(resolveIri(_, ctx))
+    val typeofs = e.attr("typeof").map(_.trim.split("\\s+").toSeq
+      .flatMap(resolveIri(_, ctx)))
+
+    // typeof without about/resource on a property-bearing element types a
+    // fresh blank node that becomes the property's object (typed object).
+    lazy val freshBlankNode: String = s"_:${freshBlank()}"
+
+    // --- new subject determination (simplified RDFa 1.1 sequence)
+    val newSubject: Option[String] = about.orElse {
+      if (typeofs.isDefined && properties.isEmpty) resource.orElse(Some(freshBlankNode))
+      else None
+    }
+
+    val subjectForChildren = newSubject.getOrElse(ctx.subject)
+
+    // --- rdf:type triples
+    typeofs.foreach { types =>
+      val typed = newSubject.orElse(resource).getOrElse(subjectForChildren)
+      types.foreach { t =>
+        out += Quad(toTerm(typed), Term.iri(Vocab.rdfType), Term.iri(t)) }
+    }
+
+    // --- property triples
+    if (properties.nonEmpty) {
+      val subj = about.getOrElse(ctx.subject)
+      val datatype = e.attr("datatype").map(dt =>
+        if (dt.trim.isEmpty) "" else resolveIri(dt.trim, ctx).getOrElse(""))
+      val objTerm: Term =
+        datatype match {
+          case Some(dt) if dt == Vocab.rdfHTML => Term.typed(e.innerHtml, dt)
+          case Some(dt) if dt.nonEmpty =>
+            val value = e.attr("content").orElse(e.attr("datetime"))
+              .getOrElse(e.text)
+            Term.typed(value, dt)
+          case Some(_) => // datatype="" → plain literal
+            plainLiteral(e.attr("content").getOrElse(e.text), ctx)
+          case None =>
+            e.attr("content").map(plainLiteral(_, ctx))
+              .orElse(e.attr("datetime").map(dtv =>
+                Term.typed(dtv, inferDatetimeDatatype(dtv))))
+              .orElse(resource.filter(_ => about.isEmpty ||
+                e.attr("resource").isDefined || e.attr("href").isDefined ||
+                e.attr("src").isDefined).map(r => toTerm(r)))
+              .orElse(typeofs.filter(_ => about.isEmpty)
+                .map(_ => toTerm(subjectForChildren)))
+              .getOrElse(plainLiteral(e.text, ctx))
+        }
+      // lblod specialHtmlPredicates rewiring (rdfa-extractor.js:78-83)
+      properties.foreach { p =>
+        val predicate =
+          if (p == Vocab.provValue && objTerm.datatype == Vocab.rdfHTML)
+            Vocab.extractedDecisionContent
+          else p
+        out += Quad(toTerm(subj), Term.iri(predicate), objTerm)
+      }
+    }
+
+    // --- descend. Children inherit: the element's new subject; or, when a
+    // property with a resource object was emitted, that object (chaining).
+    val childSubject =
+      if (properties.nonEmpty && resource.isDefined && about.isEmpty) resource.get
+      else subjectForChildren
+    val childCtx = ctx.copy(subject = childSubject)
+    e.children.foreach {
+      case el: HtmlParser.Element => walk(el, childCtx, out)
+      case _ =>
+    }
+  }
+
+  private def plainLiteral(v: String, ctx: Ctx): Term =
+    ctx.lang.map(Term.langLit(v, _)).getOrElse(Term.lit(v))
+
+  private def toTerm(iriOrBlank: String): Term =
+    if (iriOrBlank.startsWith("_:")) Term.blank(iriOrBlank.substring(2))
+    else Term.iri(iriOrBlank)
+
+  /** `prefix="p1: uri1 p2: uri2"` (RDFa Core §5). */
+  def parsePrefixAttr(v: String): Map[String, String] = {
+    val toks = v.trim.split("\\s+").filter(_.nonEmpty)
+    val pairs = mutable.Map[String, String]()
+    var i = 0
+    while (i + 1 < toks.length) {
+      val p = toks(i)
+      if (p.endsWith(":")) {
+        pairs += p.dropRight(1) -> toks(i + 1)
+        i += 2
+      } else i += 1
+    }
+    pairs.toMap
+  }
+
+  /** Resolve a CURIE / term / IRI in predicate position (property,
+    * typeof, datatype): CURIEs via prefix map, bare terms via vocab,
+    * absolute IRIs as-is. */
+  def resolveIri(raw: String, ctx: Ctx): Option[String] = {
+    val v = raw.trim
+    if (v.isEmpty) None
+    else if (v.contains(":")) {
+      val idx = v.indexOf(':')
+      val prefix = v.substring(0, idx)
+      val local = v.substring(idx + 1)
+      ctx.prefixes.get(prefix) match {
+        case Some(ns) => Some(ns + local)
+        case None if isAbsoluteIri(v) => Some(v)
+        case None => None
+      }
+    } else ctx.vocab.map(_ + v)
+  }
+
+  /** Resolve in subject/object position (about, resource, href, src):
+    * safe CURIEs `[p:l]`, CURIEs, blank nodes, and IRIs resolved against
+    * base. */
+  def resolveResource(raw: String, ctx: Ctx): Option[String] = {
+    val v0 = raw.trim
+    if (v0.isEmpty) return Some(ctx.base)
+    val v = if (v0.startsWith("[") && v0.endsWith("]")) v0.substring(1, v0.length - 1) else v0
+    if (v.startsWith("_:")) Some(v)
+    else if (v.contains(":")) {
+      val idx = v.indexOf(':')
+      ctx.prefixes.get(v.substring(0, idx)) match {
+        case Some(ns) => Some(ns + v.substring(idx + 1))
+        case None if isAbsoluteIri(v) => Some(v)
+        case None => Some(v) // scheme-looking value, keep verbatim
+      }
+    } else Some(resolveAgainstBase(v, ctx.base))
+  }
+
+  private def isAbsoluteIri(v: String): Boolean =
+    v.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")
+
+  /** RFC-3986-lite relative resolution (enough for harvested pages). */
+  def resolveAgainstBase(ref: String, base: String): String = {
+    if (ref.isEmpty) base
+    else if (ref.startsWith("#")) base.takeWhile(_ != '#') + ref
+    else if (ref.startsWith("//"))
+      base.takeWhile(_ != ':') + ":" + ref
+    else if (ref.startsWith("/")) {
+      val schemeEnd = base.indexOf("://")
+      if (schemeEnd < 0) ref
+      else {
+        val authorityEnd = base.indexOf('/', schemeEnd + 3)
+        (if (authorityEnd < 0) base else base.substring(0, authorityEnd)) + ref
+      }
+    } else {
+      val noFrag = base.takeWhile(c => c != '#' && c != '?')
+      val dir = noFrag.substring(0, math.max(noFrag.lastIndexOf('/') + 1,
+        noFrag.indexOf("://") + 3))
+      dir + ref
+    }
+  }
+
+  /** HTML5 `datetime` attribute datatype inference (RDFa + HTML spec). */
+  def inferDatetimeDatatype(v: String): String = {
+    val t = v.trim
+    if (t.matches("^-?\\d{4,}-\\d\\d-\\d\\dT.*")) Vocab.xsdDateTime
+    else if (t.matches("^-?\\d{4,}-\\d\\d-\\d\\d$")) Vocab.xsdDate
+    else if (t.matches("^\\d\\d:\\d\\d(:\\d\\d(\\.\\d+)?)?$"))
+      "http://www.w3.org/2001/XMLSchema#time"
+    else if (t.matches("^-?\\d{4,}-\\d\\d$"))
+      "http://www.w3.org/2001/XMLSchema#gYearMonth"
+    else if (t.matches("^-?\\d{4,}$")) "http://www.w3.org/2001/XMLSchema#gYear"
+    else if (t.matches("^P.*")) "http://www.w3.org/2001/XMLSchema#duration"
+    else Vocab.xsdString
+  }
+}

@@ -1,0 +1,58 @@
+package graft.html
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class HtmlParserSpec extends AnyFunSuite {
+  import HtmlParser._
+
+  test("basic nesting and attributes") {
+    val root = parse("""<div class="a" id=x><span data-v='1'>hi</span> there</div>""")
+    val div = root.children.head.asInstanceOf[Element]
+    assert(div.tag == "div")
+    assert(div.attrs == Map("class" -> "a", "id" -> "x"))
+    val span = div.children.head.asInstanceOf[Element]
+    assert(span.attrs == Map("data-v" -> "1"))
+    assert(div.text == "hi there")
+  }
+
+  test("void and self-closing elements don't swallow siblings") {
+    val root = parse("""<p>a<br>b<img src="x"/>c</p>""")
+    val p = root.children.head.asInstanceOf[Element]
+    assert(p.text == "abc")
+    assert(p.children.count(_.isInstanceOf[Element]) == 2)
+  }
+
+  test("comments, doctype and processing instructions are dropped") {
+    val root = parse("<!DOCTYPE html><!-- x --><html><?pi?><b>t</b></html>")
+    assert(root.text == "t")
+  }
+
+  test("entities decode in text and attributes") {
+    val root = parse("""<a title="a&amp;b &#233; &#x20AC;">x &lt;tag&gt; &eacute;</a>""")
+    val a = root.children.head.asInstanceOf[Element]
+    assert(a.attrs("title") == "a&b é €")
+    assert(a.text == "x <tag> é")
+  }
+
+  test("mismatched and stray end tags are tolerated") {
+    val root = parse("<div><b>x</i>y</b>z</div><p>tail")
+    assert(root.text == "xyztail")
+  }
+
+  test("script/style contents are raw text (no tag parsing inside)") {
+    val root = parse("""<script>if (a<b) { x="</div>"; }</script><p>ok</p>""")
+    assert(root.text.contains("ok"))
+    assert(root.children.length == 2)
+  }
+
+  test("innerHtml round-trips structure") {
+    val root = parse("<div><p>full <b>decision</b> body</p></div>")
+    val div = root.children.head.asInstanceOf[Element]
+    assert(div.innerHtml == "<p>full <b>decision</b> body</p>")
+  }
+
+  test("unclosed elements are finished at EOF") {
+    val root = parse("<div><span>a<span>b")
+    assert(root.text == "ab")
+  }
+}

@@ -1,0 +1,128 @@
+package graft.html
+
+import graft.rdf.{Quad, Term, Vocab}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden cases for the RDFa walk (FIXTURES.md §3; reference
+  * lib/rdfa-extractor.js + @lblod/graph-rdfa-processor semantics for the
+  * harvested-page attribute subset). */
+class RdfaExtractorSpec extends AnyFunSuite {
+
+  private val base = "https://example.org/zitting/1"
+
+  private def extract(html: String): Set[(String, String, String, String)] =
+    RdfaExtractor.extract(html, base).map(q =>
+      (q.subject.value, q.predicate.value, q.obj.value,
+        Option(q.obj.datatype).getOrElse("-"))).toSet
+
+  test("besluit fixture: about/typeof/property/datetime/href/prefix") {
+    val html =
+      """<html prefix="besluit: http://data.vlaanderen.be/ns/besluit# prov: http://www.w3.org/ns/prov#
+        |              eli: http://data.europa.eu/eli/ontology#">
+        |<body>
+        |  <div about="https://example.org/besluit/B1" typeof="besluit:Besluit">
+        |    <span property="eli:title">Reglement X</span>
+        |    <time property="besluit:openbareTitel" datetime="2023-05-04">4 mei 2023</time>
+        |    <a property="eli:cites" href="https://example.org/besluit/B0">earlier</a>
+        |  </div>
+        |</body></html>""".stripMargin
+    val got = extract(html)
+    val B1 = "https://example.org/besluit/B1"
+    assert(got.contains((B1, Vocab.rdfType,
+      "http://data.vlaanderen.be/ns/besluit#Besluit", "-")))
+    assert(got.contains((B1, "http://data.europa.eu/eli/ontology#title",
+      "Reglement X", Vocab.xsdString)))
+    assert(got.contains((B1, "http://data.vlaanderen.be/ns/besluit#openbareTitel",
+      "2023-05-04", Vocab.xsdDate)))
+    assert(got.contains((B1, "http://data.europa.eu/eli/ontology#cites",
+      "https://example.org/besluit/B0", "-")))
+    assert(got.size == 4)
+  }
+
+  test("specialHtmlPredicates: prov:value + rdf:HTML → extractedDecisionContent") {
+    val html =
+      """<div about="https://example.org/besluit/B1"
+        |     prefix="prov: http://www.w3.org/ns/prov#">
+        |  <div property="prov:value" datatype="rdf:HTML"><p>full <b>body</b></p></div>
+        |</div>""".stripMargin
+    val quads = RdfaExtractor.extract(html, base)
+    assert(quads.size == 1)
+    val q = quads.head
+    assert(q.predicate.value == Vocab.extractedDecisionContent)
+    assert(q.obj.datatype == Vocab.rdfHTML)
+    assert(q.obj.value == "<p>full <b>body</b></p>")
+  }
+
+  test("plain prov:value (no rdf:HTML) is NOT rewired") {
+    val html =
+      """<div about="https://example.org/b" prefix="prov: http://www.w3.org/ns/prov#">
+        |  <span property="prov:value">plain</span></div>""".stripMargin
+    val quads = RdfaExtractor.extract(html, base)
+    assert(quads.head.predicate.value == "http://www.w3.org/ns/prov#value")
+  }
+
+  test("vocab resolves bare terms; content beats text; lang inherits") {
+    val html =
+      """<div vocab="http://schema.org/" lang="nl" about="https://example.org/x">
+        |  <span property="name" content="Naam">ignored</span>
+        |  <span property="description">tekst</span>
+        |</div>""".stripMargin
+    val got = RdfaExtractor.extract(html, base)
+    val byPred = got.map(q => q.predicate.value -> q.obj).toMap
+    assert(byPred("http://schema.org/name") == Term.langLit("Naam", "nl"))
+    assert(byPred("http://schema.org/description") == Term.langLit("tekst", "nl"))
+  }
+
+  test("relative about/href resolve against base; empty about = base") {
+    val html =
+      """<div about="/besluiten/7" prefix="eli: http://data.europa.eu/eli/ontology#">
+        |  <a property="eli:cites" href="#art-1">x</a></div>""".stripMargin
+    val got = extract(html)
+    assert(got.contains(("https://example.org/besluiten/7",
+      "http://data.europa.eu/eli/ontology#cites",
+      "https://example.org/zitting/1#art-1", "-")))
+  }
+
+  test("U+FFFD is stripped before parsing (rdfa-extractor.js:72)") {
+    val html = "<div about=\"https://example.org/x\" vocab=\"http://schema.org/\">" +
+      "<span property=\"name\">A�B</span></div>"
+    val got = RdfaExtractor.extract(html, base)
+    assert(got.head.obj.value == "AB")
+  }
+
+  test("no RDFa attributes → empty output (rdfa-extractor.js:104-106)") {
+    assert(RdfaExtractor.extract("<html><body><p>nothing</p></body></html>", base).isEmpty)
+  }
+
+  test("typeof without about creates a typed blank node") {
+    val html = """<div typeof="besluit:Besluit"
+      | prefix="besluit: http://data.vlaanderen.be/ns/besluit#"><span>x</span></div>""".stripMargin
+    val quads = RdfaExtractor.extract(html, base)
+    assert(quads.size == 1)
+    assert(quads.head.subject.termType == Term.BlankNode)
+    assert(quads.head.obj.value == "http://data.vlaanderen.be/ns/besluit#Besluit")
+  }
+
+  test("property chaining: resource object becomes child subject") {
+    val html =
+      """<div about="https://example.org/zitting" vocab="http://data.vlaanderen.be/ns/besluit#">
+        |  <div property="heeftAgenda" resource="https://example.org/agenda/1">
+        |    <span property="titel">Agenda 1</span>
+        |  </div>
+        |</div>""".stripMargin
+    val got = extract(html)
+    assert(got.contains(("https://example.org/zitting",
+      "http://data.vlaanderen.be/ns/besluit#heeftAgenda",
+      "https://example.org/agenda/1", "-")))
+    assert(got.contains(("https://example.org/agenda/1",
+      "http://data.vlaanderen.be/ns/besluit#titel", "Agenda 1", Vocab.xsdString)))
+  }
+
+  test("datetime datatype inference variants") {
+    assert(RdfaExtractor.inferDatetimeDatatype("2023-05-04T10:00:00") == Vocab.xsdDateTime)
+    assert(RdfaExtractor.inferDatetimeDatatype("2023-05-04") == Vocab.xsdDate)
+    assert(RdfaExtractor.inferDatetimeDatatype("10:30") == "http://www.w3.org/2001/XMLSchema#time")
+    assert(RdfaExtractor.inferDatetimeDatatype("2023-05") == "http://www.w3.org/2001/XMLSchema#gYearMonth")
+    assert(RdfaExtractor.inferDatetimeDatatype("P1D") == "http://www.w3.org/2001/XMLSchema#duration")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.rdf.Vocab
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline spec over in-memory pages + the synthesized
+  * driver-table harness (SURVEY §3.1 stages 6-8). */
+class ExtractPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val page =
+    """<html prefix="besluit: http://data.vlaanderen.be/ns/besluit# prov: http://www.w3.org/ns/prov#
+      |              eli: http://data.europa.eu/eli/ontology#"><body>
+      |  <div about="https://example.org/besluit/B1" typeof="besluit:Besluit">
+      |    <span property="eli:title">Reglement X</span>
+      |    <span property="eli:date_publication" datatype="xsd:date" content="May 4, 2023"></span>
+      |    <div property="prov:value" datatype="rdf:HTML"><p>full body</p></div>
+      |  </div>
+      |</body></html>""".stripMargin
+
+  private def pages = Seq(("https://example.org/zitting/1", page)).toDF("url", "html")
+
+  test("full pipeline: extraction, externalization, provenance, verdicts") {
+    val out = ExtractPipeline.run(spark, pages).cache()
+    val rows = out.select($"subject.value", $"predicate.value", $"obj.value",
+      $"verdict").as[(String, String, String, String)].collect().toSet
+
+    // externalized rdf:HTML object → content-addressed file URI, valid
+    val ext = rows.filter(_._2 == Vocab.extractedDecisionContent)
+    assert(ext.size == 1)
+    assert(ext.head._3.startsWith("http://data.lblod.info/id/files/"))
+    assert(ext.head._4 == "valid")
+    // provenance once per subject
+    assert(rows.count(_._2 == Vocab.provWasDerivedFrom) == 1)
+    assert(rows.exists(r => r._2 == Vocab.provWasDerivedFrom &&
+      r._3 == "https://example.org/zitting/1"))
+    // repairable date → corrected
+    assert(rows.exists(r => r._2 == "http://data.europa.eu/eli/ontology#date_publication"
+      && r._4 == "corrected"))
+    // corrected partition serializes the repaired (unpadded-quirk) form
+    val correctedTtl = out.filter($"verdict" === "corrected")
+      .select($"ttl").as[String].collect()
+    assert(correctedTtl.exists(_.contains("\"2023-05-4\"")))
+    out.unpersist()
+  }
+
+  test("html side-output table carries the payload for the file sink (G2)") {
+    val raw = ExtractPipeline.extractQuads(spark, pages)
+    val (_, files) = ExtractPipeline.externalizeHtml(raw)
+    val f = files.as[(String, String, String)].collect()
+    assert(f.length == 1)
+    assert(f.head._2 == "<p>full body</p>")
+    assert(f.head._3 == "https://example.org/zitting/1")
+  }
+
+  test("malformed page is isolated, not fatal (T4)") {
+    val mixed = Seq(
+      ("https://example.org/ok", page),
+      ("https://example.org/broken", null: String)).toDF("url", "html")
+    val out = ExtractPipeline.run(spark, mixed)
+    assert(out.filter($"url" === "https://example.org/ok").count() > 0)
+    assert(out.filter($"url" === "https://example.org/broken").count() == 0)
+  }
+
+  test("synthesized driver harness populates all three verdict partitions") {
+    val summary = ExtractPipeline.pipelineSummary(spark, "/root/testdata/sf0.001")
+      .agg(sum("n_valid"), sum("n_corrected"), sum("n_invalid"))
+      .as[(Long, Long, Long)].head()
+    assert(summary._1 > 0 && summary._2 > 0 && summary._3 > 0, summary.toString)
+  }
+}
