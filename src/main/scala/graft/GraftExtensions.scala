@@ -1,0 +1,47 @@
+package graft
+
+import graft.functions.{CosineSimilarity, SimHash64}
+import graft.rdf.ParseNTriple
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions, so `spark.sql("SELECT simhash64(text)…")`
+  * works next to the Column API.
+  *
+  * Usage:
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)                       // or
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  private def arity(name: String, n: Int)(args: Seq[Expression]): Seq[Expression] = {
+    require(args.length == n,
+      s"$name expects $n argument(s), got ${args.length}")
+    args
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit SimHash document fingerprint."),
+      (args: Seq[Expression]) => SimHash64(arity("simhash64", 1)(args).head)))
+    ext.injectFunction((FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity",
+        "cosine_similarity(a, b) - cosine similarity of two float arrays."),
+      (args: Seq[Expression]) => {
+        val a = arity("cosine_similarity", 2)(args); CosineSimilarity(a(0), a(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("parse_ntriple"),
+      info("parse_ntriple",
+        "parse_ntriple(line) - parse an N-Triples line into a quad struct."),
+      (args: Seq[Expression]) => ParseNTriple(arity("parse_ntriple", 1)(args).head)))
+  }
+}

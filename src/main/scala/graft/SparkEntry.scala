@@ -32,6 +32,7 @@ object SparkEntry {
     "a2_size_stats"     -> ((s, d) => Relational.sizeStats(s, d)),
     "d1_distinct"       -> ((s, d) => Relational.distinctPriorities(s, d)),
     "o1_order_limit_offset" -> ((s, d) => Relational.orderLimitOffset(s, d)),
+    "t_ntriples_roundtrip" -> ((s, d) => QuadOps.ntriplesRoundtrip(s, d)),
     "t_star_pivot"      -> ((s, d) => QuadOps.starPivot(s, d)),
     "t_chain_join"      -> ((s, d) => QuadOps.chainTraversal(s, d)),
     "p4_validate"       -> ((s, d) => QuadOps.validateCorpus(s, d)),
@@ -154,6 +155,16 @@ object SparkEntry {
     "o1_order_limit_offset" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 1000 OFFSET 500""".stripMargin,
+    "t_ntriples_roundtrip" ->
+      """SELECT subject, line FROM (
+        |  SELECT 'urn:nation:' || n_nationkey AS subject,
+        |         '<urn:nation:' || n_nationkey || '> <urn:p:name> "' || n_name || '" .' AS line
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'urn:nation:' || n_nationkey,
+        |         '<urn:nation:' || n_nationkey || '> <urn:p:regionkey> "' || n_regionkey ||
+        |         '"^^<http://www.w3.org/2001/XMLSchema#integer> .'
+        |  FROM nation) ORDER BY line""".stripMargin,
     "t_star_pivot" -> (geoQuadsCte +
       """
         |SELECT subject, max(CASE WHEN predicate = 'urn:p:name' THEN obj END) AS name,

@@ -74,6 +74,34 @@ object QuadOps {
       .orderBy(col("nation_name"))
   }
 
+  /** G4/G5 codec round-trip under the oracle: build term-struct quads from
+    * nation, serialize with `to_ntriple`, re-parse with `parse_ntriple`,
+    * serialize again — the emitted line must equal what plain SQL string
+    * concatenation produces. Covers IRI objects, plain literals, and typed
+    * literals (xsd:integer). */
+  def ntriplesRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d)
+    def iri(v: org.apache.spark.sql.Column) = struct(
+      lit(Term.NamedNode).as("termType"), v.as("value"),
+      lit(null).cast("string").as("datatype"), lit(null).cast("string").as("lang"))
+    def typed(v: org.apache.spark.sql.Column, dt: String) = struct(
+      lit(Term.Literal).as("termType"), v.as("value"),
+      lit(dt).as("datatype"), lit(null).cast("string").as("lang"))
+    val subj = iri(concat(lit("urn:nation:"), col("n_nationkey")))
+    val nameQuad = n.select(subj.as("s"), iri(lit("urn:p:name")).as("p"),
+      typed(col("n_name"), Vocab.xsdString).as("o"))
+    val keyQuad = n.select(subj.as("s"), iri(lit("urn:p:regionkey")).as("p"),
+      typed(col("n_regionkey").cast("string"), Vocab.xsdInteger).as("o"))
+    nameQuad.unionAll(keyQuad)
+      .withColumn("line",
+        graft.rdf.NTriples.toNTriple(col("s"), col("p"), col("o")))
+      .withColumn("reparsed", graft.rdf.NTriples.parseNTriple(col("line")))
+      .select(col("s.value").as("subject"),
+        graft.rdf.NTriples.toNTriple(col("reparsed.subject"),
+          col("reparsed.predicate"), col("reparsed.obj")).as("line"))
+      .orderBy(col("line"))
+  }
+
   // ------------------------------------------------------------ validation
 
   /** Deterministic validator corpus: one RDF object term synthesized per
