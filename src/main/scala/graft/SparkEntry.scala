@@ -45,6 +45,7 @@ object SparkEntry {
     "x_dedup_jaccard"   -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "x_dedup_minhash"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "x_dedup_simhash"   -> ((s, d) => Dedup.simhash(s, d)),
+    "x_dedup_embed"     -> ((s, d) => Dedup.embedCosinePairs(s, d)),
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
     "x_txt_tokens"      -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
@@ -201,6 +202,12 @@ object SparkEntry {
         |SELECT a_id, b_id, round(i * 1.0 / (sa.n + sb.n - i), 3) AS jaccard
         |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
         |WHERE round(i * 1.0 / (sa.n + sb.n - i), 3) >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+    "x_dedup_embed" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT a_id, b_id, sim FROM p ORDER BY sim DESC, a_id, b_id LIMIT 20""".stripMargin,
     "x_sim_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 8),
         |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),

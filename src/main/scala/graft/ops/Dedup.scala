@@ -126,6 +126,26 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Embedding-cosine near-dup: the exact all-pairs baseline, returning
+    * the `topN` most-similar embedding pairs (the corpus has no planted
+    * vector near-dups, so a fixed threshold would be degenerate — ranking
+    * keeps the operator meaningful and deterministic). The pair generator
+    * is a broadcast nested-loop join of the (small) vector table against
+    * itself scored by the native [[graft.functions.CosineSimilarity]];
+    * at 100 TB the candidate set comes from the LSH signature buckets of
+    * [[Similarity.lshTopK]] instead of all pairs — this exact form is the
+    * recall oracle for that path. */
+  def embedCosinePairs(s: SparkSession, d: String, topN: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(graft.functions.CosineSimilarity(col("ea"), col("eb")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("a_id"), col("b_id"))
+      .limit(topN)
+  }
+
   /** SimHash near-dup pairs: fingerprint (custom expression) → 4×16-bit
     * band join → exact Hamming ≤ maxHamming filter via `bit_count(xor)`. */
   def simhash(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
