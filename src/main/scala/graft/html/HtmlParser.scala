@@ -132,8 +132,7 @@ object HtmlParser {
       parseOpenTag() match {
         case Some(open) =>
           if (rawTextElements(open.tag) && !open.selfClosing) {
-            val closeSeq = s"</${open.tag}"
-            val end = s.toLowerCase.indexOf(closeSeq, i)
+            val end = indexOfIgnoreCaseAscii(s, s"</${open.tag}", i)
             if (end >= 0) {
               pendingRawText = s.substring(i, end)
               i = end
@@ -190,6 +189,24 @@ object HtmlParser {
       i = j
       Some(Tok.Open(tag, attrs.result(), selfClosing))
     }
+  }
+
+  /** Locale-independent, allocation-free case-insensitive search (ASCII
+    * needle). `String.toLowerCase` over the document is both index-unsafe
+    * (length-changing mappings like U+0130 shift offsets) and
+    * locale-dependent ('I' under a Turkish default locale never matches
+    * "</script") — and it copies the whole document per raw-text tag. */
+  private def indexOfIgnoreCaseAscii(hay: String, needle: String, from: Int): Int = {
+    val n = needle.length
+    var i = math.max(from, 0)
+    val limit = hay.length - n
+    while (i <= limit) {
+      var j = 0
+      while (j < n && Character.toLowerCase(hay(i + j)) == Character.toLowerCase(needle(j))) j += 1
+      if (j == n) return i
+      i += 1
+    }
+    -1
   }
 
   // ------------------------------------------------------------ entities

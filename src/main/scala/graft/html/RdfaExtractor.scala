@@ -61,16 +61,24 @@ object RdfaExtractor {
     val cleaned = html.replace("\uFFFD", "")
     val root = HtmlParser.parse(cleaned)
     val out = mutable.ArrayBuffer[Quad]()
-    walk(root, Ctx(baseUri, baseUri, defaultPrefixes, None, None), out)
+    // Blank labels must be DETERMINISTIC per page: Spark re-executes the
+    // extraction subtree wherever it appears twice in a plan (e.g. the
+    // provenance-distinct branch of ExtractPipeline), and labels from a
+    // global counter would differ between executions, silently detaching
+    // provenance/type triples from their nodes. Per-page counter + a
+    // base-URI discriminator keeps labels stable and cross-page unique.
+    val counter = new Counter(Integer.toHexString(baseUri.hashCode))
+    walk(root, Ctx(baseUri, baseUri, defaultPrefixes, None, None), out, counter)
     out.toSeq
   }
 
-  private var blankCounter = new java.util.concurrent.atomic.AtomicLong(0)
-
-  private def freshBlank(): String = s"rdfagen${blankCounter.incrementAndGet()}"
+  private final class Counter(pageTag: String) {
+    private var n = 0L
+    def fresh(): String = { n += 1; s"rdfagen_${pageTag}_$n" }
+  }
 
   private def walk(e: HtmlParser.Element, ctx0: Ctx,
-      out: mutable.ArrayBuffer[Quad]): Unit = {
+      out: mutable.ArrayBuffer[Quad], counter: Counter): Unit = {
     var ctx = ctx0
 
     // prefix / vocab / lang updates apply to this element and descendants
@@ -88,21 +96,24 @@ object RdfaExtractor {
     val typeofs = e.attr("typeof").map(_.trim.split("\\s+").toSeq
       .flatMap(resolveIri(_, ctx)))
 
-    // typeof without about/resource on a property-bearing element types a
-    // fresh blank node that becomes the property's object (typed object).
-    lazy val freshBlankNode: String = s"_:${freshBlank()}"
+    // typeof without about on a property-bearing element types the
+    // resource (or a fresh blank node), which becomes the property's
+    // *object* (RDFa "typed object") — not the current subject.
+    lazy val freshBlankNode: String = s"_:${counter.fresh()}"
+    val typedNode: Option[String] = typeofs.map { _ =>
+      about.getOrElse(resource.getOrElse(freshBlankNode))
+    }
 
     // --- new subject determination (simplified RDFa 1.1 sequence)
     val newSubject: Option[String] = about.orElse {
-      if (typeofs.isDefined && properties.isEmpty) resource.orElse(Some(freshBlankNode))
-      else None
+      if (typeofs.isDefined && properties.isEmpty) typedNode else None
     }
 
     val subjectForChildren = newSubject.getOrElse(ctx.subject)
 
     // --- rdf:type triples
     typeofs.foreach { types =>
-      val typed = newSubject.orElse(resource).getOrElse(subjectForChildren)
+      val typed = typedNode.getOrElse(subjectForChildren)
       types.foreach { t =>
         out += Quad(toTerm(typed), Term.iri(Vocab.rdfType), Term.iri(t)) }
     }
@@ -125,11 +136,9 @@ object RdfaExtractor {
             e.attr("content").map(plainLiteral(_, ctx))
               .orElse(e.attr("datetime").map(dtv =>
                 Term.typed(dtv, inferDatetimeDatatype(dtv))))
-              .orElse(resource.filter(_ => about.isEmpty ||
-                e.attr("resource").isDefined || e.attr("href").isDefined ||
-                e.attr("src").isDefined).map(r => toTerm(r)))
-              .orElse(typeofs.filter(_ => about.isEmpty)
-                .map(_ => toTerm(subjectForChildren)))
+              .orElse(resource.map(toTerm))
+              // typed object: typeof without about → the typed node
+              .orElse(typedNode.filter(_ => about.isEmpty).map(toTerm))
               .getOrElse(plainLiteral(e.text, ctx))
         }
       // lblod specialHtmlPredicates rewiring (rdfa-extractor.js:78-83)
@@ -143,13 +152,15 @@ object RdfaExtractor {
     }
 
     // --- descend. Children inherit: the element's new subject; or, when a
-    // property with a resource object was emitted, that object (chaining).
+    // property with a resource/typed-node object was emitted, that object
+    // (chaining).
     val childSubject =
-      if (properties.nonEmpty && resource.isDefined && about.isEmpty) resource.get
+      if (properties.nonEmpty && about.isEmpty && resource.isDefined) resource.get
+      else if (properties.nonEmpty && about.isEmpty && typedNode.isDefined) typedNode.get
       else subjectForChildren
     val childCtx = ctx.copy(subject = childSubject)
     e.children.foreach {
-      case el: HtmlParser.Element => walk(el, childCtx, out)
+      case el: HtmlParser.Element => walk(el, childCtx, out, counter)
       case _ =>
     }
   }

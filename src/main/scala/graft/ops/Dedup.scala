@@ -103,7 +103,12 @@ object Dedup {
   def minhashLsh(s: SparkSession, d: String,
       bands: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = minhashSignatures(s, d, k).cache()
+    // no cache(): sig appears three times in the plan, but all three
+    // uses sit above the same aggregate Exchange, which Spark's
+    // ReuseExchange rule deduplicates — caching would pin executor
+    // storage for the session lifetime with no way to unpersist from a
+    // lazily-returned DataFrame.
+    val sig = minhashSignatures(s, d, k)
     val banded = sig.select(col("doc_id"), posexplode(array(
       (0 until bands).map(b =>
         hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))

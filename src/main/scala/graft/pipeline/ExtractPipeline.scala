@@ -36,9 +36,14 @@ object ExtractPipeline {
     pages.select(col("url").cast("string"), col("html").cast("string"))
       .as[(String, String)]
       .flatMap { case (url, html) =>
+        // T4 per-file isolation — including StackOverflowError from
+        // pathologically deep element nesting in the recursive walk
         try RdfaExtractor.extract(html, url)
           .map(q => PageQuad(url, q.subject, q.predicate, q.obj, url))
-        catch { case _: Exception => Seq.empty } // T4 per-file isolation
+        catch {
+          case scala.util.control.NonFatal(_) => Seq.empty
+          case _: StackOverflowError => Seq.empty
+        }
       }
       .toDF()
   }

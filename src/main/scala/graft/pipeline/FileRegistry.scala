@@ -53,8 +53,9 @@ object FileRegistry {
       // physical entity mirrors + dataSource link
       q(col("physical"), Vocab.rdfType, lit(Vocab.nfoFileDataObject)),
       q(col("physical"), Vocab.nieDataSource, col("logical")),
-      q(col("physical"), Vocab.nfoFileName, concat(sha1(col("file_name")),
-        lit("."), col("ext"))),
+      // physical fileName = the share:// URI's basename (same content id)
+      q(col("physical"), Vocab.nfoFileName,
+        regexp_replace(col("physical"), lit("^share://"), lit(""))),
       q(col("physical"), Vocab.dctFormat, lit("text/turtle")),
       q(col("physical"), Vocab.nfoFileSize, col("size")),
       q(col("physical"), Vocab.dbpediaFileExtension, col("ext")),

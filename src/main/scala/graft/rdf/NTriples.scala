@@ -99,7 +99,12 @@ object NTriples {
         i += 1; ws()
         if (!eof && s(i) != '#') return None
         Some(Quad(subj, pred, obj, graph))
-      } catch { case _: IndexOutOfBoundsException => None }
+      } catch {
+        // malformed escapes (\uZZZZ → NumberFormatException, \UFFFFFFFF →
+        // IllegalArgumentException) and truncation must classify the line
+        // as invalid, never crash the task (validateTriple.js:13-15).
+        case scala.util.control.NonFatal(_) => None
+      }
 
     private def term(allowLiteral: Boolean): Option[Term] = {
       if (eof) return None
@@ -112,7 +117,11 @@ object NTriples {
           if (i + 1 >= s.length || s(i + 1) != ':') return None
           var j = i + 2
           while (j < s.length && !Character.isWhitespace(s(j))) j += 1
-          val label = s.substring(i + 2, j); i = j
+          // a label may contain '.' internally but not trailing — a final
+          // '.' is the statement terminator ("_:b1." is a valid line)
+          var end = j
+          while (end > i + 2 && s(end - 1) == '.') end -= 1
+          val label = s.substring(i + 2, end); i = end
           if (label.isEmpty) None else Some(Term.blank(label))
         case '"' if allowLiteral => literalTerm()
         case _ => None
@@ -152,8 +161,10 @@ object NTriples {
       if (eof) return None
       i += 1 // closing quote
       if (i < s.length && s(i) == '@') {
+        // LANGTAG is [a-zA-Z]+('-'[a-zA-Z0-9]+)* — scanning that charset
+        // also leaves a directly-attached '.' terminator unconsumed
         var j = i + 1
-        while (j < s.length && !Character.isWhitespace(s(j))) j += 1
+        while (j < s.length && (Character.isLetterOrDigit(s(j)) || s(j) == '-')) j += 1
         val lang = s.substring(i + 1, j); i = j
         if (lang.isEmpty) Some(Term(Term.Literal, sb.toString, Vocab.rdfLangString, ""))
         else Some(Term.langLit(sb.toString, lang))

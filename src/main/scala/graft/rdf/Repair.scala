@@ -68,7 +68,10 @@ object Repair {
     * `String.replace` with a string pattern). */
   def fixWkt(value: Column): Column = {
     val hasCrs = regexp_extract(value, Validation.wktCrsRegex, 1) =!= ""
-    val replaced = regexp_replace(value, lit("https"), lit("http"))
+    // JS String.replace with a string pattern replaces only the FIRST
+    // occurrence (fixTriple.js:109); the ^-anchored reluctant pattern can
+    // match at most once, reproducing that.
+    val replaced = regexp_replace(value, lit("(?s)^(.*?)https"), lit("$1http"))
     when(length(value) > 0,
       literal(when(hasCrs, replaced).otherwise(value), Vocab.wktLiteral))
       .otherwise(lit(null).cast(Term.schema))

@@ -94,6 +94,22 @@ class RdfaExtractorSpec extends AnyFunSuite {
     assert(RdfaExtractor.extract("<html><body><p>nothing</p></body></html>", base).isEmpty)
   }
 
+  test("typed object: property + typeof without about yields a typed blank object") {
+    val html =
+      """<div about="http://ex/s" vocab="http://schema.org/">
+        |  <span property="author" typeof="Person">Alice</span>
+        |</div>""".stripMargin
+    val quads = RdfaExtractor.extract(html, base)
+    val authorTriples = quads.filter(_.predicate.value == "http://schema.org/author")
+    assert(authorTriples.size == 1)
+    val obj = authorTriples.head.obj
+    assert(obj.termType == Term.BlankNode, s"object should be a blank node, got $obj")
+    val typeTriples = quads.filter(_.predicate.value == Vocab.rdfType)
+    assert(typeTriples.size == 1)
+    assert(typeTriples.head.subject == obj,
+      "rdf:type must attach to the blank object, not the parent subject")
+  }
+
   test("typeof without about creates a typed blank node") {
     val html = """<div typeof="besluit:Besluit"
       | prefix="besluit: http://data.vlaanderen.be/ns/besluit#"><span>x</span></div>""".stripMargin

@@ -24,6 +24,10 @@ class FileRegistrySpec extends SparkSpec {
     assert(quads.filter(col("predicate") === Vocab.nfoFileSize &&
       col("obj") === "1234").count() == 2)
     assert(physical.head.endsWith(".ttl"))
+    // the physical entity's fileName must be the share URI's basename
+    val physName = quads.filter(col("subject") === physical.head &&
+      col("predicate") === Vocab.nfoFileName).collect().head.getAs[String]("obj")
+    assert(s"share://$physName" == physical.head)
   }
 
   test("K3/K4: containers link files and graphs back to the task") {

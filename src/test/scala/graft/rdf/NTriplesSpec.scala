@@ -59,6 +59,22 @@ class NTriplesSpec extends SparkSpec {
       .contains(Quad(Term.iri("http://s"), Term.iri("http://p"), Term.lit("é\uD83D\uDE00"))))
   }
 
+  test("terminator directly after the term (no space) is accepted") {
+    assert(NTriples.parseLine("""<http://s> <http://p> "v"@nl.""")
+      .contains(Quad(Term.iri("http://s"), Term.iri("http://p"), Term.langLit("v", "nl"))))
+    assert(NTriples.parseLine("<http://s> <http://p> _:b1.")
+      .contains(Quad(Term.iri("http://s"), Term.iri("http://p"), Term.blank("b1"))))
+  }
+
+  test("malformed escapes classify as invalid, never throw") {
+    // (\ u sequences built by concat — Scala pre-processes unicode escapes
+    // even inside triple-quoted literals)
+    val bs = "\\"
+    assert(NTriples.parseLine(s"""<http://s> <http://p> "${bs}uZZZZ" .""").isEmpty)
+    assert(NTriples.parseLine(s"""<http://s> <http://p> "${bs}UFFFFFFFF" .""").isEmpty)
+    assert(NTriples.parseLine(s"""<http://s> <http://p> "${bs}u12" .""").isEmpty)
+  }
+
   test("parseLine rejects malformed lines (→ invalid, validateTriple.js:13-15)") {
     assert(NTriples.parseLine("").isEmpty)
     assert(NTriples.parseLine("# comment").isEmpty)

@@ -68,6 +68,11 @@ class RepairSpec extends SparkSpec {
       Vocab.wktLiteral))
       .contains(Term.typed("<http://www.opengis.net/def/crs/EPSG/0/31370> POINT(1 2)",
         Vocab.wktLiteral)))
+    // JS String.replace semantics: ONLY the first occurrence is rewritten
+    assert(fix(Term.typed("<https://crs.example/1> POINT(1 2) https://note",
+      Vocab.wktLiteral))
+      .contains(Term.typed("<http://crs.example/1> POINT(1 2) https://note",
+        Vocab.wktLiteral)))
     assert(fix(Term.typed("", Vocab.wktLiteral)).isEmpty)
   }
 
