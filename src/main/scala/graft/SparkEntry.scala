@@ -48,6 +48,7 @@ object SparkEntry {
     "x_dedup_embed"     -> ((s, d) => Dedup.embedCosinePairs(s, d)),
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
+    "x_sim_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     "x_txt_tokens"      -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "x_txt_quality"     -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "x_txt_langid"      -> ((s, d) => TextAnalysis.langId(s, d)),

@@ -1,6 +1,8 @@
 package graft.ops
 
 import graft.functions.CosineSimilarity
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -69,6 +71,54 @@ object Similarity {
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         round(CosineSimilarity(col("qe"), col("ce")), 4).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** IVF (inverted-file) ANN — the other standard scale path beside LSH:
+    * a k-means coarse quantizer partitions the corpus into `nCells`
+    * cells; each query exactly re-scores only its `nProbe` nearest cells.
+    * At 100 TB the cell assignment is one pass (broadcast centroids),
+    * the corpus is written partitioned by cell, and a query touches
+    * nProbe/nCells of the data — the centroid table itself is tiny and
+    * lives on the driver. Deterministic via the k-means seed. */
+  def ivfTopK(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("features", array_to_vector(col("embedding")))
+    val kmeans = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
+    val model = kmeans.fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    // nProbe nearest cells per query cell, from the (tiny) centroid set
+    val centroids = model.clusterCenters.map(_.toArray)
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val probeMap: Map[Int, Seq[Int]] = centroids.indices.map { c =>
+      c -> centroids.indices.sortBy(o => dist2(centroids(c), centroids(o)))
+        .take(nProbe).toSeq
+    }.toMap
+    val probes = s.createDataFrame(
+      probeMap.toSeq.flatMap { case (c, ps) => ps.map(p => (c, p)) })
+      .toDF("query_cell", "probe_cell")
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("cell").as("query_cell"))
+      .join(broadcast(probes), "query_cell")
+    val cands = assigned
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("cell").as("probe_cell"))
+    val scored = cands.join(broadcast(queries), Seq("probe_cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(CosineSimilarity(col("qe"), col("ce")), 4).as("sim"))
+      .distinct() // a candidate may appear via multiple probe cells
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.{Similarity, Tables}
+import graft.sources.QuadStore
+import graft.streaming.SessionStateOps
+import org.apache.spark.sql.functions._
+
+/** Scale-path operators: IVF ANN, custom-state sessionization, bucketed
+  * co-located joins. Each approximate/layout variant is asserted against
+  * its exact counterpart or its plan shape, not fixed numbers. */
+class ScaleDesignSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("IVF top-k: k results per query; strong overlap with exact top-k") {
+    val exact = Similarity.bruteForceTopK(spark, sf, nQueries = 8, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(spark, sf, nQueries = 8, k = 5)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    assert(ivf.size == 40, s"expected 8×5 results, got ${ivf.size}")
+    // nProbe=4 of 16 cells scans ~25% of the corpus; random 64-dim data
+    // still concentrates near neighbours in nearby cells — require
+    // meaningful (not total) recall, stable because kmeans is seeded.
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall vs exact")
+  }
+
+  test("custom-state sessionization agrees with the window-based operator") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("us"))
+      .as[SessionStateOps.Ev]
+    val viaState = SessionStateOps.sessionize(spark, evs, isStreaming = false)
+      .select(col("user_id"), col("start_us"), col("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    val viaWindow = graft.ops.Sessionize.sessions(spark, sf)
+      .select(col("user_id"), col("start_us"), col("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaState == viaWindow)
+  }
+
+  test("bucketed quad tables join and pivot without an exchange") {
+    val quads = graft.ops.QuadOps.geoQuads(spark, sf)
+      .withColumn("graph", lit("g1"))
+    QuadStore.writeBucketed(quads, "quads_bucketed", buckets = 4)
+    val t = QuadStore.read(spark, "quads_bucketed")
+
+    // star pivot: groupBy(subject) must reuse the bucket layout
+    val pivotPlan = t.groupBy(col("subject"))
+      .agg(max(when(col("predicate") === "urn:p:name", col("obj"))))
+      .queryExecution.executedPlan.toString
+    assert(!pivotPlan.contains("Exchange hashpartitioning"),
+      s"bucketed pivot should not shuffle:\n$pivotPlan")
+
+    // self-join on subject between co-bucketed reads: no exchange either
+    val a = t.select(col("subject"), col("obj").as("o1"))
+    val b = t.select(col("subject"), col("obj").as("o2"))
+    val joinPlan = a.join(b, "subject").queryExecution.executedPlan.toString
+    assert(!joinPlan.contains("Exchange hashpartitioning"),
+      s"co-bucketed join should not shuffle:\n$joinPlan")
+
+    assert(t.count() == quads.count())
+    spark.sql("DROP TABLE IF EXISTS quads_bucketed")
+  }
+}
