@@ -129,6 +129,24 @@ object ExtractPipeline {
     }
   }
 
+  /** K1-for-HTML (lib/file-helpers.js:88-101 via rdfa-extractor.js:31-38):
+    * write each externalized decision body as its own `<sha1>.html` file.
+    * One file per row by contract (the reference writes one content.html
+    * per extracted object), so this is a `foreachPartition` writer — the
+    * only imperative sink in the pipeline, and per-partition parallel. */
+  def writeHtmlFiles(htmlFiles: DataFrame, outDir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    htmlFiles.select(col("file_uri"), col("content"))
+      .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
+        rows.forEachRemaining { r =>
+          val name = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(outDir, s"$name.html"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+  }
+
   // ------------------------------------------------- driver-table harness
 
   /** Deterministic RDFa pages synthesized from the documents table — the

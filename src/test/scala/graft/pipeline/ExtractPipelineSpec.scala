@@ -54,6 +54,35 @@ class ExtractPipelineSpec extends SparkSpec {
     assert(f.head._3 == "https://example.org/zitting/1")
   }
 
+  test("html file sink writes one <sha1>.html per externalized object (G2/K1)") {
+    val raw = ExtractPipeline.extractQuads(spark, pages)
+    val (_, files) = ExtractPipeline.externalizeHtml(raw)
+    val outDir = java.nio.file.Files.createTempDirectory("html-sink").toString
+    ExtractPipeline.writeHtmlFiles(files, outDir)
+    val written = new java.io.File(outDir).listFiles().toSeq
+    assert(written.length == 1)
+    assert(written.head.getName.endsWith(".html"))
+    val content = new String(java.nio.file.Files.readAllBytes(written.head.toPath))
+    assert(content == "<p>full body</p>")
+  }
+
+  test("binding projection coerces integer/dateTime columns (P2, utils.js:7-25)") {
+    val bindings = Seq(("42", "2023-05-04T10:11:12", "keep"))
+      .toDF("count", "modified", "label")
+    val typedDf = graft.ops.Bindings.typed(bindings, Map(
+      "count" -> graft.rdf.Vocab.xsdInteger,
+      "modified" -> graft.rdf.Vocab.xsdDateTime,
+      "label" -> graft.rdf.Vocab.xsdString))
+    val row = typedDf.collect().head
+    assert(row.getLong(0) == 42L)
+    assert(row.get(1).isInstanceOf[java.sql.Timestamp])
+    assert(row.getString(2) == "keep")
+    // unparseable values coerce to null, not errors
+    val bad = graft.ops.Bindings.typed(Seq("x").toDF("count"),
+      Map("count" -> graft.rdf.Vocab.xsdInteger)).collect().head
+    assert(bad.isNullAt(0))
+  }
+
   test("malformed page is isolated, not fatal (T4)") {
     val mixed = Seq(
       ("https://example.org/ok", page),
