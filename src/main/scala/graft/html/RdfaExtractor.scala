@@ -10,10 +10,10 @@ import scala.collection.mutable
   * Covers the attribute subset harvested besluit pages exercise
   * (FIXTURES.md §3): `vocab`, `prefix`, `about`, `resource`, `href`,
   * `src`, `typeof`, `property`, `content`, `datatype`, `datetime`,
-  * `lang`/`xml:lang`, with CURIE / safe-CURIE / term resolution and a
-  * seeded set of common prefixes (RDFa initial context). Not covered
-  * (documented deviation): `rel`/`rev` chaining, `@inlist`, incomplete-
-  * triple completion.
+  * `rel`/`rev` (including incomplete-triple completion by descendant
+  * subjects), `lang`/`xml:lang`, with CURIE / safe-CURIE / term
+  * resolution and a seeded set of common prefixes (RDFa initial
+  * context). Not covered (documented deviation): `@inlist` collections.
   *
   * lblod behaviors reproduced:
   *   - `specialHtmlPredicates`: a `property="prov:value"` whose object is
@@ -46,12 +46,19 @@ object RdfaExtractor {
     "persoon" -> "http://data.vlaanderen.be/ns/persoon#",
     "ext" -> "http://mu.semte.ch/vocabularies/ext/")
 
+  /** An incomplete triple (RDFa Core §7.5 step 10): a `rel`/`rev` without
+    * an object on its own element; completed by every descendant that
+    * establishes a new subject. */
+  private final case class Pending(subject: String, predicate: String,
+      isRev: Boolean)
+
   private final case class Ctx(
       base: String,
       subject: String,
       prefixes: Map[String, String],
       vocab: Option[String],
-      lang: Option[String])
+      lang: Option[String],
+      pending: Seq[Pending] = Nil)
 
   /** Extract all RDFa triples from an HTML document. `baseUri` doubles as
     * the initial subject (the reference passes the page url as baseURI,
@@ -104,12 +111,52 @@ object RdfaExtractor {
       about.getOrElse(resource.getOrElse(freshBlankNode))
     }
 
+    val rels = e.attr("rel").toSeq
+      .flatMap(_.trim.split("\\s+")).flatMap(resolveIri(_, ctx))
+    val revs = e.attr("rev").toSeq
+      .flatMap(_.trim.split("\\s+")).flatMap(resolveIri(_, ctx))
+
     // --- new subject determination (simplified RDFa 1.1 sequence)
     val newSubject: Option[String] = about.orElse {
-      if (typeofs.isDefined && properties.isEmpty) typedNode else None
+      if (typeofs.isDefined && properties.isEmpty && rels.isEmpty && revs.isEmpty)
+        typedNode
+      else None
     }
 
     val subjectForChildren = newSubject.getOrElse(ctx.subject)
+
+    // --- complete inherited incomplete triples (RDFa Core §7.5 step 4):
+    // this element establishes a subject → close the parent's rel/rev.
+    if (ctx.pending.nonEmpty && newSubject.isDefined) {
+      ctx.pending.foreach { p =>
+        if (p.isRev)
+          out += Quad(toTerm(newSubject.get), Term.iri(p.predicate),
+            toTerm(p.subject))
+        else
+          out += Quad(toTerm(p.subject), Term.iri(p.predicate),
+            toTerm(newSubject.get))
+      }
+      ctx = ctx.copy(pending = Nil)
+    }
+
+    // --- rel/rev triples (object on the same element), or new incomplete
+    // triples handed to the subtree.
+    val relSubject = about.getOrElse(ctx.subject)
+    val relObject: Option[String] = resource.orElse(
+      typedNode.filter(_ => about.isEmpty && typeofs.isDefined))
+    var childPending = ctx.pending
+    if (rels.nonEmpty || revs.nonEmpty) {
+      relObject match {
+        case Some(obj) =>
+          rels.foreach(r =>
+            out += Quad(toTerm(relSubject), Term.iri(r), toTerm(obj)))
+          revs.foreach(r =>
+            out += Quad(toTerm(obj), Term.iri(r), toTerm(relSubject)))
+        case None =>
+          childPending = rels.map(Pending(relSubject, _, isRev = false)) ++
+            revs.map(Pending(relSubject, _, isRev = true))
+      }
+    }
 
     // --- rdf:type triples
     typeofs.foreach { types =>
@@ -154,11 +201,13 @@ object RdfaExtractor {
     // --- descend. Children inherit: the element's new subject; or, when a
     // property with a resource/typed-node object was emitted, that object
     // (chaining).
+    val relChained = (rels.nonEmpty || revs.nonEmpty) && relObject.isDefined
     val childSubject =
-      if (properties.nonEmpty && about.isEmpty && resource.isDefined) resource.get
+      if (relChained) relObject.get
+      else if (properties.nonEmpty && about.isEmpty && resource.isDefined) resource.get
       else if (properties.nonEmpty && about.isEmpty && typedNode.isDefined) typedNode.get
       else subjectForChildren
-    val childCtx = ctx.copy(subject = childSubject)
+    val childCtx = ctx.copy(subject = childSubject, pending = childPending)
     e.children.foreach {
       case el: HtmlParser.Element => walk(el, childCtx, out, counter)
       case _ =>

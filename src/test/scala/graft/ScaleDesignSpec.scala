@@ -39,6 +39,20 @@ class ScaleDesignSpec extends SparkSpec {
     assert(viaState == viaWindow)
   }
 
+  test("salted aggregation matches plain groupBy counts (skew path)") {
+    val ev = Tables.events(spark, sf)
+    val plain = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy("event_type").as[(String, Long)].collect().toSeq
+    val salted = graft.ops.Skew.saltedCount(ev, col("event_type"))
+      .orderBy("key").as[(String, Long)].collect().toSeq
+    assert(salted == plain)
+    // the salted first stage really fans the hot key across buckets
+    val firstStageGroups = ev.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(16)).cast("int"))
+      .groupBy(col("event_type"), col("__salt")).count().count()
+    assert(firstStageGroups > 5, s"expected >1 salt bucket per key, got $firstStageGroups")
+  }
+
   test("bucketed quad tables join and pivot without an exchange") {
     val quads = graft.ops.QuadOps.geoQuads(spark, sf)
       .withColumn("graph", lit("g1"))

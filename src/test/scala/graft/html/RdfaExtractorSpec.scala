@@ -134,6 +134,48 @@ class RdfaExtractorSpec extends AnyFunSuite {
       "http://data.vlaanderen.be/ns/besluit#titel", "Agenda 1", Vocab.xsdString)))
   }
 
+  test("rel with same-element href emits the link and chains children") {
+    val html =
+      """<div about="https://example.org/z" vocab="http://data.vlaanderen.be/ns/besluit#">
+        |  <div rel="heeftNotulen" href="https://example.org/notulen/1">
+        |    <span property="titel">Notulen</span>
+        |  </div>
+        |</div>""".stripMargin
+    val got = extract(html)
+    assert(got.contains(("https://example.org/z",
+      "http://data.vlaanderen.be/ns/besluit#heeftNotulen",
+      "https://example.org/notulen/1", "-")))
+    assert(got.contains(("https://example.org/notulen/1",
+      "http://data.vlaanderen.be/ns/besluit#titel", "Notulen", Vocab.xsdString)))
+  }
+
+  test("rel without object: completed by each descendant subject (incomplete triples)") {
+    val html =
+      """<div about="https://example.org/z" vocab="http://data.vlaanderen.be/ns/besluit#">
+        |  <div rel="behandelt">
+        |    <div about="https://example.org/ap/1"><span property="titel">A</span></div>
+        |    <div about="https://example.org/ap/2"><span property="titel">B</span></div>
+        |  </div>
+        |</div>""".stripMargin
+    val got = extract(html)
+    assert(got.contains(("https://example.org/z",
+      "http://data.vlaanderen.be/ns/besluit#behandelt",
+      "https://example.org/ap/1", "-")))
+    assert(got.contains(("https://example.org/z",
+      "http://data.vlaanderen.be/ns/besluit#behandelt",
+      "https://example.org/ap/2", "-")))
+  }
+
+  test("rev inverts subject and object") {
+    val html =
+      """<div about="https://example.org/child" vocab="http://schema.org/">
+        |  <a rev="isPartOf" href="https://example.org/parent">up</a>
+        |</div>""".stripMargin
+    val got = extract(html)
+    assert(got.contains(("https://example.org/parent",
+      "http://schema.org/isPartOf", "https://example.org/child", "-")))
+  }
+
   test("datetime datatype inference variants") {
     assert(RdfaExtractor.inferDatetimeDatatype("2023-05-04T10:00:00") == Vocab.xsdDateTime)
     assert(RdfaExtractor.inferDatetimeDatatype("2023-05-04") == Vocab.xsdDate)
