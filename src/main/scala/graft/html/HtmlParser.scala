@@ -197,12 +197,17 @@ object HtmlParser {
     * locale-dependent ('I' under a Turkish default locale never matches
     * "</script") — and it copies the whole document per raw-text tag. */
   private def indexOfIgnoreCaseAscii(hay: String, needle: String, from: Int): Int = {
+    // ASCII-only fold: HTML mandates ASCII-case-insensitive end-tag
+    // matching, and Unicode folding would false-match e.g. U+0130 'İ' or
+    // U+212A Kelvin sign against 'i'/'k'.
+    @inline def fold(c: Char): Char =
+      if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
     val n = needle.length
     var i = math.max(from, 0)
     val limit = hay.length - n
     while (i <= limit) {
       var j = 0
-      while (j < n && Character.toLowerCase(hay(i + j)) == Character.toLowerCase(needle(j))) j += 1
+      while (j < n && fold(hay(i + j)) == fold(needle(j))) j += 1
       if (j == n) return i
       i += 1
     }

@@ -74,7 +74,7 @@ object RdfaExtractor {
     // global counter would differ between executions, silently detaching
     // provenance/type triples from their nodes. Per-page counter + a
     // base-URI discriminator keeps labels stable and cross-page unique.
-    val counter = new Counter(Integer.toHexString(baseUri.hashCode))
+    val counter = new Counter(sha1Hex(baseUri))
     walk(root, Ctx(baseUri, baseUri, defaultPrefixes, None, None), out, counter)
     out.toSeq
   }
@@ -83,6 +83,14 @@ object RdfaExtractor {
     private var n = 0L
     def fresh(): String = { n += 1; s"rdfagen_${pageTag}_$n" }
   }
+
+  /** Full sha1 of the base URI — a 32-bit hashCode collides at ~77k pages
+    * (birthday bound), which would conflate blank nodes across pages once
+    * quads are unioned. */
+  private def sha1Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
 
   private def walk(e: HtmlParser.Element, ctx0: Ctx,
       out: mutable.ArrayBuffer[Quad], counter: Counter): Unit = {
@@ -116,36 +124,44 @@ object RdfaExtractor {
     val revs = e.attr("rev").toSeq
       .flatMap(_.trim.split("\\s+")).flatMap(resolveIri(_, ctx))
 
-    // --- new subject determination (simplified RDFa 1.1 sequence)
+    // --- new subject determination (simplified RDFa 1.1 sequence).
+    // With rel/rev present, a same-element resource is the *object*, not
+    // a new subject; without them, about > resource > typed blank node.
+    val hasLinks = rels.nonEmpty || revs.nonEmpty
     val newSubject: Option[String] = about.orElse {
-      if (typeofs.isDefined && properties.isEmpty && rels.isEmpty && revs.isEmpty)
-        typedNode
+      if (properties.isEmpty && !hasLinks) resource.orElse(typedNode)
       else None
     }
 
-    val subjectForChildren = newSubject.getOrElse(ctx.subject)
-
-    // --- complete inherited incomplete triples (RDFa Core §7.5 step 4):
-    // this element establishes a subject → close the parent's rel/rev.
-    if (ctx.pending.nonEmpty && newSubject.isDefined) {
+    // --- complete inherited incomplete triples (RDFa Core §7.5): any
+    // element that establishes a subject — via about, resource, or a
+    // typed blank node — closes the parent's hanging rel/rev. An element
+    // that itself hangs new rels without a subject bridges through a
+    // fresh blank node, so chained rels compose instead of dropping.
+    def complete(withSubject: String): Unit = {
       ctx.pending.foreach { p =>
         if (p.isRev)
-          out += Quad(toTerm(newSubject.get), Term.iri(p.predicate),
-            toTerm(p.subject))
+          out += Quad(toTerm(withSubject), Term.iri(p.predicate), toTerm(p.subject))
         else
-          out += Quad(toTerm(p.subject), Term.iri(p.predicate),
-            toTerm(newSubject.get))
+          out += Quad(toTerm(p.subject), Term.iri(p.predicate), toTerm(withSubject))
       }
       ctx = ctx.copy(pending = Nil)
     }
+    if (ctx.pending.nonEmpty && newSubject.isDefined) complete(newSubject.get)
 
     // --- rel/rev triples (object on the same element), or new incomplete
     // triples handed to the subtree.
-    val relSubject = about.getOrElse(ctx.subject)
     val relObject: Option[String] = resource.orElse(
       typedNode.filter(_ => about.isEmpty && typeofs.isDefined))
+    val relSubject: String =
+      if (ctx.pending.nonEmpty && hasLinks && about.isEmpty) {
+        // hanging rel meets a new hanging rel: bridge via a blank node
+        val bridge = freshBlankNode
+        complete(bridge)
+        bridge
+      } else about.getOrElse(ctx.subject)
     var childPending = ctx.pending
-    if (rels.nonEmpty || revs.nonEmpty) {
+    if (hasLinks) {
       relObject match {
         case Some(obj) =>
           rels.foreach(r =>
@@ -157,6 +173,8 @@ object RdfaExtractor {
             revs.map(Pending(relSubject, _, isRev = true))
       }
     }
+
+    val subjectForChildren = newSubject.getOrElse(ctx.subject)
 
     // --- rdf:type triples
     typeofs.foreach { types =>

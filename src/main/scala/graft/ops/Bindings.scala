@@ -21,9 +21,12 @@ object Bindings {
       dt match {
         // try_* variants: under ANSI mode (Spark 4 default) plain cast
         // throws on malformed input; the reference's parseInt/Date yield
-        // NaN/Invalid instead, i.e. null semantics.
+        // NaN/Invalid instead, i.e. null semantics. decimal(38,0) rather
+        // than long: xsd:integer is unbounded and a >Long.MaxValue count
+        // must not silently null out.
         case Vocab.xsdInteger =>
-          df.withColumn(name, col(name).try_cast(org.apache.spark.sql.types.LongType))
+          df.withColumn(name, col(name).try_cast(
+            org.apache.spark.sql.types.DecimalType(38, 0)))
         case Vocab.xsdDateTime =>
           df.withColumn(name, try_to_timestamp(col(name)))
         case _ => df

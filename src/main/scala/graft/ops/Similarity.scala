@@ -114,11 +114,12 @@ object Similarity {
     val cands = assigned
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         col("cell").as("probe_cell"))
+    // each candidate has exactly one cell and probe pairs are unique, so
+    // (qid, cid) appears at most once — no dedup needed
     val scored = cands.join(broadcast(queries), Seq("probe_cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         round(CosineSimilarity(col("qe"), col("ce")), 4).as("sim"))
-      .distinct() // a candidate may appear via multiple probe cells
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

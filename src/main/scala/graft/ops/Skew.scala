@@ -23,9 +23,16 @@ object Skew {
     * whole-stage-codegen'd and AQE-coalescible. */
   def saltedAggregate(df: DataFrame, key: Column, saltBuckets: Int,
       partials: Seq[Column], merges: Seq[Column]): DataFrame = {
+    // The salt must be DETERMINISTIC per row: partition-id/monotonic-id
+    // salts change when a task is recomputed after a fetch failure, which
+    // can drop or double-count rows across the two aggregation stages
+    // (the SPARK-23207 nondeterministic-shuffle-key trap). A content hash
+    // of the full row is retry-safe and spreads hot keys equally —
+    // caveat: byte-identical duplicate rows share a salt bucket, so a hot
+    // key consisting of EXACT duplicates needs an upstream uniqueifier.
     val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(),
-        lit(saltBuckets)).cast("int"))
+      pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)),
+        lit(saltBuckets.toLong)).cast("int"))
     salted
       .groupBy(key.as("__key"), col("__salt"))
       .agg(partials.head, partials.tail: _*)

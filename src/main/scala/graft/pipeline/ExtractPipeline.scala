@@ -135,14 +135,21 @@ object ExtractPipeline {
     * per extracted object), so this is a `foreachPartition` writer — the
     * only imperative sink in the pipeline, and per-partition parallel. */
   def writeHtmlFiles(htmlFiles: DataFrame, outDir: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // Hadoop FileSystem, resolved inside the partition: executors write to
+    // the SHARED sink (file:/hdfs:/s3a: by scheme), not executor-local
+    // disks — java.nio here would scatter files across the cluster or
+    // fail on a missing local directory.
     htmlFiles.select(col("file_uri"), col("content"))
       .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val dir = new org.apache.hadoop.fs.Path(outDir)
+        val fs = dir.getFileSystem(conf)
+        fs.mkdirs(dir)
         rows.forEachRemaining { r =>
           val name = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(outDir, s"$name.html"),
-            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"$name.html"), true)
+          try out.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
         }
       }
   }

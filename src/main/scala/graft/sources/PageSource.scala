@@ -34,8 +34,14 @@ object PageSource {
       .withColumn("url", pathToUrl(col("path")))
       .select(col("url"), col("html"), col("path"))
 
-  /** file:/…/name(.html)(.gz) → share://name.html URI (F4 analogue). */
-  def pathToUrl(path: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  /** file:/…/name(.html)(.gz) → share://name.html URI (F4 analogue).
+    * `input_file_name()` returns a percent-encoded URI path → decoded
+    * back to the filesystem name; bare `<name>.gz` files (the reference
+    * unzips any .gz regardless of inner extension) still get `.html`. */
+  def pathToUrl(path: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val base = regexp_replace(
+      url_decode(element_at(split(path, "/"), -1)), "\\.gz$", "")
     concat(lit("share://"),
-      regexp_replace(element_at(split(path, "/"), -1), "\\.gz$", ""))
+      when(base.endsWith(".html"), base).otherwise(concat(base, lit(".html"))))
+  }
 }

@@ -23,18 +23,15 @@ object SessionStateOps {
 
   val gapUs: Long = 30L * 60 * 1000000
 
-  def updateUser(withTimeout: Boolean)(userId: Long, events: Iterator[Ev],
-      state: GroupState[OpenSession]): Iterator[SessionOut] = {
-    if (state.hasTimedOut) {
-      val out = state.getOption.map(s =>
-        SessionOut(userId, s.start, s.end, s.n)).iterator
-      state.remove()
-      return out
-    }
-    val sorted = events.toArray.sortBy(_.us)
+  /** The single source of session semantics: fold a batch of events into
+    * (closed sessions, still-open session), shared verbatim by the
+    * streaming state update and the batch group pass so the gap/merge
+    * rules can't drift apart. */
+  def fold(userId: Long, events: Iterable[Ev], initial: Option[OpenSession])
+      : (Seq[SessionOut], Option[OpenSession]) = {
     val closed = collection.mutable.ArrayBuffer[SessionOut]()
-    var open = state.getOption
-    sorted.foreach { e =>
+    var open = initial
+    events.toArray.sortBy(_.us).foreach { e =>
       open match {
         case Some(s) if e.us - s.end <= gapUs =>
           open = Some(s.copy(end = e.us, n = s.n + 1))
@@ -45,6 +42,18 @@ object SessionStateOps {
           open = Some(OpenSession(e.us, e.us, 1))
       }
     }
+    (closed.toSeq, open)
+  }
+
+  def updateUser(withTimeout: Boolean)(userId: Long, events: Iterator[Ev],
+      state: GroupState[OpenSession]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(s =>
+        SessionOut(userId, s.start, s.end, s.n)).iterator
+      state.remove()
+      return out
+    }
+    val (closed, open) = fold(userId, events.toSeq, state.getOption)
     open.foreach(state.update)
     if (withTimeout && state.exists) state.setTimeoutDuration("1 hour")
     closed.iterator
@@ -70,23 +79,11 @@ object SessionStateOps {
       events.groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append, timeout)(updateUser(flushIdle))
     } else
-      // batch: one logical group pass; emit closed + open sessions
+      // batch: one logical group pass; emit closed + the final open
+      // session (no next batch will ever close it)
       events.groupByKey(_.user_id).flatMapGroups { (uid, evs) =>
-        val sorted = evs.toArray.sortBy(_.us)
-        val out = collection.mutable.ArrayBuffer[SessionOut]()
-        var open: Option[OpenSession] = None
-        sorted.foreach { e =>
-          open match {
-            case Some(s) if e.us - s.end <= gapUs =>
-              open = Some(s.copy(end = e.us, n = s.n + 1))
-            case Some(s) =>
-              out += SessionOut(uid, s.start, s.end, s.n)
-              open = Some(OpenSession(e.us, e.us, 1))
-            case None => open = Some(OpenSession(e.us, e.us, 1))
-          }
-        }
-        open.foreach(s => out += SessionOut(uid, s.start, s.end, s.n))
-        out.iterator
+        val (closed, open) = fold(uid, evs.toSeq, None)
+        (closed ++ open.map(s => SessionOut(uid, s.start, s.end, s.n))).iterator
       }
   }
 }

@@ -59,7 +59,9 @@ class ExtractPipelineSpec extends SparkSpec {
     val (_, files) = ExtractPipeline.externalizeHtml(raw)
     val outDir = java.nio.file.Files.createTempDirectory("html-sink").toString
     ExtractPipeline.writeHtmlFiles(files, outDir)
+    // Hadoop local FS writes .crc checksum sidecars; ignore them
     val written = new java.io.File(outDir).listFiles().toSeq
+      .filterNot(_.getName.startsWith("."))
     assert(written.length == 1)
     assert(written.head.getName.endsWith(".html"))
     val content = new String(java.nio.file.Files.readAllBytes(written.head.toPath))
@@ -74,7 +76,8 @@ class ExtractPipelineSpec extends SparkSpec {
       "modified" -> graft.rdf.Vocab.xsdDateTime,
       "label" -> graft.rdf.Vocab.xsdString))
     val row = typedDf.collect().head
-    assert(row.getLong(0) == 42L)
+    // xsd:integer → decimal(38,0): unbounded-integer-safe
+    assert(row.getDecimal(0).longValueExact() == 42L)
     assert(row.get(1).isInstanceOf[java.sql.Timestamp])
     assert(row.getString(2) == "keep")
     // unparseable values coerce to null, not errors
