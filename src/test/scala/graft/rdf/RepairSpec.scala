@@ -90,6 +90,29 @@ class RepairSpec extends SparkSpec {
     assert(out == Seq(true, false))
   }
 
+  test("reference quirk: repaired dates FAIL re-validation (and are never re-validated)") {
+    // fixDate emits "2023-05-4" (unpadded day) but validateDate requires
+    // two digits — the reference pushes fixed triples to the corrected
+    // partition WITHOUT re-validating (pipeline-import.js:232-238), so
+    // fix ∘ validate does NOT hold and our verdict logic must not assume
+    // it. This test pins that deliberate fidelity decision.
+    val fixed = fix(Term.typed("2023/05/04", Vocab.xsdDate)).get
+    assert(fixed.value == "2023-05-4")
+    val revalidated = Seq(fixed).toDS().withColumn("ok",
+      graft.rdf.Validation.isValidTerm(struct(
+        $"termType", $"value", $"datatype", $"lang")))
+      .select("ok").as[Boolean].head()
+    assert(!revalidated, "unpadded repaired date must fail the shape regex")
+    // but repaired booleans/strings DO re-validate — the quirk is
+    // specific to the date/dateTime reformat
+    val fixedBool = fix(Term.typed("TRUE", Vocab.xsdBoolean)).get
+    val boolOk = Seq(fixedBool).toDS().withColumn("ok",
+      graft.rdf.Validation.isValidTerm(struct(
+        $"termType", $"value", $"datatype", $"lang")))
+      .select("ok").as[Boolean].head()
+    assert(boolOk)
+  }
+
   test("verdict tags valid/corrected/invalid (pipeline-import.js:220-241)") {
     val quads = Seq(
       Quad(Term.iri("http://s"), Term.iri("http://p"), Term.lit("ok")),
