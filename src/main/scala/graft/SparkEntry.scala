@@ -53,6 +53,7 @@ object SparkEntry {
     "x_txt_quality"     -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "x_txt_langid"      -> ((s, d) => TextAnalysis.langId(s, d)),
     "x_txt_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "x_txt_winnow"      -> ((s, d) => TextAnalysis.winnowFingerprints(s, d)),
     "x_sessionize"      -> ((s, d) => Sessionize.sessions(s, d)),
     "x_window_hourly"   -> ((s, d) => Sessionize.hourlyWindows(s, d)),
     "x_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(s, d)),

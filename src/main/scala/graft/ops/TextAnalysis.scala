@@ -81,4 +81,16 @@ object TextAnalysis {
       col("doc_id"),
       md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
       .orderBy(col("doc_id"))
+
+  /** Rolling-hash winnowing fingerprints (custom codegen'd expression):
+    * per-document selected-hash counts plus the fingerprint array size —
+    * the substring-overlap detector that md5/SimHash can't provide. */
+  def winnowFingerprints(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      graft.functions.Winnow(col("text")).as("fp"))
+      .select(col("doc_id"), size(col("fp")).as("n_hashes"),
+        // a stable digest of the fingerprint set for rows-only checking
+        xxhash64(to_json(struct(col("fp")))).as("fp_digest"))
+      .orderBy(col("doc_id"))
 }

@@ -72,6 +72,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(fps(0) ^ fps(3)) > 12)
   }
 
+  test("winnowing: shared substrings yield shared fingerprint hashes") {
+    import graft.functions.Winnow
+    val common = "the quick brown fox jumps over the lazy dog near the river bank"
+    val a = s"AAAA $common BBBB"
+    val b = s"CCCC $common DDDD"
+    val c = "completely different text with nothing shared at all whatsoever here"
+    val fps = Seq(a, b, c).toDF("text")
+      .select(Winnow(col("text")).as("fp")).as[Seq[Long]].collect()
+    val shared = fps(0).toSet & fps(1).toSet
+    assert(shared.nonEmpty, "overlapping docs must share winnow hashes")
+    val unrelated = fps(0).toSet & fps(2).toSet
+    assert(unrelated.size < shared.size)
+    // deterministic
+    val again = Seq(a).toDF("text")
+      .select(Winnow(col("text")).as("fp")).as[Seq[Long]].collect()(0)
+    assert(again == fps(0))
+  }
+
   test("brute-force top-k: k rows per query, sims descending, no self-match") {
     val out = Similarity.bruteForceTopK(spark, sf, nQueries = 4, k = 5)
       .select("qid", "cid", "sim", "rn")
