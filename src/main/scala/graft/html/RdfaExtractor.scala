@@ -58,7 +58,12 @@ object RdfaExtractor {
       prefixes: Map[String, String],
       vocab: Option[String],
       lang: Option[String],
-      pending: Seq[Pending] = Nil)
+      pending: Seq[Pending] = Nil,
+      /** Blank node pre-allocated by a hanging rel/rev element; descendants
+        * that need an implicit subject (property-only) complete the
+        * hanging triples with it and attach to it — one shared node per
+        * rel element, as real RDFa processors produce. */
+      pendingBridge: Option[String] = None)
 
   /** Extract all RDFa triples from an HTML document. `baseUri` doubles as
     * the initial subject (the reference passes the page url as baseURI,
@@ -76,7 +81,10 @@ object RdfaExtractor {
     // base-URI discriminator keeps labels stable and cross-page unique.
     val counter = new Counter(sha1Hex(baseUri))
     walk(root, Ctx(baseUri, baseUri, defaultPrefixes, None, None), out, counter)
-    out.toSeq
+    // set semantics, like the reference's n3 Store: sibling property-only
+    // elements under one hanging rel each complete it with the same
+    // bridge node — identical quads collapse here.
+    out.distinct.toSeq
   }
 
   private final class Counter(pageTag: String) {
@@ -145,7 +153,7 @@ object RdfaExtractor {
         else
           out += Quad(toTerm(p.subject), Term.iri(p.predicate), toTerm(withSubject))
       }
-      ctx = ctx.copy(pending = Nil)
+      ctx = ctx.copy(pending = Nil, pendingBridge = None)
     }
     if (ctx.pending.nonEmpty && newSubject.isDefined) complete(newSubject.get)
 
@@ -155,12 +163,15 @@ object RdfaExtractor {
       typedNode.filter(_ => about.isEmpty && typeofs.isDefined))
     val relSubject: String =
       if (ctx.pending.nonEmpty && hasLinks && about.isEmpty) {
-        // hanging rel meets a new hanging rel: bridge via a blank node
-        val bridge = freshBlankNode
+        // hanging rel meets a new hanging rel: complete via the parent's
+        // pre-allocated bridge node (NOT typedNode's lazy blank — that
+        // would conflate the bridge with this element's typed object)
+        val bridge = ctx.pendingBridge.getOrElse(s"_:${counter.fresh()}")
         complete(bridge)
         bridge
       } else about.getOrElse(ctx.subject)
     var childPending = ctx.pending
+    var childBridge = ctx.pendingBridge
     if (hasLinks) {
       relObject match {
         case Some(obj) =>
@@ -171,6 +182,7 @@ object RdfaExtractor {
         case None =>
           childPending = rels.map(Pending(relSubject, _, isRev = false)) ++
             revs.map(Pending(relSubject, _, isRev = true))
+          childBridge = Some(s"_:${counter.fresh()}")
       }
     }
 
@@ -183,9 +195,18 @@ object RdfaExtractor {
         out += Quad(toTerm(typed), Term.iri(Vocab.rdfType), Term.iri(t)) }
     }
 
-    // --- property triples
+    // --- property triples. A property-only element under a hanging rel
+    // attaches to the rel's bridge node and thereby completes the hanging
+    // triples (<div about=A rel=p><span property=name>…: A p _:b; _:b
+    // name "…") — real-processor behavior for §7.5.
     if (properties.nonEmpty) {
-      val subj = about.getOrElse(ctx.subject)
+      val subj = about.getOrElse {
+        if (ctx.pending.nonEmpty && ctx.pendingBridge.isDefined) {
+          val bridge = ctx.pendingBridge.get
+          complete(bridge)
+          bridge
+        } else ctx.subject
+      }
       val datatype = e.attr("datatype").map(dt =>
         if (dt.trim.isEmpty) "" else resolveIri(dt.trim, ctx).getOrElse(""))
       val objTerm: Term =
@@ -225,7 +246,8 @@ object RdfaExtractor {
       else if (properties.nonEmpty && about.isEmpty && resource.isDefined) resource.get
       else if (properties.nonEmpty && about.isEmpty && typedNode.isDefined) typedNode.get
       else subjectForChildren
-    val childCtx = ctx.copy(subject = childSubject, pending = childPending)
+    val childCtx = ctx.copy(subject = childSubject, pending = childPending,
+      pendingBridge = childBridge)
     e.children.foreach {
       case el: HtmlParser.Element => walk(el, childCtx, out, counter)
       case _ =>

@@ -19,14 +19,15 @@ object Bindings {
   def typed(bindings: DataFrame, datatypes: Map[String, String]): DataFrame =
     datatypes.foldLeft(bindings) { case (df, (name, dt)) =>
       dt match {
-        // try_* variants: under ANSI mode (Spark 4 default) plain cast
-        // throws on malformed input; the reference's parseInt/Date yield
-        // NaN/Invalid instead, i.e. null semantics. decimal(38,0) rather
-        // than long: xsd:integer is unbounded and a >Long.MaxValue count
-        // must not silently null out.
+        // parseInt semantics (utils.js:16): take the leading optional-sign
+        // digit prefix, ignore the rest ("1.5" → 1, "12abc" → 12, "abc" →
+        // null). Extract-then-cast also avoids decimal HALF_UP rounding
+        // fabricating values, and ANSI-safe try_cast nulls the no-match
+        // empty string. decimal(38,0) because xsd:integer is unbounded.
         case Vocab.xsdInteger =>
-          df.withColumn(name, col(name).try_cast(
-            org.apache.spark.sql.types.DecimalType(38, 0)))
+          df.withColumn(name,
+            regexp_extract(col(name), "^\\s*([+-]?\\d+)", 1).try_cast(
+              org.apache.spark.sql.types.DecimalType(38, 0)))
         case Vocab.xsdDateTime =>
           df.withColumn(name, try_to_timestamp(col(name)))
         case _ => df

@@ -30,8 +30,10 @@ object Skew {
     // of the full row is retry-safe and spreads hot keys equally —
     // caveat: byte-identical duplicate rows share a salt bucket, so a hot
     // key consisting of EXACT duplicates needs an upstream uniqueifier.
+    // Hash the JSON rendering: xxhash64 rejects MapType columns directly,
+    // and df(c) (not col(c)) keeps dotted column names literal.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)),
+      pmod(xxhash64(to_json(struct(df.columns.map(df(_)).toIndexedSeq: _*))),
         lit(saltBuckets.toLong)).cast("int"))
     salted
       .groupBy(key.as("__key"), col("__salt"))

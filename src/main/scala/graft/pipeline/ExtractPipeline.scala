@@ -137,11 +137,20 @@ object ExtractPipeline {
   def writeHtmlFiles(htmlFiles: DataFrame, outDir: String): Unit = {
     // Hadoop FileSystem, resolved inside the partition: executors write to
     // the SHARED sink (file:/hdfs:/s3a: by scheme), not executor-local
-    // disks — java.nio here would scatter files across the cluster or
-    // fail on a missing local directory.
+    // disks. The session's spark.hadoop.* settings (s3a credentials,
+    // endpoints) must travel with the task — a bare executor-side
+    // Configuration() would only see classpath XML. Configuration itself
+    // isn't serializable, so ship the entries.
+    val confEntries: Array[(String, String)] = {
+      val it = htmlFiles.sparkSession.sparkContext.hadoopConfiguration.iterator()
+      val buf = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+      buf.result()
+    }
     htmlFiles.select(col("file_uri"), col("content"))
       .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
         val dir = new org.apache.hadoop.fs.Path(outDir)
         val fs = dir.getFileSystem(conf)
         fs.mkdirs(dir)

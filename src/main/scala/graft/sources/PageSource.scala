@@ -39,8 +39,14 @@ object PageSource {
     * back to the filesystem name; bare `<name>.gz` files (the reference
     * unzips any .gz regardless of inner extension) still get `.html`. */
   def pathToUrl(path: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val base = regexp_replace(
-      url_decode(element_at(split(path, "/"), -1)), "\\.gz$", "")
+    val raw = element_at(split(path, "/"), -1)
+    // url_decode is form-decoding: a literal '+' (legal, unencoded in URI
+    // paths) would become a space — shield it as %2B first. A stray '%'
+    // in a filename makes decoding fail → try_url_decode + fall back to
+    // the raw name rather than aborting the scan.
+    val decoded = coalesce(
+      try_url_decode(regexp_replace(raw, "\\+", "%2B")), raw)
+    val base = regexp_replace(decoded, "\\.gz$", "")
     concat(lit("share://"),
       when(base.endsWith(".html"), base).otherwise(concat(base, lit(".html"))))
   }

@@ -166,6 +166,35 @@ class RdfaExtractorSpec extends AnyFunSuite {
       "https://example.org/ap/2", "-")))
   }
 
+  test("resource without property/rel establishes the new subject for children") {
+    val html =
+      """<div about="https://example.org/top" vocab="http://schema.org/">
+        |  <div resource="https://example.org/inner">
+        |    <span property="name">Inner</span>
+        |  </div>
+        |</div>""".stripMargin
+    val got = extract(html)
+    assert(got.contains(("https://example.org/inner",
+      "http://schema.org/name", "Inner", Vocab.xsdString)),
+      s"children must attach to the resource-established subject; got $got")
+  }
+
+  test("hanging rel + property-only descendant: bridge blank node carries both") {
+    val html =
+      """<div about="https://example.org/A" vocab="http://schema.org/">
+        |  <div rel="author"><span property="name">Alice</span></div>
+        |</div>""".stripMargin
+    val quads = RdfaExtractor.extract(html, base)
+    val link = quads.filter(_.predicate.value == "http://schema.org/author")
+    assert(link.size == 1)
+    val bridge = link.head.obj
+    assert(bridge.termType == Term.BlankNode)
+    val name = quads.filter(_.predicate.value == "http://schema.org/name")
+    assert(name.size == 1)
+    assert(name.head.subject == bridge,
+      "the property must attach to the same bridge node the rel links to")
+  }
+
   test("rev inverts subject and object") {
     val html =
       """<div about="https://example.org/child" vocab="http://schema.org/">

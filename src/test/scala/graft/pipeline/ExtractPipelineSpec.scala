@@ -80,10 +80,14 @@ class ExtractPipelineSpec extends SparkSpec {
     assert(row.getDecimal(0).longValueExact() == 42L)
     assert(row.get(1).isInstanceOf[java.sql.Timestamp])
     assert(row.getString(2) == "keep")
-    // unparseable values coerce to null, not errors
-    val bad = graft.ops.Bindings.typed(Seq("x").toDF("count"),
-      Map("count" -> graft.rdf.Vocab.xsdInteger)).collect().head
-    assert(bad.isNullAt(0))
+    // parseInt semantics: leading digit prefix, garbage → null
+    val edge = graft.ops.Bindings.typed(
+      Seq("x", "1.5", "12abc", "9223372036854775808").toDF("count"),
+      Map("count" -> graft.rdf.Vocab.xsdInteger)).collect()
+    assert(edge(0).isNullAt(0))
+    assert(edge(1).getDecimal(0).longValueExact() == 1L)
+    assert(edge(2).getDecimal(0).longValueExact() == 12L)
+    assert(edge(3).getDecimal(0).toString == "9223372036854775808")
   }
 
   test("malformed page is isolated, not fatal (T4)") {
