@@ -29,6 +29,9 @@ object SparkEntry {
     "j2_star_join"      -> ((s, d) => Relational.starJoin(s, d)),
     "j5_recovery_update" -> ((s, d) => Relational.recoveryUpdateSet(s, d)),
     "a1_count_distinct" -> ((s, d) => Relational.countDistinctPages(s, d)),
+    "a4_rollup"         -> ((s, d) => Relational.rollupAgg(s, d)),
+    "s11_anti_join"     -> ((s, d) => Relational.antiJoin(s, d)),
+    "w1_topn_per_group" -> ((s, d) => Relational.topOrdersPerCustomer(s, d)),
     "a2_size_stats"     -> ((s, d) => Relational.sizeStats(s, d)),
     "d1_distinct"       -> ((s, d) => Relational.distinctPriorities(s, d)),
     "o1_order_limit_offset" -> ((s, d) => Relational.orderLimitOffset(s, d)),
@@ -148,6 +151,23 @@ object SparkEntry {
     "a1_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a4_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "s11_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "w1_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders WHERE o_custkey < 100)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "a2_size_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |round(avg(length(text)), 2) AS avg_chars

@@ -147,6 +147,43 @@ object Relational {
       .offset(500)
       .limit(1000)
 
+  /** Top-N-per-group (window ranking): the reference's per-task "latest
+    * page" style lookups generalized — one shuffle on the partition key,
+    * rank inside the partition. */
+  def topOrdersPerCustomer(s: SparkSession, d: String, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= n)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** NOT EXISTS anti-join: subjects with no matching link — the inverse
+    * of the S10 probe (left_anti). Filtered to urgent orders so the
+    * result set is non-trivial at every scale factor. */
+  def antiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** ROLLUP aggregation: per-group + subtotal + grand-total rows in one
+    * pass (partial aggregation covers all grouping sets). */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
   /** Headline scan-heavy aggregate (TPC-H Q1 shape): partial+final hash
     * agg over one pushed-down-filtered lineitem scan. */
   def q1Agg(s: SparkSession, d: String): DataFrame =
