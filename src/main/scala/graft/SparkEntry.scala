@@ -35,11 +35,15 @@ object SparkEntry {
     "a2_size_stats"     -> ((s, d) => Relational.sizeStats(s, d)),
     "d1_distinct"       -> ((s, d) => Relational.distinctPriorities(s, d)),
     "o1_order_limit_offset" -> ((s, d) => Relational.orderLimitOffset(s, d)),
+    "s9_file_url"       -> ((s, d) => QuadOps.fileUrlLookup(s, d)),
+    "t_lifecycle_state" -> ((s, d) => QuadOps.taskLifecycleState(s, d)),
+    "t_lifecycle_registry" -> ((s, d) => QuadOps.taskLifecycleRegistry(s, d)),
     "t_ntriples_roundtrip" -> ((s, d) => QuadOps.ntriplesRoundtrip(s, d)),
     "t_star_pivot"      -> ((s, d) => QuadOps.starPivot(s, d)),
     "t_chain_join"      -> ((s, d) => QuadOps.chainTraversal(s, d)),
     "p4_validate"       -> ((s, d) => QuadOps.validateCorpus(s, d)),
     "a3_verdict_counts" -> ((s, d) => QuadOps.verdictCounts(s, d)),
+    "k9_partition_sizes" -> ((s, d) => QuadOps.partitionFileSizes(s, d)),
     // North-star extension operators (dedup / similarity / text / events /
     // multimodal). x_dedup_minhash, x_dedup_simhash and x_sim_lsh have no
     // SQL-expressible oracle (custom hash families) → rows-only check;
@@ -49,6 +53,12 @@ object SparkEntry {
     "x_dedup_minhash"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "x_dedup_simhash"   -> ((s, d) => Dedup.simhash(s, d)),
     "x_dedup_embed"     -> ((s, d) => Dedup.embedCosinePairs(s, d)),
+    // dup-guarantee variants: the custom-hash operators' *guarantee*
+    // (identical input ⇒ identical signature/fingerprint) expressed over
+    // a planted-duplicate corpus, where the expected pair set IS
+    // SQL-expressible → hash-matched oracle rows for minhash + winnow.
+    "x_minhash_dup"     -> ((s, d) => Dedup.minhashDupPairs(s, d)),
+    "x_winnow_dup"      -> ((s, d) => TextAnalysis.winnowDupPairs(s, d)),
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
     "x_sim_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -105,7 +115,58 @@ object SparkEntry {
       |         ELSE 'valid' END AS verdict
       |  FROM corpus)""".stripMargin
 
+  /** Base quads of the lifecycle harness (must mirror
+    * QuadOps.lifecycleTaskQuads exactly). */
+  private val lifecycleCte: String =
+    """WITH base AS (
+      |  SELECT 'urn:task:' || n_nationkey AS subject, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate, 'http://redpencil.data.gift/vocabularies/tasks/Task' AS obj FROM nation
+      |  UNION ALL SELECT 'urn:task:' || n_nationkey, 'http://mu.semte.ch/vocabularies/core/uuid', 'uuid-' || n_nationkey FROM nation
+      |  UNION ALL SELECT 'urn:task:' || n_nationkey, 'http://www.w3.org/ns/adms#status', 'http://redpencil.data.gift/id/concept/JobStatus/scheduled' FROM nation
+      |  UNION ALL SELECT 'urn:task:' || n_nationkey, 'http://redpencil.data.gift/vocabularies/tasks/operation', 'http://lblod.data.gift/id/jobs/concept/TaskOperation/extracting' FROM nation
+      |  UNION ALL SELECT 'urn:task:' || n_nationkey, 'http://purl.org/dc/terms/isPartOf', 'urn:job:' || n_nationkey FROM nation
+      |  UNION ALL SELECT 'urn:task:' || n_nationkey, 'http://redpencil.data.gift/vocabularies/tasks/index', CAST(n_nationkey AS VARCHAR) FROM nation
+      |  UNION ALL SELECT 'urn:task:' || n_nationkey, 'http://purl.org/dc/terms/created', '2026-01-01T00:00:00Z' FROM nation
+      |  UNION ALL SELECT 'urn:task:' || n_nationkey, 'http://purl.org/dc/terms/modified', '2026-01-01T00:00:00Z' FROM nation
+      |  UNION ALL SELECT 'urn:task:' || n_nationkey, 'http://redpencil.data.gift/vocabularies/tasks/inputContainer', 'urn:container:' || n_nationkey FROM nation
+      |  UNION ALL SELECT 'urn:container:' || n_nationkey, 'http://redpencil.data.gift/vocabularies/tasks/hasFile', 'share://page-' || n_nationkey || '-a.html' FROM nation
+      |  UNION ALL SELECT 'urn:container:' || n_nationkey, 'http://redpencil.data.gift/vocabularies/tasks/hasFile', 'share://page-' || n_nationkey || '-b.html' FROM nation)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "t_lifecycle_state" -> (lifecycleCte +
+      """
+        |SELECT subject, predicate, obj FROM (
+        |  SELECT subject, predicate, obj FROM base
+        |  WHERE NOT (subject = 'urn:task:1'
+        |             AND predicate IN ('http://www.w3.org/ns/adms#status',
+        |                               'http://purl.org/dc/terms/modified'))
+        |  UNION ALL SELECT 'urn:task:1', 'http://www.w3.org/ns/adms#status',
+        |    'http://redpencil.data.gift/id/concept/JobStatus/success'
+        |  UNION ALL SELECT 'urn:task:1', 'http://purl.org/dc/terms/modified',
+        |    '2026-02-01T00:00:00Z')
+        |ORDER BY subject, predicate, obj""".stripMargin),
+    // registration volume: per-predicate counts are arithmetic in the
+    // per-task page count (2). Per valid file: logical entity 10 props +
+    // physical entity 10 props; containers: file + import-graph + graph
+    // (3 entities with type/uuid; hasFile on the first two; one hasGraph;
+    // 3 resultsContainer links).
+    "t_lifecycle_registry" ->
+      """WITH n AS (SELECT CAST(2 AS BIGINT) AS files)
+        |SELECT predicate, n FROM (
+        |  SELECT 'http://dbpedia.org/ontology/fileExtension' AS predicate, 2 * files AS n FROM n
+        |  UNION ALL SELECT 'http://mu.semte.ch/vocabularies/core/uuid', 2 * files + 3 FROM n
+        |  UNION ALL SELECT 'http://purl.org/dc/terms/created', 2 * files FROM n
+        |  UNION ALL SELECT 'http://purl.org/dc/terms/creator', 2 * files FROM n
+        |  UNION ALL SELECT 'http://purl.org/dc/terms/format', 2 * files FROM n
+        |  UNION ALL SELECT 'http://purl.org/dc/terms/modified', 2 * files FROM n
+        |  UNION ALL SELECT 'http://redpencil.data.gift/vocabularies/tasks/hasFile', 2 * files FROM n
+        |  UNION ALL SELECT 'http://redpencil.data.gift/vocabularies/tasks/hasGraph', 1 FROM n
+        |  UNION ALL SELECT 'http://redpencil.data.gift/vocabularies/tasks/resultsContainer', 3 FROM n
+        |  UNION ALL SELECT 'http://www.semanticdesktop.org/ontologies/2007/01/19/nie#dataSource', files FROM n
+        |  UNION ALL SELECT 'http://www.semanticdesktop.org/ontologies/2007/03/22/nfo#fileName', 2 * files FROM n
+        |  UNION ALL SELECT 'http://www.semanticdesktop.org/ontologies/2007/03/22/nfo#fileSize', 2 * files FROM n
+        |  UNION ALL SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 2 * files + 3 FROM n
+        |  UNION ALL SELECT 'http://www.w3.org/ns/prov#wasDerivedFrom', files FROM n)
+        |ORDER BY predicate""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
         |round(sum(l_extendedprice), 2) AS sum_base_price,
@@ -178,6 +239,21 @@ object SparkEntry {
     "o1_order_limit_offset" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 1000 OFFSET 500""".stripMargin,
+    "s9_file_url" ->
+      """WITH quads AS (
+        |  SELECT 'urn:remote:' || n_nationkey AS subject,
+        |         'http://www.semanticdesktop.org/ontologies/2007/01/19/nie#url' AS predicate,
+        |         'http://example.org/files/' || n_name AS obj, 'urn:graph:a' AS graph
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'urn:remote:' || n_nationkey,
+        |         'http://www.semanticdesktop.org/ontologies/2007/01/19/nie#url',
+        |         'http://example.org/files/' || n_name, 'urn:graph:b'
+        |  FROM nation)
+        |SELECT DISTINCT obj AS url FROM quads
+        |WHERE subject = 'urn:remote:1'
+        |AND predicate = 'http://www.semanticdesktop.org/ontologies/2007/01/19/nie#url'
+        |ORDER BY url""".stripMargin,
     "t_ntriples_roundtrip" ->
       """SELECT subject, line FROM (
         |  SELECT 'urn:nation:' || n_nationkey AS subject,
@@ -206,6 +282,13 @@ object SparkEntry {
     "a3_verdict_counts" -> (corpusCte +
       """
         |SELECT verdict, count(*) AS n FROM tagged GROUP BY verdict ORDER BY verdict""".stripMargin),
+    "k9_partition_sizes" -> (corpusCte +
+      """
+        |SELECT
+        |  CAST(sum(CASE WHEN verdict IN ('valid', 'corrected') THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_file,
+        |  CAST(sum(CASE WHEN verdict IN ('invalid', 'corrected') THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid_file,
+        |  CAST(sum(CASE WHEN verdict = 'corrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_corrected_file
+        |FROM tagged""".stripMargin),
     "x_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
@@ -230,6 +313,28 @@ object SparkEntry {
         |         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT a_id, b_id, sim FROM p ORDER BY sim DESC, a_id, b_id LIMIT 20""".stripMargin,
+    // the guarantee, stated exactly: identical shingle SETS ⇔ identical
+    // k=128 signatures. On this corpus that is the planted (d, d+100000)
+    // pairs, but the oracle derives the set relation itself so it stays
+    // correct even on a corpus with duplicate original texts.
+    "x_minhash_dup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_sort(list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shset
+        |  FROM toks WHERE len(t) >= 3),
+        |corpus AS (
+        |  SELECT doc_id, shset FROM sh
+        |  UNION ALL SELECT doc_id + 100000, shset FROM sh)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |FROM corpus a JOIN corpus b ON a.shset = b.shset AND a.doc_id < b.doc_id
+        |ORDER BY a_id, b_id""".stripMargin,
+    "x_winnow_dup" ->
+      """SELECT doc_id AS a_id, doc_id + 100000 AS b_id FROM documents
+        |WHERE octet_length(encode(regexp_replace(text, '\s+', ' ' || doc_id || ' ', 'g'))) >= 5
+        |ORDER BY a_id, b_id""".stripMargin,
     "x_sim_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 8),
         |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),

@@ -152,7 +152,13 @@ object HtmlParser {
       while (j < s.length && (s(j).isLetterOrDigit || s(j) == '-' || s(j) == ':')) j += 1
       if (j == nameStart) return None
       val tag = s.substring(nameStart, j).toLowerCase
-      val attrs = Map.newBuilder[String, String]
+      // Insertion-ordered: re-serialization (render/innerHtml) must emit
+      // attributes in source order like jsdom's innerHTML — a hash Map
+      // goes hash-order above 4 entries. First occurrence wins on
+      // duplicates (HTML parsing spec; jsdom drops later duplicates).
+      var attrs = scala.collection.immutable.VectorMap.empty[String, String]
+      def putAttr(name: String, value: String): Unit =
+        if (!attrs.contains(name)) attrs = attrs.updated(name, value)
       var selfClosing = false
       var done = false
       while (!done && j < s.length) {
@@ -176,18 +182,18 @@ object HtmlParser {
                 val quote = s(j); j += 1
                 val vStart = j
                 while (j < s.length && s(j) != quote) j += 1
-                attrs += name -> decodeEntities(s.substring(vStart, j))
+                putAttr(name, decodeEntities(s.substring(vStart, j)))
                 if (j < s.length) j += 1
               } else {
                 val vStart = j
                 while (j < s.length && !s(j).isWhitespace && s(j) != '>') j += 1
-                attrs += name -> decodeEntities(s.substring(vStart, j))
+                putAttr(name, decodeEntities(s.substring(vStart, j)))
               }
-            } else if (name.nonEmpty) attrs += name -> ""
+            } else if (name.nonEmpty) putAttr(name, "")
         }
       }
       i = j
-      Some(Tok.Open(tag, attrs.result(), selfClosing))
+      Some(Tok.Open(tag, attrs, selfClosing))
     }
   }
 
@@ -251,8 +257,9 @@ object HtmlParser {
     sb.toString
   }
 
-  /** Re-serialize a node (innerHtml support). Attribute order is the parse
-    * order of a Scala Map — stable for the small attr counts here. */
+  /** Re-serialize a node (innerHtml support). Attributes emit in SOURCE
+    * order (the tokenizer builds a VectorMap), matching jsdom's
+    * order-preserving innerHTML at any attribute count. */
   def render(n: Node): String = n match {
     case TextNode(t) => escapeText(t)
     case e: Element =>

@@ -31,8 +31,8 @@ object Dedup {
       .orderBy(col("keep_id"))
 
   /** Distinct word-3-gram shingles per document: (doc_id, shingle). */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d).select(
+  private def shinglesOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(
       col("doc_id"),
       // filter guards against leading/trailing whitespace producing ""
       filter(split(col("text"), "\\s+"), t => length(t) > 0).as("t"))
@@ -44,6 +44,9 @@ object Dedup {
         .as("shingles"))
   }
 
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(Tables.documents(s, d))
+
   private def explodedShingles(s: SparkSession, d: String): DataFrame =
     shingles(s, d).select(col("doc_id"), explode(col("shingles")).as("sh"))
 
@@ -54,12 +57,16 @@ object Dedup {
     * xxhash64'd at the scan, so the self-join and the per-pair
     * intersection count move only (doc_id, hash) longs, and map-side
     * partial aggregation collapses pair rows before the shuffle. Set
-    * sizes are attached *after* pair-counting via two broadcast joins of
-    * the tiny (doc_id, n) table rather than carried through the big join:
+    * sizes are attached *after* pair-counting via two joins of the
+    * (doc_id, n) table rather than carried through the big join:
     * measured 5× faster, because a join residual over a column derived
     * from the expensive shingle expression forces that expression to be
     * re-evaluated per matched pair (25 s → 5 s at sf0.1; the effect
-    * compounds at scale). 64-bit hashing makes the counts exact up to
+    * compounds at scale). The sizes joins carry NO broadcast hint: one
+    * row per document is bounded only by corpus size, so a forced
+    * broadcast is a driver OOM at 100 TB — AQE picks broadcast when the
+    * post-aggregation table is actually small and a sort-merge join on
+    * doc_id otherwise. 64-bit hashing makes the counts exact up to
     * ~2⁻³² collision odds per corpus; at stricter thresholds + larger
     * corpora, a PPJoin prefix filter over the same hashed postings is the
     * escalation path. */
@@ -72,8 +79,8 @@ object Dedup {
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(broadcast(sizes.toDF("a_id", "na")), "a_id")
-      .join(broadcast(sizes.toDF("b_id", "nb")), "b_id")
+      .join(sizes.toDF("a_id", "na"), "a_id")
+      .join(sizes.toDF("b_id", "nb"), "b_id")
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 3))
       .filter(col("jaccard") >= threshold)
@@ -86,13 +93,44 @@ object Dedup {
     * `min` aggregates — partial aggregation collapses per-document mins
     * map-side, so only (doc_id, k ints) rows ever shuffle and no nested
     * array expression sits in the hot path. */
-  private def minhashSignatures(s: SparkSession, d: String, k: Int): DataFrame = {
-    val postings = shingles(s, d).select(
+  private def minhashSignaturesOf(docs: DataFrame, k: Int): DataFrame = {
+    val postings = shinglesOf(docs).select(
       col("doc_id"), explode(transform(col("shingles"), sh => xxhash64(sh))).as("h"))
     val mins = (0 until k).map(i => min(hash(col("h"), lit(i))).as(s"m$i"))
     postings.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  private def minhashSignatures(s: SparkSession, d: String, k: Int): DataFrame =
+    minhashSignaturesOf(Tables.documents(s, d), k)
+
+  /** Planted-duplicate corpus: the documents table plus an exact copy of
+    * every document at `doc_id + offset` — the deterministic ground truth
+    * for the dup-guarantee oracles below. */
+  private def dupCorpus(s: SparkSession, d: String, offset: Long): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionAll(docs.select((col("doc_id") + offset).as("doc_id"), col("text")))
+  }
+
+  /** MinHash *guarantee* under the DuckDB oracle: identical shingle sets
+    * ⇒ identical signatures, whatever the hash family — so on a corpus
+    * with planted exact copies, the identical-signature pair set IS
+    * SQL-expressible: exactly the (d, d+offset) pairs (the corpus has no
+    * two equal original texts). k = 128 makes a full-signature collision
+    * between the planted J≈0.9 *near*-dup pairs ≤ 0.9¹²⁸ ≈ 1e-6 per pair
+    * — deterministically absent at these corpus sizes. The pair join
+    * moves one murmur3 long per signature (hash first, verify equality
+    * on match), never the signature arrays of non-candidates. */
+  def minhashDupPairs(s: SparkSession, d: String, k: Int = 128,
+      offset: Long = 100000L): DataFrame = {
+    val sig = minhashSignaturesOf(dupCorpus(s, d, offset), k)
+      .withColumn("key", hash(col("sig")))
+    sig.as("a").join(sig.as("b"),
+        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.sig") === col("b.sig"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** MinHash+LSH candidate pairs, verified with the signature-estimated

@@ -74,6 +74,24 @@ object QuadOps {
       .orderBy(col("nation_name"))
   }
 
+  /** S9 `nie:url` lookup (lib/file-helpers.js:40-63) under the oracle:
+    * remote-file quads synthesized from nation, duplicated across two
+    * named graphs so the reference's `SELECT DISTINCT ?url { GRAPH ?g
+    * {...} }` shape — where the same statement in several graphs must
+    * collapse — is actually exercised, then the production
+    * [[graft.pipeline.TaskStore.fileUrl]] point lookup. */
+  def fileUrlLookup(s: SparkSession, d: String,
+      remoteUri: String = "urn:remote:1"): DataFrame = {
+    val n = Tables.nation(s, d)
+    def g(graph: String) = n.select(
+      concat(lit("urn:remote:"), col("n_nationkey")).as("subject"),
+      lit(Vocab.nieUrl).as("predicate"),
+      concat(lit("http://example.org/files/"), col("n_name")).as("obj"),
+      lit(graph).as("graph"))
+    val quads = g("urn:graph:a").unionAll(g("urn:graph:b"))
+    graft.pipeline.TaskStore.fileUrl(quads, remoteUri).orderBy(col("url"))
+  }
+
   /** G4/G5 codec round-trip under the oracle: build term-struct quads from
     * nation, serialize with `to_ntriple`, re-parse with `parse_ntriple`,
     * serialize again — the emitted line must equal what plain SQL string
@@ -101,6 +119,87 @@ object QuadOps {
           col("reparsed.predicate"), col("reparsed.obj")).as("line"))
       .orderBy(col("line"))
   }
+
+  // ----------------------------------------------------- task lifecycle
+
+  private val LcT0 = "2026-01-01T00:00:00Z"
+  private val LcT1 = "2026-01-15T00:00:00Z"
+  private val LcT2 = "2026-02-01T00:00:00Z"
+  private val LcTask = "urn:task:1"
+  private val LcGraph = "urn:graph:tasks"
+
+  /** Synthetic task graph for the orchestrator's relational core: one
+    * scheduled extraction task per nation, each with one input container
+    * holding two pages — the schema of lib/task.js:83-155. */
+  def lifecycleTaskQuads(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d)
+    val subj = concat(lit("urn:task:"), col("n_nationkey"))
+    def row(p: String, o: org.apache.spark.sql.Column) = n.select(
+      subj.as("subject"), lit(p).as("predicate"), o.cast("string").as("obj"))
+    val taskRows = Seq(
+      row(Vocab.rdfType, lit(Vocab.taskType)),
+      row(Vocab.muUuid, concat(lit("uuid-"), col("n_nationkey"))),
+      row(Vocab.admsStatus, lit(Vocab.statusScheduled)),
+      row(Vocab.taskOperation, lit(Vocab.opExtracting)),
+      row(Vocab.dctIsPartOf, concat(lit("urn:job:"), col("n_nationkey"))),
+      row(Vocab.taskIndex, col("n_nationkey")),
+      row(Vocab.dctCreated, lit(LcT0)),
+      row(Vocab.dctModified, lit(LcT0)),
+      row(Vocab.taskInputContainer, concat(lit("urn:container:"), col("n_nationkey"))))
+    def fileRow(tag: String) = n.select(
+      concat(lit("urn:container:"), col("n_nationkey")).as("subject"),
+      lit(Vocab.taskHasFile).as("predicate"),
+      concat(lit("share://page-"), col("n_nationkey"), lit(s"-$tag.html")).as("obj"))
+    taskRows.reduce(_.unionAll(_))
+      .unionAll(fileRow("a")).unionAll(fileRow("b"))
+      .withColumn("graph", lit(LcGraph))
+  }
+
+  /** The orchestrator's pure-relational lifecycle on one task
+    * (lib/pipeline-import.js:28-117 minus extraction): scheduled → busy →
+    * register per-page valid files + containers → success. Every step is
+    * the production operator ([[graft.pipeline.TaskStore]] /
+    * [[graft.pipeline.FileRegistry]]); manifest sizes are a deterministic
+    * stand-in (page-URI byte length) since no HTML is read here. */
+  def lifecycleFinalState(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.{FileRegistry, TaskStore}
+    val q0 = lifecycleTaskQuads(s, d)
+    val busy = TaskStore.transitionStatus(q0, LcTask, Vocab.statusBusy, LcT1)
+    val manifest = TaskStore.inputPages(busy, LcTask).select(
+      lit(LcTask).as("task"),
+      lit(LcGraph).as("graph"),
+      concat(regexp_replace(element_at(split(col("page"), "/"), -1),
+        "\\.[^.]*$", ""), lit("-valid.ttl")).as("file_name"),
+      octet_length(col("page")).cast("long").as("size"),
+      col("page").as("derived_from"))
+    val registered = busy
+      .unionByName(FileRegistry.fileMetadataQuads(manifest, LcT1))
+      .unionByName(FileRegistry.containerQuads(manifest))
+    TaskStore.transitionStatus(registered, LcTask, Vocab.statusSuccess, LcT2)
+  }
+
+  /** Lifecycle oracle query 1 — the entity rows: after the full
+    * transition chain, the task's status/modified must be exactly
+    * (success, T2) and every other base quad untouched. Projects the
+    * deterministic (non-sha1-minted) subjects so DuckDB can reconstruct
+    * the expected state relationally. */
+  def taskLifecycleState(s: SparkSession, d: String): DataFrame =
+    lifecycleFinalState(s, d)
+      .filter(col("subject").startsWith("urn:") &&
+        col("predicate") =!= Vocab.taskResultsContainer)
+      .select(col("subject"), col("predicate"), col("obj"))
+      .orderBy(col("subject"), col("predicate"), col("obj"))
+
+  /** Lifecycle oracle query 2 — the registration volume: per-predicate
+    * counts of everything the pipeline minted (file entities, containers,
+    * results links). Counts are arithmetic in the page count, so the
+    * oracle derives them without sha1. */
+  def taskLifecycleRegistry(s: SparkSession, d: String): DataFrame =
+    lifecycleFinalState(s, d)
+      .filter(!col("subject").startsWith("urn:") ||
+        col("predicate") === Vocab.taskResultsContainer)
+      .groupBy(col("predicate")).agg(count(lit(1)).as("n"))
+      .orderBy(col("predicate"))
 
   // ------------------------------------------------------------ validation
 
@@ -154,9 +253,26 @@ object QuadOps {
   }
 
   /** A3 partition counts (lib/pipeline-import.js:220-241): sizes of the
-    * valid / invalid / corrected splits. */
+    * disjoint valid / invalid / corrected verdict classes. */
   def verdictCounts(s: SparkSession, d: String): DataFrame =
     validateCorpus(s, d)
       .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
       .orderBy(col("verdict"))
+
+  /** A3/K9 reference-faithful *file* sizes: `correctAndRepairTriples`
+    * returns OVERLAPPING arrays (lib/pipeline-import.js:220-241) — a
+    * repairable triple is pushed to invalidTriples at :229 AND (fixed) to
+    * validTriples at :236 AND (original) to correctedTriples at :237. So
+    *   |valid file|     = #valid + #corrected
+    *   |invalid file|   = #invalid + #corrected
+    *   |corrected file| = #corrected
+    * — the exact row counts of the three TTL files the reference writes. */
+  def partitionFileSizes(s: SparkSession, d: String): DataFrame =
+    validateCorpus(s, d).agg(
+      sum(when(col("verdict").isin("valid", "corrected"), 1L).otherwise(0L))
+        .as("n_valid_file"),
+      sum(when(col("verdict").isin("invalid", "corrected"), 1L).otherwise(0L))
+        .as("n_invalid_file"),
+      sum(when(col("verdict") === "corrected", 1L).otherwise(0L))
+        .as("n_corrected_file"))
 }

@@ -86,11 +86,21 @@ object Similarity {
     * nProbe/nCells of the data — the centroid table itself is tiny and
     * lives on the driver. Deterministic via the k-means seed. */
   def ivfTopK(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, maxTrainRows: Long = 100000L): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .withColumn("features", array_to_vector(col("embedding")))
+    // The coarse quantizer trains on a bounded sample: centroids don't
+    // need the full corpus, and a full-corpus fit is 10 passes over
+    // 100 TB. Seeded sample → deterministic centroids; below the cap the
+    // sample IS the corpus, so small-scale results are unchanged.
+    val corpusRows = emb.count()
+    val train =
+      if (corpusRows <= maxTrainRows) emb
+      else emb.sample(withReplacement = false,
+        // 1.1× headroom: Bernoulli sampling undershoots the expectation
+        math.min(1.0, maxTrainRows * 1.1 / corpusRows), seed = 42L)
     val kmeans = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
-    val model = kmeans.fit(emb)
+    val model = kmeans.fit(train)
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
     // nProbe nearest cells per query cell, from the (tiny) centroid set

@@ -93,4 +93,35 @@ object TextAnalysis {
         // a stable digest of the fingerprint set for rows-only checking
         xxhash64(to_json(struct(col("fp")))).as("fp_digest"))
       .orderBy(col("doc_id"))
+
+  /** Winnowing *guarantee* under the DuckDB oracle: the fingerprint set
+    * is a pure function of the text, so on a corpus with planted exact
+    * copies at `doc_id + offset`, the identical-fingerprint-set pair set
+    * IS SQL-expressible: exactly the (d, d+offset) pairs. The raw
+    * documents corpus is NOT discriminating enough for that (a ~30-word
+    * vocabulary + planted J≥0.9 near-dups → measured 6 distinct-text
+    * pairs whose selected-min sets coincide), so each doc's id is first
+    * interleaved into its text (every whitespace run → ` id `): every
+    * winnow window (w+k-1 = 8 chars) then spans id digits, making the
+    * fingerprint set doc-specific, while exact copies (which keep the
+    * ORIGINAL doc's id) still collide completely. Pairs join on a 64-bit
+    * digest of the (sorted, deduped) set first, verify array equality on
+    * match. */
+  def winnowDupPairs(s: SparkSession, d: String,
+      offset: Long = 100000L): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      regexp_replace(col("text"), lit("\\s+"),
+        concat(lit(" "), col("doc_id").cast("string"), lit(" "))).as("text"))
+    val corpus = docs.unionAll(
+      docs.select((col("doc_id") + offset).as("doc_id"), col("text")))
+    val fps = corpus
+      .select(col("doc_id"), graft.functions.Winnow(col("text")).as("fp"))
+      .filter(size(col("fp")) > 0) // texts shorter than the k-gram never pair
+      .withColumn("key", xxhash64(to_json(struct(col("fp")))))
+    fps.as("a").join(fps.as("b"),
+        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.fp") === col("b.fp"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
 }

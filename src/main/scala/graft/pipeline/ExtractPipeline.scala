@@ -112,20 +112,38 @@ object ExtractPipeline {
     withTtlLine(tagged(withProvenance(externalized)))
   }
 
-  /** K1/K9 sinks: one text directory per verdict (valid always; original/
-    * invalid/corrected gated like WRITE_DEBUG_TTLS, constants.js:37-38). */
+  /** K1/K9 sinks: one text directory per partition (valid always; invalid/
+    * corrected gated like WRITE_DEBUG_TTLS, constants.js:37-38), with the
+    * reference's exact — overlapping — partition contents
+    * (`correctAndRepairTriples`, lib/pipeline-import.js:220-241):
+    *
+    *   - valid: originally-valid triples as-is PLUS the *repaired* form
+    *     of every fixable one (`validTriples.push(fixedTriple)`, :236).
+    *   - invalid (debug): every validation failure in its ORIGINAL form —
+    *     including triples later repaired (they are pushed at :229 and
+    *     never removed).
+    *   - corrected (debug): the ORIGINAL (unfixed) form of each repaired
+    *     triple (`correctedTriples.push(triple)`, :237) — the repaired
+    *     form lives in the valid file, not here.
+    */
   def writeTtl(taggedQuads: DataFrame, outDir: String,
       writeDebug: Boolean = false): Unit = {
     val withLines = withTtlLine(taggedQuads)
+    val originalLine = NTriples.toNTriple(
+      col("subject"), col("predicate"), col("obj")).as("ttl")
     withLines.filter(col("verdict") === "valid" || col("verdict") === "corrected")
       .select(col("ttl")).write.mode("overwrite").text(s"$outDir/valid")
     if (writeDebug) {
-      withLines.filter(col("verdict") === "invalid")
-        .select(NTriples.toNTriple(col("subject"), col("predicate"), col("obj"))
-          .as("ttl"))
+      // `-original.ttl`: the full extracted serialization, pre-validation
+      // (lib/pipeline-import.js:85-91 writes the raw `ttl` array)
+      withLines.select(originalLine)
+        .write.mode("overwrite").text(s"$outDir/original")
+      withLines.filter(col("verdict").isin("invalid", "corrected"))
+        .select(originalLine)
         .write.mode("overwrite").text(s"$outDir/invalid")
       withLines.filter(col("verdict") === "corrected")
-        .select(col("ttl")).write.mode("overwrite").text(s"$outDir/corrected")
+        .select(originalLine)
+        .write.mode("overwrite").text(s"$outDir/corrected")
     }
   }
 

@@ -25,15 +25,31 @@ object FileRegistry {
   def pathToShareUri(path: Column): Column =
     regexp_replace(path, "^/share/", sharePrefix)
 
+  /** The reference registers files as
+    * `dct:creator <http://lblod.data.gift/services/harvesting-import-service>`
+    * (lib/file-helpers.js:121,129 region). */
+  val CreatorUri = "http://lblod.data.gift/services/harvesting-import-service"
+
   /** K2: physical (`share://…`) + logical file entities, 10 properties
-    * each, `nie:dataSource` linking physical → logical, plus
-    * `prov:wasDerivedFrom` (lib/file-helpers.js:108-139). */
+    * each (`a`, `mu:uuid`, `nfo:fileName`, `dct:creator`, `dct:created`,
+    * `dct:modified`, `dct:format`, `nfo:fileSize`, `dbpedia:fileExtension`,
+    * and `nie:dataSource` / `prov:wasDerivedFrom`), matching the
+    * reference's INSERT DATA template (lib/file-helpers.js:108-139).
+    *
+    * `mu:uuid` deviation, documented: the reference mints independent
+    * uuids phyId/loId where each equals its entity URI's basename
+    * (`share://phyId.ext`, `.../id/files/loId`). Here both URIs are
+    * content-addressed off the same sha1 id, so both entities carry that
+    * id as `mu:uuid` — the uuid == URI-basename invariant downstream
+    * consumers key on is preserved; only uniqueness-per-entity collapses
+    * (deterministic + idempotent under re-runs, same deviation as G2). */
   def fileMetadataQuads(manifest: DataFrame, nowIso: String): DataFrame = {
     val id = sha1(concat(col("task"), lit("/"), col("file_name")))
     val logical = concat(lit(logicalPrefix), id)
     val physical = concat(lit(sharePrefix), id, lit("."), col("ext"))
     val m = manifest
       .withColumn("ext", element_at(split(col("file_name"), "\\."), -1))
+      .withColumn("id", id)
       .withColumn("logical", logical)
       .withColumn("physical", physical)
 
@@ -43,7 +59,9 @@ object FileRegistry {
     val entityQuads = array(
       // logical entity
       q(col("logical"), Vocab.rdfType, lit(Vocab.nfoFileDataObject)),
+      q(col("logical"), Vocab.muUuid, col("id")),
       q(col("logical"), Vocab.nfoFileName, col("file_name")),
+      q(col("logical"), Vocab.dctCreator, lit(CreatorUri)),
       q(col("logical"), Vocab.dctFormat, lit("text/turtle")),
       q(col("logical"), Vocab.nfoFileSize, col("size")),
       q(col("logical"), Vocab.dbpediaFileExtension, col("ext")),
@@ -53,9 +71,11 @@ object FileRegistry {
       // physical entity mirrors + dataSource link
       q(col("physical"), Vocab.rdfType, lit(Vocab.nfoFileDataObject)),
       q(col("physical"), Vocab.nieDataSource, col("logical")),
+      q(col("physical"), Vocab.muUuid, col("id")),
       // physical fileName = the share:// URI's basename (same content id)
       q(col("physical"), Vocab.nfoFileName,
         regexp_replace(col("physical"), lit("^share://"), lit(""))),
+      q(col("physical"), Vocab.dctCreator, lit(CreatorUri)),
       q(col("physical"), Vocab.dctFormat, lit("text/turtle")),
       q(col("physical"), Vocab.nfoFileSize, col("size")),
       q(col("physical"), Vocab.dbpediaFileExtension, col("ext")),
@@ -65,35 +85,73 @@ object FileRegistry {
       .select(col("q.subject"), col("q.predicate"), col("q.obj"), col("graph"))
   }
 
-  /** K3/K4: result containers — a file container (`task:hasFile` per
-    * file) and a graph container (`task:hasGraph`), both linked from the
-    * task via `task:resultsContainer`
-    * (lib/pipeline-import.js:37-43, 180-218). */
-  def containerQuads(manifest: DataFrame): DataFrame = {
-    val fileContainer = concat(
-      lit("http://redpencil.data.gift/id/dataContainers/"),
-      sha1(concat(col("task"), lit("/files"))))
-    val graphContainer = concat(
-      lit("http://redpencil.data.gift/id/dataContainers/"),
-      sha1(concat(col("task"), lit("/graphs"))))
-    val importGraph = concat(
-      lit("http://mu.semte.ch/graphs/harvesting/tasks/import/"),
-      sha1(col("task")))
-    val logical = concat(lit(logicalPrefix),
-      sha1(concat(col("task"), lit("/"), col("file_name"))))
+  private def importGraphIdCol: Column = sha1(col("task"))
+  /** The per-task import graph URI (reference embeds `task.id`,
+    * lib/pipeline-import.js:40 — content-derived here, same deviation). */
+  def importGraphUri: Column = concat(
+    lit("http://mu.semte.ch/graphs/harvesting/tasks/import/"), importGraphIdCol)
 
-    def q(s: Column, p: String, o: Column): Column =
-      struct(s.as("subject"), lit(p).as("predicate"), o.cast("string").as("obj"))
+  private def logicalFileUri: Column = concat(lit(logicalPrefix),
+    sha1(concat(col("task"), lit("/"), col("file_name"))))
 
-    val containerLinks = array(
-      q(fileContainer, Vocab.rdfType, lit(Vocab.nfoDataContainer)),
-      q(fileContainer, Vocab.taskHasFile, logical),
-      q(col("task"), Vocab.taskResultsContainer, fileContainer),
-      q(graphContainer, Vocab.rdfType, lit(Vocab.nfoDataContainer)),
-      q(graphContainer, Vocab.taskHasGraph, importGraph),
-      q(col("task"), Vocab.taskResultsContainer, graphContainer))
-    manifest.select(col("graph"), explode(containerLinks).as("q"))
+  private def q(s: Column, p: String, o: Column): Column =
+    struct(s.as("subject"), lit(p).as("predicate"), o.cast("string").as("obj"))
+
+  private def explodeQuads(manifest: DataFrame, quads: Column): DataFrame =
+    manifest.select(col("graph"), explode(quads).as("q"))
       .select(col("q.subject"), col("q.predicate"), col("q.obj"), col("graph"))
       .distinct()
+
+  /** One `appendTaskResultFile` unit (lib/pipeline-import.js:180-198): the
+    * container entity (`a nfo:DataContainer` + `mu:uuid`), `task:hasFile`
+    * to the manifest row's logical file, and the task's
+    * `task:resultsContainer` back-link. Duplicate inserts across files
+    * collapse via distinct — same set semantics as repeated INSERT DATA. */
+  private def fileContainerUnit(containerUri: Column, containerId: Column): Column =
+    array(
+      q(containerUri, Vocab.rdfType, lit(Vocab.nfoDataContainer)),
+      q(containerUri, Vocab.muUuid, containerId),
+      q(containerUri, Vocab.taskHasFile, logicalFileUri),
+      q(col("task"), Vocab.taskResultsContainer, containerUri))
+
+  /** K3/K4: result containers for the *valid* files, matching the
+    * reference's three `append…` calls per page
+    * (lib/pipeline-import.js:75-83):
+    *   - file container: `task:hasFile` per valid file;
+    *   - import-graph container: the import graph ALSO acts as a
+    *     container holding `task:hasFile` per valid file
+    *     (`appendTaskResultFile(task, importGraph, validFile)`, :81);
+    *   - graph container: `task:hasGraph` → the import graph.
+    * All carry `mu:uuid` (= URI basename, content-derived sha1 — the
+    * reference mints `container.id` and embeds it in the URI the same
+    * way, lib/pipeline-import.js:37-43) and are linked from the task via
+    * `task:resultsContainer` (lib/pipeline-import.js:180-218). */
+  def containerQuads(manifest: DataFrame): DataFrame = {
+    val fileContainerId = sha1(concat(col("task"), lit("/files")))
+    val graphContainerId = sha1(concat(col("task"), lit("/graphs")))
+    val fileContainer = concat(
+      lit("http://redpencil.data.gift/id/dataContainers/"), fileContainerId)
+    val graphContainer = concat(
+      lit("http://redpencil.data.gift/id/dataContainers/"), graphContainerId)
+    val links = concat(
+      fileContainerUnit(fileContainer, fileContainerId),
+      fileContainerUnit(importGraphUri, importGraphIdCol),
+      array(
+        q(graphContainer, Vocab.rdfType, lit(Vocab.nfoDataContainer)),
+        q(graphContainer, Vocab.muUuid, graphContainerId),
+        q(graphContainer, Vocab.taskHasGraph, importGraphUri),
+        q(col("task"), Vocab.taskResultsContainer, graphContainer)))
+    explodeQuads(manifest, links)
+  }
+
+  /** K9 registration: debug files (`-original/-invalid/-corrected.ttl`)
+    * are linked into the FILE container only
+    * (lib/pipeline-import.js:84-106 — no importGraph/graphContainer
+    * appends for them). */
+  def debugContainerQuads(debugManifest: DataFrame): DataFrame = {
+    val fileContainerId = sha1(concat(col("task"), lit("/files")))
+    val fileContainer = concat(
+      lit("http://redpencil.data.gift/id/dataContainers/"), fileContainerId)
+    explodeQuads(debugManifest, fileContainerUnit(fileContainer, fileContainerId))
   }
 }

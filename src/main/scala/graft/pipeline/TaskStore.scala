@@ -64,6 +64,17 @@ object TaskStore {
         Vocab.taskResultsContainer))
       .select(col("predicate").as("link"), col("obj").as("target"))
 
+  /** S9 `nie:url` metadata lookup (lib/file-helpers.js:40-63,
+    * `getFileMetadata`): DISTINCT ?url for a bound remote-file subject
+    * across all graphs (`GRAPH ?g` in the reference). Zero rows ⇔ the
+    * reference's `null` return. Point filter on the bucketed quad table —
+    * no shuffle beyond the distinct over a handful of rows. */
+  def fileUrl(quads: DataFrame, remoteUri: String): DataFrame =
+    quads.filter(col("subject") === remoteUri &&
+      col("predicate") === Vocab.nieUrl)
+      .select(col("obj").as("url"))
+      .distinct()
+
   /** J1 2-hop chain (lib/pipeline-import.js:131-139):
     * task →inputContainer ?c →hasFile ?page, DISTINCT pages. The task
     * side is a handful of rows → broadcast; only the hasFile edge set

@@ -66,12 +66,16 @@ object JsDateReformat {
   def dateTime(c: Column): Column = toColumn(JsDateReformat(toExpr(c), withTime = true))
 
   private val legacyFormats: Seq[DateTimeFormatter] = Seq(
+    // V8's fallback parser also takes unpadded dash dates ('2023-5-4')
+    "yyyy-M-d",
     "yyyy/M/d", "M/d/yyyy",
     "MMMM d, yyyy", "MMMM d yyyy", "MMM d, yyyy", "MMM d yyyy",
     "d MMMM yyyy", "d MMM yyyy")
     .map(p => DateTimeFormatter.ofPattern(p, Locale.ENGLISH))
 
   private val legacyDateTimeFormats: Seq[DateTimeFormatter] = Seq(
+    // V8 accepts a space in place of the ISO 'T', with optional seconds
+    "yyyy-M-d H:m:s", "yyyy-M-d H:m", "yyyy-M-d'T'H:m:s", "yyyy-M-d'T'H:m",
     "yyyy/M/d H:m:s", "M/d/yyyy H:m:s",
     "MMMM d, yyyy H:m:s", "MMM d yyyy H:m:s")
     .map(p => DateTimeFormatter.ofPattern(p, Locale.ENGLISH))

@@ -166,7 +166,9 @@ object NTriples {
         var j = i + 1
         while (j < s.length && (Character.isLetterOrDigit(s(j)) || s(j) == '-')) j += 1
         val lang = s.substring(i + 1, j); i = j
-        if (lang.isEmpty) Some(Term(Term.Literal, sb.toString, Vocab.rdfLangString, ""))
+        // a bare '@' with no tag is a parse error in n3 (the reference's
+        // parser rejects the line as invalid, not repairable) — match it
+        if (lang.isEmpty) None
         else Some(Term.langLit(sb.toString, lang))
       } else if (i + 1 < s.length && s(i) == '^' && s(i + 1) == '^') {
         i += 2

@@ -36,13 +36,25 @@ object DeltaSource {
   val ScheduledStatus = "http://redpencil.data.gift/id/concept/JobStatus/scheduled"
   val AdmsStatus = "http://www.w3.org/ns/adms#status"
 
+  /** P8 content-type guard (app.js:18-22): the reference only JSON-parses
+    * a request whose content-type matches `^application/json`. Batches
+    * that carry a `content_type` column get the same regex filter before
+    * `from_json`; sources without one (file drops) are implicitly JSON,
+    * like the reference's deltanotifier contract. Malformed bodies are
+    * also harmless either way: `from_json` yields null → `explode(null)`
+    * emits zero rows, matching the 204-no-tasks path. */
+  private def contentTypeGuard(deltas: DataFrame): DataFrame =
+    if (deltas.columns.contains("content_type"))
+      deltas.filter(col("content_type").rlike("^application/json"))
+    else deltas
+
   /** P1 (lib/delta.js:9-17) over a DataFrame with a `body` JSON-string
     * column: explode changesets → explode inserts → filter predicate/
     * object → project subject values. */
   def scheduledTasks(deltas: DataFrame,
       predicate: String = AdmsStatus,
       obj: String = ScheduledStatus): DataFrame =
-    deltas
+    contentTypeGuard(deltas)
       .select(explode(from_json(col("body"), deltaSchema)).as("cs"))
       .select(explode(col("cs.inserts")).as("t"))
       .filter(col("t.predicate.value") === predicate &&

@@ -51,6 +51,18 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(div.innerHtml == "<p>full <b>decision</b> body</p>")
   }
 
+  test("attributes re-serialize in source order, duplicates first-wins (jsdom parity)") {
+    // >4 attributes: a hash Map would emit these in hash order
+    val html = """<div e="5" d="4" c="3" b="2" a="1" f="6">x</div>"""
+    val div = parse(html).children.head.asInstanceOf[Element]
+    assert(graft.html.HtmlParser.render(div) ==
+      """<div e="5" d="4" c="3" b="2" a="1" f="6">x</div>""")
+    // duplicate attribute: first occurrence wins (HTML parsing spec)
+    val dup = parse("""<p id="first" id="second">y</p>""")
+      .children.head.asInstanceOf[Element]
+    assert(dup.attr("id").contains("first"))
+  }
+
   test("unclosed elements are finished at EOF") {
     val root = parse("<div><span>a<span>b")
     assert(root.text == "ab")

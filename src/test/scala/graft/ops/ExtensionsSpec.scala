@@ -34,6 +34,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(precision >= 0.9, s"precision $precision vs exact jaccard ≥0.5 pairs")
   }
 
+  test("dup-guarantee pairs: minhash + winnow recover exactly the planted copies") {
+    val docs = Tables.documents(spark, sf)
+    val expectedMinhash = docs
+      .filter(size(filter(split(col("text"), "\\s+"), t => length(t) > 0)) >= 3)
+      .select(col("doc_id"), (col("doc_id") + 100000L).as("b_id"))
+      .as[(Long, Long)].collect().toSet
+    val gotMinhash = Dedup.minhashDupPairs(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    assert(gotMinhash == expectedMinhash,
+      s"minhash: extra=${(gotMinhash -- expectedMinhash).take(5)} missing=${(expectedMinhash -- gotMinhash).take(5)}")
+    // id interleaving only lengthens texts, so the ≥5-byte guard is over
+    // the interleaved form like the operator's
+    val expectedWinnow = docs.filter(octet_length(
+      regexp_replace(col("text"), lit("\\s+"),
+        concat(lit(" "), col("doc_id").cast("string"), lit(" ")))) >= 5)
+      .select(col("doc_id"), (col("doc_id") + 100000L).as("b_id"))
+      .as[(Long, Long)].collect().toSet
+    val gotWinnow = TextAnalysis.winnowDupPairs(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    assert(gotWinnow == expectedWinnow,
+      s"winnow: extra=${(gotWinnow -- expectedWinnow).take(5)} missing=${(expectedWinnow -- gotWinnow).take(5)}")
+  }
+
   test("exact dedup keeps one survivor per digest and covers all docs") {
     val out = Dedup.exact(spark, sf)
     val total = out.agg(sum("n_copies")).as[Long].head()

@@ -45,6 +45,34 @@ class ExtractPipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("K9 debug partitions match correctAndRepairTriples exactly (pipeline-import.js:220-241)") {
+    // page yields: valid triples (title, externalized prov:value, cites,
+    // provenance) + one repairable date ("May 4, 2023" → corrected).
+    val out = ExtractPipeline.run(spark, pages)
+    val dir = java.nio.file.Files.createTempDirectory("ttl-sink").toString
+    ExtractPipeline.writeTtl(out, dir, writeDebug = true)
+    def lines(part: String): Seq[String] =
+      spark.read.text(s"$dir/$part").as[String].collect().toSeq
+    val valid = lines("valid")
+    val invalid = lines("invalid")
+    val corrected = lines("corrected")
+    // corrected file holds the ORIGINAL (unrepaired) lexical form...
+    assert(corrected.exists(_.contains("\"May 4, 2023\"")), corrected)
+    assert(!corrected.exists(_.contains("\"2023-05-4\"")), corrected)
+    // ...the repaired form goes to the valid file (validTriples.push(fixedTriple))
+    assert(valid.exists(_.contains("\"2023-05-4\"")), valid)
+    // invalid file includes every validation failure — also the repaired ones
+    assert(corrected.toSet.subsetOf(invalid.toSet), (invalid, corrected))
+    // |invalid| = #invalid + #corrected; this page has no unrepairable triple
+    assert(invalid.size == corrected.size)
+    // -original.ttl: the full pre-validation serialization (:85-91) —
+    // all extracted triples in original form, repaired form absent
+    val original = lines("original")
+    assert(original.size == valid.size) // (#valid + #corrected, no invalids here)
+    assert(original.exists(_.contains("\"May 4, 2023\"")))
+    assert(!original.exists(_.contains("\"2023-05-4\"")))
+  }
+
   test("html side-output table carries the payload for the file sink (G2)") {
     val raw = ExtractPipeline.extractQuads(spark, pages)
     val (_, files) = ExtractPipeline.externalizeHtml(raw)

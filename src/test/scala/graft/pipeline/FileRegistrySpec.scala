@@ -30,13 +30,70 @@ class FileRegistrySpec extends SparkSpec {
     assert(s"share://$physName" == physical.head)
   }
 
+  test("K2: full per-entity property set matches the reference INSERT DATA template") {
+    // lib/file-helpers.js:108-139: each entity carries a, mu:uuid,
+    // nfo:fileName, dct:creator, dct:created, dct:modified, dct:format,
+    // nfo:fileSize, dbpedia:fileExtension, plus nie:dataSource (physical)
+    // / prov:wasDerivedFrom (logical).
+    val quads = FileRegistry.fileMetadataQuads(manifest, "2026-01-01T00:00:00Z")
+      .collect().groupBy(_.getAs[String]("subject"))
+      .map { case (s, rows) => s -> rows.map(_.getAs[String]("predicate")).toSet }
+    val (physical, logical) = quads.keys.partition(_.startsWith("share://"))
+    val shared = Set(Vocab.rdfType, Vocab.muUuid, Vocab.nfoFileName,
+      Vocab.dctCreator, Vocab.dctCreated, Vocab.dctModified, Vocab.dctFormat,
+      Vocab.nfoFileSize, Vocab.dbpediaFileExtension)
+    assert(quads(physical.head) == shared + Vocab.nieDataSource)
+    assert(quads(logical.head) == shared + Vocab.provWasDerivedFrom)
+    // uuid == URI basename invariant (reference: phyId / loId embed in URI)
+    val all = FileRegistry.fileMetadataQuads(manifest, "2026-01-01T00:00:00Z").collect()
+    all.filter(_.getAs[String]("predicate") == Vocab.muUuid).foreach { r =>
+      val subject = r.getAs[String]("subject")
+      val basename = subject.substring(subject.lastIndexOf('/') + 1)
+        .replaceAll("^share://", "").replaceAll("\\.[a-z]+$", "")
+      assert(basename == r.getAs[String]("obj"), subject)
+    }
+    all.filter(_.getAs[String]("predicate") == Vocab.dctCreator).foreach { r =>
+      assert(r.getAs[String]("obj") == FileRegistry.CreatorUri)
+    }
+  }
+
+  test("K3/K4: containers carry mu:uuid == URI basename (pipeline-import.js:190,210)") {
+    val quads = FileRegistry.containerQuads(manifest).collect()
+    val containers = quads.filter(_.getAs[String]("predicate") == Vocab.rdfType)
+      .map(_.getAs[String]("subject"))
+    // file container + import-graph container + graph container
+    assert(containers.length == 3)
+    containers.foreach { c =>
+      val uuids = quads.filter(r => r.getAs[String]("subject") == c &&
+        r.getAs[String]("predicate") == Vocab.muUuid).map(_.getAs[String]("obj"))
+      assert(uuids.length == 1, c)
+      assert(c.endsWith("/" + uuids.head), c)
+    }
+  }
+
   test("K3/K4: containers link files and graphs back to the task") {
     val quads = FileRegistry.containerQuads(manifest)
     val links = quads.filter(col("subject") === "http://t/1" &&
       col("predicate") === Vocab.taskResultsContainer)
-    assert(links.count() == 2) // file container + graph container
-    assert(quads.filter(col("predicate") === Vocab.taskHasFile).count() == 1)
+    // file container + import-graph container + graph container
+    // (the reference appends the valid file to BOTH the file container
+    // and the import graph, lib/pipeline-import.js:75-83)
+    assert(links.count() == 3)
+    assert(quads.filter(col("predicate") === Vocab.taskHasFile).count() == 2)
     assert(quads.filter(col("predicate") === Vocab.taskHasGraph).count() == 1)
+  }
+
+  test("K9: debug files register into the file container only") {
+    val debug = FileRegistry.debugContainerQuads(manifest)
+    assert(debug.filter(col("predicate") === Vocab.taskHasGraph).count() == 0)
+    assert(debug.filter(col("predicate") === Vocab.taskHasFile).count() == 1)
+    assert(debug.filter(col("predicate") === Vocab.taskResultsContainer).count() == 1)
+    // and that container is a subset of containerQuads' file container
+    val full = FileRegistry.containerQuads(manifest)
+    val debugContainer = debug.filter(col("predicate") === Vocab.taskHasFile)
+      .select("subject").as[String].head()
+    assert(full.filter(col("subject") === debugContainer &&
+      col("predicate") === Vocab.taskHasFile).count() == 1)
   }
 
   test("F4: share URI ⇄ path rewrite (file-helpers.js:35,91)") {

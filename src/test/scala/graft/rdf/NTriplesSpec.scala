@@ -66,6 +66,11 @@ class NTriplesSpec extends SparkSpec {
       .contains(Quad(Term.iri("http://s"), Term.iri("http://p"), Term.blank("b1"))))
   }
 
+  test("empty language tag is a parse error, not a repairable langString (n3 parity)") {
+    assert(NTriples.parseLine("""<http://s> <http://p> "x"@ .""").isEmpty)
+    assert(NTriples.parseLine("""<http://s> <http://p> "x"@.""").isEmpty)
+  }
+
   test("malformed escapes classify as invalid, never throw") {
     // (\ u sequences built by concat — Scala pre-processes unicode escapes
     // even inside triple-quoted literals)

@@ -42,6 +42,32 @@ class StreamingSpec extends SparkSpec {
     assert(DeltaSource.scheduledTasks(Seq("[]").toDF("body")).count() == 0)
   }
 
+  test("P8 content-type guard + malformed bodies (app.js:18-22)") {
+    // only ^application/json bodies are parsed
+    val typed = Seq(
+      (deltaBody, "application/json"),
+      (deltaBody, "application/json; charset=utf-8"),
+      (deltaBody, "text/turtle"),
+      (deltaBody, null: String)).toDF("body", "content_type")
+    val tasks = DeltaSource.scheduledTasks(typed).as[String].collect()
+    assert(tasks.length == 4) // 2 tasks × 2 json-typed rows; turtle+null dropped
+    // malformed JSON yields zero tasks, no error (from_json → null → no rows)
+    val bad = Seq("this is not json", "{\"inserts\": 7}", "").toDF("body")
+    assert(DeltaSource.scheduledTasks(bad).count() == 0)
+  }
+
+  test("S9 nie:url lookup collapses cross-graph duplicates (file-helpers.js:40-63)") {
+    val quads = Seq(
+      ("http://remote/1", Vocab.nieUrl, "http://source/page1", "g:a"),
+      ("http://remote/1", Vocab.nieUrl, "http://source/page1", "g:b"),
+      ("http://remote/2", Vocab.nieUrl, "http://source/page2", "g:a"))
+      .toDF("subject", "predicate", "obj", "graph")
+    assert(TaskStore.fileUrl(quads, "http://remote/1").as[String].collect().toSeq
+      == Seq("http://source/page1"))
+    // zero rows ⇔ reference returns null
+    assert(TaskStore.fileUrl(quads, "http://remote/404").count() == 0)
+  }
+
   test("streaming delta source dispatches distinct scheduled tasks (T1)") {
     val in = Files.createTempDirectory("delta-in").toString
     val ckpt = Files.createTempDirectory("delta-ckpt").toString
