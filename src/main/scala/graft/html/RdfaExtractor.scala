@@ -11,9 +11,16 @@ import scala.collection.mutable
   * (FIXTURES.md §3): `vocab`, `prefix`, `about`, `resource`, `href`,
   * `src`, `typeof`, `property`, `content`, `datatype`, `datetime`,
   * `rel`/`rev` (including incomplete-triple completion by descendant
-  * subjects), `lang`/`xml:lang`, with CURIE / safe-CURIE / term
-  * resolution and a seeded set of common prefixes (RDFa initial
-  * context). Not covered (documented deviation): `@inlist` collections.
+  * subjects), `lang`/`xml:lang`, `inlist` collections (rdf:List chains),
+  * with CURIE / safe-CURIE / term resolution and a seeded set of common
+  * prefixes (RDFa initial context).
+  *
+  * `inlist` deviation, documented: values for one (subject, predicate)
+  * accumulate per PAGE in document order into a single rdf:List, where
+  * RDFa Core §7.5 closes a list at the end of the element that
+  * established its subject — re-establishing the same subject+predicate
+  * list twice on one page would merge here. Hanging `rel inlist`
+  * (completion by descendant subjects into a list) is not supported.
   *
   * lblod behaviors reproduced:
   *   - `specialHtmlPredicates`: a `property="prov:value"` whose object is
@@ -80,7 +87,25 @@ object RdfaExtractor {
     // provenance/type triples from their nodes. Per-page counter + a
     // base-URI discriminator keeps labels stable and cross-page unique.
     val counter = new Counter(sha1Hex(baseUri))
-    walk(root, Ctx(baseUri, baseUri, defaultPrefixes, None, None), out, counter)
+    // inlist collections: (subject, predicate) → values in document order
+    val lists = mutable.LinkedHashMap[(String, String), mutable.ArrayBuffer[Term]]()
+    walk(root, Ctx(baseUri, baseUri, defaultPrefixes, None, None), out, counter, lists)
+    // emit each collected list as an rdf:first/rdf:rest chain (empty →
+    // predicate points at rdf:nil, RDFa Core §7.5 step 14)
+    lists.foreach { case ((subj, pred), values) =>
+      if (values.isEmpty)
+        out += Quad(toTerm(subj), Term.iri(pred), Term.iri(Vocab.rdfNil))
+      else {
+        val nodes = values.map(_ => s"_:${counter.fresh()}")
+        out += Quad(toTerm(subj), Term.iri(pred), toTerm(nodes.head))
+        values.indices.foreach { i =>
+          out += Quad(toTerm(nodes(i)), Term.iri(Vocab.rdfFirst), values(i))
+          val rest = if (i + 1 < nodes.length) toTerm(nodes(i + 1))
+            else Term.iri(Vocab.rdfNil)
+          out += Quad(toTerm(nodes(i)), Term.iri(Vocab.rdfRest), rest)
+        }
+      }
+    }
     // set semantics, like the reference's n3 Store: sibling property-only
     // elements under one hanging rel each complete it with the same
     // bridge node — identical quads collapse here.
@@ -101,8 +126,12 @@ object RdfaExtractor {
       .map(b => f"$b%02x").mkString
 
   private def walk(e: HtmlParser.Element, ctx0: Ctx,
-      out: mutable.ArrayBuffer[Quad], counter: Counter): Unit = {
+      out: mutable.ArrayBuffer[Quad], counter: Counter,
+      lists: mutable.LinkedHashMap[(String, String), mutable.ArrayBuffer[Term]]): Unit = {
     var ctx = ctx0
+    val inlist = e.attr("inlist").isDefined
+    def addToList(subj: String, pred: String, value: Term): Unit =
+      lists.getOrElseUpdate((subj, pred), mutable.ArrayBuffer[Term]()) += value
 
     // prefix / vocab / lang updates apply to this element and descendants
     e.attr("prefix").foreach { p =>
@@ -175,10 +204,19 @@ object RdfaExtractor {
     if (hasLinks) {
       relObject match {
         case Some(obj) =>
+          // inlist applies to rel (forward) links only, never rev
           rels.foreach(r =>
-            out += Quad(toTerm(relSubject), Term.iri(r), toTerm(obj)))
+            if (inlist) addToList(relSubject, r, toTerm(obj))
+            else out += Quad(toTerm(relSubject), Term.iri(r), toTerm(obj)))
           revs.foreach(r =>
             out += Quad(toTerm(obj), Term.iri(r), toTerm(relSubject)))
+        case None if inlist && rels.nonEmpty && revs.isEmpty =>
+          // rel+inlist with no object and no completing descendants is an
+          // EMPTY list (→ rdf:nil); registering the key here makes that
+          // fall out. (Hanging-rel list completion by descendants is the
+          // documented unsupported corner.)
+          rels.foreach(r =>
+            lists.getOrElseUpdate((relSubject, r), mutable.ArrayBuffer[Term]()))
         case None =>
           childPending = rels.map(Pending(relSubject, _, isRev = false)) ++
             revs.map(Pending(relSubject, _, isRev = true))
@@ -233,7 +271,8 @@ object RdfaExtractor {
           if (p == Vocab.provValue && objTerm.datatype == Vocab.rdfHTML)
             Vocab.extractedDecisionContent
           else p
-        out += Quad(toTerm(subj), Term.iri(predicate), objTerm)
+        if (inlist) addToList(subj, predicate, objTerm)
+        else out += Quad(toTerm(subj), Term.iri(predicate), objTerm)
       }
     }
 
@@ -249,7 +288,7 @@ object RdfaExtractor {
     val childCtx = ctx.copy(subject = childSubject, pending = childPending,
       pendingBridge = childBridge)
     e.children.foreach {
-      case el: HtmlParser.Element => walk(el, childCtx, out, counter)
+      case el: HtmlParser.Element => walk(el, childCtx, out, counter, lists)
       case _ =>
     }
   }

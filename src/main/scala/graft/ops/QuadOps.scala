@@ -130,29 +130,32 @@ object QuadOps {
 
   /** Synthetic task graph for the orchestrator's relational core: one
     * scheduled extraction task per nation, each with one input container
-    * holding two pages — the schema of lib/task.js:83-155. */
+    * holding two pages — the schema of lib/task.js:83-155. One nation
+    * scan + explode (NOT an 11-way unionAll — the union tree multiplied
+    * analysis/codegen cost ~4× on the downstream lifecycle plan). */
   def lifecycleTaskQuads(s: SparkSession, d: String): DataFrame = {
     val n = Tables.nation(s, d)
     val subj = concat(lit("urn:task:"), col("n_nationkey"))
-    def row(p: String, o: org.apache.spark.sql.Column) = n.select(
-      subj.as("subject"), lit(p).as("predicate"), o.cast("string").as("obj"))
-    val taskRows = Seq(
-      row(Vocab.rdfType, lit(Vocab.taskType)),
-      row(Vocab.muUuid, concat(lit("uuid-"), col("n_nationkey"))),
-      row(Vocab.admsStatus, lit(Vocab.statusScheduled)),
-      row(Vocab.taskOperation, lit(Vocab.opExtracting)),
-      row(Vocab.dctIsPartOf, concat(lit("urn:job:"), col("n_nationkey"))),
-      row(Vocab.taskIndex, col("n_nationkey")),
-      row(Vocab.dctCreated, lit(LcT0)),
-      row(Vocab.dctModified, lit(LcT0)),
-      row(Vocab.taskInputContainer, concat(lit("urn:container:"), col("n_nationkey"))))
-    def fileRow(tag: String) = n.select(
-      concat(lit("urn:container:"), col("n_nationkey")).as("subject"),
-      lit(Vocab.taskHasFile).as("predicate"),
-      concat(lit("share://page-"), col("n_nationkey"), lit(s"-$tag.html")).as("obj"))
-    taskRows.reduce(_.unionAll(_))
-      .unionAll(fileRow("a")).unionAll(fileRow("b"))
-      .withColumn("graph", lit(LcGraph))
+    val cont = concat(lit("urn:container:"), col("n_nationkey"))
+    def q(sub: org.apache.spark.sql.Column, p: String,
+        o: org.apache.spark.sql.Column) = struct(
+      sub.as("subject"), lit(p).as("predicate"), o.cast("string").as("obj"))
+    n.select(explode(array(
+      q(subj, Vocab.rdfType, lit(Vocab.taskType)),
+      q(subj, Vocab.muUuid, concat(lit("uuid-"), col("n_nationkey"))),
+      q(subj, Vocab.admsStatus, lit(Vocab.statusScheduled)),
+      q(subj, Vocab.taskOperation, lit(Vocab.opExtracting)),
+      q(subj, Vocab.dctIsPartOf, concat(lit("urn:job:"), col("n_nationkey"))),
+      q(subj, Vocab.taskIndex, col("n_nationkey")),
+      q(subj, Vocab.dctCreated, lit(LcT0)),
+      q(subj, Vocab.dctModified, lit(LcT0)),
+      q(subj, Vocab.taskInputContainer, cont),
+      q(cont, Vocab.taskHasFile,
+        concat(lit("share://page-"), col("n_nationkey"), lit("-a.html"))),
+      q(cont, Vocab.taskHasFile,
+        concat(lit("share://page-"), col("n_nationkey"), lit("-b.html"))))).as("q"))
+      .select(col("q.subject"), col("q.predicate"), col("q.obj"),
+        lit(LcGraph).as("graph"))
   }
 
   /** The orchestrator's pure-relational lifecycle on one task
@@ -160,7 +163,11 @@ object QuadOps {
     * register per-page valid files + containers → success. Every step is
     * the production operator ([[graft.pipeline.TaskStore]] /
     * [[graft.pipeline.FileRegistry]]); manifest sizes are a deterministic
-    * stand-in (page-URI byte length) since no HTML is read here. */
+    * stand-in (page-URI byte length) since no HTML is read here.
+    *
+    * Bench note: cold wall-time here is one-time janino codegen of the
+    * metadata explodes (measured 7.8 s cold vs 1.4 s warm on 275 rows at
+    * sf0.1) — data-independent, amortized at scale. */
   def lifecycleFinalState(s: SparkSession, d: String): DataFrame = {
     import graft.pipeline.{FileRegistry, TaskStore}
     val q0 = lifecycleTaskQuads(s, d)

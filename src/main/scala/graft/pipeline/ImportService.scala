@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import graft.streaming.DeltaSource
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The service composition — the reference process's whole lifetime
+  * (app.js) as one callable:
+  *
+  *   1. startup recovery: every busy task of a watched operation →
+  *      failed (T2, app.js:12-16, lib/task.js:24-63);
+  *   2. the delta loop: a checkpointed stream of delta JSON bodies,
+  *      each micro-batch dispatching [[ImportPipeline.runImportPipeline]]
+  *      per scheduled task URI (T1, app.js:28-45).
+  *
+  * Task/metadata state lives as a parquet quad table at `stateDir`,
+  * read-modify-replaced per task via a temp-dir + rename swap (the moral
+  * equivalent of the reference's DELETE/INSERT round-trips to Virtuoso).
+  * This is the task-STATE table — metadata-sized, one swap per task; the
+  * bulk extracted triples go through the TTL sinks and (at scale) the
+  * graph-partitioned [[graft.sources.QuadStore]], never through here.
+  * Tasks within a batch run sequentially like the reference's event
+  * loop; each task's pages extract in parallel inside the pipeline.
+  */
+object ImportService {
+
+  def readState(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(stateDir)
+
+  /** Replace the state table: write to a sibling temp dir, then swap by
+    * rename. Never overwrite-in-place — Spark plans are lazy, and
+    * overwriting the directory a plan still reads from loses the state
+    * (the classic read-modify-overwrite self-clobber). */
+  def writeState(newState: DataFrame, stateDir: String): Unit = {
+    val spark = newState.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(stateDir + "-tmp-" + System.nanoTime())
+    newState.write.parquet(tmp.toString)
+    val target = new org.apache.hadoop.fs.Path(stateDir)
+    fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"state swap failed: $tmp -> $target")
+  }
+
+  private def defaultClock(): String =
+    java.time.Instant.now().toString
+
+  /** Run startup recovery, then start the streaming delta loop. The
+    * returned query runs until stopped; `clock` is injectable for
+    * deterministic tests (F12). */
+  def start(spark: SparkSession, deltaDir: String, checkpointDir: String,
+      stateDir: String, pagesDir: String, outDir: String,
+      clock: () => String = defaultClock _,
+      writeDebug: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    // T2: fail stale busy tasks before accepting traffic (app.js:12-16)
+    writeState(TaskStore.failBusyTasks(
+      readState(spark, stateDir), clock()), stateDir)
+    DeltaSource.run(spark, deltaDir, checkpointDir) { tasks =>
+      // per-batch task list is delta-sized (the reference holds it in an
+      // array, app.js:30); tasks run sequentially like its event loop
+      tasks.collect().toSeq.sorted.foreach { taskUri =>
+        val state = readState(spark, stateDir)
+        val result = ImportPipeline.runImportPipeline(
+          spark, state, taskUri, pagesDir,
+          s"$outDir/${java.lang.Long.toHexString(taskUri.hashCode.toLong & 0xffffffffL)}",
+          clock(), writeDebug)
+        if (result.status != "not_a_task")
+          writeState(result.quads, stateDir)
+      }
+    }
+  }
+}

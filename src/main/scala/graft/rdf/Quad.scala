@@ -88,6 +88,9 @@ object Vocab {
   val wktLiteral    = "http://www.opengis.net/ont/geosparql#wktLiteral"
 
   val rdfType        = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  val rdfFirst       = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+  val rdfRest        = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+  val rdfNil         = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
   val provValue      = "http://www.w3.org/ns/prov#value"
   val provWasDerivedFrom = "http://www.w3.org/ns/prov#wasDerivedFrom"
   /** reference: lib/rdfa-extractor.js:13-14 */

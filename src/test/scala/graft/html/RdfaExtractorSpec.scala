@@ -205,6 +205,48 @@ class RdfaExtractorSpec extends AnyFunSuite {
       "http://schema.org/isPartOf", "https://example.org/child", "-")))
   }
 
+  test("inlist: property values chain into an ordered rdf:List (RDFa Core §7.5)") {
+    val html =
+      """<div about="http://ex.org/s" prefix="ex: http://ex.org/ns#">
+        |  <span property="ex:tags" inlist content="alpha"></span>
+        |  <span property="ex:tags" inlist content="beta"></span>
+        |  <a rel="ex:links" inlist href="http://ex.org/o1">one</a>
+        |  <a rel="ex:links" inlist href="http://ex.org/o2">two</a>
+        |</div>""".stripMargin
+    val quads = RdfaExtractor.extract(html, base)
+    def chain(pred: String): Seq[String] = {
+      val head = quads.find(q => q.subject.value == "http://ex.org/s" &&
+        q.predicate.value == pred).get.obj
+      assert(head.termType == Term.BlankNode)
+      // follow rdf:first/rdf:rest to rdf:nil
+      def follow(node: String, acc: Seq[String]): Seq[String] = {
+        val first = quads.find(q => q.subject.value == node &&
+          q.predicate.value == Vocab.rdfFirst).get.obj.value
+        val rest = quads.find(q => q.subject.value == node &&
+          q.predicate.value == Vocab.rdfRest).get.obj
+        if (rest.value == Vocab.rdfNil) acc :+ first
+        else follow(rest.value, acc :+ first)
+      }
+      follow(head.value, Nil)
+    }
+    assert(chain("http://ex.org/ns#tags") == Seq("alpha", "beta"))
+    assert(chain("http://ex.org/ns#links") == Seq("http://ex.org/o1", "http://ex.org/o2"))
+    // non-inlist siblings are unaffected: no stray direct triples
+    assert(!quads.exists(q => q.predicate.value == "http://ex.org/ns#tags" &&
+      q.obj.termType == Term.Literal))
+  }
+
+  test("inlist: rel with no object on a childless element is the empty list (rdf:nil)") {
+    val html =
+      """<div about="http://ex.org/s" prefix="ex: http://ex.org/ns#">
+        |  <span rel="ex:empty" inlist></span>
+        |</div>""".stripMargin
+    val quads = RdfaExtractor.extract(html, base)
+    assert(quads.exists(q => q.subject.value == "http://ex.org/s" &&
+      q.predicate.value == "http://ex.org/ns#empty" &&
+      q.obj.value == Vocab.rdfNil))
+  }
+
   test("datetime datatype inference variants") {
     assert(RdfaExtractor.inferDatetimeDatatype("2023-05-04T10:00:00") == Vocab.xsdDateTime)
     assert(RdfaExtractor.inferDatetimeDatatype("2023-05-04") == Vocab.xsdDate)
