@@ -331,9 +331,20 @@ object SparkEntry {
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id
         |FROM corpus a JOIN corpus b ON a.shset = b.shset AND a.doc_id < b.doc_id
         |ORDER BY a_id, b_id""".stripMargin,
+    // like x_minhash_dup, the oracle derives the relation itself (equal
+    // interleaved texts ⇔ equal fingerprint sets) instead of hardcoding
+    // (d, d+100000) — robust even if a corpus contained two identical
+    // whitespace-free texts where the id interleaving is a no-op.
     "x_winnow_dup" ->
-      """SELECT doc_id AS a_id, doc_id + 100000 AS b_id FROM documents
-        |WHERE octet_length(encode(regexp_replace(text, '\s+', ' ' || doc_id || ' ', 'g'))) >= 5
+      """WITH it AS (
+        |  SELECT doc_id, regexp_replace(text, '\s+', ' ' || doc_id || ' ', 'g') AS t
+        |  FROM documents),
+        |eligible AS (SELECT doc_id, t FROM it WHERE octet_length(encode(t)) >= 5),
+        |corpus AS (
+        |  SELECT doc_id, t FROM eligible
+        |  UNION ALL SELECT doc_id + 100000, t FROM eligible)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |FROM corpus a JOIN corpus b ON a.t = b.t AND a.doc_id < b.doc_id
         |ORDER BY a_id, b_id""".stripMargin,
     "x_sim_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 8),

@@ -133,7 +133,16 @@ object RdfaExtractor {
     def addToList(subj: String, pred: String, value: Term): Unit =
       lists.getOrElseUpdate((subj, pred), mutable.ArrayBuffer[Term]()) += value
 
-    // prefix / vocab / lang updates apply to this element and descendants
+    // prefix / vocab / lang updates apply to this element and descendants.
+    // xmlns:p="uri" (RDFa 1.0 host-language style) is still honored by
+    // RDFa 1.1 processors and appears in older harvested pages; @prefix
+    // declarations override it on the same element.
+    val xmlnsPrefixes = e.attrs.collect {
+      case (k, v) if k.startsWith("xmlns:") && k.length > 6 && v.nonEmpty =>
+        k.substring(6) -> v
+    }
+    if (xmlnsPrefixes.nonEmpty)
+      ctx = ctx.copy(prefixes = ctx.prefixes ++ xmlnsPrefixes)
     e.attr("prefix").foreach { p =>
       ctx = ctx.copy(prefixes = ctx.prefixes ++ parsePrefixAttr(p)) }
     e.attr("vocab").foreach(v => ctx = ctx.copy(vocab = Some(v.trim)))

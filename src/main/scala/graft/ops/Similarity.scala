@@ -92,13 +92,18 @@ object Similarity {
     // The coarse quantizer trains on a bounded sample: centroids don't
     // need the full corpus, and a full-corpus fit is 10 passes over
     // 100 TB. Seeded sample → deterministic centroids; below the cap the
-    // sample IS the corpus, so small-scale results are unchanged.
-    val corpusRows = emb.count()
+    // sample IS the corpus, so small-scale results are unchanged. The
+    // size probe is `limit(cap+1).count()` — it early-exits after cap+1
+    // rows instead of scanning the whole corpus like a bare count().
+    val smallCorpus = emb.limit((maxTrainRows + 1).toInt).count() <= maxTrainRows
     val train =
-      if (corpusRows <= maxTrainRows) emb
-      else emb.sample(withReplacement = false,
-        // 1.1× headroom: Bernoulli sampling undershoots the expectation
-        math.min(1.0, maxTrainRows * 1.1 / corpusRows), seed = 42L)
+      if (smallCorpus) emb
+      else {
+        val corpusRows = emb.count()
+        emb.sample(withReplacement = false,
+          // 1.1× headroom: Bernoulli sampling undershoots the expectation
+          math.min(1.0, maxTrainRows * 1.1 / corpusRows), seed = 42L)
+      }
     val kmeans = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
     val model = kmeans.fit(train)
     val assigned = model.transform(emb)

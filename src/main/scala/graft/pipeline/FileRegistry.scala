@@ -44,7 +44,7 @@ object FileRegistry {
     * consumers key on is preserved; only uniqueness-per-entity collapses
     * (deterministic + idempotent under re-runs, same deviation as G2). */
   def fileMetadataQuads(manifest: DataFrame, nowIso: String): DataFrame = {
-    val id = sha1(concat(col("task"), lit("/"), col("file_name")))
+    val id = fileId
     val logical = concat(lit(logicalPrefix), id)
     val physical = concat(lit(sharePrefix), id, lit("."), col("ext"))
     val m = manifest
@@ -91,8 +91,16 @@ object FileRegistry {
   def importGraphUri: Column = concat(
     lit("http://mu.semte.ch/graphs/harvesting/tasks/import/"), importGraphIdCol)
 
-  private def logicalFileUri: Column = concat(lit(logicalPrefix),
-    sha1(concat(col("task"), lit("/"), col("file_name"))))
+  /** Content-derived file id. Includes the source page URI
+    * (`derived_from`), not just the basename-derived file name — two
+    * input pages sharing a basename (`share://a/doc.html`,
+    * `share://b/doc.html` both yield `doc-valid.ttl`) must mint distinct
+    * file entities, as the reference's per-file uuids do. */
+  private def fileId: Column =
+    sha1(concat(col("task"), lit("/"), col("derived_from"),
+      lit("/"), col("file_name")))
+
+  private def logicalFileUri: Column = concat(lit(logicalPrefix), fileId)
 
   private def q(s: Column, p: String, o: Column): Column =
     struct(s.as("subject"), lit(p).as("predicate"), o.cast("string").as("obj"))

@@ -94,9 +94,13 @@ object ImportPipeline {
       val pages = TaskStore.inputPages(busy, taskUri)
         .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq
 
-      // S2/S3 read restricted to this task's pages
+      // S2/S3 read restricted to this task's pages — broadcast left-semi
+      // join, not an In-list of thousands of string literals (literal
+      // In expressions blow up plan/codegen size with the page count)
+      val pageSet = spark.createDataset(pages)(
+        org.apache.spark.sql.Encoders.STRING).toDF("url")
       val pageHtml = PageSource.readPages(spark, pagesDir)
-        .filter(col("url").isin(pages: _*))
+        .join(broadcast(pageSet), Seq("url"), "left_semi")
 
       // G1-G4 + P4/D5: extract, externalize, provenance, verdict-tag
       val raw = ExtractPipeline.extractQuads(spark, pageHtml)
@@ -139,9 +143,14 @@ object ImportPipeline {
               .unionByName(FileRegistry.debugContainerQuads(m))
         }
         // INSERT DATA into a triplestore has set semantics: the container
-        // entity re-asserted per append collapses — distinct the minted
-        // quads (the pre-existing store is the caller's to manage)
-        val registered = busy.unionByName(minted.distinct())
+        // entity re-asserted per append collapses (distinct), and quads
+        // already present in the store — a replayed batch, a re-scheduled
+        // task re-minting the same content-addressed entities — must not
+        // append again (left-anti vs the current state). Metadata-sized
+        // join; the pre-existing store's own contents are untouched.
+        val registered = busy.unionByName(
+          minted.distinct().join(busy,
+            Seq("subject", "predicate", "obj", "graph"), "left_anti"))
 
         val done = TaskStore.transitionStatus(registered, taskUri,
           Vocab.statusSuccess, nowIso)

@@ -27,23 +27,42 @@ object ImportService {
     spark.read.parquet(stateDir)
 
   /** Replace the state table: write to a sibling temp dir, then swap by
-    * rename. Never overwrite-in-place — Spark plans are lazy, and
+    * two renames. Never overwrite-in-place — Spark plans are lazy, and
     * overwriting the directory a plan still reads from loses the state
-    * (the classic read-modify-overwrite self-clobber). */
+    * (the classic read-modify-overwrite self-clobber). The swap order is
+    * crash-safe: the old state is RENAMED aside (recoverable) before the
+    * new one takes its place, never deleted while it is the only copy;
+    * the backup (and any stranded temp from an earlier crash) is cleaned
+    * up only after the new state is in position. */
   def writeState(newState: DataFrame, stateDir: String): Unit = {
     val spark = newState.sparkSession
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(stateDir + "-tmp-" + System.nanoTime())
-    newState.write.parquet(tmp.toString)
     val target = new org.apache.hadoop.fs.Path(stateDir)
-    fs.delete(target, true)
-    if (!fs.rename(tmp, target))
+    val tmp = new org.apache.hadoop.fs.Path(stateDir + "-tmp-" + System.nanoTime())
+    val backup = new org.apache.hadoop.fs.Path(stateDir + "-prev")
+    newState.write.parquet(tmp.toString)
+    fs.delete(backup, true) // drop the previous generation's backup
+    if (fs.exists(target) && !fs.rename(target, backup))
+      throw new java.io.IOException(s"state swap failed: $target -> $backup")
+    if (!fs.rename(tmp, target)) {
+      // restore the old state rather than leaving no table at all
+      fs.rename(backup, target)
       throw new java.io.IOException(s"state swap failed: $tmp -> $target")
+    }
+    fs.delete(backup, true)
   }
 
   private def defaultClock(): String =
     java.time.Instant.now().toString
+
+  /** Collision-free per-task output directory name (32-bit hashCode
+    * collides at ~77k tasks — the same birthday bound RdfaExtractor
+    * documents for blank-node labels). */
+  private def taskDirName(taskUri: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(taskUri.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
 
   /** Run startup recovery, then start the streaming delta loop. The
     * returned query runs until stopped; `clock` is injectable for
@@ -62,8 +81,7 @@ object ImportService {
         val state = readState(spark, stateDir)
         val result = ImportPipeline.runImportPipeline(
           spark, state, taskUri, pagesDir,
-          s"$outDir/${java.lang.Long.toHexString(taskUri.hashCode.toLong & 0xffffffffL)}",
-          clock(), writeDebug)
+          s"$outDir/${taskDirName(taskUri)}", clock(), writeDebug)
         if (result.status != "not_a_task")
           writeState(result.quads, stateDir)
       }

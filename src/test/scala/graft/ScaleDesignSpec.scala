@@ -45,6 +45,21 @@ class ScaleDesignSpec extends SparkSpec {
     assert(capped.count() == 40)
   }
 
+  test("lshTopK evaluates the full-corpus signature expression only once") {
+    // queries and candidates both derive from the same `signed` frame.
+    // The expensive signature projection necessarily appears in both
+    // physical branches — what must NOT happen is both branches paying
+    // it over the full corpus. The guard: the queries (broadcast) side's
+    // `vec_id < 8` filter must be pushed BELOW the projection into the
+    // parquet scan, so that branch computes signatures for ≤ nQueries
+    // rows; if a regression hoisted the filter above the signature
+    // projection, the pushed filter would disappear from the scan.
+    val plan = Similarity.lshTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(vec_id,8)"),
+      s"queries-side vec_id filter not pushed to the scan:\n$plan")
+  }
+
   test("custom-state sessionization agrees with the window-based operator") {
     val evs = Tables.events(spark, sf)
       .select(col("user_id"), expr("ts div 1000").as("us"))

@@ -247,6 +247,22 @@ class RdfaExtractorSpec extends AnyFunSuite {
       q.obj.value == Vocab.rdfNil))
   }
 
+  test("xmlns: prefix declarations resolve CURIEs (RDFa 1.0 host style)") {
+    val html =
+      """<div xmlns:dcx="http://purl.org/dc/elements/1.1/" about="http://ex.org/s">
+        |  <span property="dcx:title">Oud formaat</span>
+        |</div>""".stripMargin
+    val got = extract(html)
+    assert(got.contains(("http://ex.org/s",
+      "http://purl.org/dc/elements/1.1/title", "Oud formaat", Vocab.xsdString)))
+    // @prefix beats xmlns: on the same element
+    val both =
+      """<div xmlns:p="http://old.example/ns#" prefix="p: http://new.example/ns#"
+        |     about="http://ex.org/s"><span property="p:x">v</span></div>""".stripMargin
+    assert(extract(both).contains(("http://ex.org/s",
+      "http://new.example/ns#x", "v", Vocab.xsdString)))
+  }
+
   test("datetime datatype inference variants") {
     assert(RdfaExtractor.inferDatetimeDatatype("2023-05-04T10:00:00") == Vocab.xsdDateTime)
     assert(RdfaExtractor.inferDatetimeDatatype("2023-05-04") == Vocab.xsdDate)

@@ -96,6 +96,22 @@ class FileRegistrySpec extends SparkSpec {
       col("predicate") === Vocab.taskHasFile).count() == 1)
   }
 
+  test("pages sharing a basename mint distinct file entities") {
+    val m2 = Seq(
+      ("http://t/1", "http://g/1", "doc-valid.ttl", 10L, "share://a/doc.html"),
+      ("http://t/1", "http://g/1", "doc-valid.ttl", 20L, "share://b/doc.html"))
+      .toDF("task", "graph", "file_name", "size", "derived_from")
+    val quads = FileRegistry.fileMetadataQuads(m2, "2026-01-01T00:00:00Z")
+    val logicals = quads.filter(
+      col("subject").startsWith("http://data.lblod.info/id/files/"))
+      .select("subject").distinct()
+    assert(logicals.count() == 2)
+    // and the container links address both
+    assert(FileRegistry.containerQuads(m2)
+      .filter(col("predicate") === Vocab.taskHasFile)
+      .select("obj").distinct().count() == 2)
+  }
+
   test("F4: share URI ⇄ path rewrite (file-helpers.js:35,91)") {
     val df = Seq("share://a/b.ttl").toDF("u")
       .select(FileRegistry.shareUriToPath(col("u")).as("p"))
