@@ -53,6 +53,7 @@ object SparkEntry {
     "x_dedup_minhash"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "x_dedup_simhash"   -> ((s, d) => Dedup.simhash(s, d)),
     "x_dedup_embed"     -> ((s, d) => Dedup.embedCosinePairs(s, d)),
+    "x_dedup_clusters"  -> ((s, d) => Dedup.nearDupClusters(s, d)),
     // dup-guarantee variants: the custom-hash operators' *guarantee*
     // (identical input ⇒ identical signature/fingerprint) expressed over
     // a planted-duplicate corpus, where the expected pair set IS
@@ -62,6 +63,7 @@ object SparkEntry {
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
     "x_sim_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "x_emb_quantize"    -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "x_txt_tokens"      -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "x_txt_quality"     -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "x_txt_langid"      -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -313,6 +315,35 @@ object SparkEntry {
         |         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT a_id, b_id, sim FROM p ORDER BY sim DESC, a_id, b_id LIMIT 20""".stripMargin,
+    // connected components over the Jaccard pair graph: cluster_id = min
+    // reachable doc_id, via a recursive CTE transitive closure
+    "x_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+        |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 3) >= 0.5),
+        |edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT d.doc_id,
+        |  CAST(least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS BIGINT) AS cluster_id
+        |FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     // the guarantee, stated exactly: identical shingle SETS ⇔ identical
     // k=128 signatures. On this corpus that is the planted (d, d+100000)
     // pairs, but the oracle derives the set relation itself so it stays
@@ -358,6 +389,20 @@ object SparkEntry {
         |  FROM scored)
         |SELECT qid, cid, sim, CAST(rn AS BIGINT) AS rn FROM ranked
         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "x_emb_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS x,
+        |         list_aggregate(list_transform(embedding::DOUBLE[], e -> abs(e)), 'max') / 127.0 AS s
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, x, s,
+        |         list_transform(x, e -> CASE WHEN s = 0 THEN 0.0 ELSE round(e / s) END) AS qv
+        |  FROM v)
+        |SELECT vec_id, round(s, 6) AS q_scale,
+        |  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+        |  round(list_aggregate(list_transform(range(1, len(x) + 1),
+        |        i -> abs(x[i] - qv[i] * s)), 'max'), 6) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     "x_txt_tokens" ->
       """SELECT doc_id, length(text) AS n_chars,
         |CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_ws_tokens,

@@ -88,6 +88,45 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Near-dup clustering: connected components over the exact-Jaccard
+    * pair graph — the step that turns pairwise similarity into "keep one
+    * survivor per duplicate cluster". Every document gets a `cluster_id`
+    * = the smallest doc_id reachable through pairs with J ≥ threshold
+    * (singletons cluster to themselves).
+    *
+    * Implementation is iterative min-label propagation to a fixpoint:
+    * labels(v) ← min(labels(v), min over neighbours). The pair graph is
+    * sparse (near-dup pairs, not the corpus), so each round is one small
+    * equi-join + aggregate; chains converge in diameter rounds. At
+    * 100 TB the same loop runs with the alternating large-star/small-star
+    * optimization (Kiveris et al.) — the per-round shuffle key stays
+    * (node, label) either way, and document bodies never enter the loop. */
+  def nearDupClusters(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccard(s, d, threshold).select(col("a_id"), col("b_id"))
+    val edges = pairs.unionAll(
+      pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst").cache()
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("cluster_id")).as("n_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels.orderBy(col("doc_id"))
+  }
+
   /** MinHash signatures as k seeded murmur3 hashes of the (already
     * xxhash64'd) shingles, built from the exploded posting list with k
     * `min` aggregates — partial aggregation collapses per-document mins

@@ -78,6 +78,31 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Symmetric int8 quantization of the embedding column — the standard
+    * 4× compression step before ANN indexing at scale (per-vector scale
+    * = max|x|/127, q_i = round(x_i/scale)). Pure column algebra over the
+    * array: codegen'd, no UDF, embarrassingly parallel; the oracle
+    * checks per-vector scale, the quantized checksum, and the max
+    * reconstruction error bound (≤ scale/2). */
+  def quantizeInt8(s: SparkSession, d: String): DataFrame = {
+    val dbl = transform(col("embedding"), x => x.cast("double"))
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), dbl.as("x"))
+      .withColumn("scale",
+        array_max(transform(col("x"), v => abs(v))) / lit(127.0))
+    val q = transform(col("x"), v =>
+      when(col("scale") === 0.0, lit(0.0)).otherwise(round(v / col("scale"))))
+    emb.withColumn("q", q)
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).as("q_scale"),
+        aggregate(col("q"), lit(0.0), (acc, v) => acc + v).cast("long").as("q_sum"),
+        round(aggregate(
+          zip_with(col("x"), col("q"), (x, v) => abs(x - v * col("scale"))),
+          lit(0.0), (acc, e) => greatest(acc, e)), 6).as("max_err"))
+      .orderBy(col("vec_id"))
+  }
+
   /** IVF (inverted-file) ANN — the other standard scale path beside LSH:
     * a k-means coarse quantizer partitions the corpus into `nCells`
     * cells; each query exactly re-scores only its `nProbe` nearest cells.

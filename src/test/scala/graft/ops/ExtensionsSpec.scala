@@ -57,12 +57,38 @@ class ExtensionsSpec extends SparkSpec {
       s"winnow: extra=${(gotWinnow -- expectedWinnow).take(5)} missing=${(expectedWinnow -- gotWinnow).take(5)}")
   }
 
+  test("near-dup clusters: pair-connected docs share a cluster labeled by its min id") {
+    val pairs = Dedup.ngramJaccard(spark, sf)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    val clusters = Dedup.nearDupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters") }
+    // label is the minimum member of its cluster, and singletons self-label
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(label == members.keys.min) }
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    clusters.filterNot { case (id, _) => paired(id) }
+      .foreach { case (id, label) => assert(id == label) }
+  }
+
   test("exact dedup keeps one survivor per digest and covers all docs") {
     val out = Dedup.exact(spark, sf)
     val total = out.agg(sum("n_copies")).as[Long].head()
     val docs = Tables.documents(spark, sf).count()
     assert(total == docs)
     assert(out.select("keep_id").distinct().count() == out.count())
+  }
+
+  test("int8 quantization: reconstruction error bounded by half a quantization step") {
+    val q = Similarity.quantizeInt8(spark, sf)
+      .select("vec_id", "q_scale", "max_err")
+      .as[(Long, Double, Double)].collect()
+    assert(q.length == Tables.embeddings(spark, sf).count())
+    q.foreach { case (id, scale, err) =>
+      assert(scale > 0, s"vec $id zero scale")
+      assert(err <= scale / 2 + 1e-9, s"vec $id err $err > ${scale / 2}") }
   }
 
   test("CosineSimilarity expression matches the built-in HOF composition") {
