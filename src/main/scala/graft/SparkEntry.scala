@@ -72,6 +72,10 @@ object SparkEntry {
     "x_sessionize"      -> ((s, d) => Sessionize.sessions(s, d)),
     "x_window_hourly"   -> ((s, d) => Sessionize.hourlyWindows(s, d)),
     "x_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(s, d)),
+    "x_multimodal_frames" -> ((s, d) => graft.multimodal.Multimodal.frameSamples(s, d)),
+    "x_skew_salted"     -> ((s, d) =>
+      Skew.saltedCount(Tables.events(s, d), org.apache.spark.sql.functions.col("event_type"))
+        .orderBy("key")),
     // The reference's core operator (G1-G4): RDFa extraction pipeline over
     // deterministic synthesized pages. Not SQL-expressible → rows-only
     // check; exact semantics are pinned by golden fixtures in the specs.
@@ -458,6 +462,17 @@ object SparkEntry {
       """SELECT epoch_ns(ts) // 1000 // 3600000000 AS hour_bucket, event_type,
         |count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x_multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |         unnest(generate_series(1, CAST(doc_id % 30 + 1 AS INT), 5)) AS fi
+        |  FROM documents)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |       CAST(n_bytes * (fi - 1) AS BIGINT) AS frame_offset
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "x_skew_salted" ->
+      """SELECT event_type AS key, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY key""".stripMargin,
     "x_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,

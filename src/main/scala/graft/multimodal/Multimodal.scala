@@ -70,4 +70,17 @@ object Multimodal {
       .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
         col("n_frames"))
       .orderBy(col("doc_id"))
+
+  /** Frame sampling — the video-pipeline fan-out shape: every `stride`-th
+    * frame index per document becomes its own row with a byte offset into
+    * the payload, ready for a per-frame decode stage. Pure explode — one
+    * row in, n_frames/stride rows out, no shuffle; at 100 TB the frame
+    * rows carry (doc_id, offset) pointers, never payload copies. */
+  def frameSamples(s: SparkSession, d: String, stride: Int = 5): DataFrame =
+    decodeMeta(s, d).toDF()
+      .select(col("doc_id"), col("n_bytes"),
+        explode(sequence(lit(1), col("n_frames"), lit(stride))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        (col("n_bytes") * (col("frame_idx") - 1)).cast("long").as("frame_offset"))
+      .orderBy(col("doc_id"), col("frame_idx"))
 }

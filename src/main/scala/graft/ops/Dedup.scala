@@ -152,23 +152,35 @@ object Dedup {
     docs.unionAll(docs.select((col("doc_id") + offset).as("doc_id"), col("text")))
   }
 
-  /** MinHash *guarantee* under the DuckDB oracle: identical shingle sets
-    * ⇒ identical signatures, whatever the hash family — so on a corpus
-    * with planted exact copies, the identical-signature pair set IS
-    * SQL-expressible: exactly the (d, d+offset) pairs (the corpus has no
-    * two equal original texts). k = 128 makes a full-signature collision
-    * between the planted J≈0.9 *near*-dup pairs ≤ 0.9¹²⁸ ≈ 1e-6 per pair
-    * — deterministically absent at these corpus sizes. The pair join
-    * moves one murmur3 long per signature (hash first, verify equality
-    * on match), never the signature arrays of non-candidates. */
-  def minhashDupPairs(s: SparkSession, d: String, k: Int = 128,
+  /** Exact-duplicate detection in the production LSH shape, under the
+    * DuckDB oracle: identical shingle sets ⇒ identical minhash
+    * signatures (whatever the hash family), so signature equality is a
+    * complete CANDIDATE filter for set equality — and, like every LSH
+    * pipeline, candidates are then VERIFIED exactly. Verification is
+    * required for correctness, not just hygiene: near-identical sets
+    * (J = 1 - 1/|set|) collide on a full k-signature with probability
+    * J^k — measured 8 such pairs at sf0.001 with k = 128 — so an
+    * unverified signature join over-reports. With verification the
+    * result is exactly the equal-shingle-set pairs: on this corpus the
+    * planted (d, d+offset) copies, and SQL-expressible in general.
+    * Only (doc_id, long) keys shuffle in the candidate join; the sorted
+    * shingle-set arrays join only for the (few) candidates. */
+  def minhashDupPairs(s: SparkSession, d: String, k: Int = 32,
       offset: Long = 100000L): DataFrame = {
-    val sig = minhashSignaturesOf(dupCorpus(s, d, offset), k)
+    val corpus = dupCorpus(s, d, offset)
+    val sig = minhashSignaturesOf(corpus, k)
       .withColumn("key", hash(col("sig")))
-    sig.as("a").join(sig.as("b"),
+    val cands = sig.as("a").join(sig.as("b"),
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
       .filter(col("a.sig") === col("b.sig"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val shset = shinglesOf(corpus)
+      .select(col("doc_id"), array_sort(col("shingles")).as("shset"))
+    cands
+      .join(shset.toDF("a_id", "sh_a"), "a_id")
+      .join(shset.toDF("b_id", "sh_b"), "b_id")
+      .filter(col("sh_a") === col("sh_b"))
+      .select(col("a_id"), col("b_id"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
