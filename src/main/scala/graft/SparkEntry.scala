@@ -54,6 +54,9 @@ object SparkEntry {
     "x_dedup_simhash"   -> ((s, d) => Dedup.simhash(s, d)),
     "x_dedup_embed"     -> ((s, d) => Dedup.embedCosinePairs(s, d)),
     "x_dedup_clusters"  -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    // PPJoin-style prefix-filtered variant at the strict threshold its
+    // pruning targets (prefix = ~10% of postings at t=0.9 vs ~50% at 0.5)
+    "x_dedup_jaccard_pp" -> ((s, d) => Dedup.ngramJaccardPrefix(s, d, 0.9)),
     // dup-guarantee variants: the custom-hash operators' *guarantee*
     // (identical input ⇒ identical signature/fingerprint) expressed over
     // a planted-duplicate corpus, where the expected pair set IS
@@ -136,6 +139,25 @@ object SparkEntry {
       |  UNION ALL SELECT 'urn:task:' || n_nationkey, 'http://redpencil.data.gift/vocabularies/tasks/inputContainer', 'urn:container:' || n_nationkey FROM nation
       |  UNION ALL SELECT 'urn:container:' || n_nationkey, 'http://redpencil.data.gift/vocabularies/tasks/hasFile', 'share://page-' || n_nationkey || '-a.html' FROM nation
       |  UNION ALL SELECT 'urn:container:' || n_nationkey, 'http://redpencil.data.gift/vocabularies/tasks/hasFile', 'share://page-' || n_nationkey || '-b.html' FROM nation)""".stripMargin
+
+  /** Shared by x_dedup_jaccard (t=0.5) and x_dedup_jaccard_pp (t=0.9 —
+    * the strict-threshold regime prefix filtering exists for) — the
+    * prefix filter is an optimization, not a semantics change. */
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      |  FROM toks WHERE len(t) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT a_id, b_id, round(i * 1.0 / (sa.n + sb.n - i), 3) AS jaccard
+      |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+      |WHERE round(i * 1.0 / (sa.n + sb.n - i), 3) >= $threshold ORDER BY a_id, b_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "t_lifecycle_state" -> (lifecycleCte +
@@ -298,21 +320,9 @@ object SparkEntry {
     "x_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
-    "x_dedup_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
-        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
-        |  FROM toks WHERE len(t) >= 3),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT a_id, b_id, round(i * 1.0 / (sa.n + sb.n - i), 3) AS jaccard
-        |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
-        |WHERE round(i * 1.0 / (sa.n + sb.n - i), 3) >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+    "x_dedup_jaccard" -> jaccardOracle(0.5),
+    // same relation at the strict threshold the prefix filter targets
+    "x_dedup_jaccard_pp" -> jaccardOracle(0.9),
     "x_dedup_embed" ->
       """WITH p AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -88,6 +88,60 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Prefix-filtered exact Jaccard join (AllPairs/PPJoin family,
+    * Bayardo et al. WWW'07) — the escalation path the plain inverted
+    * index needs at stricter thresholds / larger corpora:
+    *
+    * order each document's shingle hashes by ascending global document
+    * frequency (rarest first, ties by hash), keep only the PREFIX of
+    * length |x| - ceil(t·|x|) + 1 in the candidate join. Two sets with
+    * J ≥ t must share a prefix element: if all common elements sat in
+    * A's suffix (ceil(t|A|)-1 elements), then |A∩B| ≤ ceil(t|A|)-1 <
+    * ceil(t|A|) ≤ |A∩B| (since |A∩B| ≥ t|A| and is an integer) — a
+    * contradiction. So candidate generation joins only the rare prefix
+    * postings (at t=0.5 roughly half, at t=0.9 a tenth — and the rarest
+    * half, so posting lists are short and skew-free); candidates are
+    * then verified exactly on sorted hash arrays. Same result set as
+    * [[ngramJaccard]], hash-matched against the same oracle. */
+  def ngramJaccardPrefix(s: SparkSession, d: String,
+      threshold: Double = 0.5): DataFrame = {
+    val posts = shinglesOf(Tables.documents(s, d)).select(
+      col("doc_id"), explode(transform(col("shingles"), sh => xxhash64(sh))).as("h"))
+    val docFreq = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // ONE per-doc aggregate carrying everything downstream: the sorted
+    // full hash set (verification) and the rarity-ordered prefix
+    // (candidate generation). All later references — both sides of the
+    // candidate self-join, both sides of the verification join — sit
+    // above this single Exchange, so the shingle pipeline runs once
+    // (window-based rank formulations defeated that reuse: measured 20 s
+    // vs 3 s at sf0.1).
+    val base = posts.join(docFreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("byRarity"),
+        count(lit(1)).as("n"))
+      .select(col("doc_id"),
+        sort_array(transform(col("byRarity"), p => p("h"))).as("hsorted"),
+        transform(
+          slice(col("byRarity"), lit(1),
+            (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")),
+          p => p("h")).as("pref"))
+    val prefix = base.select(col("doc_id"), explode(col("pref")).as("h"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val arr = base.select(col("doc_id"), col("hsorted"))
+    cands
+      .join(arr.toDF("a_id", "hs_a"), "a_id")
+      .join(arr.toDF("b_id", "hs_b"), "b_id")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 3))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Near-dup clustering: connected components over the exact-Jaccard
     * pair graph — the step that turns pairwise similarity into "keep one
     * survivor per duplicate cluster". Every document gets a `cluster_id`

@@ -57,6 +57,18 @@ class ExtensionsSpec extends SparkSpec {
       s"winnow: extra=${(gotWinnow -- expectedWinnow).take(5)} missing=${(expectedWinnow -- gotWinnow).take(5)}")
   }
 
+  test("prefix-filtered jaccard equals the plain inverted-index join at both thresholds") {
+    for (t <- Seq(0.5, 0.9)) {
+      val plain = Dedup.ngramJaccard(spark, sf, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val pp = Dedup.ngramJaccardPrefix(spark, sf, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pp == plain,
+        s"t=$t extra=${(pp -- plain).take(3)} missing=${(plain -- pp).take(3)}")
+      if (t == 0.9) assert(plain.nonEmpty, "planted J≥0.9 dups should appear")
+    }
+  }
+
   test("near-dup clusters: pair-connected docs share a cluster labeled by its min id") {
     val pairs = Dedup.ngramJaccard(spark, sf)
       .select("a_id", "b_id").as[(Long, Long)].collect()
