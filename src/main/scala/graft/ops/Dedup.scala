@@ -221,18 +221,28 @@ object Dedup {
     * shingle-set arrays join only for the (few) candidates. */
   def minhashDupPairs(s: SparkSession, d: String, k: Int = 32,
       offset: Long = 100000L): DataFrame = {
-    val corpus = dupCorpus(s, d, offset)
-    val sig = minhashSignaturesOf(corpus, k)
+    // ONE per-doc aggregate computes the k min-hashes AND the sorted
+    // hash set: every downstream reference (both candidate-join sides,
+    // both verification sides) sits above the same Exchange, so the
+    // shingle pipeline runs once (separate signature/set subtrees
+    // re-ran it per branch: 12 s vs 3 s at sf0.1).
+    val posts = shinglesOf(dupCorpus(s, d, offset)).select(
+      col("doc_id"), explode(transform(col("shingles"), sh => xxhash64(sh))).as("h"))
+    val mins = (0 until k).map(i => min(hash(col("h"), lit(i))).as(s"m$i"))
+    val base = posts.groupBy(col("doc_id"))
+      .agg(mins.head, (mins.tail :+
+        sort_array(collect_set(col("h"))).as("shset")): _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"), col("shset"))
       .withColumn("key", hash(col("sig")))
-    val cands = sig.as("a").join(sig.as("b"),
+    val sigOnly = base.select(col("doc_id"), col("sig"), col("key"))
+    val cands = sigOnly.as("a").join(sigOnly.as("b"),
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
       .filter(col("a.sig") === col("b.sig"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-    val shset = shinglesOf(corpus)
-      .select(col("doc_id"), array_sort(col("shingles")).as("shset"))
     cands
-      .join(shset.toDF("a_id", "sh_a"), "a_id")
-      .join(shset.toDF("b_id", "sh_b"), "b_id")
+      .join(base.select(col("doc_id").as("a_id"), col("shset").as("sh_a")), "a_id")
+      .join(base.select(col("doc_id").as("b_id"), col("shset").as("sh_b")), "b_id")
       .filter(col("sh_a") === col("sh_b"))
       .select(col("a_id"), col("b_id"))
       .orderBy(col("a_id"), col("b_id"))

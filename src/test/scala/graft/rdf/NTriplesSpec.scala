@@ -55,7 +55,11 @@ class NTriplesSpec extends SparkSpec {
         Term.typed("1", Vocab.xsdInteger), "http://g")))
     assert(NTriples.parseLine("_:b0 <http://p> _:b1 .")
       .contains(Quad(Term.blank("b0"), Term.iri("http://p"), Term.blank("b1"))))
-    assert(NTriples.parseLine("""<http://s> <http://p> "\u00e9\U0001F600" .""")
+    // backslash via concat: Scala itself pre-processes \uXXXX even in
+    // triple-quoted literals (deprecated), which would feed the parser a
+    // literal é instead of the escape sequence under test
+    val bsu = "\\"
+    assert(NTriples.parseLine(s"""<http://s> <http://p> "${bsu}u00e9${bsu}U0001F600" .""")
       .contains(Quad(Term.iri("http://s"), Term.iri("http://p"), Term.lit("é\uD83D\uDE00"))))
   }
 
