@@ -72,6 +72,9 @@ object SparkEntry {
     "x_txt_langid"      -> ((s, d) => TextAnalysis.langId(s, d)),
     "x_txt_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "x_txt_winnow"      -> ((s, d) => TextAnalysis.winnowFingerprints(s, d)),
+    // the composed corpus-prep pipeline: quality ∩ exact-dedup ∩
+    // near-dup-cluster survivors → per-language stats
+    "x_pipeline_corpus" -> ((s, d) => TextAnalysis.corpusSummary(s, d)),
     "x_sessionize"      -> ((s, d) => Sessionize.sessions(s, d)),
     "x_window_hourly"   -> ((s, d) => Sessionize.hourlyWindows(s, d)),
     "x_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(s, d)),
@@ -457,6 +460,54 @@ object SparkEntry {
     "x_txt_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_pipeline_corpus" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS INT) AS n_tokens,
+        |    length(regexp_replace(lower(text), '\s', '', 'g')) AS n_nonws,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS n_stop
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id FROM m
+        |  WHERE n_tokens >= 5 AND n_tokens <= 100000
+        |    AND round(n_stop * 1.0 / n_tokens, 3) > 0.001
+        |    AND round(n_nonws * 1.0 / n_tokens, 3) < 12),
+        |exact_surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM inter
+        |  JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+        |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 3) >= 0.5),
+        |edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |cluster_surv AS (
+        |  SELECT d.doc_id FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+        |  GROUP BY d.doc_id
+        |  HAVING least(d.doc_id, coalesce(min(r.v), d.doc_id)) = d.doc_id),
+        |final AS (
+        |  SELECT * FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM kept)
+        |    AND doc_id IN (SELECT doc_id FROM exact_surv)
+        |    AND doc_id IN (SELECT doc_id FROM cluster_surv))
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_tokens
+        |FROM final GROUP BY lang ORDER BY lang""".stripMargin,
     "x_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
         |l AS (SELECT user_id, us,

@@ -94,6 +94,31 @@ object TextAnalysis {
         xxhash64(to_json(struct(col("fp")))).as("fp_digest"))
       .orderBy(col("doc_id"))
 
+  /** The composed training-corpus preparation pipeline — the flagship
+    * extension shape: C4-style quality filter ∩ exact-dedup survivors
+    * (min doc_id per content digest) ∩ near-dup cluster survivors
+    * (doc_id == its connected-component label) → per-language corpus
+    * stats. Each stage is the production operator; the composition is
+    * three semi-joins on doc_id feeding one aggregate — at 100 TB the
+    * doc_id survivor sets are the only things that shuffle, and the
+    * text column is read once. */
+  def corpusSummary(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val kept = qualityScores(s, d).filter(col("keep")).select("doc_id")
+    val exactSurvivors = Dedup.exact(s, d).select(col("keep_id").as("doc_id"))
+    val clusterSurvivors = Dedup.nearDupClusters(s, d)
+      .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+    docs
+      .join(kept, Seq("doc_id"), "left_semi")
+      .join(exactSurvivors, Seq("doc_id"), "left_semi")
+      .join(clusterSurvivors, Seq("doc_id"), "left_semi")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        sum(matchCount(col("text"), "(\\S+)").cast("long")).as("sum_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** Winnowing *guarantee* under the DuckDB oracle: the fingerprint set
     * is a pure function of the text, so on a corpus with planted exact
     * copies at `doc_id + offset`, the identical-fingerprint-set pair set

@@ -30,4 +30,16 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
+
+  /** Streaming exact dedup on a key within the watermark horizon —
+    * the at-ingest dedup stage of a streaming training-data pipeline.
+    * `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    * watermark passes the first sighting (bounded state, unlike plain
+    * `dropDuplicates` whose state grows forever); duplicates arriving
+    * within the horizon are dropped, later re-occurrences pass. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      horizon: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

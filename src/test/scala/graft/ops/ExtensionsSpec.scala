@@ -85,6 +85,19 @@ class ExtensionsSpec extends SparkSpec {
       .foreach { case (id, label) => assert(id == label) }
   }
 
+  test("corpus pipeline: survivors are quality-kept, exact-unique, cluster representatives") {
+    val summary = TextAnalysis.corpusSummary(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(summary.nonEmpty)
+    val total = summary.map(_._2).sum
+    val docs = Tables.documents(spark, sf).count()
+    // survivors must be a strict subset: near-dup clusters are non-trivial
+    val nonSurvivors = Dedup.nearDupClusters(spark, sf)
+      .filter(col("doc_id") =!= col("cluster_id")).count()
+    assert(total <= docs - nonSurvivors)
+    assert(total > 0)
+  }
+
   test("exact dedup keeps one survivor per digest and covers all docs") {
     val out = Dedup.exact(spark, sf)
     val total = out.agg(sum("n_copies")).as[Long].head()

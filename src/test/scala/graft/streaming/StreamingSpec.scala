@@ -103,6 +103,22 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("click", 2L), ("view", 1L)))
   }
 
+  test("streaming dedup within watermark drops in-horizon duplicates") {
+    val in = Files.createTempDirectory("dedup-in").toString
+    Files.writeString(java.nio.file.Paths.get(s"$in/events.csv"),
+      Seq("2024-01-01T00:10:00,1,click,1.0",
+        "2024-01-01T00:15:00,1,click,2.0",  // dup key within horizon
+        "2024-01-01T00:20:00,2,view,3.0").mkString("\n"))
+    val schema = "ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    val stream = spark.readStream.schema(schema).csv(in)
+    val q = EventStream.dedupWithinWatermark(stream, Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("dedup").select("user_id", "event_type")
+      .as[(Long, String)].collect().sorted
+    assert(rows.toSeq == Seq((1L, "click"), (2L, "view")), rows.toSeq)
+  }
+
   // ------------------------------------------------------ task lifecycle
 
   private def taskQuads = Seq(
