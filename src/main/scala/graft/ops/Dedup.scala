@@ -160,8 +160,12 @@ object Dedup {
     val edges = pairs.unionAll(
       pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst").cache()
-    var labels = Tables.documents(s, d)
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // Only the edge-induced subgraph iterates: near-dup nodes are a tiny
+    // fraction of the corpus, and singletons (label = own id by
+    // definition) join in once at the end — the full corpus never enters
+    // the loop.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).cache()
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
@@ -178,7 +182,12 @@ object Dedup {
       labels = next
     }
     edges.unpersist()
-    labels.orderBy(col("doc_id"))
+    val out = Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+    out
   }
 
   /** MinHash signatures as k seeded murmur3 hashes of the (already
