@@ -525,11 +525,12 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x_multimodal_frames" ->
       """WITH f AS (
-        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  SELECT doc_id,
+        |         octet_length(encode(text)) // (doc_id % 30 + 1) AS frame_size,
         |         unnest(generate_series(1, CAST(doc_id % 30 + 1 AS INT), 5)) AS fi
         |  FROM documents)
         |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
-        |       CAST(n_bytes * (fi - 1) AS BIGINT) AS frame_offset
+        |       CAST(frame_size * (fi - 1) AS BIGINT) AS frame_offset
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "x_skew_salted" ->
       """SELECT event_type AS key, count(*) AS n FROM events

@@ -117,13 +117,9 @@ object RdfaExtractor {
     def fresh(): String = { n += 1; s"rdfagen_${pageTag}_$n" }
   }
 
-  /** Full sha1 of the base URI — a 32-bit hashCode collides at ~77k pages
-    * (birthday bound), which would conflate blank nodes across pages once
-    * quads are unioned. */
-  private def sha1Hex(s: String): String =
-    java.security.MessageDigest.getInstance("SHA-1")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
+  /** Full sha1 of the base URI — a 32-bit hashCode would conflate blank
+    * nodes across pages once quads are unioned (see rdf.sha1Hex). */
+  private def sha1Hex(s: String): String = graft.rdf.sha1Hex(s)
 
   private def walk(e: HtmlParser.Element, ctx0: Ctx,
       out: mutable.ArrayBuffer[Quad], counter: Counter,

@@ -78,9 +78,13 @@ object Multimodal {
     * rows carry (doc_id, offset) pointers, never payload copies. */
   def frameSamples(s: SparkSession, d: String, stride: Int = 5): DataFrame =
     decodeMeta(s, d).toDF()
-      .select(col("doc_id"), col("n_bytes"),
+      // frame size = payload bytes / frame count (integer division) —
+      // offsets stay inside the payload for every frame
+      .withColumn("frame_size",
+        floor(col("n_bytes") / col("n_frames")).cast("long"))
+      .select(col("doc_id"), col("frame_size"),
         explode(sequence(lit(1), col("n_frames"), lit(stride))).as("frame_idx"))
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-        (col("n_bytes") * (col("frame_idx") - 1)).cast("long").as("frame_offset"))
+        (col("frame_size") * (col("frame_idx") - 1)).cast("long").as("frame_offset"))
       .orderBy(col("doc_id"), col("frame_idx"))
 }

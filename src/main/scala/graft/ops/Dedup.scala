@@ -115,6 +115,13 @@ object Dedup {
     // above this single Exchange, so the shingle pipeline runs once
     // (window-based rank formulations defeated that reuse: measured 20 s
     // vs 3 s at sf0.1).
+    //
+    // The prefix length uses a slackened threshold: the output predicate
+    // is round(J, 3) >= t (oracle parity), which admits true J down to
+    // t - 0.0005 — the prefix must be complete for THOSE pairs too, not
+    // just J >= t, or a pair rounding up to the threshold could have
+    // disjoint prefixes and be silently missed.
+    val tSlack = threshold - 0.0005
     val base = posts.join(docFreq, "h")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("byRarity"),
@@ -123,7 +130,7 @@ object Dedup {
         sort_array(transform(col("byRarity"), p => p("h"))).as("hsorted"),
         transform(
           slice(col("byRarity"), lit(1),
-            (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")),
+            (col("n") - ceil(lit(tSlack) * col("n")) + 1).cast("int")),
           p => p("h")).as("pref"))
     val prefix = base.select(col("doc_id"), explode(col("pref")).as("h"))
     val cands = prefix.as("a").join(prefix.as("b"),
@@ -182,12 +189,18 @@ object Dedup {
       labels = next
     }
     edges.unpersist()
-    val out = Tables.documents(s, d).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left_outer")
+    // materialize the converged labels locally (edge-endpoint nodes only
+    // — tiny by construction) so every cached loop frame can be released
+    // now instead of leaking into the session for the returned plan's
+    // lifetime
+    import s.implicits._
+    val converged = labels.as[(Long, Long)].collect().toSeq
+    labels.unpersist()
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(converged.toDF("doc_id", "label"), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .orderBy(col("doc_id"))
-    out
   }
 
   /** MinHash signatures as k seeded murmur3 hashes of the (already

@@ -120,7 +120,8 @@ object Similarity {
     // sample IS the corpus, so small-scale results are unchanged. The
     // size probe is `limit(cap+1).count()` — it early-exits after cap+1
     // rows instead of scanning the whole corpus like a bare count().
-    val smallCorpus = emb.limit((maxTrainRows + 1).toInt).count() <= maxTrainRows
+    val probeLimit = math.min(maxTrainRows + 1, Int.MaxValue.toLong).toInt
+    val smallCorpus = emb.limit(probeLimit).count() <= maxTrainRows
     val train =
       if (smallCorpus) emb
       else {

@@ -26,14 +26,35 @@ object ImportService {
   def readState(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(stateDir)
 
+  /** Crash recovery for the swap protocol: if a crash landed between the
+    * two renames (state moved aside, new state not yet in place), the
+    * backup IS the state — restore it. Also sweeps temp dirs stranded by
+    * writes that crashed mid-write. Called by `start` before anything
+    * reads the state. */
+  def recoverState(spark: SparkSession, stateDir: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new org.apache.hadoop.fs.Path(stateDir + "-prev")
+    if (!fs.exists(target) && fs.exists(backup))
+      if (!fs.rename(backup, target))
+        throw new java.io.IOException(s"state restore failed: $backup -> $target")
+    val parent = target.getParent
+    val prefix = target.getName + "-tmp-"
+    if (parent != null && fs.exists(parent))
+      fs.listStatus(parent).foreach { st =>
+        if (st.getPath.getName.startsWith(prefix)) fs.delete(st.getPath, true)
+      }
+  }
+
   /** Replace the state table: write to a sibling temp dir, then swap by
     * two renames. Never overwrite-in-place — Spark plans are lazy, and
     * overwriting the directory a plan still reads from loses the state
-    * (the classic read-modify-overwrite self-clobber). The swap order is
-    * crash-safe: the old state is RENAMED aside (recoverable) before the
-    * new one takes its place, never deleted while it is the only copy;
-    * the backup (and any stranded temp from an earlier crash) is cleaned
-    * up only after the new state is in position. */
+    * (the classic read-modify-overwrite self-clobber). Some copy of the
+    * state survives a crash at ANY point: the old state is RENAMED aside
+    * before the new one takes its place, never deleted while it is the
+    * only copy, and [[recoverState]] (run by `start`) restores the
+    * backup if a crash landed between the renames and sweeps stranded
+    * temp dirs. */
   def writeState(newState: DataFrame, stateDir: String): Unit = {
     val spark = newState.sparkSession
     val fs = new org.apache.hadoop.fs.Path(stateDir)
@@ -56,13 +77,9 @@ object ImportService {
   private def defaultClock(): String =
     java.time.Instant.now().toString
 
-  /** Collision-free per-task output directory name (32-bit hashCode
-    * collides at ~77k tasks — the same birthday bound RdfaExtractor
-    * documents for blank-node labels). */
+  /** Collision-free per-task output directory name. */
   private def taskDirName(taskUri: String): String =
-    java.security.MessageDigest.getInstance("SHA-1")
-      .digest(taskUri.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
+    graft.rdf.sha1Hex(taskUri)
 
   /** Run startup recovery, then start the streaming delta loop. The
     * returned query runs until stopped; `clock` is injectable for
@@ -71,7 +88,9 @@ object ImportService {
       stateDir: String, pagesDir: String, outDir: String,
       clock: () => String = defaultClock _,
       writeDebug: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
-    // T2: fail stale busy tasks before accepting traffic (app.js:12-16)
+    // restore a mid-swap crash, then T2: fail stale busy tasks before
+    // accepting traffic (app.js:12-16)
+    recoverState(spark, stateDir)
     writeState(TaskStore.failBusyTasks(
       readState(spark, stateDir), clock()), stateDir)
     DeltaSource.run(spark, deltaDir, checkpointDir) { tasks =>
