@@ -40,6 +40,26 @@ class ImportServiceSpec extends SparkSpec {
        |"object":{"type":"uri","value":"http://redpencil.data.gift/id/concept/JobStatus/scheduled"}}],
        |"deletes":[]}]""".stripMargin.replace("\n", "")
 
+  test("recoverState restores a mid-swap crash and sweeps stranded temps") {
+    val root = Files.createTempDirectory("svc-rec").toString
+    val stateDir = s"$root/state"
+    initialState.write.parquet(stateDir)
+    val n = ImportService.readState(spark, stateDir).count()
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate: crash after rename(target → backup), before rename(tmp → target)
+    fs.rename(new org.apache.hadoop.fs.Path(stateDir),
+      new org.apache.hadoop.fs.Path(stateDir + "-prev"))
+    initialState.limit(1).write.parquet(stateDir + "-tmp-123")
+    ImportService.recoverState(spark, stateDir)
+    assert(ImportService.readState(spark, stateDir).count() == n)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(stateDir + "-tmp-123")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(stateDir + "-prev")))
+    // idempotent when state is intact
+    ImportService.recoverState(spark, stateDir)
+    assert(ImportService.readState(spark, stateDir).count() == n)
+  }
+
   test("service loop: recovery, delta dispatch, pipeline, state swap") {
     val root = Files.createTempDirectory("svc").toString
     val stateDir = s"$root/state"
