@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, SimHash64}
+import graft.functions.{CosineSimilarity, ShingleHashes, SimHash64, Winnow}
 import graft.rdf.ParseNTriple
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -43,5 +43,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("parse_ntriple",
         "parse_ntriple(line) - parse an N-Triples line into a quad struct."),
       (args: Seq[Expression]) => ParseNTriple(arity("parse_ntriple", 1)(args).head)))
+    ext.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "shingle_hashes(text) - distinct word-3-gram xxhash64 shingle hashes."),
+      (args: Seq[Expression]) =>
+        ShingleHashes(arity("shingle_hashes", 1)(args).head, 3)))
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprint"),
+      info("winnow_fingerprint",
+        "winnow_fingerprint(text) - winnowing rolling-hash fingerprint set."),
+      (args: Seq[Expression]) =>
+        Winnow(arity("winnow_fingerprint", 1)(args).head, 5, 4)))
   }
 }

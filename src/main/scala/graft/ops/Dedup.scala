@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.functions.SimHash64
+import graft.functions.{ShingleHashes, SimHash64}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,25 +30,12 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
-  /** Distinct word-3-gram shingles per document: (doc_id, shingle). */
-  private def shinglesOf(docs: DataFrame): DataFrame = {
-    val toks = docs.select(
-      col("doc_id"),
-      // filter guards against leading/trailing whitespace producing ""
-      filter(split(col("text"), "\\s+"), t => length(t) > 0).as("t"))
-    toks.filter(size(col("t")) >= 3)
-      .select(col("doc_id"), array_distinct(
-        transform(sequence(lit(0), size(col("t")) - 3),
-          i => concat_ws(" ", element_at(col("t"), i + 1),
-            element_at(col("t"), i + 2), element_at(col("t"), i + 3))))
-        .as("shingles"))
-  }
-
-  private def shingles(s: SparkSession, d: String): DataFrame =
-    shinglesOf(Tables.documents(s, d))
-
-  private def explodedShingles(s: SparkSession, d: String): DataFrame =
-    shingles(s, d).select(col("doc_id"), explode(col("shingles")).as("sh"))
+  /** Hashed postings (doc_id, h): one row per distinct word-3-gram
+    * shingle hash, via the fused native [[ShingleHashes]] expression —
+    * bit-identical to hashing the materialized shingle strings, without
+    * building the token/shingle/distinct string arrays per document. */
+  private def hashPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(ShingleHashes(col("text"))).as("h"))
 
   /** Exact n-gram Jaccard near-dup join via the inverted index, pairs with
     * J(a,b) ≥ `threshold` over distinct 3-gram sets.
@@ -71,8 +58,7 @@ object Dedup {
     * corpora, a PPJoin prefix filter over the same hashed postings is the
     * escalation path. */
   def ngramJaccard(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
-    val postings = shingles(s, d).select(
-      col("doc_id"), explode(transform(col("shingles"), sh => xxhash64(sh))).as("h"))
+    val postings = hashPostings(Tables.documents(s, d))
     val sizes = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = postings.as("a").join(postings.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -105,8 +91,7 @@ object Dedup {
     * [[ngramJaccard]], hash-matched against the same oracle. */
   def ngramJaccardPrefix(s: SparkSession, d: String,
       threshold: Double = 0.5): DataFrame = {
-    val posts = shinglesOf(Tables.documents(s, d)).select(
-      col("doc_id"), explode(transform(col("shingles"), sh => xxhash64(sh))).as("h"))
+    val posts = hashPostings(Tables.documents(s, d))
     val docFreq = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // ONE per-doc aggregate carrying everything downstream: the sorted
     // full hash set (verification) and the rarity-ordered prefix
@@ -209,8 +194,7 @@ object Dedup {
     * map-side, so only (doc_id, k ints) rows ever shuffle and no nested
     * array expression sits in the hot path. */
   private def minhashSignaturesOf(docs: DataFrame, k: Int): DataFrame = {
-    val postings = shinglesOf(docs).select(
-      col("doc_id"), explode(transform(col("shingles"), sh => xxhash64(sh))).as("h"))
+    val postings = hashPostings(docs)
     val mins = (0 until k).map(i => min(hash(col("h"), lit(i))).as(s"m$i"))
     postings.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
@@ -248,8 +232,7 @@ object Dedup {
     // both verification sides) sits above the same Exchange, so the
     // shingle pipeline runs once (separate signature/set subtrees
     // re-ran it per branch: 12 s vs 3 s at sf0.1).
-    val posts = shinglesOf(dupCorpus(s, d, offset)).select(
-      col("doc_id"), explode(transform(col("shingles"), sh => xxhash64(sh))).as("h"))
+    val posts = hashPostings(dupCorpus(s, d, offset))
     val mins = (0 until k).map(i => min(hash(col("h"), lit(i))).as(s"m$i"))
     val base = posts.groupBy(col("doc_id"))
       .agg(mins.head, (mins.tail :+

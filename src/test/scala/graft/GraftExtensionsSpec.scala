@@ -20,6 +20,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       exprs => graft.functions.CosineSimilarity(exprs(0), exprs(1)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "parse_ntriple", exprs => graft.rdf.ParseNTriple(exprs.head), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes",
+      exprs => graft.functions.ShingleHashes(exprs.head, 3), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fingerprint",
+      exprs => graft.functions.Winnow(exprs.head, 5, 4), "built-in")
 
     val viaCol = Seq("a b c").toDF("t")
       .select(graft.functions.SimHash64($"t")).as[Long].head()
@@ -35,5 +41,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       """SELECT parse_ntriple('<http://s> <http://p> "v" .').obj.value""")
       .as[String].head()
     assert(parsed == "v")
+
+    val shingleSql = s.sql("SELECT shingle_hashes('a b c d')").as[Seq[Long]].head()
+    val shingleCol = Seq("a b c d").toDF("t")
+      .select(graft.functions.ShingleHashes($"t")).as[Seq[Long]].head()
+    assert(shingleSql == shingleCol && shingleSql.length == 2)
+
+    val winnowSql = s.sql("SELECT winnow_fingerprint('abcdefghij')").as[Seq[Long]].head()
+    val winnowCol = Seq("abcdefghij").toDF("t")
+      .select(graft.functions.Winnow($"t")).as[Seq[Long]].head()
+    assert(winnowSql == winnowCol && winnowSql.nonEmpty)
   }
 }

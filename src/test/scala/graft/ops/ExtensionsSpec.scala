@@ -12,6 +12,30 @@ class ExtensionsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.01"
 
+  test("ShingleHashes expression is bit-identical to the composed shingle+xxhash64 form") {
+    import graft.functions.ShingleHashes
+    val composed = Tables.documents(spark, sf).select(
+      col("doc_id"),
+      filter(split(col("text"), "\\s+"), t => length(t) > 0).as("t"))
+      .select(col("doc_id"),
+        when(size(col("t")) >= 3, array_distinct(
+          transform(sequence(lit(0), size(col("t")) - 3),
+            i => xxhash64(concat_ws(" ", element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2), element_at(col("t"), i + 3))))))
+          .otherwise(array().cast("array<bigint>")).as("hs"))
+    val fused = Tables.documents(spark, sf).select(
+      col("doc_id"), ShingleHashes(col("text")).as("hs"))
+    val mismatches = composed.as("c").join(fused.as("f"), "doc_id")
+      .filter(col("c.hs") =!= col("f.hs")).count()
+    assert(mismatches == 0)
+    // edge cases: fewer than 3 tokens, odd whitespace, empty
+    val edge = Seq("one two", "  a   b   c  ", "", "x y z x y z").toDF("text")
+      .select(ShingleHashes(col("text")).as("hs"))
+      .as[Seq[Long]].collect()
+    assert(edge(0).isEmpty && edge(1).length == 1 && edge(2).isEmpty)
+    assert(edge(3).length == 3) // "x y z","y z x","z x y"; repeat deduped
+  }
+
   test("minhash LSH recalls the exact-jaccard near-dup pairs (est ≈ true)") {
     val exact = Dedup.ngramJaccard(spark, sf)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
