@@ -63,6 +63,8 @@ object SparkEntry {
     // SQL-expressible → hash-matched oracle rows for minhash + winnow.
     "x_minhash_dup"     -> ((s, d) => Dedup.minhashDupPairs(s, d)),
     "x_winnow_dup"      -> ((s, d) => TextAnalysis.winnowDupPairs(s, d)),
+    "x_simhash_dup"     -> ((s, d) => Dedup.simhashDupPairs(s, d)),
+    "x_lsh_dup"         -> ((s, d) => Similarity.lshDupRetrieval(s, d)),
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
     "x_sim_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -379,6 +381,20 @@ object SparkEntry {
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id
         |FROM corpus a JOIN corpus b ON a.shset = b.shset AND a.doc_id < b.doc_id
         |ORDER BY a_id, b_id""".stripMargin,
+    // equal-text pairs over the doubled corpus (simhash fp equality is
+    // the candidate filter; digest verification makes the relation exact)
+    "x_simhash_dup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id
+        |ORDER BY a_id, b_id""".stripMargin,
+    // each query's planted identical vector is its top-1 at cosine 1.0
+    "x_lsh_dup" ->
+      """SELECT vec_id AS qid, vec_id + 100000 AS cid,
+        |       1.0 AS sim, CAST(1 AS BIGINT) AS rn
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
     // like x_minhash_dup, the oracle derives the relation itself (equal
     // interleaved texts ⇔ equal fingerprint sets) instead of hardcoding
     // (d, d+100000) — robust even if a corpus contained two identical

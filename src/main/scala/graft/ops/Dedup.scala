@@ -289,6 +289,24 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** SimHash *guarantee* under the DuckDB oracle, same shape as
+    * [[minhashDupPairs]]: identical text ⇒ identical 64-bit fingerprint,
+    * so fingerprint equality is a complete candidate filter for text
+    * equality on a corpus with planted exact copies — verified by digest
+    * (near-identical token multisets CAN share a SimHash, so unverified
+    * fp-equality over-reports, exactly like the minhash case). Result =
+    * the equal-text pairs: on this corpus the (d, d+offset) copies. */
+  def simhashDupPairs(s: SparkSession, d: String,
+      offset: Long = 100000L): DataFrame = {
+    val fp = dupCorpus(s, d, offset).select(col("doc_id"),
+      SimHash64(col("text")).as("fp"), md5(col("text")).as("digest"))
+    fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.digest") === col("b.digest"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Embedding-cosine near-dup: the exact all-pairs baseline, returning
     * the `topN` most-similar embedding pairs (the corpus has no planted
     * vector near-dups, so a fixed threshold would be degenerate — ranking

@@ -78,6 +78,42 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** LSH retrieval *guarantee* under the DuckDB oracle: an identical
+    * vector has an identical sign signature, so a planted exact copy of
+    * each query at `vec_id + offset` lands in the query's bucket and is
+    * its top-1 (cosine 1.0 beats every other candidate — the corpus's
+    * max pairwise cosine is ≈0.5). Expected output is SQL-expressible:
+    * (q, q+offset, 1.0, 1) per query. */
+  def lshDupRetrieval(s: SparkSession, d: String, nQueries: Int = 8,
+      nPlanes: Int = 8, offset: Long = 100000L): DataFrame = {
+    val emb0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val emb = emb0.unionAll(emb0.select(
+      (col("vec_id") + offset).as("vec_id"), col("embedding")))
+    val sigBits = (0 until nPlanes).map { p =>
+      val weights = transform(sequence(lit(0), size(col("embedding")) - 1),
+        h => hash(lit(p), h).cast("double") / lit(4294967296.0))
+      val dot = aggregate(
+        zip_with(col("embedding"), weights, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    val signed = emb.select(col("vec_id"), col("embedding"),
+      sigBits.reduce(_.bitwiseOR(_)).as("sig"))
+    val queries = signed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("sig"))
+    val cands = signed
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("sig"))
+    val scored = cands.join(broadcast(queries), Seq("sig"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(CosineSimilarity(col("qe"), col("ce")), 4).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("cid"), col("sim"), col("rn"))
+      .orderBy(col("qid"))
+  }
+
   /** Symmetric int8 quantization of the embedding column — the standard
     * 4× compression step before ANN indexing at scale (per-vector scale
     * = max|x|/127, q_i = round(x_i/scale)). Pure column algebra over the

@@ -79,6 +79,19 @@ class ExtensionsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(gotWinnow == expectedWinnow,
       s"winnow: extra=${(gotWinnow -- expectedWinnow).take(5)} missing=${(expectedWinnow -- gotWinnow).take(5)}")
+    // simhash: equal-text pairs exactly (fp candidates, digest-verified)
+    val expectedSimhash = docs
+      .select(col("doc_id"), (col("doc_id") + 100000L).as("b_id"))
+      .as[(Long, Long)].collect().toSet
+    val gotSimhash = Dedup.simhashDupPairs(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    assert(gotSimhash == expectedSimhash)
+    // lsh retrieval: each query's planted copy is top-1 at sim 1.0
+    val lsh = Similarity.lshDupRetrieval(spark, sf)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(lsh.length == 8)
+    lsh.foreach { case (q, c, sim, rn) =>
+      assert(c == q + 100000L && sim == 1.0 && rn == 1L, (q, c, sim, rn)) }
   }
 
   test("prefix-filtered jaccard equals the plain inverted-index join at both thresholds") {
