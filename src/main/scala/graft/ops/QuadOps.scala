@@ -171,7 +171,7 @@ object QuadOps {
   def lifecycleFinalState(s: SparkSession, d: String): DataFrame = {
     import graft.pipeline.{FileRegistry, TaskStore}
     val q0 = lifecycleTaskQuads(s, d)
-    val busy = TaskStore.transitionStatus(q0, LcTask, Vocab.statusBusy, LcT1)
+    val busy = TaskStore.transitionStatus(q0, LcTask, Vocab.statusBusy, LcT1, Some(LcGraph))
     val manifest = TaskStore.inputPages(busy, LcTask).select(
       lit(LcTask).as("task"),
       lit(LcGraph).as("graph"),
@@ -182,7 +182,7 @@ object QuadOps {
     val registered = busy
       .unionByName(FileRegistry.fileMetadataQuads(manifest, LcT1))
       .unionByName(FileRegistry.containerQuads(manifest))
-    TaskStore.transitionStatus(registered, LcTask, Vocab.statusSuccess, LcT2)
+    TaskStore.transitionStatus(registered, LcTask, Vocab.statusSuccess, LcT2, Some(LcGraph))
   }
 
   /** Lifecycle oracle query 1 — the entity rows: after the full

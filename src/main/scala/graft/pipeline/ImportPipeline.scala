@@ -87,7 +87,7 @@ object ImportPipeline {
       .getOrElse("http://mu.semte.ch/graphs/harvesting")
 
     val busy = TaskStore.transitionStatus(quads, taskUri,
-      Vocab.statusBusy, nowIso)
+      Vocab.statusBusy, nowIso, Some(graph))
     try {
       // J1/D1 page enumeration (count-then-paginate is obsolete under
       // Spark, SURVEY O1 — the task's page set is metadata-sized)
@@ -153,7 +153,7 @@ object ImportPipeline {
             Seq("subject", "predicate", "obj", "graph"), "left_anti"))
 
         val done = TaskStore.transitionStatus(registered, taskUri,
-          Vocab.statusSuccess, nowIso)
+          Vocab.statusSuccess, nowIso, Some(graph))
         ImportResult(done, "success", pages.size.toLong, None)
       } finally tagged.unpersist()
     } catch {
@@ -162,7 +162,7 @@ object ImportPipeline {
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         val failed = TaskStore.transitionStatus(
           TaskStore.appendError(busy, taskUri, msg),
-          taskUri, Vocab.statusFailed, nowIso)
+          taskUri, Vocab.statusFailed, nowIso, Some(graph))
         ImportResult(failed, "failed", 0L, Some(msg))
     }
   }

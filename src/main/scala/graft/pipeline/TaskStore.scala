@@ -98,13 +98,20 @@ object TaskStore {
     * status+modified triples, INSERT the new ones. Pure rewrite — returns
     * the updated table. The inserted triples inherit the task's named
     * graph (`GRAPH ?g` in the reference update), so graph-partitioned
-    * stores stay partition-pure. */
+    * stores stay partition-pure. Callers that already hold the task's
+    * graph (the orchestrator loads it with the task) pass `knownGraph`
+    * to skip the lookup subtree — chained transitions otherwise stack a
+    * scan-limit-explode per call, which is pure plan/codegen weight. */
   def transitionStatus(quads: DataFrame, taskUri: String, newStatus: String,
-      nowIso: String): DataFrame = {
+      nowIso: String, knownGraph: Option[String] = None): DataFrame = {
     val kept = quads.filter(!(col("subject") === taskUri &&
       col("predicate").isin(Vocab.admsStatus, Vocab.dctModified)))
-    val taskGraph = quads.filter(col("subject") === taskUri)
-      .select(col("graph")).limit(1)
+    val taskGraph = knownGraph match {
+      case Some(g) =>
+        quads.sparkSession.range(1).select(lit(g).as("graph"))
+      case None => quads.filter(col("subject") === taskUri)
+        .select(col("graph")).limit(1)
+    }
     val inserted = taskGraph.select(explode(array(
       struct(lit(taskUri).as("subject"), lit(Vocab.admsStatus).as("predicate"),
         lit(newStatus).as("obj")),
