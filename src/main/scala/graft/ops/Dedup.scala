@@ -147,40 +147,67 @@ object Dedup {
     * 100 TB the same loop runs with the alternating large-star/small-star
     * optimization (Kiveris et al.) — the per-round shuffle key stays
     * (node, label) either way, and document bodies never enter the loop. */
-  def nearDupClusters(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
-    val pairs = ngramJaccard(s, d, threshold).select(col("a_id"), col("b_id"))
-    val edges = pairs.unionAll(
-      pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .toDF("src", "dst").cache()
-    // Only the edge-induced subgraph iterates: near-dup nodes are a tiny
-    // fraction of the corpus, and singletons (label = own id by
-    // definition) join in once at the end — the full corpus never enters
-    // the loop.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")).cache()
-    var changed = 1L
-    while (changed > 0) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("cluster_id")).as("n_min"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-    }
-    edges.unpersist()
-    // materialize the converged labels locally (edge-endpoint nodes only
-    // — tiny by construction) so every cached loop frame can be released
-    // now instead of leaking into the session for the returned plan's
-    // lifetime
+  def nearDupClusters(s: SparkSession, d: String, threshold: Double = 0.5,
+      maxDriverEdges: Long = 10000000L): DataFrame = {
     import s.implicits._
-    val converged = labels.as[(Long, Long)].collect().toSeq
-    labels.unpersist()
+    val pairs = ngramJaccard(s, d, threshold)
+      .select(col("a_id"), col("b_id")).cache()
+    // Only the edge-induced subgraph needs label propagation: near-dup
+    // PAIRS are a tiny fraction of the corpus even at 100 TB (they are
+    // the dedup hits, not the documents). Below the gate the component
+    // computation is a driver union-find over the collected pair list —
+    // one collect of (long, long) rows, zero iterative jobs; above it,
+    // the distributed min-label loop, still touching only edge nodes.
+    // Singletons join in once at the end either way.
+    val nPairs = pairs.count()
+    val converged: Seq[(Long, Long)] =
+      if (nPairs <= maxDriverEdges) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+          }
+          r
+        }
+        pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+            parent(hi) = lo }
+        }
+        // only non-root nodes carry entries; roots label themselves via
+        // the coalesce fallback below (cluster_id = own id)
+        parent.keys.toSeq.map(k => k -> find(k))
+      } else {
+        val edges = pairs.unionAll(
+          pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+          .toDF("src", "dst").cache()
+        var labels = edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("cluster_id", col("doc_id")).cache()
+        var changed = 1L
+        while (changed > 0) {
+          val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
+            .groupBy(col("src").as("doc_id"))
+            .agg(min(col("cluster_id")).as("n_min"))
+          val next = labels.join(neighborMin, Seq("doc_id"), "left_outer")
+            .select(col("doc_id"),
+              least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+                .as("cluster_id"))
+            .cache()
+          changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+            .filter(col("cluster_id") =!= col("old")).count()
+          labels.unpersist()
+          labels = next
+        }
+        edges.unpersist()
+        // materialize so every cached loop frame can be released now
+        val out = labels.as[(Long, Long)].collect().toSeq
+        labels.unpersist()
+        out
+      }
+    pairs.unpersist()
     Tables.documents(s, d).select(col("doc_id"))
       .join(converged.toDF("doc_id", "label"), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),

@@ -120,6 +120,11 @@ class ExtensionsSpec extends SparkSpec {
     val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
     clusters.filterNot { case (id, _) => paired(id) }
       .foreach { case (id, label) => assert(id == label) }
+    // the distributed label-propagation path (forced by a zero driver
+    // gate) must agree with the driver union-find exactly
+    val distributed = Dedup.nearDupClusters(spark, sf, 0.5, maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(distributed == clusters)
   }
 
   test("corpus pipeline: survivors are quality-kept, exact-unique, cluster representatives") {
