@@ -390,11 +390,19 @@ object SparkEntry {
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id
         |FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id
         |ORDER BY a_id, b_id""".stripMargin,
-    // each query's planted identical vector is its top-1 at cosine 1.0
+    // each query's smallest identical-embedding partner in the doubled
+    // corpus is its top-1 at cosine 1.0 — derived from the data (like
+    // the sibling dup oracles) rather than hardcoding (q, q+100000), so
+    // a natural embedding duplicate can't break the gate
     "x_lsh_dup" ->
-      """SELECT vec_id AS qid, vec_id + 100000 AS cid,
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings)
+        |SELECT a.vec_id AS qid, CAST(min(b.vec_id) AS BIGINT) AS cid,
         |       1.0 AS sim, CAST(1 AS BIGINT) AS rn
-        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+        |FROM corpus a JOIN corpus b
+        |  ON a.embedding = b.embedding AND a.vec_id <> b.vec_id
+        |WHERE a.vec_id < 8 GROUP BY a.vec_id ORDER BY qid""".stripMargin,
     // like x_minhash_dup, the oracle derives the relation itself (equal
     // interleaved texts ⇔ equal fingerprint sets) instead of hardcoding
     // (d, d+100000) — robust even if a corpus contained two identical

@@ -148,7 +148,7 @@ object Dedup {
     * optimization (Kiveris et al.) — the per-round shuffle key stays
     * (node, label) either way, and document bodies never enter the loop. */
   def nearDupClusters(s: SparkSession, d: String, threshold: Double = 0.5,
-      maxDriverEdges: Long = 10000000L): DataFrame = {
+      maxDriverEdges: Long = 1000000L): DataFrame = {
     import s.implicits._
     val pairs = ngramJaccard(s, d, threshold)
       .select(col("a_id"), col("b_id")).cache()
@@ -156,13 +156,14 @@ object Dedup {
     // PAIRS are a tiny fraction of the corpus even at 100 TB (they are
     // the dedup hits, not the documents). Below the gate the component
     // computation is a driver union-find over the collected pair list —
-    // one collect of (long, long) rows, zero iterative jobs; above it,
-    // the distributed min-label loop, still touching only edge nodes.
-    // Singletons join in once at the end either way.
+    // one collect of (long, long) rows, zero iterative jobs (gate 1M
+    // edges ≈ tens of MB with the unboxed-key LongMap); above it, the
+    // distributed min-label loop, which never materializes labels on
+    // the driver. Singletons join in once at the end either way.
     val nPairs = pairs.count()
-    val converged: Seq[(Long, Long)] =
+    val labeled: DataFrame =
       if (nPairs <= maxDriverEdges) {
-        val parent = scala.collection.mutable.Map[Long, Long]()
+        val parent = scala.collection.mutable.LongMap[Long]()
         def find(x: Long): Long = {
           var r = x
           while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
@@ -179,7 +180,8 @@ object Dedup {
         }
         // only non-root nodes carry entries; roots label themselves via
         // the coalesce fallback below (cluster_id = own id)
-        parent.keys.toSeq.map(k => k -> find(k))
+        pairs.unpersist()
+        parent.keys.toSeq.map(k => k -> find(k)).toDF("doc_id", "label")
       } else {
         val edges = pairs.unionAll(
           pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
@@ -202,14 +204,17 @@ object Dedup {
           labels = next
         }
         edges.unpersist()
-        // materialize so every cached loop frame can be released now
-        val out = labels.as[(Long, Long)].collect().toSeq
+        pairs.unpersist()
+        // truncate the loop lineage without pulling labels to the driver
+        // (this branch exists because the subgraph is too big for that);
+        // the checkpointed blocks are the one retained resource, bounded
+        // by the edge-node count
+        val ck = labels.localCheckpoint(true)
         labels.unpersist()
-        out
+        ck
       }
-    pairs.unpersist()
     Tables.documents(s, d).select(col("doc_id"))
-      .join(converged.toDF("doc_id", "label"), Seq("doc_id"), "left_outer")
+      .join(labeled.toDF("doc_id", "label"), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .orderBy(col("doc_id"))

@@ -41,18 +41,12 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
-  /** Random-hyperplane LSH bucketing + exact re-score: candidates for a
-    * query are exactly the corpus rows with the same `nPlanes`-bit sign
-    * signature; each bucket is re-scored with the native expression.
-    * Returns per-query top-k within its bucket.
-    *
-    * Hyperplanes are deterministic pseudo-random: component h of plane p
-    * is seeded murmur3 `hash(p, h)` mapped to [-0.5, 0.5) — stable across
-    * runs and executors with no RNG state to ship. */
-  def lshTopK(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
-      nPlanes: Int = 8): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    // signature bit p = sign(<embedding, plane_p>)
+  /** Sign-signature frame shared by the LSH paths: signature bit p =
+    * sign(<embedding, plane_p>). Hyperplanes are deterministic
+    * pseudo-random: component h of plane p is seeded murmur3 `hash(p, h)`
+    * mapped to [-0.5, 0.5) — stable across runs and executors with no
+    * RNG state to ship. */
+  private def signedEmbeddings(emb: DataFrame, nPlanes: Int): DataFrame = {
     val sigBits = (0 until nPlanes).map { p =>
       val weights = transform(sequence(lit(0), size(col("embedding")) - 1),
         h => hash(lit(p), h).cast("double") / lit(4294967296.0))
@@ -61,8 +55,12 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
-    val signed = emb.select(col("vec_id"), col("embedding"),
+    emb.select(col("vec_id"), col("embedding"),
       sigBits.reduce(_.bitwiseOR(_)).as("sig"))
+  }
+
+  /** Same-bucket candidates exactly re-scored, per-query top-k. */
+  private def bucketTopK(signed: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val queries = signed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("sig"))
     val cands = signed
@@ -72,11 +70,18 @@ object Similarity {
       .select(col("qid"), col("cid"),
         round(CosineSimilarity(col("qe"), col("ce")), 4).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    scored.withColumn("rn", row_number().over(w))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), col("sim"), col("rn"))
       .orderBy(col("qid"), col("rn"))
   }
+
+  /** Random-hyperplane LSH bucketing + exact re-score: candidates for a
+    * query are exactly the corpus rows with the same `nPlanes`-bit sign
+    * signature. Returns per-query top-k within its bucket. */
+  def lshTopK(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
+      nPlanes: Int = 8): DataFrame =
+    bucketTopK(signedEmbeddings(Tables.embeddings(s, d), nPlanes), nQueries, k)
 
   /** LSH retrieval *guarantee* under the DuckDB oracle: an identical
     * vector has an identical sign signature, so a planted exact copy of
@@ -89,29 +94,9 @@ object Similarity {
     val emb0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val emb = emb0.unionAll(emb0.select(
       (col("vec_id") + offset).as("vec_id"), col("embedding")))
-    val sigBits = (0 until nPlanes).map { p =>
-      val weights = transform(sequence(lit(0), size(col("embedding")) - 1),
-        h => hash(lit(p), h).cast("double") / lit(4294967296.0))
-      val dot = aggregate(
-        zip_with(col("embedding"), weights, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    val signed = emb.select(col("vec_id"), col("embedding"),
-      sigBits.reduce(_.bitwiseOR(_)).as("sig"))
-    val queries = signed.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("sig"))
-    val cands = signed
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("sig"))
-    val scored = cands.join(broadcast(queries), Seq("sig"))
-      .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        round(CosineSimilarity(col("qe"), col("ce")), 4).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    scored.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") === 1)
-      .select(col("qid"), col("cid"), col("sim"), col("rn"))
-      .orderBy(col("qid"))
+    // the PRODUCTION signature/bucket/score pipeline, k = 1: shared code
+    // guarantees the oracle exercises exactly what lshTopK runs
+    bucketTopK(signedEmbeddings(emb, nPlanes), nQueries, k = 1)
   }
 
   /** Symmetric int8 quantization of the embedding column — the standard
@@ -156,8 +141,12 @@ object Similarity {
     // sample IS the corpus, so small-scale results are unchanged. The
     // size probe is `limit(cap+1).count()` — it early-exits after cap+1
     // rows instead of scanning the whole corpus like a bare count().
-    val probeLimit = math.min(maxTrainRows + 1, Int.MaxValue.toLong).toInt
-    val smallCorpus = emb.limit(probeLimit).count() <= maxTrainRows
+    // Caps beyond Int.MaxValue can't be probed via limit — take the
+    // sampling branch (its fraction clamps to 1.0 on small corpora, so
+    // nothing is lost; silently treating the corpus as small would
+    // disable the cap entirely).
+    val smallCorpus = maxTrainRows < Int.MaxValue &&
+      emb.limit((maxTrainRows + 1).toInt).count() <= maxTrainRows
     val train =
       if (smallCorpus) emb
       else {

@@ -184,7 +184,11 @@ object NTriples {
 
 /** `parse_ntriple(line)` → quad struct (null on malformed input). */
 case class ParseNTriple(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.StringType)
 
   override def dataType: DataType = Quad.schema
   override def nullable: Boolean = true
