@@ -95,14 +95,28 @@ object ImportService {
       readState(spark, stateDir), clock()), stateDir)
     DeltaSource.run(spark, deltaDir, checkpointDir) { tasks =>
       // per-batch task list is delta-sized (the reference holds it in an
-      // array, app.js:30); tasks run sequentially like its event loop
-      tasks.collect().toSeq.sorted.foreach { taskUri =>
-        val state = readState(spark, stateDir)
-        val result = ImportPipeline.runImportPipeline(
-          spark, state, taskUri, pagesDir,
-          s"$outDir/${taskDirName(taskUri)}", clock(), writeDebug)
-        if (result.status != "not_a_task")
-          writeState(result.quads, stateDir)
+      // array, app.js:30); tasks run sequentially like its event loop,
+      // chaining on the in-memory state, with ONE swap per micro-batch
+      // instead of one per task. Crash mid-batch replays the whole batch
+      // (checkpointed foreachBatch) against the last swapped state — the
+      // orchestrator's left-anti idempotency guard makes that safe.
+      val taskUris = tasks.collect().toSeq.sorted
+      if (taskUris.nonEmpty) {
+        var state = readState(spark, stateDir)
+        var dirty = false
+        taskUris.foreach { taskUri =>
+          val result = ImportPipeline.runImportPipeline(
+            spark, state, taskUri, pagesDir,
+            s"$outDir/${taskDirName(taskUri)}", clock(), writeDebug)
+          if (result.status != "not_a_task") {
+            // keep the chained plan shallow: each task's state snapshot
+            // is materialized to executor storage (NOT a durable swap),
+            // so task N+1's actions don't re-evaluate tasks 1..N
+            state = result.quads.localCheckpoint(true)
+            dirty = true
+          }
+        }
+        if (dirty) writeState(state, stateDir)
       }
     }
   }

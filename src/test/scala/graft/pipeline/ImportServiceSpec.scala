@@ -97,6 +97,27 @@ class ImportServiceSpec extends SparkSpec {
         deltaBody("http://not/a/task"))
       q.processAllAvailable()
       assert(ImportService.readState(spark, stateDir).count() == before)
+
+      // two tasks in ONE batch chain on the in-memory state (one swap):
+      // T1 re-runs idempotently, T2 (no input container) succeeds empty
+      Files.writeString(Paths.get(s"$deltaDir/d3.json"),
+        s"""[{"inserts":[
+           |{"subject":{"type":"uri","value":"$T1"},
+           | "predicate":{"type":"uri","value":"http://www.w3.org/ns/adms#status"},
+           | "object":{"type":"uri","value":"http://redpencil.data.gift/id/concept/JobStatus/scheduled"}},
+           |{"subject":{"type":"uri","value":"$T2"},
+           | "predicate":{"type":"uri","value":"http://www.w3.org/ns/adms#status"},
+           | "object":{"type":"uri","value":"http://redpencil.data.gift/id/concept/JobStatus/scheduled"}}],
+           |"deletes":[]}]""".stripMargin.replace("\n", ""))
+      q.processAllAvailable()
+      val after = ImportService.readState(spark, stateDir)
+      val statuses = after.filter(col("predicate") === Vocab.admsStatus)
+        .select("subject", "obj").as[(String, String)].collect().toMap
+      assert(statuses(T1) == Vocab.statusSuccess)
+      assert(statuses(T2) == Vocab.statusSuccess)
+      // idempotent re-run of T1: metadata not duplicated
+      assert(after.filter(col("predicate") === Vocab.nfoFileName &&
+        col("obj") === "page-1-valid.ttl").count() == 1)
     } finally q.stop()
   }
 }
