@@ -73,6 +73,7 @@ object SparkEntry {
     "x_txt_quality"     -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "x_txt_langid"      -> ((s, d) => TextAnalysis.langId(s, d)),
     "x_txt_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "x_txt_repetition"  -> ((s, d) => TextAnalysis.repetitionSignals(s, d)),
     "x_txt_winnow"      -> ((s, d) => TextAnalysis.winnowFingerprints(s, d)),
     // the composed corpus-prep pipeline: quality ∩ exact-dedup ∩
     // near-dup-cluster survivors → per-language stats
@@ -484,6 +485,23 @@ object SparkEntry {
     "x_txt_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_txt_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+        |    CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |         ELSE [] END AS g2,
+        |    CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |         ELSE [] END AS g3
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CASE WHEN len(g2) = 0 THEN 0.0
+        |       ELSE round((len(g2) - len(list_distinct(g2))) * 1.0 / len(g2), 3) END AS dup_2gram_frac,
+        |  CASE WHEN len(g3) = 0 THEN 0.0
+        |       ELSE round((len(g3) - len(list_distinct(g3))) * 1.0 / len(g3), 3) END AS dup_3gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
     "x_pipeline_corpus" ->
       """WITH RECURSIVE m AS (
         |  SELECT doc_id,

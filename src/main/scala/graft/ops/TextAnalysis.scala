@@ -73,6 +73,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style intra-document repetition signals (Rae et al. 2021 §A1
+    * use duplicate n-gram fractions to drop degenerate/boilerplate docs):
+    * fraction of word 2-grams / 3-grams that are repeats of an earlier
+    * occurrence within the same document. Pure array algebra per row —
+    * no shuffle, trivially parallel. */
+  def repetitionSignals(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    def grams(n: Int) = when(size(col("t")) >= n,
+      transform(sequence(lit(0), size(col("t")) - n),
+        i => concat_ws(" ", (0 until n).map(j =>
+          element_at(col("t"), i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+    def dupFrac(g: org.apache.spark.sql.Column) =
+      when(size(g) === 0, 0.0).otherwise(
+        round((size(g) - size(array_distinct(g))).cast("double") / size(g), 3))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        dupFrac(grams(2)).as("dup_2gram_frac"),
+        dupFrac(grams(3)).as("dup_3gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Canonical-form document fingerprint: md5 of the whitespace-collapsed
     * lowercased text. The exact-dedup key (D5-style tag-and-split happens
     * on groupBy of this column). */
