@@ -80,6 +80,7 @@ object SparkEntry {
     "x_pipeline_corpus" -> ((s, d) => TextAnalysis.corpusSummary(s, d)),
     "x_sessionize"      -> ((s, d) => Sessionize.sessions(s, d)),
     "x_window_hourly"   -> ((s, d) => Sessionize.hourlyWindows(s, d)),
+    "x_window_sliding"  -> ((s, d) => Sessionize.slidingWindows(s, d)),
     "x_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(s, d)),
     "x_multimodal_frames" -> ((s, d) => graft.multimodal.Multimodal.frameSamples(s, d)),
     "x_skew_salted"     -> ((s, d) =>
@@ -565,6 +566,17 @@ object SparkEntry {
       """SELECT epoch_ns(ts) // 1000 // 3600000000 AS hour_bucket, event_type,
         |count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x_window_sliding" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_type, value FROM events),
+        |w AS (
+        |  SELECT ((us - i * 1800000000) // 1800000000) * 1800000000 AS window_start_us,
+        |         event_type, value
+        |  FROM e, unnest(range(0, 2)) AS t(i))
+        |SELECT window_start_us, event_type, count(*) AS n,
+        |       round(sum(value), 2) AS sum_value
+        |FROM w WHERE window_start_us >= 0
+        |GROUP BY window_start_us, event_type
+        |ORDER BY window_start_us, event_type""".stripMargin,
     "x_multimodal_frames" ->
       """WITH f AS (
         |  SELECT doc_id,

@@ -45,4 +45,29 @@ object Sessionize {
       .groupBy(col("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour_bucket"), col("event_type"))
+
+  /** Sliding windows (1 h long, 30 min slide): each event lands in
+    * window/slide = 2 overlapping windows, produced by an explode over
+    * the window index — the batch mirror of `window(ts, "1 hour",
+    * "30 minutes")`, in the same integer-microsecond arithmetic as the
+    * tumbling op (TIMESTAMP(NANOS) parquet reads as long nanos here).
+    * Fan-out happens map-side; one shuffle for the final aggregation. */
+  def slidingWindows(s: SparkSession, d: String,
+      windowUs: Long = 3600000000L, slideUs: Long = 1800000000L): DataFrame = {
+    val k = (windowUs / slideUs).toInt
+    Tables.events(s, d)
+      .select(expr("ts div 1000").as("us"), col("event_type"), col("value"))
+      .select(col("event_type"), col("value"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"),
+        col("us"))
+      .select(
+        // `div`, not `/`: Spark's `/` on longs is DOUBLE division
+        expr(s"((us - i * ${slideUs}L) div ${slideUs}L) * ${slideUs}L")
+          .as("window_start_us"),
+        col("event_type"), col("value"))
+      .filter(col("window_start_us") >= 0)
+      .groupBy(col("window_start_us"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("window_start_us"), col("event_type"))
+  }
 }
