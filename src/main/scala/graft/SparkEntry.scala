@@ -78,6 +78,15 @@ object SparkEntry {
     // the composed corpus-prep pipeline: quality ∩ exact-dedup ∩
     // near-dup-cluster survivors → per-language stats
     "x_pipeline_corpus" -> ((s, d) => TextAnalysis.corpusSummary(s, d)),
+    // corpus-preparation operators (benchmark decontamination, PII
+    // redaction, per-domain caps, deterministic sampling, TF-IDF,
+    // corpus n-gram stats) — all oracle-checked
+    "x_decontaminate"   -> ((s, d) => CorpusPrep.decontaminate(s, d)),
+    "x_pii_redact"      -> ((s, d) => CorpusPrep.piiRedact(s, d)),
+    "x_domain_cap"      -> ((s, d) => CorpusPrep.domainCap(s, d)),
+    "x_sample_strat"    -> ((s, d) => CorpusPrep.stratifiedSample(s, d)),
+    "x_tfidf_top"       -> ((s, d) => CorpusPrep.tfIdfTopTerms(s, d)),
+    "x_ngram_topk"      -> ((s, d) => CorpusPrep.topNgrams(s, d)),
     "x_sessionize"      -> ((s, d) => Sessionize.sessions(s, d)),
     "x_window_hourly"   -> ((s, d) => Sessionize.hourlyWindows(s, d)),
     "x_window_sliding"  -> ((s, d) => Sessionize.slidingWindows(s, d)),
@@ -551,6 +560,74 @@ object SparkEntry {
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_tokens
         |FROM final GROUP BY lang ORDER BY lang""".stripMargin,
+    "x_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 4
+        |    THEN list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))
+        |    ELSE []::VARCHAR[] END)) AS gram
+        |  FROM toks)
+        |SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, count(*) AS n_shared
+        |FROM grams tr JOIN grams ev USING (gram)
+        |WHERE tr.doc_id % 97 != 0 AND ev.doc_id % 97 = 0
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY train_id, eval_id""".stripMargin,
+    "x_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' tel +' || (doc_id + 32000000000) ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\+[0-9]{8,}')) AS INT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+[0-9]{8,}', '<PHONE>', 'g')) AS red_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "x_domain_cap" ->
+      """SELECT doc_id, source, rk FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    "x_sample_strat" ->
+      """SELECT lang, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN substring(md5(doc_id::VARCHAR), 32, 1) IN ('0','1','2')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  round(sum(CASE WHEN substring(md5(doc_id::VARCHAR), 32, 1) IN ('0','1','2')
+        |           THEN 1 ELSE 0 END) * 1.0 / count(*), 3) AS rate
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "x_tfidf_top" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                        x -> len(x) > 0)) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word, round(tf.tf * ln(n.n_docs * 1.0 / df.df), 3) AS score
+        |  FROM tf JOIN df USING (word) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, word, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS BIGINT) AS rn
+        |  FROM scored)
+        |SELECT doc_id, word, score, rn FROM ranked WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
+    "x_ngram_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT unnest(CASE WHEN len(t) >= 2
+        |    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |    ELSE []::VARCHAR[] END) AS gram
+        |  FROM toks)
+        |SELECT gram, count(*) AS n_occ FROM grams
+        |GROUP BY gram ORDER BY n_occ DESC, gram LIMIT 20""".stripMargin,
     "x_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
         |l AS (SELECT user_id, us,

@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for a large-scale training-data pipeline
+  * (north-star extensions beyond the reference): benchmark decontamination,
+  * PII redaction, per-domain caps, deterministic stratified sampling,
+  * TF-IDF term scoring, corpus-level n-gram statistics.
+  *
+  * Scale posture (100 TB): every operator here is either a pure per-row
+  * column expression (PII, sampling) or ends in a single keyed shuffle
+  * whose key cardinality is bounded by the vocabulary / domain count, not
+  * by corpus bytes. Document text never shuffles except as exploded
+  * n-gram/word tokens that aggregate map-side first.
+  */
+object CorpusPrep {
+
+  /** Non-empty whitespace tokens of a text column. */
+  private def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  /** Word n-grams over a token-array column (space-joined strings).
+    * `concat_ws` is safe here: every element is within bounds, so no
+    * nulls are skipped. */
+  private def wordGrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j =>
+          element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Benchmark decontamination (the standard pre-training hygiene step:
+    * drop training documents that share long n-grams with an evaluation
+    * set — see e.g. GPT-3 appendix C / PaLM §7). The eval set here is the
+    * deterministic slice `doc_id % 97 == 0`; a training doc is flagged
+    * when it shares >= `minShared` distinct word `n`-grams with an eval
+    * doc.
+    *
+    * Scale shape: the eval side is a benchmark suite — bounded and tiny
+    * relative to the corpus — so its distinct-gram postings are
+    * broadcast; the training side streams through a map-side hash join
+    * and aggregates (train_id, eval_id) pair counts map-side first. The
+    * corpus-sized side never shuffles raw text, only matched gram rows. */
+  def decontaminate(s: SparkSession, d: String, n: Int = 4,
+      minShared: Int = 2): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(wordGrams(tokens(col("text")), n))).as("gram"))
+    val evalGrams = grams.filter(col("doc_id") % 97 === 0)
+      .withColumnRenamed("doc_id", "eval_id")
+    val trainGrams = grams.filter(col("doc_id") % 97 =!= 0)
+    trainGrams.join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id").as("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("train_id"), col("eval_id"), col("n_shared"))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  /** PII redaction over a corpus with deterministically planted PII (the
+    * synthetic `documents` table is PII-free, so emails/phones are first
+    * injected as a pure function of doc_id — same derivation on the
+    * oracle side). Counts matches and reports an md5 digest of the
+    * redacted text: a byte-exact check that redaction touched exactly
+    * the PII spans. Pure per-row regex column expressions — codegen'd,
+    * no shuffle, embarrassingly parallel at any scale. */
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "\\+[0-9]{8,}"
+    val withPii = concat(
+      col("text"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" tel +"),
+          (col("doc_id") + 32000000000L).cast("string"))).otherwise(lit("")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), withPii.as("text"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(s"($emailPat)")))
+          .as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(s"($phonePat)")))
+          .as("n_phones"),
+        md5(regexp_replace(
+          regexp_replace(col("text"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>")).as("red_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-domain document cap (pre-training corpora cap any one domain's
+    * contribution; `source` stands in for the registrable domain): keep
+    * the first `k` docs per source in deterministic doc_id order.
+    *
+    * Scale: one shuffle keyed by source. A skewed mega-domain makes a
+    * single partition hot — AQE skew-split handles the sort, and because
+    * only (doc_id, source) shuffles (never text), the hot partition is
+    * rows × ~20 bytes. For extreme skew a two-phase top-k (partial top-k
+    * per map partition, then merge) bounds it further. */
+  def domainCap(s: SparkSession, d: String, k: Int = 10): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy(col("source")).orderBy(col("doc_id")))
+        .cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("source"), col("rk"))
+
+  /** Deterministic stratified sampling: within each language stratum keep
+    * docs whose md5(doc_id) ends in one of 3 of the 16 hex digits
+    * (≈18.75% expected rate). Hash-based selection is reproducible
+    * across runs/retries (no RNG state — the property that matters for
+    * resumable 100 TB jobs) and independent of partitioning. Single
+    * map-side-combinable aggregate. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val picked = substring(md5(col("doc_id").cast("string")), 32, 1)
+      .isin("0", "1", "2")
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(picked, 1L).otherwise(0L)).as("n_sampled"))
+      .withColumn("rate",
+        round(col("n_sampled").cast("double") / col("n_total"), 3))
+      .orderBy(col("lang"))
+  }
+
+  /** TF-IDF top-`k` terms per document (tf × ln(N/df), the textbook
+    * form). Two aggregates: term frequency keyed by (doc_id, word) and
+    * document frequency keyed by word — both map-side combinable; the
+    * df table is vocabulary-sized (bounded, ≪ corpus) so it broadcasts
+    * back onto the tf rows, and the corpus count N joins as a 1-row
+    * broadcast. The final per-doc top-k window partitions by doc_id —
+    * maximal parallelism, no global sort. */
+  def tfIdfTopTerms(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val words = docs.select(col("doc_id"),
+      explode(tokens(lower(col("text")))).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), "word")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") *
+        log(col("n_docs").cast("double") / col("df")), 3))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("word")))
+        .cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("word"), col("score"), col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  /** Corpus-level top-`k` word n-grams by occurrence count (the heavy-
+    * hitter statistic behind boilerplate lists and filter rules). Explode
+    * → count keyed by gram (map-side partial aggregation shrinks the
+    * shuffle to distinct-gram cardinality) → global top-k via TakeOrdered
+    * (per-partition top-k then a k-row merge — no full sort at scale). */
+  def topNgrams(s: SparkSession, d: String, n: Int = 2,
+      k: Int = 20): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(wordGrams(tokens(col("text")), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("gram"))
+      .limit(k)
+}

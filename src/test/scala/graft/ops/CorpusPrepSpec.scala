@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operator invariants (decontamination, PII, caps,
+  * sampling, TF-IDF, n-gram stats). Assertions are relational properties
+  * that hold at any scale factor, not pinned row values. */
+class CorpusPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def gramSets(n: Int) = Tables.documents(spark, sf).select(
+    col("doc_id"),
+    array_distinct(when(
+      size(filter(split(col("text"), "\\s+"), t => length(t) > 0)) >= n,
+      transform(
+        sequence(lit(0),
+          size(filter(split(col("text"), "\\s+"), t => length(t) > 0)) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(
+          filter(split(col("text"), "\\s+"), t => length(t) > 0),
+          i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))).as("grams"))
+
+  test("decontaminate returns exactly the train×eval pairs sharing >=2 distinct 4-grams") {
+    val g = gramSets(4)
+    val ev = g.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"), col("grams").as("eg"))
+    val tr = g.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id").as("train_id"), col("grams").as("tg"))
+    // brute-force oracle: small cross join (|eval| is tiny by construction)
+    val expected = tr.crossJoin(ev)
+      .select(col("train_id"), col("eval_id"),
+        size(array_intersect(col("tg"), col("eg"))).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("train_id"), col("eval_id"), col("n").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    val got = CorpusPrep.decontaminate(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected,
+      s"extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+    assert(got.nonEmpty, "planted near-dups should contaminate the eval slice")
+  }
+
+  test("piiRedact finds exactly the planted PII and leaves clean docs byte-identical") {
+    val red = CorpusPrep.piiRedact(spark, sf)
+    val joined = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("orig_md5"))
+      .join(red, "doc_id")
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        (col("red_md5") === col("orig_md5")).as("untouched"))
+      .as[(Long, Int, Int, Boolean)].collect()
+    joined.foreach { case (id, ne, np, untouched) =>
+      assert(ne == (if (id % 5 == 0) 1 else 0), s"doc $id emails=$ne")
+      assert(np == (if (id % 7 == 0) 1 else 0), s"doc $id phones=$np")
+      // clean docs pass through byte-identical; planted ones must change
+      assert(untouched == (id % 5 != 0 && id % 7 != 0), s"doc $id")
+    }
+  }
+
+  test("domainCap keeps the k smallest doc_ids per source with contiguous ranks") {
+    val k = 10
+    val capped = CorpusPrep.domainCap(spark, sf, k)
+    val bad = capped.groupBy("source")
+      .agg(count(lit(1)).as("n"), max(col("rk")).as("maxrk"))
+      .filter(col("n") > k || col("n") =!= col("maxrk")).count()
+    assert(bad == 0, "ranks must be 1..n<=k per source")
+    // every kept doc_id must be <= the k-th smallest id of its source
+    val viaSort = Tables.documents(spark, sf)
+      .groupBy("source").agg(slice(sort_array(collect_list("doc_id")), 1, k).as("ids"))
+      .select(col("source"), explode(col("ids")).as("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    val got = capped.select("doc_id").as[Long].collect().toSet
+    assert(got == viaSort)
+  }
+
+  test("stratifiedSample is deterministic and close to the 3/16 target rate") {
+    val a = CorpusPrep.stratifiedSample(spark, sf).collect()
+    val b = CorpusPrep.stratifiedSample(spark, sf).collect()
+    assert(a.sameElements(b), "hash sampling must be run-independent")
+    val (tot, samp) = a.map(r => (r.getLong(1), r.getLong(2)))
+      .reduce((x, y) => (x._1 + y._1, x._2 + y._2))
+    val rate = samp.toDouble / tot
+    assert(rate > 0.10 && rate < 0.28, s"overall rate $rate vs expected 0.1875")
+  }
+
+  test("tfIdfTopTerms emits k descending-scored terms per doc") {
+    val top = CorpusPrep.tfIdfTopTerms(spark, sf, 3)
+    val perDoc = top.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // rn is 1..3 and scores are non-increasing in rn order
+    val viol = top.as("a").join(top.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.rn") < col("b.rn") &&
+          col("a.score") < col("b.score")).count()
+    assert(viol == 0, "scores must be non-increasing with rank")
+    assert(perDoc.filter(col("n") =!= 3).count() == 0, "3 terms per doc")
+    assert(top.filter(col("score") < 0).count() == 0, "ln(N/df) >= 0 since df <= N")
+  }
+
+  test("topNgrams agrees with a direct recount of its reported grams") {
+    val top = CorpusPrep.topNgrams(spark, sf, 2, 20).as[(String, Long)].collect()
+    assert(top.length == 20)
+    assert(top.map(_._2).sliding(2).forall(w => w(0) >= w(1)), "counts descending")
+    // recount WITHOUT per-doc dedup (occurrence counts, not doc frequency)
+    val all = Tables.documents(spark, sf).select(
+      explode(when(
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0)) >= 2,
+        transform(
+          sequence(lit(0),
+            size(filter(split(col("text"), "\\s+"), t => length(t) > 0)) - 2),
+          i => concat_ws(" ",
+            element_at(filter(split(col("text"), "\\s+"), t => length(t) > 0), i + 1),
+            element_at(filter(split(col("text"), "\\s+"), t => length(t) > 0), i + 2))))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    top.foreach { case (gram, n) => assert(all(gram) == n, s"count mismatch for '$gram'") }
+  }
+}
