@@ -45,9 +45,12 @@ object CorpusPrep {
     * corpus-sized side never shuffles raw text, only matched gram rows. */
   def decontaminate(s: SparkSession, d: String, n: Int = 4,
       minShared: Int = 2): DataFrame = {
+    // materialize the token array through a projection first: inlining
+    // tokens() into wordGrams would re-run split() per element_at
     val grams = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"),
-        explode(array_distinct(wordGrams(tokens(col("text")), n))).as("gram"))
+        explode(array_distinct(wordGrams(col("t"), n))).as("gram"))
     val evalGrams = grams.filter(col("doc_id") % 97 === 0)
       .withColumnRenamed("doc_id", "eval_id")
     val trainGrams = grams.filter(col("doc_id") % 97 =!= 0)
@@ -163,7 +166,8 @@ object CorpusPrep {
   def topNgrams(s: SparkSession, d: String, n: Int = 2,
       k: Int = 20): DataFrame =
     Tables.documents(s, d)
-      .select(explode(wordGrams(tokens(col("text")), n)).as("gram"))
+      .select(tokens(col("text")).as("t"))
+      .select(explode(wordGrams(col("t"), n)).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n_occ"))
       .orderBy(col("n_occ").desc, col("gram"))
