@@ -132,11 +132,13 @@ object CorpusPrep {
 
   /** TF-IDF top-`k` terms per document (tf × ln(N/df), the textbook
     * form). Two aggregates: term frequency keyed by (doc_id, word) and
-    * document frequency keyed by word — both map-side combinable; the
-    * df table is vocabulary-sized (bounded, ≪ corpus) so it broadcasts
-    * back onto the tf rows, and the corpus count N joins as a 1-row
-    * broadcast. The final per-doc top-k window partitions by doc_id —
-    * maximal parallelism, no global sort. */
+    * document frequency keyed by word — both map-side combinable. The
+    * df table is NOT hint-broadcast: vocabulary grows with corpus size
+    * (typos, URLs, ids), so at 100 TB a forced broadcast is a driver
+    * OOM — AQE picks broadcast when df measures small, sort-merge on
+    * `word` otherwise. Only the 1-row corpus count N is hint-broadcast.
+    * The final per-doc top-k window partitions by doc_id — maximal
+    * parallelism, no global sort. */
   def tfIdfTopTerms(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     val docs = Tables.documents(s, d)
     val words = docs.select(col("doc_id"),
@@ -145,7 +147,7 @@ object CorpusPrep {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(broadcast(df), "word")
+    tf.join(df, "word")
       .crossJoin(broadcast(n))
       .withColumn("score", round(col("tf") *
         log(col("n_docs").cast("double") / col("df")), 3))
