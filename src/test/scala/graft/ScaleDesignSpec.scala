@@ -87,6 +87,35 @@ class ScaleDesignSpec extends SparkSpec {
     assert(firstStageGroups > 5, s"expected >1 salt bucket per key, got $firstStageGroups")
   }
 
+  test("tf-idf carries no forced broadcast on the vocabulary-sized df table") {
+    // document frequencies are one row per distinct word — vocabulary
+    // grows with corpus size, so only the 1-row corpus count may carry
+    // a hint; the df join must be left to AQE.
+    val analyzed = graft.ops.CorpusPrep.tfIdfTopTerms(spark, sf)
+      .queryExecution.analyzed
+    val hinted = analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.size == 1, s"expected exactly the 1-row count hint, got:\n$hinted")
+    assert(hinted.head.toString.contains("n_docs"),
+      "the only hint must be on the corpus-count side")
+  }
+
+  test("decontaminate scans documents with pruned columns and broadcasts only the eval side") {
+    val qe = graft.ops.CorpusPrep.decontaminate(spark, sf).queryExecution
+    // column pruning: the parquet scan must read only doc_id + text
+    val scans = qe.executedPlan.toString
+    assert(scans.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan not pruned to (doc_id, text):\n$scans")
+    // the broadcast hint sits on the eval (benchmark-suite) side, which
+    // is bounded by construction — the train side must not be hinted
+    val hinted = qe.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.size == 1 && hinted.head.toString.contains("eval_id"),
+      s"exactly the eval side must carry the broadcast hint:\n$hinted")
+  }
+
   test("bucketed quad tables join and pivot without an exchange") {
     val quads = graft.ops.QuadOps.geoQuads(spark, sf)
       .withColumn("graph", lit("g1"))
