@@ -17,14 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPrep {
 
-  /** Non-empty whitespace tokens of a text column. */
-  private def tokens(c: Column): Column =
+  /** Non-empty whitespace tokens of a text column — THE corpus
+    * tokenization, shared by every word-level operator (decontaminate,
+    * tf-idf, n-gram stats, repetition signals) so their oracles can
+    * never drift apart. */
+  private[ops] def tokens(c: Column): Column =
     filter(split(c, "\\s+"), t => length(t) > 0)
 
   /** Word n-grams over a token-array column (space-joined strings).
     * `concat_ws` is safe here: every element is within bounds, so no
-    * nulls are skipped. */
-  private def wordGrams(toks: Column, n: Int): Column =
+    * nulls are skipped. Callers must materialize the token array through
+    * a projection first (see decontaminate) — inlining tokens() here
+    * re-runs split() per element_at. */
+  private[ops] def wordGrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(j =>

@@ -79,7 +79,7 @@ object TextAnalysis {
     * occurrence within the same document. Pure array algebra per row —
     * no shuffle, trivially parallel. */
   def repetitionSignals(s: SparkSession, d: String): DataFrame = {
-    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val toks = CorpusPrep.tokens(col("text"))
     def grams(n: Int) = when(size(col("t")) >= n,
       transform(sequence(lit(0), size(col("t")) - n),
         i => concat_ws(" ", (0 until n).map(j =>

@@ -11,36 +11,42 @@ class CorpusPrepSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.01"
 
-  private def gramSets(n: Int) = Tables.documents(spark, sf).select(
-    col("doc_id"),
-    array_distinct(when(
-      size(filter(split(col("text"), "\\s+"), t => length(t) > 0)) >= n,
-      transform(
-        sequence(lit(0),
-          size(filter(split(col("text"), "\\s+"), t => length(t) > 0)) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(
-          filter(split(col("text"), "\\s+"), t => length(t) > 0),
-          i + j + 1)): _*)))
-      .otherwise(array().cast("array<string>"))).as("grams"))
+  /** Per-doc distinct gram sets via the operator's OWN tokenizer/gram
+    * builder (private[ops]) — the spec's brute-force oracle can't drift
+    * from the operator's gram semantics. */
+  private def gramSets(dir: String, n: Int) = Tables.documents(spark, dir)
+    .select(col("doc_id"), CorpusPrep.tokens(col("text")).as("t"))
+    .select(col("doc_id"),
+      array_distinct(CorpusPrep.wordGrams(col("t"), n)).as("grams"))
 
   test("decontaminate returns exactly the train×eval pairs sharing >=2 distinct 4-grams") {
-    val g = gramSets(4)
-    val ev = g.filter(col("doc_id") % 97 === 0)
-      .select(col("doc_id").as("eval_id"), col("grams").as("eg"))
-    val tr = g.filter(col("doc_id") % 97 =!= 0)
-      .select(col("doc_id").as("train_id"), col("grams").as("tg"))
-    // brute-force oracle: small cross join (|eval| is tiny by construction)
-    val expected = tr.crossJoin(ev)
-      .select(col("train_id"), col("eval_id"),
-        size(array_intersect(col("tg"), col("eg"))).as("n"))
-      .filter(col("n") >= 2)
-      .select(col("train_id"), col("eval_id"), col("n").cast("long"))
-      .as[(Long, Long, Long)].collect().toSet
-    val got = CorpusPrep.decontaminate(spark, sf)
-      .as[(Long, Long, Long)].collect().toSet
-    assert(got == expected,
-      s"extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
-    assert(got.nonEmpty, "planted near-dups should contaminate the eval slice")
+    // sf0.01's eval slice yields a single boundary pair — also assert at
+    // sf0.001 where near-identical planted docs give high-count pairs,
+    // so the join/threshold logic is exercised away from the boundary.
+    for (dir <- Seq(sf, "/root/testdata/sf0.001")) {
+      val g = gramSets(dir, 4)
+      val ev = g.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("eval_id"), col("grams").as("eg"))
+      val tr = g.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id").as("train_id"), col("grams").as("tg"))
+      // brute-force oracle: small cross join (|eval| is tiny by construction)
+      val expected = tr.crossJoin(ev)
+        .select(col("train_id"), col("eval_id"),
+          size(array_intersect(col("tg"), col("eg"))).as("n"))
+        .filter(col("n") >= 2)
+        .select(col("train_id"), col("eval_id"), col("n").cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+      val got = CorpusPrep.decontaminate(spark, dir)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected,
+        s"$dir: extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+      assert(got.nonEmpty, s"$dir: eval slice should be contaminated")
+    }
+    // the non-boundary case really occurred: sf0.001 has pairs well above
+    // the minShared=2 threshold
+    val strong = CorpusPrep.decontaminate(spark, "/root/testdata/sf0.001")
+      .filter(col("n_shared") >= 5).count()
+    assert(strong > 0, "expected at least one high-overlap contamination pair")
   }
 
   test("piiRedact finds exactly the planted PII and leaves clean docs byte-identical") {
@@ -102,16 +108,9 @@ class CorpusPrepSpec extends SparkSpec {
     assert(top.length == 20)
     assert(top.map(_._2).sliding(2).forall(w => w(0) >= w(1)), "counts descending")
     // recount WITHOUT per-doc dedup (occurrence counts, not doc frequency)
-    val all = Tables.documents(spark, sf).select(
-      explode(when(
-        size(filter(split(col("text"), "\\s+"), t => length(t) > 0)) >= 2,
-        transform(
-          sequence(lit(0),
-            size(filter(split(col("text"), "\\s+"), t => length(t) > 0)) - 2),
-          i => concat_ws(" ",
-            element_at(filter(split(col("text"), "\\s+"), t => length(t) > 0), i + 1),
-            element_at(filter(split(col("text"), "\\s+"), t => length(t) > 0), i + 2))))
-        .otherwise(array().cast("array<string>"))).as("gram"))
+    val all = Tables.documents(spark, sf)
+      .select(CorpusPrep.tokens(col("text")).as("t"))
+      .select(explode(CorpusPrep.wordGrams(col("t"), 2)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
     top.foreach { case (gram, n) => assert(all(gram) == n, s"count mismatch for '$gram'") }
