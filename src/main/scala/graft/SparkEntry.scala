@@ -87,6 +87,7 @@ object SparkEntry {
     "x_sample_strat"    -> ((s, d) => CorpusPrep.stratifiedSample(s, d)),
     "x_tfidf_top"       -> ((s, d) => CorpusPrep.tfIdfTopTerms(s, d)),
     "x_ngram_topk"      -> ((s, d) => CorpusPrep.topNgrams(s, d)),
+    "x_len_quantiles"   -> ((s, d) => CorpusPrep.lengthQuantiles(s, d)),
     "x_sessionize"      -> ((s, d) => Sessionize.sessions(s, d)),
     "x_window_hourly"   -> ((s, d) => Sessionize.hourlyWindows(s, d)),
     "x_window_sliding"  -> ((s, d) => Sessionize.slidingWindows(s, d)),
@@ -628,6 +629,13 @@ object SparkEntry {
         |  FROM toks)
         |SELECT gram, count(*) AS n_occ FROM grams
         |GROUP BY gram ORDER BY n_occ DESC, gram LIMIT 20""".stripMargin,
+    "x_len_quantiles" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(quantile_cont(n_chars, 0.25), 2) AS p25,
+        |  round(quantile_cont(n_chars, 0.5), 2) AS p50,
+        |  round(quantile_cont(n_chars, 0.75), 2) AS p75,
+        |  round(quantile_cont(n_chars, 0.99), 2) AS p99
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "x_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
         |l AS (SELECT user_id, us,

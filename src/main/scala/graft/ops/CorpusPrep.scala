@@ -165,6 +165,34 @@ object CorpusPrep {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** Per-language document-length distribution (quartiles + p99): the
+    * corpus-profiling stat behind length filters and batch-shape
+    * decisions. Exact `percentile` keeps the oracle hash-matchable; its
+    * aggregation state is a value→count map per group, bounded by the
+    * distinct-length cardinality (≤ max doc length), which is fine at
+    * any corpus size. For genuinely unbounded-cardinality columns use
+    * the `approx_percentile` twin (same call shape, KLL-sketch state,
+    * spec-checked error bound). */
+  def lengthQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_chars, 0.25)"), 2).as("p25"),
+        round(expr("percentile(n_chars, 0.5)"), 2).as("p50"),
+        round(expr("percentile(n_chars, 0.75)"), 2).as("p75"),
+        round(expr("percentile(n_chars, 0.99)"), 2).as("p99"))
+      .orderBy(col("lang"))
+
+  /** Sketch-based twin of [[lengthQuantiles]] for unbounded-cardinality
+    * columns at scale (mergeable KLL state, no value map). */
+  def lengthQuantilesApprox(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("approx_percentile(n_chars, array(0.25, 0.5, 0.75, 0.99), 10000)")
+          .as("qs"))
+      .orderBy(col("lang"))
+
   /** Corpus-level top-`k` word n-grams by occurrence count (the heavy-
     * hitter statistic behind boilerplate lists and filter rules). Explode
     * → count keyed by gram (map-side partial aggregation shrinks the

@@ -103,6 +103,21 @@ class CorpusPrepSpec extends SparkSpec {
     assert(top.filter(col("score") < 0).count() == 0, "ln(N/df) >= 0 since df <= N")
   }
 
+  test("approx length quantiles track the exact percentiles within sketch error") {
+    val exact = CorpusPrep.lengthQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    CorpusPrep.lengthQuantilesApprox(spark, sf).collect().foreach { r =>
+      val approx = r.getSeq[Long](2)
+      exact(r.getString(0)).zip(approx).foreach { case (e, a) =>
+        // accuracy 10000 → rank error ≤ 1/10000: on these group sizes the
+        // sketch is exact up to interpolation; allow a loose 10% band
+        assert(math.abs(a - e) <= math.max(1.0, e * 0.1),
+          s"lang=${r.getString(0)} exact=$e approx=$a")
+      }
+    }
+  }
+
   test("topNgrams agrees with a direct recount of its reported grams") {
     val top = CorpusPrep.topNgrams(spark, sf, 2, 20).as[(String, Long)].collect()
     assert(top.length == 20)
