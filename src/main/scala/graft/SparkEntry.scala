@@ -69,6 +69,7 @@ object SparkEntry {
     "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
     "x_sim_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
     "x_emb_quantize"    -> ((s, d) => Similarity.quantizeInt8(s, d)),
+    "x_emb_slice"       -> ((s, d) => Similarity.slicedTopKAgreement(s, d)),
     "x_txt_tokens"      -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "x_txt_quality"     -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "x_txt_langid"      -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -456,6 +457,26 @@ object SparkEntry {
         |  round(list_aggregate(list_transform(range(1, len(x) + 1),
         |        i -> abs(x[i] - qv[i] * s)), 'max'), 6) AS max_err
         |FROM q ORDER BY vec_id""".stripMargin,
+    "x_emb_slice" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+        |full_s AS (
+        |  SELECT qid, cid,
+        |    round(list_cosine_similarity(qe::DOUBLE[], ce::DOUBLE[]), 4) AS sim
+        |  FROM c JOIN q ON qid != cid),
+        |full_t AS (SELECT qid, cid FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        |  FROM full_s) WHERE rn <= 5),
+        |sl_s AS (
+        |  SELECT qid, cid,
+        |    round(list_cosine_similarity((qe[1:16])::DOUBLE[], (ce[1:16])::DOUBLE[]), 4) AS sim
+        |  FROM c JOIN q ON qid != cid),
+        |sl_t AS (SELECT qid, cid FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        |  FROM sl_s) WHERE rn <= 5)
+        |SELECT f.qid, CAST(count(s.cid) AS BIGINT) AS n_common
+        |FROM full_t f LEFT JOIN sl_t s ON f.qid = s.qid AND f.cid = s.cid
+        |GROUP BY f.qid ORDER BY f.qid""".stripMargin,
     "x_txt_tokens" ->
       """SELECT doc_id, length(text) AS n_chars,
         |CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_ws_tokens,

@@ -99,6 +99,39 @@ object Similarity {
     bucketTopK(signedEmbeddings(emb, nPlanes), nQueries, k = 1)
   }
 
+  /** Matryoshka-style truncated retrieval: score on only the first
+    * `dims` dimensions (MRL-trained embeddings concentrate signal in the
+    * prefix, making the truncation the cheap first-pass ranker — 4× less
+    * arithmetic and bytes here), then report per-query agreement with
+    * the full-dimension top-k: `n_common` of the two top-k sets. The
+    * evaluation harness one runs before trusting a truncation level.
+    * Same shuffle shape as [[bruteForceTopK]] (broadcast queries, corpus
+    * partition-local) — the slice happens inside the scan projection, so
+    * only `dims` floats per row are ever scored. */
+  def slicedTopKAgreement(s: SparkSession, d: String, dims: Int = 16,
+      nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    def topK(sel: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+      val queries = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), sel(col("embedding")).as("qe"))
+      val cands = emb.select(col("vec_id").as("cid"),
+        sel(col("embedding")).as("ce"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+      cands.join(broadcast(queries), col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid"),
+          round(CosineSimilarity(col("qe"), col("ce")), 4).as("sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("qid"), col("cid"))
+    }
+    val full = topK(identity)
+    val sliced = topK(e => slice(e, 1, dims)).withColumn("m", lit(1))
+    full.join(sliced, Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("m")).as("n_common"))
+      .orderBy(col("qid"))
+  }
+
   /** Symmetric int8 quantization of the embedding column — the standard
     * 4× compression step before ANN indexing at scale (per-vector scale
     * = max|x|/127, q_i = round(x_i/scale)). Pure column algebra over the

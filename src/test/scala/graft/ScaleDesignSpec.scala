@@ -87,6 +87,16 @@ class ScaleDesignSpec extends SparkSpec {
     assert(firstStageGroups > 5, s"expected >1 salt bucket per key, got $firstStageGroups")
   }
 
+  test("matryoshka slice agreement: full-dim slice agrees totally, counts bounded") {
+    // dims = full width → the two top-k sets are identical by definition
+    val self = Similarity.slicedTopKAgreement(spark, sf, dims = 64)
+      .select("n_common").as[Long].collect()
+    assert(self.length == 8 && self.forall(_ == 5), self.mkString(","))
+    val sliced = Similarity.slicedTopKAgreement(spark, sf, dims = 16)
+      .select("n_common").as[Long].collect()
+    assert(sliced.length == 8 && sliced.forall(n => n >= 0 && n <= 5))
+  }
+
   test("tf-idf carries no forced broadcast on the vocabulary-sized df table") {
     // document frequencies are one row per distinct word — vocabulary
     // grows with corpus size, so only the 1-row corpus count may carry
