@@ -111,24 +111,26 @@ object Similarity {
   def slicedTopKAgreement(s: SparkSession, d: String, dims: Int = 16,
       nQueries: Int = 8, k: Int = 5): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    def topK(sel: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
-      val queries = emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("qid"), sel(col("embedding")).as("qe"))
-      val cands = emb.select(col("vec_id").as("cid"),
-        sel(col("embedding")).as("ce"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-      cands.join(broadcast(queries), col("qid") =!= col("cid"))
-        .select(col("qid"), col("cid"),
-          round(CosineSimilarity(col("qe"), col("ce")), 4).as("sim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k)
-        .select(col("qid"), col("cid"))
-    }
-    val full = topK(identity)
-    val sliced = topK(e => slice(e, 1, dims)).withColumn("m", lit(1))
-    full.join(sliced, Seq("qid", "cid"), "left")
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cands = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // ONE pair enumeration scores both variants (the slice is a cheap
+    // in-expression projection of the already-loaded vector), and both
+    // ranks come from windows over the SAME qid partitioning — a single
+    // Exchange, not two join branches re-running the corpus scan.
+    val w = Window.partitionBy(col("qid"))
+    val scored = cands.join(broadcast(queries), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(CosineSimilarity(col("qe"), col("ce")), 4).as("sim_full"),
+        round(CosineSimilarity(slice(col("qe"), 1, dims),
+          slice(col("ce"), 1, dims)), 4).as("sim_sliced"))
+      .withColumn("rn_full",
+        row_number().over(w.orderBy(col("sim_full").desc, col("cid"))))
+      .withColumn("rn_sliced",
+        row_number().over(w.orderBy(col("sim_sliced").desc, col("cid"))))
+    scored.filter(col("rn_full") <= k)
       .groupBy(col("qid"))
-      .agg(count(col("m")).as("n_common"))
+      .agg(count(when(col("rn_sliced") <= k, 1)).as("n_common"))
       .orderBy(col("qid"))
   }
 

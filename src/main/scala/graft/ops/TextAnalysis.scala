@@ -80,11 +80,7 @@ object TextAnalysis {
     * no shuffle, trivially parallel. */
   def repetitionSignals(s: SparkSession, d: String): DataFrame = {
     val toks = CorpusPrep.tokens(col("text"))
-    def grams(n: Int) = when(size(col("t")) >= n,
-      transform(sequence(lit(0), size(col("t")) - n),
-        i => concat_ws(" ", (0 until n).map(j =>
-          element_at(col("t"), i + j + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
+    def grams(n: Int) = CorpusPrep.wordGrams(col("t"), n)
     def dupFrac(g: org.apache.spark.sql.Column) =
       when(size(g) === 0, 0.0).otherwise(
         round((size(g) - size(array_distinct(g))).cast("double") / size(g), 3))

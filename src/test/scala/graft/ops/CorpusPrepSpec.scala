@@ -19,10 +19,28 @@ class CorpusPrepSpec extends SparkSpec {
     .select(col("doc_id"),
       array_distinct(CorpusPrep.wordGrams(col("t"), n)).as("grams"))
 
+  test("tokens/wordGrams match a hand-written fixture (independent of production code)") {
+    // the other oracles in this suite reuse the production helpers, so
+    // this literal fixture is the in-suite independent check of gram
+    // construction itself (an off-by-one here can't hide behind reuse)
+    val rows = Seq("a b  c d e", " x ", "p q", "").toDF("text")
+      .select(CorpusPrep.tokens(col("text")).as("t"))
+      .select(col("t"),
+        CorpusPrep.wordGrams(col("t"), 2).as("g2"),
+        CorpusPrep.wordGrams(col("t"), 4).as("g4"))
+      .as[(Seq[String], Seq[String], Seq[String])].collect()
+    assert(rows(0) == ((Seq("a", "b", "c", "d", "e"),
+      Seq("a b", "b c", "c d", "d e"), Seq("a b c d", "b c d e"))))
+    assert(rows(1) == ((Seq("x"), Nil, Nil)))
+    assert(rows(2) == ((Seq("p", "q"), Seq("p q"), Nil)))
+    assert(rows(3) == ((Nil, Nil, Nil)))
+  }
+
   test("decontaminate returns exactly the train×eval pairs sharing >=2 distinct 4-grams") {
     // sf0.01's eval slice yields a single boundary pair — also assert at
     // sf0.001 where near-identical planted docs give high-count pairs,
     // so the join/threshold logic is exercised away from the boundary.
+    var sf001Pairs = Set.empty[(Long, Long, Long)]
     for (dir <- Seq(sf, "/root/testdata/sf0.001")) {
       val g = gramSets(dir, 4)
       val ev = g.filter(col("doc_id") % 97 === 0)
@@ -41,12 +59,12 @@ class CorpusPrepSpec extends SparkSpec {
       assert(got == expected,
         s"$dir: extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
       assert(got.nonEmpty, s"$dir: eval slice should be contaminated")
+      if (dir.endsWith("sf0.001")) sf001Pairs = got
     }
     // the non-boundary case really occurred: sf0.001 has pairs well above
     // the minShared=2 threshold
-    val strong = CorpusPrep.decontaminate(spark, "/root/testdata/sf0.001")
-      .filter(col("n_shared") >= 5).count()
-    assert(strong > 0, "expected at least one high-overlap contamination pair")
+    assert(sf001Pairs.exists(_._3 >= 5),
+      "expected at least one high-overlap contamination pair")
   }
 
   test("piiRedact finds exactly the planted PII and leaves clean docs byte-identical") {
