@@ -126,6 +126,27 @@ class ScaleDesignSpec extends SparkSpec {
       s"exactly the eval side must carry the broadcast hint:\n$hinted")
   }
 
+  test("corpus-prep scans are pruned to exactly the referenced columns") {
+    // a scan reading all 5 documents columns for a 2-column operator
+    // would ship text+source+lang bytes it never uses — at 100 TB that
+    // is the difference between a column-pruned scan and a full read
+    def assertScan(df: org.apache.spark.sql.DataFrame, want: String): Unit = {
+      val schemas = "ReadSchema: (struct<[^>]*>)".r
+        .findAllMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1)).toSeq
+      assert(schemas.nonEmpty && schemas.forall(_ == want),
+        s"expected every scan to read $want, got $schemas")
+    }
+    assertScan(graft.ops.CorpusPrep.piiRedact(spark, sf),
+      "struct<doc_id:bigint,text:string>")
+    assertScan(graft.ops.CorpusPrep.lengthQuantiles(spark, sf),
+      "struct<lang:string,n_chars:bigint>")
+    assertScan(graft.ops.CorpusPrep.domainCap(spark, sf),
+      "struct<doc_id:bigint,source:string>")
+    assertScan(graft.ops.CorpusPrep.topNgrams(spark, sf),
+      "struct<text:string>")
+  }
+
   test("bucketed quad tables join and pivot without an exchange") {
     val quads = graft.ops.QuadOps.geoQuads(spark, sf)
       .withColumn("graph", lit("g1"))
