@@ -98,8 +98,11 @@ object SparkEntry {
       Skew.saltedCount(Tables.events(s, d), org.apache.spark.sql.functions.col("event_type"))
         .orderBy("key")),
     // The reference's core operator (G1-G4): RDFa extraction pipeline over
-    // deterministic synthesized pages. Not SQL-expressible → rows-only
-    // check; exact semantics are pinned by golden fixtures in the specs.
+    // deterministic synthesized pages. DuckDB can't parse HTML, but the
+    // page synthesis is arithmetic in doc_id, so the expected per-page
+    // verdict counts ARE SQL-expressible — the oracle derives them
+    // relationally (see ExtractPipeline.pipelineSummary); exact triple
+    // semantics are additionally pinned by golden fixtures in the specs.
     "rdfa_pipeline"     -> ((s, d) => graft.pipeline.ExtractPipeline.pipelineSummary(s, d)),
   )
 
@@ -457,6 +460,13 @@ object SparkEntry {
         |  round(list_aggregate(list_transform(range(1, len(x) + 1),
         |        i -> abs(x[i] - qv[i] * s)), 'max'), 6) AS max_err
         |FROM q ORDER BY vec_id""".stripMargin,
+    "rdfa_pipeline" ->
+      """SELECT 'http://harvest.example.org/page/' || doc_id AS url,
+        |  CAST(4 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+        |         + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_valid,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_corrected,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_invalid
+        |FROM documents ORDER BY url""".stripMargin,
     "x_emb_slice" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
         |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),

@@ -213,7 +213,14 @@ object ExtractPipeline {
   }
 
   /** Driver-contract query: per-page verdict counts of the full pipeline
-    * over synthesized pages. */
+    * over synthesized pages. Oracle-checked: because [[syntheticPages]]
+    * is arithmetic in doc_id, the expected counts are SQL-derivable —
+    * valid = 4 base quads (besluit type, eli:title, the G3
+    * prov:wasDerivedFrom provenance quad, eli:cites) + the %2 valid date
+    * + the %3 rdf:HTML value; corrected = the %2-odd repairable date;
+    * invalid = the %5 unsupported-datatype literal. Any parser / RDFa
+    * walk / validator / provenance regression shifts a count and breaks
+    * the hash match. */
   def pipelineSummary(spark: SparkSession, sfDir: String): DataFrame =
     run(spark, syntheticPages(spark, sfDir))
       .groupBy(col("url"))
