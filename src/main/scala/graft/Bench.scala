@@ -24,12 +24,18 @@ object Bench {
     // disable by pointing SPARK_GRAFT_WARMUP_DIR at a missing path.
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
       "/root/testdata/sf0.001")
-    if (new java.io.File(warmupDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmupDir).count()
-        catch { case scala.util.control.NonFatal(_) => () } // timed run reports it
+    if (new java.io.File(warmupDir).isDirectory) {
+      val failed = SparkEntry.queries.count { case (_, fn) =>
+        try { fn(spark, warmupDir).count(); false }
+        catch { case scala.util.control.NonFatal(_) => true }
       }
-    else // a skipped warmup must be visible: the total is then cold-start
+      // a genuine query bug resurfaces loudly in the timed run; what must
+      // not pass silently is a warmup that largely didn't happen (e.g. a
+      // dir that exists but lacks the parquet tables → cold timings)
+      if (failed > 0)
+        System.err.println(s"BENCH WARN $failed/${SparkEntry.queries.size} " +
+          s"warmup queries failed on $warmupDir; affected plans are timed cold")
+    } else // a skipped warmup must be visible: the total is then cold-start
       System.err.println(s"BENCH WARN warmup dir $warmupDir missing; " +
         "reported times include one-time codegen/JIT cost")
     // A failed query must be loud: it is excluded from the total (so a
