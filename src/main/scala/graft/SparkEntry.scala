@@ -57,6 +57,9 @@ object SparkEntry {
     // PPJoin-style prefix-filtered variant at the strict threshold its
     // pruning targets (prefix = ~10% of postings at t=0.9 vs ~50% at 0.5)
     "x_dedup_jaccard_pp" -> ((s, d) => Dedup.ngramJaccardPrefix(s, d, 0.9)),
+    // incremental-ingestion dedup: bloom-prefiltered new-batch vs prior
+    // corpus, exact-verified — expected matches are SQL-expressible
+    "x_dedup_incr"      -> ((s, d) => Dedup.incrementalDedup(s, d)),
     // dup-guarantee variants: the custom-hash operators' *guarantee*
     // (identical input ⇒ identical signature/fingerprint) expressed over
     // a planted-duplicate corpus, where the expected pair set IS
@@ -344,6 +347,14 @@ object SparkEntry {
     "x_dedup_jaccard" -> jaccardOracle(0.5),
     // same relation at the strict threshold the prefix filter targets
     "x_dedup_jaccard_pp" -> jaccardOracle(0.9),
+    "x_dedup_incr" ->
+      """WITH newb AS (
+        |  SELECT doc_id + 200000 AS new_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text ELSE text || ' v2' END AS text
+        |  FROM documents)
+        |SELECT n.new_id, p.doc_id AS prior_id
+        |FROM newb n JOIN documents p ON n.text = p.text
+        |ORDER BY new_id, prior_id""".stripMargin,
     "x_dedup_embed" ->
       """WITH p AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,

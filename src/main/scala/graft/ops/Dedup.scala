@@ -359,6 +359,54 @@ object Dedup {
       .limit(topN)
   }
 
+  /** Incremental-ingestion exact dedup: match a NEW batch against the
+    * PRIOR corpus without joining the prior corpus per batch. The prior
+    * side is distilled into a Bloom filter over xxhash64(text)
+    * fingerprints (distributed treeAggregate build — the same
+    * `BloomFilterMightContain` machinery Spark's runtime row filtering
+    * uses, evaluated as a codegen'd predicate against a plan literal);
+    * only the ~fpp fraction of new rows that might match ever reach the
+    * verification join, which compares full text for exactness. False
+    * positives cost efficiency, never correctness.
+    *
+    * 100 TB posture: the bloom is sized from the prior count (~1.2 bytes
+    * per item at 3% fpp) and shipped once per batch; for prior corpora
+    * whose filter outgrows a broadcast, range-partition the fingerprint
+    * space and apply per-partition filters. The batch never shuffles
+    * until after the bloom prunes it.
+    *
+    * The new batch is synthesized deterministically (the driver tables
+    * have no cross-batch stream): every 3rd doc re-arrives verbatim
+    * (`doc_id + offset`), the rest re-arrive modified (` v2` suffix, a
+    * token outside the corpus vocabulary) — so the expected match set is
+    * exactly the verbatim re-arrivals and is SQL-expressible. */
+  def incrementalDedup(s: SparkSession, d: String,
+      offset: Long = 200000L, fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val docs = Tables.documents(s, d)
+    val prior = docs.select(col("doc_id"), col("text"),
+      xxhash64(col("text")).as("fp"))
+    val newBatch = docs.select((col("doc_id") + offset).as("new_id"),
+      when(col("doc_id") % 3 === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" v2"))).as("text"))
+      .withColumn("fp", xxhash64(col("text")))
+    val bloom = prior.stat.bloomFilter("fp", math.max(prior.count(), 1000L), fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightMatch = ColumnBridge.toColumn(BloomFilterMightContain(
+      Literal(bytes), ColumnBridge.toExpr(col("fp"))))
+    newBatch.filter(mightMatch)
+      .join(prior.withColumnRenamed("fp", "pfp"),
+        col("fp") === col("pfp") &&
+          newBatch("text") === prior("text")) // exact verify kills false positives
+      .select(col("new_id"), col("doc_id").as("prior_id"))
+      .orderBy(col("new_id"), col("prior_id"))
+  }
+
   /** SimHash near-dup pairs: fingerprint (custom expression) → 4×16-bit
     * band join → exact Hamming ≤ maxHamming filter via `bit_count(xor)`. */
   def simhash(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {

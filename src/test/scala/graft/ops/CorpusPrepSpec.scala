@@ -136,6 +136,28 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup finds exactly the verbatim re-arrivals; bloom really prunes") {
+    val docs = Tables.documents(spark, sf)
+    val expected = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 200000L).as("new_id"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    val got = Dedup.incrementalDedup(spark, sf).as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+    // the bloom prefilter must do its job: at fpp=3% only re-arrivals
+    // plus ~3% of modified docs may pass, far below the full batch
+    val prior = docs.select(xxhash64(col("text")).as("fp"))
+    val bloom = prior.stat.bloomFilter("fp", 1000L.max(docs.count()), 0.03)
+    val batchFps = docs.select(
+      when(col("doc_id") % 3 === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" v2"))).as("text"))
+      .select(xxhash64(col("text")).as("fp")).as[Long].collect()
+    val candidates = batchFps.count(bloom.mightContainLong)
+    assert(candidates < batchFps.length * 0.5,
+      s"bloom passed $candidates of ${batchFps.length}")
+    assert(candidates >= expected.size, "no false negatives allowed")
+  }
+
   test("topNgrams agrees with a direct recount of its reported grams") {
     val top = CorpusPrep.topNgrams(spark, sf, 2, 20).as[(String, Long)].collect()
     assert(top.length == 20)
