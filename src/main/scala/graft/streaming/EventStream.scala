@@ -42,4 +42,29 @@ object EventStream {
     events
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming twin of `ops.Dedup.incrementalDedup`: the ingest-side
+    * novelty gate of a streaming corpus pipeline. The prior corpus is
+    * distilled into a Bloom filter evaluated as a STATELESS codegen'd
+    * predicate per micro-batch (no streaming state at all); rows that
+    * fail the bloom are certainly novel (no false negatives), rows that
+    * pass are exact-verified with a stream-static left-anti join against
+    * the prior text table, so bloom false positives cost one lookup,
+    * never a wrongly-dropped document. Emits only genuinely new docs.
+    *
+    * At scale the anti-join's static side is the prior corpus keyed by
+    * fingerprint — only the ~fpp fraction of stream rows ever reaches
+    * it, which is the point of the bloom stage. */
+  def noveltyFilter(newDocs: DataFrame, prior: DataFrame,
+      bloomBytes: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val fp = xxhash64(col("text"))
+    val mightDup = ColumnBridge.toColumn(BloomFilterMightContain(
+      Literal(bloomBytes), ColumnBridge.toExpr(fp)))
+    val certainlyNew = newDocs.filter(!mightDup)
+    val verifiedNew = newDocs.filter(mightDup)
+      .join(prior.select(col("text")), Seq("text"), "left_anti")
+    certainlyNew.unionByName(verifiedNew)
+  }
 }
