@@ -381,28 +381,24 @@ object Dedup {
     * token outside the corpus vocabulary) — so the expected match set is
     * exactly the verbatim re-arrivals and is SQL-expressible. */
   def incrementalDedup(s: SparkSession, d: String,
-      offset: Long = 200000L, fpp: Double = 0.03): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftbridge.ColumnBridge
+      offset: Long = 200000L, fpp: Double = 0.03,
+      expectedItems: Long = 1L << 20): DataFrame = {
+    import graft.functions.BloomSupport
     val docs = Tables.documents(s, d)
-    val prior = docs.select(col("doc_id"), col("text"),
-      xxhash64(col("text")).as("fp"))
+    val prior = docs.select(col("doc_id"), col("text"))
     val newBatch = docs.select((col("doc_id") + offset).as("new_id"),
       when(col("doc_id") % 3 === 0, col("text"))
         .otherwise(concat(col("text"), lit(" v2"))).as("text"))
-      .withColumn("fp", xxhash64(col("text")))
-    val bloom = prior.stat.bloomFilter("fp", math.max(prior.count(), 1000L), fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
-    val mightMatch = ColumnBridge.toColumn(BloomFilterMightContain(
-      Literal(bytes), ColumnBridge.toExpr(col("fp"))))
-    newBatch.filter(mightMatch)
-      .join(prior.withColumnRenamed("fp", "pfp"),
-        col("fp") === col("pfp") &&
-          newBatch("text") === prior("text")) // exact verify kills false positives
+    // one column-pruned scan builds the filter; `expectedItems` comes
+    // from table statistics in a real deployment (a count scan per batch
+    // would double the prior-side reads for a number metadata already has)
+    val bytes = BloomSupport.toBytes(docs
+      .select(xxhash64(col("text")).as("fp"))
+      .stat.bloomFilter("fp", expectedItems, fpp))
+    // text equality subsumes fingerprint equality (fp is a function of
+    // text), so the verify join needs no hash column on either side
+    newBatch.filter(BloomSupport.mightContain(bytes, xxhash64(col("text"))))
+      .join(prior, Seq("text")) // exact verify kills false positives
       .select(col("new_id"), col("doc_id").as("prior_id"))
       .orderBy(col("new_id"), col("prior_id"))
   }

@@ -57,11 +57,8 @@ object EventStream {
     * it, which is the point of the bloom stage. */
   def noveltyFilter(newDocs: DataFrame, prior: DataFrame,
       bloomBytes: Array[Byte]): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    val fp = xxhash64(col("text"))
-    val mightDup = ColumnBridge.toColumn(BloomFilterMightContain(
-      Literal(bloomBytes), ColumnBridge.toExpr(fp)))
+    val mightDup = graft.functions.BloomSupport.mightContain(
+      bloomBytes, xxhash64(col("text")))
     val certainlyNew = newDocs.filter(!mightDup)
     val verifiedNew = newDocs.filter(mightDup)
       .join(prior.select(col("text")), Seq("text"), "left_anti")

@@ -106,24 +106,28 @@ class StreamingSpec extends SparkSpec {
   test("streaming novelty filter drops prior-corpus re-arrivals, passes new docs") {
     val prior = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
       .toDF("doc_id", "text")
-    val bloom = prior.select(xxhash64(col("text")).as("fp"))
-      .stat.bloomFilter("fp", 1000, 0.03)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos); bos.toByteArray
-    }
+    // the bloom deliberately contains one fingerprint whose text is NOT
+    // in the prior table ("false positive text") — a guaranteed bloom
+    // false positive that must survive via the exact-verify anti-join
+    val bytes = graft.functions.BloomSupport.toBytes(
+      prior.select(col("text"))
+        .union(Seq("false positive text").toDF("text"))
+        .select(xxhash64(col("text")).as("fp"))
+        .stat.bloomFilter("fp", 1000, 0.03))
     val in = Files.createTempDirectory("novel-in").toString
     Files.writeString(java.nio.file.Paths.get(s"$in/batch.json"),
       Seq("""{"new_id":10,"text":"alpha beta gamma"}""", // verbatim re-arrival
         """{"new_id":11,"text":"totally new text"}""",
         """{"new_id":12,"text":"delta epsilon zeta"}""", // re-arrival
-        """{"new_id":13,"text":"another new one"}""").mkString("\n"))
+        """{"new_id":13,"text":"another new one"}""",
+        """{"new_id":14,"text":"false positive text"}""" // passes bloom, novel
+      ).mkString("\n"))
     val stream = spark.readStream.schema("new_id LONG, text STRING").json(in)
     val q = EventStream.noveltyFilter(stream, prior, bytes)
       .writeStream.format("memory").queryName("novel").outputMode("append").start()
     q.processAllAvailable(); q.stop()
     val out = spark.table("novel").select("new_id").as[Long].collect().sorted
-    assert(out.toSeq == Seq(11L, 13L), out.toSeq)
+    assert(out.toSeq == Seq(11L, 13L, 14L), out.toSeq)
   }
 
   test("streaming dedup within watermark drops in-horizon duplicates") {
