@@ -53,5 +53,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "winnow_fingerprint(text) - winnowing rolling-hash fingerprint set."),
       (args: Seq[Expression]) =>
         Winnow(arity("winnow_fingerprint", 1)(args).head, 5, 4)))
+    ext.injectFunction((FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain",
+        "bloom_might_contain(bloom, fp) - probe a serialized bloom filter " +
+          "(binary literal, putLong-built) with a long fingerprint; " +
+          "false means certainly absent."),
+      (args: Seq[Expression]) => {
+        val a = arity("bloom_might_contain", 2)(args)
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(a(0), a(1))
+      }))
   }
 }

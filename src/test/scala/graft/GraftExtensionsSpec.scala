@@ -51,5 +51,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val winnowCol = Seq("abcdefghij").toDF("t")
       .select(graft.functions.Winnow($"t")).as[Seq[Long]].head()
     assert(winnowSql == winnowCol && winnowSql.nonEmpty)
+
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val bytes = graft.functions.BloomSupport.toBytes(
+      Seq("seen text").toDF("text")
+        .select(xxhash64(col("text")).as("fp")).stat.bloomFilter("fp", 100, 0.01))
+    s.sql("SELECT 'seen text' AS t UNION ALL SELECT 'novel text'")
+      .createOrReplaceTempView("probe")
+    val hits = s.sql(
+      s"SELECT t FROM probe WHERE bloom_might_contain(${
+        bytes.map(b => f"$b%02x").mkString("X'", "", "'")}, xxhash64(t))")
+      .as[String].collect()
+    assert(hits.toSeq == Seq("seen text"), hits.toSeq)
   }
 }
