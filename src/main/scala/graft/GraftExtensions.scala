@@ -29,31 +29,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     args
   }
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("simhash64"),
+  /** The registration list itself — public so specs can install exactly
+    * these builders (name, info, builder) into a live registry and
+    * exercise the SAME code the config-based extension path injects. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(text) - 64-bit SimHash document fingerprint."),
-      (args: Seq[Expression]) => SimHash64(arity("simhash64", 1)(args).head)))
-    ext.injectFunction((FunctionIdentifier("cosine_similarity"),
+      (args: Seq[Expression]) => SimHash64(arity("simhash64", 1)(args).head)),
+    (FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity",
         "cosine_similarity(a, b) - cosine similarity of two float arrays."),
       (args: Seq[Expression]) => {
         val a = arity("cosine_similarity", 2)(args); CosineSimilarity(a(0), a(1))
-      }))
-    ext.injectFunction((FunctionIdentifier("parse_ntriple"),
+      }),
+    (FunctionIdentifier("parse_ntriple"),
       info("parse_ntriple",
         "parse_ntriple(line) - parse an N-Triples line into a quad struct."),
-      (args: Seq[Expression]) => ParseNTriple(arity("parse_ntriple", 1)(args).head)))
-    ext.injectFunction((FunctionIdentifier("shingle_hashes"),
+      (args: Seq[Expression]) => ParseNTriple(arity("parse_ntriple", 1)(args).head)),
+    (FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes",
         "shingle_hashes(text) - distinct word-3-gram xxhash64 shingle hashes."),
       (args: Seq[Expression]) =>
-        ShingleHashes(arity("shingle_hashes", 1)(args).head, 3)))
-    ext.injectFunction((FunctionIdentifier("winnow_fingerprint"),
+        ShingleHashes(arity("shingle_hashes", 1)(args).head, 3)),
+    (FunctionIdentifier("winnow_fingerprint"),
       info("winnow_fingerprint",
         "winnow_fingerprint(text) - winnowing rolling-hash fingerprint set."),
       (args: Seq[Expression]) =>
-        Winnow(arity("winnow_fingerprint", 1)(args).head, 5, 4)))
-    ext.injectFunction((FunctionIdentifier("bloom_might_contain"),
+        Winnow(arity("winnow_fingerprint", 1)(args).head, 5, 4)),
+    (FunctionIdentifier("bloom_might_contain"),
       info("bloom_might_contain",
         "bloom_might_contain(bloom, fp) - probe a serialized bloom filter " +
           "(binary literal, putLong-built) with a long fingerprint; " +
@@ -62,5 +65,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val a = arity("bloom_might_contain", 2)(args)
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(a(0), a(1))
       }))
-  }
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach(ext.injectFunction)
 }

@@ -369,17 +369,23 @@ object Dedup {
     * verification join, which compares full text for exactness. False
     * positives cost efficiency, never correctness.
     *
-    * 100 TB posture: the bloom is sized from the prior count (~1.2 bytes
-    * per item at 3% fpp) and shipped once per batch; for prior corpora
-    * whose filter outgrows a broadcast, range-partition the fingerprint
-    * space and apply per-partition filters. The batch never shuffles
-    * until after the bloom prunes it.
+    * 100 TB posture: the bloom is sized by `expectedItems` — fed from
+    * table statistics in a real deployment (an undersized filter
+    * saturates and silently degrades to a pass-through, so size it) —
+    * and shipped once per batch (~1.2 bytes/item at 3% fpp); for prior
+    * corpora whose filter outgrows a broadcast, range-partition the
+    * fingerprint space. Document TEXT never shuffles: the candidate
+    * join exchanges only (fingerprint, id) longs, and the exact-text
+    * verification re-reads bodies just for the candidate ids (an
+    * AQE-broadcastable set: true dups + the fpp fraction).
     *
     * The new batch is synthesized deterministically (the driver tables
     * have no cross-batch stream): every 3rd doc re-arrives verbatim
     * (`doc_id + offset`), the rest re-arrive modified (` v2` suffix, a
-    * token outside the corpus vocabulary) — so the expected match set is
-    * exactly the verbatim re-arrivals and is SQL-expressible. */
+    * token outside the corpus vocabulary). The match set is every
+    * (new, prior) pair with equal text — the verbatim re-arrivals PLUS
+    * cross-pairs through pre-existing duplicate texts in the prior
+    * corpus (sf0.1 has such groups) — and is SQL-expressible. */
   def incrementalDedup(s: SparkSession, d: String,
       offset: Long = 200000L, fpp: Double = 0.03,
       expectedItems: Long = 1L << 20): DataFrame = {
@@ -389,16 +395,23 @@ object Dedup {
     val newBatch = docs.select((col("doc_id") + offset).as("new_id"),
       when(col("doc_id") % 3 === 0, col("text"))
         .otherwise(concat(col("text"), lit(" v2"))).as("text"))
-    // one column-pruned scan builds the filter; `expectedItems` comes
-    // from table statistics in a real deployment (a count scan per batch
-    // would double the prior-side reads for a number metadata already has)
     val bytes = BloomSupport.toBytes(docs
       .select(xxhash64(col("text")).as("fp"))
       .stat.bloomFilter("fp", expectedItems, fpp))
-    // text equality subsumes fingerprint equality (fp is a function of
-    // text), so the verify join needs no hash column on either side
-    newBatch.filter(BloomSupport.mightContain(bytes, xxhash64(col("text"))))
-      .join(prior, Seq("text")) // exact verify kills false positives
+    // candidate generation: only (fp, id) longs cross the wire
+    val priorFp = prior.select(col("doc_id"), xxhash64(col("text")).as("fp"))
+    val candidates = newBatch
+      .filter(BloomSupport.mightContain(bytes, xxhash64(col("text"))))
+      .select(col("new_id"), xxhash64(col("text")).as("fp"))
+      .join(priorFp, Seq("fp"))
+      .select(col("new_id"), col("doc_id"))
+    // exact verify: fetch texts for candidate ids only (AQE broadcasts
+    // the candidate set when small) and compare bodies — a fingerprint
+    // collision costs one comparison, never a wrong pair
+    candidates
+      .join(newBatch, Seq("new_id"))
+      .join(prior.withColumnRenamed("text", "prior_text"), Seq("doc_id"))
+      .filter(col("text") === col("prior_text"))
       .select(col("new_id"), col("doc_id").as("prior_id"))
       .orderBy(col("new_id"), col("prior_id"))
   }

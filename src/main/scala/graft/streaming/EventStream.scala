@@ -53,8 +53,11 @@ object EventStream {
     * never a wrongly-dropped document. Emits only genuinely new docs.
     *
     * At scale the anti-join's static side is the prior corpus keyed by
-    * fingerprint — only the ~fpp fraction of stream rows ever reaches
-    * it, which is the point of the bloom stage. */
+    * TEXT (exactness needs the bodies) — only the ~fpp fraction of
+    * stream rows ever reaches it, which is the point of the bloom
+    * stage; a corpus too large for that join should instead use the
+    * candidate-pair shape of `ops.Dedup.incrementalDedup`, where text
+    * is fetched per candidate id and never bulk-shuffled. */
   def noveltyFilter(newDocs: DataFrame, prior: DataFrame,
       bloomBytes: Array[Byte]): DataFrame = {
     val mightDup = graft.functions.BloomSupport.mightContain(

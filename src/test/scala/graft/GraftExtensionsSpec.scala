@@ -13,19 +13,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
   test("native expressions answer identically through SQL and Column APIs") {
     val s = SparkSpec.spark
     import s.implicits._
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => graft.functions.SimHash64(exprs.head), "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity",
-      exprs => graft.functions.CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "parse_ntriple", exprs => graft.rdf.ParseNTriple(exprs.head), "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes",
-      exprs => graft.functions.ShingleHashes(exprs.head, 3), "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_fingerprint",
-      exprs => graft.functions.Winnow(exprs.head, 5, 4), "built-in")
+    // install the REAL builders from GraftExtensions.functions — the
+    // same (name, builder) pairs the config-based extension path
+    // injects, so a wrong name/arity/argument-order there fails here
+    new GraftExtensions().functions.foreach { case (ident, _, builder) =>
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        ident.funcName, builder, "built-in")
+    }
 
     val viaCol = Seq("a b c").toDF("t")
       .select(graft.functions.SimHash64($"t")).as[Long].head()
@@ -52,10 +46,6 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .select(graft.functions.Winnow($"t")).as[Seq[Long]].head()
     assert(winnowSql == winnowCol && winnowSql.nonEmpty)
 
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_might_contain",
-      exprs => org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
     import org.apache.spark.sql.functions.{col, xxhash64}
     val bytes = graft.functions.BloomSupport.toBytes(
       Seq("seen text").toDF("text")

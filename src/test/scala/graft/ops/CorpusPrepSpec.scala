@@ -136,11 +136,22 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
-  test("incremental dedup finds exactly the verbatim re-arrivals; bloom really prunes") {
+  test("incremental dedup finds exactly the equal-text pairs; bloom really prunes") {
     val docs = Tables.documents(spark, sf)
-    val expected = docs.filter(col("doc_id") % 3 === 0)
+    // derive the expected relation from the DATA (equal-text join), not
+    // from the planted arithmetic alone: sf0.1's prior corpus contains
+    // duplicate-text groups, so verbatim re-arrivals also match their
+    // prior doubles (the oracle rule: state the exact relation)
+    val newb = docs.select((col("doc_id") + 200000L).as("new_id"),
+      when(col("doc_id") % 3 === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" v2"))).as("text"))
+    val expected = newb.join(docs, Seq("text"))
+      .select(col("new_id"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    val planted = docs.filter(col("doc_id") % 3 === 0)
       .select((col("doc_id") + 200000L).as("new_id"), col("doc_id"))
       .as[(Long, Long)].collect().toSet
+    assert(planted.subsetOf(expected), "every verbatim re-arrival must match")
     val got = Dedup.incrementalDedup(spark, sf).as[(Long, Long)].collect().toSet
     assert(got == expected,
       s"extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
