@@ -93,6 +93,7 @@ object SparkEntry {
     "x_ngram_topk"      -> ((s, d) => CorpusPrep.topNgrams(s, d)),
     "x_len_quantiles"   -> ((s, d) => CorpusPrep.lengthQuantiles(s, d)),
     "x_sessionize"      -> ((s, d) => Sessionize.sessions(s, d)),
+    "x_events_funnel"   -> ((s, d) => Sessionize.funnel(s, d)),
     "x_window_hourly"   -> ((s, d) => Sessionize.hourlyWindows(s, d)),
     "x_window_sliding"  -> ((s, d) => Sessionize.slidingWindows(s, d)),
     "x_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(s, d)),
@@ -678,6 +679,21 @@ object SparkEntry {
         |  round(quantile_cont(n_chars, 0.75), 2) AS p75,
         |  round(quantile_cont(n_chars, 0.99), 2) AS p99
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "x_events_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN us END) AS t0
+        |       FROM e GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(us) AS t1 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t0 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t1 GROUP BY e.user_id)
+        |SELECT count(*) AS n_users,
+        |  count(s1.t0) AS n_step1_view,
+        |  count(s2.t1) AS n_step2_click,
+        |  count(s3.t2) AS n_step3_purchase
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
     "x_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
         |l AS (SELECT user_id, us,

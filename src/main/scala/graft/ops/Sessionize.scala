@@ -70,4 +70,36 @@ object Sessionize {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("window_start_us"), col("event_type"))
   }
+
+  /** Strictly-ordered conversion funnel (view → click → purchase): a
+    * user reaches step N when an event of step N's type occurs AFTER the
+    * user's step-N-1 arrival time. ONE shuffle total: events aggregate
+    * into a per-user array, and every step is pure array algebra on it
+    * (min of typed timestamps above a bound) — versus the three
+    * groupBy+join rounds of the textbook formulation. Per-user state is
+    * bounded by the user's event count; for mega-users pre-filter to the
+    * funnel's event types (done here) or fall back to the join form. */
+  def funnel(s: SparkSession, d: String,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val perUser = Tables.events(s, d)
+      .filter(col("event_type").isin(steps: _*))
+      .select(col("user_id"), micros.as("us"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("us"), col("event_type"))).as("seq"))
+    // first event of `tpe` strictly after `after` (null when none)
+    def firstAfter(tpe: String, after: org.apache.spark.sql.Column) =
+      array_min(transform(
+        filter(col("seq"), x =>
+          x.getField("event_type") === tpe && x.getField("us") > after),
+        x => x.getField("us")))
+    val reached = steps.zipWithIndex.foldLeft(perUser) {
+      case (df, (tpe, i)) =>
+        val after = if (i == 0) lit(Long.MinValue) else col(s"t${i - 1}")
+        df.withColumn(s"t$i", firstAfter(tpe, after))
+    }
+    reached.agg(
+      count(lit(1)).as("n_users"),
+      steps.indices.map(i =>
+        count(col(s"t$i")).as(s"n_step${i + 1}_${steps(i)}")): _*)
+  }
 }
