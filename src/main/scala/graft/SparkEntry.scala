@@ -682,7 +682,8 @@ object SparkEntry {
     "x_events_funnel" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type FROM events
-        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |  WHERE event_type IN ('view', 'click', 'purchase')
+        |    AND user_id IS NOT NULL),
         |s1 AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN us END) AS t0
         |       FROM e GROUP BY user_id),
         |s2 AS (SELECT e.user_id, min(us) AS t1 FROM e JOIN s1 USING (user_id)

@@ -80,10 +80,18 @@ object Sessionize {
     * bounded by the user's event count; for mega-users pre-filter to the
     * funnel's event types (done here) or fall back to the join form. */
   def funnel(s: SparkSession, d: String,
-      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
-    val perUser = Tables.events(s, d)
-      .filter(col("event_type").isin(steps: _*))
-      .select(col("user_id"), micros.as("us"), col("event_type"))
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+    funnelOf(Tables.events(s, d)
+      .select(col("user_id"), micros.as("us"), col("event_type")), steps)
+
+  /** Core funnel over any `(user_id, us, event_type)` frame — split out
+    * so specs can drive planted out-of-order cases (the driver corpus
+    * saturates: every user completes every step). Null user_ids are
+    * excluded on both the Spark and oracle sides (SQL join semantics
+    * would silently drop them asymmetrically otherwise). */
+  def funnelOf(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val perUser = events
+      .filter(col("user_id").isNotNull && col("event_type").isin(steps: _*))
       .groupBy(col("user_id"))
       .agg(collect_list(struct(col("us"), col("event_type"))).as("seq"))
     // first event of `tpe` strictly after `after` (null when none)

@@ -169,27 +169,6 @@ class CorpusPrepSpec extends SparkSpec {
     assert(candidates >= expected.size, "no false negatives allowed")
   }
 
-  test("funnel counts match an independent join formulation and are monotone") {
-    val row = Sessionize.funnel(spark, sf).collect().head
-    val (nUsers, s1, s2, s3) =
-      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
-    assert(nUsers >= s1 && s1 >= s2 && s2 >= s3, row.toString)
-    assert(s3 > 0, "corpus is dense enough that some user completes the funnel")
-    // independent formulation: three sequential groupBy+join rounds
-    val e = Tables.events(spark, sf)
-      .filter(col("event_type").isin("view", "click", "purchase"))
-      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
-    val v = e.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("us")).as("t0"))
-    val c = e.filter(col("event_type") === "click").join(v, "user_id")
-      .filter(col("us") > col("t0"))
-      .groupBy("user_id").agg(min(col("us")).as("t1"))
-    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
-      .filter(col("us") > col("t1"))
-      .groupBy("user_id").agg(min(col("us")).as("t2"))
-    assert((v.count(), c.count(), p.count()) == ((s1, s2, s3)))
-  }
-
   test("topNgrams agrees with a direct recount of its reported grams") {
     val top = CorpusPrep.topNgrams(spark, sf, 2, 20).as[(String, Long)].collect()
     assert(top.length == 20)

@@ -229,6 +229,55 @@ class ExtensionsSpec extends SparkSpec {
     assert(sess.filter(col("duration_us") < 0).count() == 0)
   }
 
+  test("funnel enforces strict step ordering on planted out-of-order users") {
+    // the driver corpus saturates (every user completes every step), so
+    // ordering bugs are invisible there — plant the discriminating cases
+    val evs = Seq(
+      // u1: fully ordered → completes all 3 steps
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // u2: click BEFORE first view → stops at step 1
+      (2L, 20L, "click"), (2L, 30L, "view"),
+      // u3: purchase before click (click after view) → stops at step 2
+      (3L, 10L, "view"), (3L, 15L, "purchase"), (3L, 20L, "click"),
+      // u4: click at the SAME instant as view → strict '>' rejects it
+      (4L, 10L, "view"), (4L, 10L, "click"),
+      // u5: view only
+      (5L, 10L, "view"),
+      // u6: second view then click — click after FIRST view counts
+      (6L, 10L, "view"), (6L, 40L, "view"), (6L, 20L, "click"))
+      .toDF("user_id", "us", "event_type")
+    val row = Sessionize.funnelOf(evs,
+      Seq("view", "click", "purchase")).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      == ((6L, 6L, 3L, 1L)), row.toString) // views: all 6; clicks: u1,u3,u6; purchase: u1
+    // null user_ids are excluded (pinned on both oracle sides)
+    val withNull = evs.unionByName(Seq((null.asInstanceOf[java.lang.Long], 1L, "view"))
+      .toDF("user_id", "us", "event_type").select(
+        col("user_id").cast("long"), col("us"), col("event_type")))
+    val row2 = Sessionize.funnelOf(withNull,
+      Seq("view", "click", "purchase")).collect().head
+    assert(row2.getLong(0) == 6L, "null user must not create a group")
+  }
+
+  test("funnel on the driver corpus matches the independent join formulation") {
+    val row = Sessionize.funnel(spark, sf).collect().head
+    val (nUsers, s1, s2, s3) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(nUsers >= s1 && s1 >= s2 && s2 >= s3, row.toString)
+    val e = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t0"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("us") > col("t0"))
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min(col("us")).as("t2"))
+    assert((v.count(), c.count(), p.count()) == ((s1, s2, s3)))
+  }
+
   test("multimodal stub decode: one meta row per doc, payload length preserved") {
     val meta = graft.multimodal.Multimodal.mediaMeta(spark, sf)
     val docs = Tables.documents(spark, sf)
