@@ -90,6 +90,15 @@ object SparkEntry {
     "x_domain_cap"      -> ((s, d) => CorpusPrep.domainCap(s, d)),
     "x_sample_strat"    -> ((s, d) => CorpusPrep.stratifiedSample(s, d)),
     "x_tfidf_top"       -> ((s, d) => CorpusPrep.tfIdfTopTerms(s, d)),
+    // training-batch preparation: greedy token-budget sequence packing
+    // within fixed id-range groups (the parallel unit)
+    "x_pack_sequences"  -> ((s, d) => CorpusPrep.packSequences(s, d)),
+    // the composed Gopher-style accept/reject gate with audit reasons
+    "x_quality_gate"    -> ((s, d) => CorpusPrep.qualityGate(s, d)),
+    // temperature-based language-mixture resampling (alpha = 0.5)
+    "x_mix_temperature" -> ((s, d) => CorpusPrep.temperatureMix(s, d)),
+    // SemDeDup: components over the exact cosine >= 0.4 embedding graph
+    "x_dedup_semantic"  -> ((s, d) => Dedup.semanticClusters(s, d)),
     "x_ngram_topk"      -> ((s, d) => CorpusPrep.topNgrams(s, d)),
     "x_len_quantiles"   -> ((s, d) => CorpusPrep.lengthQuantiles(s, d)),
     "x_sessionize"      -> ((s, d) => Sessionize.sessions(s, d)),
@@ -661,6 +670,87 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, word, score, rn FROM ranked WHERE rn <= 3
         |ORDER BY doc_id, rn""".stripMargin,
+    // greedy packing is a sequential recurrence per group — the oracle
+    // steps it with a recursive CTE over the per-group row_number chain
+    // (one recursion depth per doc in the largest group)
+    "x_pack_sequences" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, doc_id // 100 AS grp,
+        |         len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS nt
+        |  FROM documents),
+        |r AS (
+        |  SELECT grp, doc_id, nt,
+        |         row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+        |  FROM t),
+        |packed AS (
+        |  SELECT grp, rn, doc_id, nt, CAST(0 AS BIGINT) AS bin, nt AS run
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.grp, r.rn, r.doc_id, r.nt,
+        |    CASE WHEN p.run + r.nt > 512 AND p.run > 0 THEN p.bin + 1 ELSE p.bin END,
+        |    CASE WHEN p.run + r.nt > 512 AND p.run > 0 THEN r.nt ELSE p.run + r.nt END
+        |  FROM packed p JOIN r ON r.grp = p.grp AND r.rn = p.rn + 1)
+        |SELECT doc_id, grp, bin, nt AS n_tokens FROM packed ORDER BY doc_id""".stripMargin,
+    "x_quality_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+        |    round(length(regexp_replace(text, '\s', '', 'g')) * 1.0 / len(w), 3)
+        |      AS mean_word_len,
+        |    CASE WHEN len(w) < 2 THEN 0.0 ELSE round(
+        |      (len(w) - 1 - len(list_distinct(list_transform(range(1, len(w)),
+        |        i -> w[i] || ' ' || w[i+1])))) * 1.0 / (len(w) - 1), 3) END
+        |      AS dup_2gram_frac,
+        |    (list_contains(w, 'the') AND list_contains(w, 'a')) AS has_stopwords
+        |  FROM t)
+        |SELECT doc_id, n_tokens, mean_word_len, dup_2gram_frac, has_stopwords,
+        |  (dup_2gram_frac <= 0.05 AND mean_word_len BETWEEN 3 AND 10
+        |   AND has_stopwords AND n_tokens BETWEEN 40 AND 100000) AS pass,
+        |  concat_ws(',',
+        |    CASE WHEN dup_2gram_frac > 0.05 THEN 'dup_2gram' END,
+        |    CASE WHEN mean_word_len < 3 OR mean_word_len > 10 THEN 'mean_word_len' END,
+        |    CASE WHEN NOT has_stopwords THEN 'stopwords' END,
+        |    CASE WHEN n_tokens < 40 OR n_tokens > 100000 THEN 'word_count' END)
+        |    AS fail_reasons
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // keep rule is bitwise-reproducible: sqrt(n_min/n_l) on correctly-
+    // rounded doubles, and the per-doc uniform is exact integer
+    // arithmetic (doc_id * knuth-mix mod 1e5)
+    "x_mix_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_before FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_before) AS n_min FROM c),
+        |f AS (SELECT lang, n_before, sqrt(n_min * 1.0 / n_before) AS kf FROM c, m),
+        |k AS (
+        |  SELECT d.lang, count(*) AS n_kept
+        |  FROM documents d JOIN f USING (lang)
+        |  WHERE ((d.doc_id * 2654435761) % 100000) / 100000.0 < kf
+        |  GROUP BY d.lang),
+        |tot AS (SELECT sum(n_before) AS tb, sum(n_kept) AS tk FROM f JOIN k USING (lang))
+        |SELECT f.lang, f.n_before, k.n_kept, round(f.kf, 4) AS keep_frac,
+        |  round(f.n_before * 1.0 / tot.tb, 4) AS share_before,
+        |  round(k.n_kept * 1.0 / tot.tk, 4) AS share_after
+        |FROM f JOIN k USING (lang) CROSS JOIN tot ORDER BY lang""".stripMargin,
+    // same closure shape as x_dedup_clusters, over the embedding cosine
+    // graph (CosineSimilarity == list_cosine_similarity bitwise)
+    "x_dedup_semantic" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4),
+        |edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT e.vec_id,
+        |  CAST(least(e.vec_id, coalesce(min(r.v), e.vec_id)) AS BIGINT) AS cluster_id
+        |FROM embeddings e LEFT JOIN reach r ON r.u = e.vec_id
+        |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin,
     "x_ngram_topk" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t

@@ -207,4 +207,144 @@ object CorpusPrep {
       .agg(count(lit(1)).as("n_occ"))
       .orderBy(col("n_occ").desc, col("gram"))
       .limit(k)
+
+  /** Sequence packing (training-batch preparation: fill a fixed token
+    * budget with documents so little padding is wasted — the T5/GPT
+    * sample-packing step). Documents are packed greedily in doc_id order
+    * within fixed id-range groups of `groupSize` docs: a document opens a
+    * new bin when adding it would overflow `capacity` (an oversized
+    * document occupies a bin alone). Emits one row per document with its
+    * (group, bin) assignment.
+    *
+    * Packing is inherently sequential, so the parallel unit is the
+    * GROUP: one shuffle keyed by grp, then a per-group fold over the
+    * sorted (doc_id, n_tokens) array — O(groupSize) state, embarrassingly
+    * parallel across groups, deterministic under retries. Fixing the
+    * group boundary to the id space (not the partition layout) is what
+    * makes the result reproducible on any cluster shape; cross-group
+    * fragmentation is bounded by one under-filled bin per group. */
+  def packSequences(s: SparkSession, d: String, capacity: Int = 512,
+      groupSize: Int = 100): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      expr(s"doc_id div $groupSize").as("grp"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val emptyOut = array()
+      .cast("array<struct<doc_id:bigint,n_tokens:bigint,bin:bigint>>")
+    docs.groupBy(col("grp"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("n_tokens")))).as("ds"))
+      .select(col("grp"), explode(aggregate(
+        col("ds"),
+        struct(lit(0L).as("bin"), lit(0L).as("run"), emptyOut.as("out")),
+        (acc, x) => {
+          val overflow =
+            acc("run") + x("n_tokens") > capacity && acc("run") > 0
+          val bin = when(overflow, acc("bin") + 1L).otherwise(acc("bin"))
+          val run = when(overflow, x("n_tokens"))
+            .otherwise(acc("run") + x("n_tokens"))
+          struct(bin.as("bin"), run.as("run"),
+            concat(acc("out"), array(struct(
+              x("doc_id").as("doc_id"), x("n_tokens").as("n_tokens"),
+              bin.as("bin")))).as("out"))
+        },
+        acc => acc("out"))).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("grp"),
+        col("p.bin").as("bin"), col("p.n_tokens").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val gateStopwords = Seq("the", "a")
+
+  /** Composed Gopher-style quality gate (Rae et al. 2021 §A1.1): the
+    * document-level accept/reject decision assembled from the individual
+    * signals this module and [[TextAnalysis]] already compute — word
+    * count bounds, mean-word-length bounds, duplicate-2-gram fraction,
+    * and required stopwords — with a `fail_reasons` audit column naming
+    * every violated rule (the column quality pipelines keep for filter
+    * forensics). Pure per-row array algebra over one token-array
+    * projection: no shuffle, fully codegen'd, embarrassingly parallel.
+    *
+    * Thresholds are the Gopher shapes adapted to this corpus so every
+    * rule except mean_word_len actually fires on the test data (the
+    * synthetic vocabulary makes 3 ≤ mwl ≤ 10 always true — kept because
+    * the rule is load-bearing on real corpora). */
+  def qualityGate(s: SparkSession, d: String, minWords: Int = 40,
+      maxWords: Int = 100000, maxDup2: Double = 0.05): DataFrame = {
+    // one materialized token array feeds everything (inlining tokens()
+    // into the gram lambdas re-runs split() per element_at)
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
+    val g2 = wordGrams(col("t"), 2)
+    val dup2 = when(size(g2) === 0, 0.0).otherwise(
+      round((size(g2) - size(array_distinct(g2))).cast("double") / size(g2), 3))
+    val scored = base.select(
+      col("doc_id"),
+      size(col("t")).as("n_tokens"),
+      round(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+        size(col("t")), 3).as("mean_word_len"),
+      dup2.as("dup_2gram_frac"),
+      gateStopwords.map(w => array_contains(col("t"), w)).reduce(_ && _)
+        .as("has_stopwords"))
+    val failDup = col("dup_2gram_frac") > maxDup2
+    val failMwl = col("mean_word_len") < 3.0 || col("mean_word_len") > 10.0
+    val failStop = !col("has_stopwords")
+    val failWords = col("n_tokens") < minWords || col("n_tokens") > maxWords
+    scored
+      .withColumn("pass", !failDup && !failMwl && !failStop && !failWords)
+      // concat_ws skips nulls — exactly right here (vs the N-Triples
+      // serializer, where that same behavior was a landmine)
+      .withColumn("fail_reasons", concat_ws(",",
+        when(failDup, "dup_2gram"), when(failMwl, "mean_word_len"),
+        when(failStop, "stopwords"), when(failWords, "word_count")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Temperature-based language-mixture resampling (the multilingual
+    * rebalancing step, e.g. mBERT/XLM-R exponential smoothing): with
+    * sampling temperature `alpha` < 1, low-resource languages are kept in
+    * full while high-resource ones are downsampled toward the flattened
+    * target distribution p_l^alpha. Keep probability per language is
+    * (n_min/n_l)^(1-alpha), normalized so the rarest language keeps
+    * everything; selection is a deterministic per-doc hash threshold
+    * (Knuth multiplicative mix of doc_id → uniform in [0,1)) — no RNG
+    * state, reproducible across retries and partitionings.
+    *
+    * Two tiny keyed aggregates bracket one map-side filter; the
+    * per-language rate table is broadcast-joined back (cardinality =
+    * distinct languages — bounded by nature, unlike a per-document
+    * table). */
+  def temperatureMix(s: SparkSession, d: String,
+      alpha: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val byLang = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_before"))
+    val nMin = byLang.agg(min(col("n_before")).as("n_min"))
+    // (n_min/n_l)^(1-alpha); the alpha=0.5 default uses sqrt explicitly —
+    // both engines' correctly-rounded sqrt∘divide keeps the keep-rule
+    // bitwise reproducible in the DuckDB oracle (pow risks ulp drift)
+    val fracs = byLang.crossJoin(broadcast(nMin))
+      .withColumn("keep_frac",
+        if (alpha == 0.5)
+          sqrt(col("n_min").cast("double") / col("n_before"))
+        else
+          pow(col("n_min").cast("double") / col("n_before"), 1.0 - alpha))
+      .select(col("lang"), col("n_before"), col("keep_frac"))
+    val u = ((col("doc_id") * 2654435761L) % 100000L).cast("double") / 100000.0
+    val perLang = docs.join(broadcast(fracs), "lang")
+      .filter(u < col("keep_frac"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+      .join(fracs, "lang")
+    val totals = perLang.agg(sum(col("n_before")).as("tot_before"),
+      sum(col("n_kept")).as("tot_kept"))
+    perLang.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_before"), col("n_kept"),
+        round(col("keep_frac"), 4).as("keep_frac"),
+        round(col("n_before").cast("double") / col("tot_before"), 4)
+          .as("share_before"),
+        round(col("n_kept").cast("double") / col("tot_kept"), 4)
+          .as("share_after"))
+      .orderBy(col("lang"))
+  }
 }

@@ -149,9 +149,25 @@ object Dedup {
     * (node, label) either way, and document bodies never enter the loop. */
   def nearDupClusters(s: SparkSession, d: String, threshold: Double = 0.5,
       maxDriverEdges: Long = 1000000L): DataFrame = {
+    val pairs = ngramJaccard(s, d, threshold).select(col("a_id"), col("b_id"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(componentLabels(s, pairs, maxDriverEdges), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Connected-component labels over an undirected pair graph: returns
+    * (doc_id, label) for every node that appears in `pairs`, label = the
+    * smallest reachable id. Nodes absent from the edge list are absent
+    * from the result (callers coalesce singletons to themselves).
+    *
+    * Shared solver behind [[nearDupClusters]] (text near-dup graph) and
+    * [[semanticClusters]] (embedding cosine graph). */
+  private[ops] def componentLabels(s: SparkSession, rawPairs: DataFrame,
+      maxDriverEdges: Long = 1000000L): DataFrame = {
     import s.implicits._
-    val pairs = ngramJaccard(s, d, threshold)
-      .select(col("a_id"), col("b_id")).cache()
+    val pairs = rawPairs.toDF("a_id", "b_id").cache()
     // Only the edge-induced subgraph needs label propagation: near-dup
     // PAIRS are a tiny fraction of the corpus even at 100 TB (they are
     // the dedup hits, not the documents). Below the gate the component
@@ -213,11 +229,37 @@ object Dedup {
         labels.unpersist()
         ck
       }
-    Tables.documents(s, d).select(col("doc_id"))
-      .join(labeled.toDF("doc_id", "label"), Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
-        coalesce(col("label"), col("doc_id")).as("cluster_id"))
-      .orderBy(col("doc_id"))
+    labeled.toDF("doc_id", "label")
+  }
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): duplicate
+    * clusters in EMBEDDING space — connected components over the exact
+    * cosine ≥ `threshold` pair graph, every vector labeled with the
+    * smallest reachable vec_id (the kept representative; singletons label
+    * themselves). The component solver is the same one the text-Jaccard
+    * clustering uses.
+    *
+    * The pair generator here is the exact all-pairs form — the
+    * oracle-checkable semantics and the recall baseline. At 100 TB the
+    * candidate pairs come from signature buckets instead (the
+    * [[Similarity.lshTopK]] random-hyperplane bands, or per-IVF-cell
+    * pairs), feeding the identical verify-then-label tail; all-pairs is
+    * labeled the same way [[embedCosinePairs]] is. */
+  def semanticClusters(s: SparkSession, d: String,
+      threshold: Double = 0.4): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("a_id") < col("b_id"))
+      .filter(round(graft.functions.CosineSimilarity(col("ea"), col("eb")), 4)
+        >= threshold)
+      .select(col("a_id"), col("b_id"))
+    emb.select(col("vec_id"))
+      .join(componentLabels(s, pairs).toDF("vec_id", "label"),
+        Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("cluster_id"))
+      .orderBy(col("vec_id"))
   }
 
   /** MinHash signatures as k seeded murmur3 hashes of the (already

@@ -169,6 +169,109 @@ class CorpusPrepSpec extends SparkSpec {
     assert(candidates >= expected.size, "no false negatives allowed")
   }
 
+  test("packSequences reproduces an exact sequential greedy fold per group") {
+    val cap = 512; val gsz = 100
+    val got = CorpusPrep.packSequences(spark, sf, cap, gsz)
+      .select("doc_id", "grp", "bin", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    // independent greedy recompute on the driver from (doc_id, n_tokens)
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(CorpusPrep.tokens(col("text"))).cast("long").as("nt"))
+      .as[(Long, Long)].collect().toMap
+    val expected = toks.keys.toSeq.sorted.groupBy(_ / gsz).flatMap {
+      case (grp, ids) =>
+        var bin = 0L; var run = 0L
+        ids.map { id =>
+          val nt = toks(id)
+          if (run + nt > cap && run > 0) { bin += 1; run = nt }
+          else run += nt
+          (id, grp, bin, nt)
+        }
+    }.toSet
+    assert(got.length == toks.size, "one row per document")
+    assert(got.toSet == expected,
+      s"first diff: ${(got.toSet -- expected).take(3)}")
+    // capacity invariant: a bin exceeds cap only as a single oversized doc
+    got.groupBy(r => (r._2, r._3)).foreach { case ((g, b), rows) =>
+      assert(rows.map(_._4).sum <= cap || rows.size == 1,
+        s"grp $g bin $b overfilled with ${rows.size} docs") }
+    // the fold actually overflowed (bins beyond 0 exist)
+    assert(got.map(_._3).max >= 1, "expected multiple bins per group")
+  }
+
+  test("qualityGate metrics recompute exactly and verdicts are self-consistent") {
+    val rows = CorpusPrep.qualityGate(spark, sf).collect()
+    def r3(v: Double) =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(rows.length == texts.size)
+    var fired = Set.empty[String]
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = texts(id).split("\\s+").filter(_.nonEmpty)
+      // independent driver-side recompute of every metric
+      assert(r.getAs[Int]("n_tokens") == w.length, s"doc $id n_tokens")
+      assert(r.getAs[Double]("mean_word_len") ==
+        r3(w.map(_.length).sum.toDouble / w.length), s"doc $id mwl")
+      val g2 = w.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val dup2 = if (g2.isEmpty) 0.0
+        else r3((g2.size - g2.distinct.size).toDouble / g2.size)
+      assert(r.getAs[Double]("dup_2gram_frac") == dup2, s"doc $id dup2")
+      assert(r.getAs[Boolean]("has_stopwords") ==
+        (w.contains("the") && w.contains("a")), s"doc $id stopwords")
+      // verdict consistency: pass <=> no reasons, reasons match the metrics
+      val reasons = Seq(
+        if (dup2 > 0.05) Some("dup_2gram") else None,
+        if (r.getAs[Double]("mean_word_len") < 3.0 ||
+          r.getAs[Double]("mean_word_len") > 10.0) Some("mean_word_len") else None,
+        if (!r.getAs[Boolean]("has_stopwords")) Some("stopwords") else None,
+        if (w.length < 40 || w.length > 100000) Some("word_count") else None
+      ).flatten
+      assert(r.getAs[Boolean]("pass") == reasons.isEmpty, s"doc $id pass")
+      assert(r.getAs[String]("fail_reasons") == reasons.mkString(","),
+        s"doc $id reasons")
+      fired ++= reasons
+    }
+    // the corpus must exercise the gate: passes, fails, and at least the
+    // three rules that can fire on this vocabulary (mean_word_len is
+    // documented as structurally inert here)
+    assert(rows.exists(_.getAs[Boolean]("pass")))
+    assert(Set("dup_2gram", "stopwords", "word_count").subsetOf(fired),
+      s"rules that fired: $fired")
+  }
+
+  test("temperatureMix recomputes exactly and flattens the language mixture") {
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val before = docs.groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+    val nMin = before.values.min
+    val kf = before.map { case (l, n) => l -> math.sqrt(nMin.toDouble / n) }
+    val kept = docs.filter { case (id, l) =>
+      ((id * 2654435761L) % 100000L).toDouble / 100000.0 < kf(l) }
+      .groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+    val totB = before.values.sum; val totK = kept.values.sum
+    val expected = before.keys.map { l =>
+      (l, before(l), kept(l), r4(kf(l)),
+        r4(before(l).toDouble / totB), r4(kept(l).toDouble / totK))
+    }.toSet
+    val got = CorpusPrep.temperatureMix(spark, sf)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSet
+    assert(got == expected,
+      s"extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+    // the rarest language is kept in full; the mixture flattens (max share
+    // shrinks, min share grows — the point of temperature sampling)
+    val minLang = before.minBy(_._2)._1
+    assert(kf(minLang) == 1.0 && kept(minLang) == before(minLang))
+    val shB = before.map { case (l, n) => n.toDouble / totB }
+    val shA = kept.map { case (l, n) => n.toDouble / totK }
+    assert(shA.max < shB.max && shA.min > shB.min,
+      s"before=[${shB.min},${shB.max}] after=[${shA.min},${shA.max}]")
+  }
+
   test("topNgrams agrees with a direct recount of its reported grams") {
     val top = CorpusPrep.topNgrams(spark, sf, 2, 20).as[(String, Long)].collect()
     assert(top.length == 20)

@@ -127,6 +127,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(distributed == clusters)
   }
 
+  test("semanticClusters equals brute-force components over the cosine graph") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // driver-side cosine with the SAME sequential accumulation as the
+    // native expression, so the >= threshold cut is bit-identical
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val parent = scala.collection.mutable.Map(emb.map(e => e._1 -> e._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    var nPairs = 0
+    for (i <- emb.indices; j <- (i + 1) until emb.length)
+      if (r4(cos(emb(i)._2, emb(j)._2)) >= 0.4) {
+        nPairs += 1
+        val (ra, rb) = (find(emb(i)._1), find(emb(j)._1))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    val expected = emb.map(e => e._1 -> find(e._1)).toMap
+    val got = Dedup.semanticClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(nPairs > 0, "the cosine graph should have edges at this sf")
+    assert(got == expected,
+      s"diffs=${got.toSet.diff(expected.toSet).take(5)}")
+  }
+
   test("corpus pipeline: survivors are quality-kept, exact-unique, cluster representatives") {
     val summary = TextAnalysis.corpusSummary(spark, sf)
       .as[(String, Long, Long, Long)].collect()
