@@ -99,6 +99,12 @@ object SparkEntry {
     "x_mix_temperature" -> ((s, d) => CorpusPrep.temperatureMix(s, d)),
     // SemDeDup: components over the exact cosine >= 0.4 embedding graph
     "x_dedup_semantic"  -> ((s, d) => Dedup.semanticClusters(s, d)),
+    // paragraph-level dedup (10-token chunk proxy), first occurrence kept
+    "x_dedup_chunks"    -> ((s, d) => CorpusPrep.chunkDedup(s, d)),
+    // unigram-LM surprisal in bits/token (CCNet-shape quality signal)
+    "x_quality_lm"      -> ((s, d) => CorpusPrep.unigramLmScore(s, d)),
+    // deterministic 16-way shuffle-shard assignment for training order
+    "x_shuffle_shards"  -> ((s, d) => CorpusPrep.shuffleShards(s, d)),
     "x_ngram_topk"      -> ((s, d) => CorpusPrep.topNgrams(s, d)),
     "x_len_quantiles"   -> ((s, d) => CorpusPrep.lengthQuantiles(s, d)),
     "x_sessionize"      -> ((s, d) => Sessionize.sessions(s, d)),
@@ -751,6 +757,64 @@ object SparkEntry {
         |  CAST(least(e.vec_id, coalesce(min(r.v), e.vec_id)) AS BIGINT) AS cluster_id
         |FROM embeddings e LEFT JOIN reach r ON r.u = e.vec_id
         |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin,
+    // chunk hashing: DuckDB list slice w[a:b] is INCLUSIVE (b-a+1 elems);
+    // rn=1 marks the globally-first occurrence of each chunk digest
+    "x_dedup_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |    CAST(unnest(range(0, CAST(ceil(len(w) * 1.0 / 10) AS INT))) AS BIGINT) AS idx,
+        |    unnest(list_transform(range(0, CAST(ceil(len(w) * 1.0 / 10) AS INT)),
+        |      k -> array_to_string(w[k*10+1:k*10+10], ' '))) AS s
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, idx, md5(s) AS h,
+        |         CAST(len(list_filter(string_split_regex(s, '\s+'),
+        |           x -> len(x) > 0)) AS BIGINT) AS nt
+        |  FROM u),
+        |r AS (
+        |  SELECT doc_id, nt,
+        |         row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+        |  FROM c)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+        |  sum(CASE WHEN rn = 1 THEN nt ELSE 0 END)::BIGINT AS kept_tokens,
+        |  round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 3)
+        |    AS dup_frac
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // per-word surprisal quantized to integer millibits BEFORE the
+    // per-doc sum — exact integer aggregation, no float reduction-order
+    // drift on either engine
+    "x_quality_lm" ->
+      """WITH ww AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |v AS (SELECT w, count(*) AS cnt FROM ww GROUP BY w),
+        |tot AS (SELECT sum(cnt) AS total FROM v),
+        |lp AS (
+        |  SELECT w, CAST(round(log2(cnt * 1.0 / total) * 1000) AS BIGINT)
+        |    AS millibits
+        |  FROM v, tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  sum(millibits)::BIGINT AS sum_millibits,
+        |  round(-sum(millibits) * 1.0 / (count(*) * 1000.0), 3)
+        |    AS bits_per_token
+        |FROM ww JOIN lp USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_shuffle_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5('42:' || doc_id) AS digest FROM documents)
+        |SELECT doc_id,
+        |  CAST(strpos('0123456789abcdef', substring(digest, 1, 1)) - 1
+        |    AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY strpos('0123456789abcdef', substring(digest, 1, 1))
+        |    ORDER BY digest, doc_id) AS BIGINT) AS pos
+        |FROM d ORDER BY shard, pos""".stripMargin,
     "x_ngram_topk" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t

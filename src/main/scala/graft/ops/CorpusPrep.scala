@@ -347,4 +347,104 @@ object CorpusPrep {
           .as("share_after"))
       .orderBy(col("lang"))
   }
+
+  /** Sub-document (paragraph-level) deduplication, MassiveText/RefinedWeb
+    * style: hash each unit, keep only the globally-first occurrence of
+    * each unit, report per-document dup fractions and the surviving token
+    * count. This corpus has no newline structure, so the unit is a
+    * fixed `chunk`-token window (documented proxy; on real corpora the
+    * splitter is a paragraph regex — the plan below is unchanged).
+    *
+    * Scale shape: chunk text reduces to (md5, doc_id, idx, n_toks)
+    * BEFORE the shuffle — document bytes never cross the wire. One
+    * hash-keyed window ranks occurrences (first = kept), one doc_id
+    * aggregate folds the verdicts back. The md5 key doubles as the
+    * oracle-parity key; at 100 TB xxhash64 halves the key bytes but the
+    * plan is identical. */
+  def chunkDedup(s: SparkSession, d: String, chunk: Int = 10): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val chunkArr = when(size(col("t")) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), ceil(size(col("t")).cast("double") / chunk)
+          .cast("int") - 1),
+        i => concat_ws(" ", slice(col("t"), i * chunk + 1, lit(chunk)))))
+    val chunks = base
+      .select(col("doc_id"), posexplode(chunkArr).as(Seq("idx", "ctext")))
+      .select(col("doc_id"), col("idx").cast("long").as("idx"),
+        md5(col("ctext")).as("h"),
+        size(tokens(col("ctext"))).cast("long").as("nt"))
+    val firstRank = row_number().over(
+      Window.partitionBy(col("h")).orderBy(col("doc_id"), col("idx")))
+    chunks.withColumn("rn", firstRank)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("rn") === 1, col("nt")).otherwise(0L)).as("kept_tokens"))
+      .withColumn("dup_frac",
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 3))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unigram language-model quality score (the CCNet-shape perplexity
+    * filter, with the corpus itself as the LM training set): per-document
+    * mean negative log2 unigram probability, in bits per token. Documents
+    * full of rare words score high (surprising), repetitive common-word
+    * documents score low.
+    *
+    * Floating-point discipline: the per-word surprisal is quantized to
+    * integer MILLIBITS before the per-document sum, so the aggregate is
+    * exact integer arithmetic — order-independent under any partitioning
+    * and bitwise-identical in the DuckDB oracle (a raw double sum would
+    * drift with reduction order).
+    *
+    * Scale shape: the vocabulary aggregate is bounded by distinct word
+    * types (millions of rows at web scale — broadcastable; beyond that
+    * the join degrades gracefully to sort-merge when the hint is dropped
+    * by AQE size checks), and the per-doc aggregate combines map-side.
+    * Document text moves only as exploded words that pre-aggregate. */
+  def unigramLmScore(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val logp = vocab.crossJoin(broadcast(total))
+      .select(col("w"),
+        round(log2(col("cnt").cast("double") / col("total")) * 1000)
+          .cast("long").as("millibits"))
+    words.join(broadcast(logp), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("millibits")).as("sum_millibits"))
+      .withColumn("bits_per_token",
+        round(-col("sum_millibits").cast("double") /
+          (col("n_tokens") * 1000.0), 3))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic global shuffle + sharding (training-order
+    * preparation): every document gets a pseudorandom but reproducible
+    * position — shard = first hex digit of md5(seed:doc_id) (16 shards),
+    * position = rank of the full digest within the shard. Re-running on
+    * any cluster shape, or resuming after failure, yields the identical
+    * order; changing `seed` reshuffles.
+    *
+    * Scale shape: no global sort — the only shuffle is the 16-way window
+    * partition (at 100 TB, widen to 2-4 hex digits for 256-65k shards so
+    * each window partition stays executor-sized). The alternative
+    * `ntile() OVER (ORDER BY digest)` is a single-partition window — the
+    * classic scale-killer this formulation avoids. */
+  def shuffleShards(s: SparkSession, d: String, seed: Int = 42): DataFrame = {
+    val digest = md5(concat_ws(":", lit(seed), col("doc_id")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), digest.as("digest"))
+      .withColumn("shard",
+        (instr(lit("0123456789abcdef"), substring(col("digest"), 1, 1)) - 1)
+          .cast("long"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("digest"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
 }

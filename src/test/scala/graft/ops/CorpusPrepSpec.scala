@@ -272,6 +272,89 @@ class CorpusPrepSpec extends SparkSpec {
       s"before=[${shB.min},${shB.max}] after=[${shA.min},${shA.max}]")
   }
 
+  test("chunkDedup reproduces exact first-occurrence chunk accounting") {
+    // sf0.001 has near-identical doc pairs → real cross-doc dup chunks
+    val d = "/root/testdata/sf0.001"
+    val texts = Tables.documents(spark, d)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    // driver-side ground truth on chunk STRINGS (md5 is an engine detail)
+    val chunks = texts.flatMap { case (id, txt) =>
+      val w = txt.split("\\s+").filter(_.nonEmpty)
+      w.grouped(10).zipWithIndex.map { case (c, i) =>
+        (id, i.toLong, c.mkString(" "), c.length.toLong) }
+    }
+    val firstOcc = chunks.groupBy(_._3).map { case (_, occ) =>
+      occ.minBy(o => (o._1, o._2)) }.toSet
+    val expected = chunks.groupBy(_._1).map { case (id, cs) =>
+      val kept = cs.filter(firstOcc.contains)
+      (id, cs.length.toLong, (cs.length - kept.length).toLong,
+        kept.map(_._4).sum)
+    }.toSet
+    val got = CorpusPrep.chunkDedup(spark, d)
+      .select("doc_id", "n_chunks", "n_dup_chunks", "kept_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected,
+      s"extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+    assert(got.map(_._3).sum > 0, "corpus should exercise cross-doc dup chunks")
+    assert(got.exists(_._3 == 0), "and some docs must be fully novel")
+  }
+
+  test("unigramLmScore recomputes exactly from driver-side unigram counts") {
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val docs = texts.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty) }
+    val counts = docs.flatMap(_._2).groupBy(identity)
+      .map { case (w, xs) => w -> xs.length.toLong }
+    val total = counts.values.sum.toDouble
+    // same quantization as the operator: round-half-up to integer
+    // millibits per word, then exact integer sums
+    val millibits = counts.map { case (w, c) =>
+      w -> BigDecimal(math.log(c / total) / math.log(2.0) * 1000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong }
+    def r3(v: Double) =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = docs.map { case (id, w) =>
+      val s = w.map(millibits).sum
+      (id, w.length.toLong, s, r3(-s.toDouble / (w.length * 1000.0)))
+    }.toSet
+    val got = CorpusPrep.unigramLmScore(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expected,
+      s"extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+    // the signal discriminates: scores vary across the corpus
+    assert(got.map(_._4).size > 1)
+  }
+
+  test("shuffleShards is an exact deterministic permutation into 16 shards") {
+    val ids = Tables.documents(spark, sf)
+      .select("doc_id").as[Long].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val digests = ids.map(id => id -> md5hex(s"42:$id"))
+    val expected = digests.groupBy { case (_, h) =>
+      "0123456789abcdef".indexOf(h.head).toLong }.toSeq.flatMap {
+      case (shard, members) =>
+        members.sortBy { case (id, h) => (h, id) }.zipWithIndex.map {
+          case ((id, _), i) => (id, shard, i + 1L) }
+    }.toSet
+    val got = CorpusPrep.shuffleShards(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected,
+      s"extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+    // all 16 shards populated; per-shard positions are contiguous 1..n
+    val byShard = got.groupBy(_._2)
+    assert(byShard.keySet == (0L until 16L).toSet)
+    byShard.foreach { case (sh, rows) =>
+      assert(rows.map(_._3).toSeq.sorted == (1L to rows.size).toSeq,
+        s"shard $sh positions not contiguous") }
+    // a different seed produces a different order
+    val reseeded = CorpusPrep.shuffleShards(spark, sf, seed = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(reseeded != got)
+  }
+
   test("topNgrams agrees with a direct recount of its reported grams") {
     val top = CorpusPrep.topNgrams(spark, sf, 2, 20).as[(String, Long)].collect()
     assert(top.length == 20)
