@@ -38,7 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => SimHash64(arity("simhash64", 1)(args).head)),
     (FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity",
-        "cosine_similarity(a, b) - cosine similarity of two float arrays."),
+        "cosine_similarity(a, b) - cosine similarity of two float or double " +
+          "arrays (per-side element width, double accumulation)."),
       (args: Seq[Expression]) => {
         val a = arity("cosine_similarity", 2)(args); CosineSimilarity(a(0), a(1))
       }),

@@ -704,8 +704,9 @@ object SparkEntry {
         |  FROM documents),
         |m AS (
         |  SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
-        |    round(length(regexp_replace(text, '\s', '', 'g')) * 1.0 / len(w), 3)
-        |      AS mean_word_len,
+        |    CASE WHEN len(w) = 0 THEN 0.0 ELSE
+        |      round(length(regexp_replace(text, '\s', '', 'g')) * 1.0 / len(w), 3)
+        |      END AS mean_word_len,
         |    CASE WHEN len(w) < 2 THEN 0.0 ELSE round(
         |      (len(w) - 1 - len(list_distinct(list_transform(range(1, len(w)),
         |        i -> w[i] || ' ' || w[i+1])))) * 1.0 / (len(w) - 1), 3) END

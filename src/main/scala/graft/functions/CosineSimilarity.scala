@@ -1,13 +1,17 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Cosine similarity between two `array<float>` embedding columns.
+/** Cosine similarity between two embedding columns (`array<float>` or
+  * `array<double>`, independently per side — no silent narrowing: a
+  * double-array caller keeps full precision, the accumulation is always
+  * double).
   *
   * A native Catalyst expression (with codegen) rather than a UDF or a
   * `zip_with`/`aggregate` composition: the builtin higher-order-function
@@ -21,11 +25,24 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Returns null for null/empty/mismatched-length inputs.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes {
+    extends BinaryExpression {
 
-  override def inputTypes =
-    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType),
-      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+  private def isAccepted(t: DataType): Boolean = t match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isAccepted(left.dataType) && isAccepted(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float> or array<double> arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+
+  private def elemIsDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -33,14 +50,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val out = CosineSimilarity.compute(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      elemIsDouble(left), elemIsDouble(right))
     if (out.isNaN) null else java.lang.Double.valueOf(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |${ev.value} = graft.functions.CosineSimilarity.compute($a, $b);
+         |${ev.value} = graft.functions.CosineSimilarity.compute(
+         |  $a, $b, ${elemIsDouble(left)}, ${elemIsDouble(right)});
          |if (Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
        """.stripMargin
     })
@@ -51,16 +70,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
-  /** Hot loop shared by interpreted and generated code paths. NaN signals
-    * "no result" (empty, length mismatch, or zero-norm vector). */
-  def compute(a: ArrayData, b: ArrayData): Double = {
+  /** Hot loop shared by interpreted and generated code paths; the
+    * element-width flags are plan-time constants (inlined as literals in
+    * codegen, so the JIT drops the dead branch). NaN signals "no result"
+    * (empty, length mismatch, or zero-norm vector). */
+  def compute(a: ArrayData, b: ArrayData,
+      aDouble: Boolean, bDouble: Boolean): Double = {
     val n = a.numElements()
     if (n == 0 || n != b.numElements()) return Double.NaN
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }

@@ -270,10 +270,16 @@ object CorpusPrep {
     * synthetic vocabulary makes 3 ≤ mwl ≤ 10 always true — kept because
     * the rule is load-bearing on real corpora). */
   def qualityGate(s: SparkSession, d: String, minWords: Int = 40,
+      maxWords: Int = 100000, maxDup2: Double = 0.05): DataFrame =
+    qualityGateOf(Tables.documents(s, d), minWords, maxWords, maxDup2)
+
+  /** Core gate over any `(doc_id, text)` frame — split out so specs can
+    * plant degenerate documents (whitespace-only, empty). */
+  def qualityGateOf(docs: DataFrame, minWords: Int = 40,
       maxWords: Int = 100000, maxDup2: Double = 0.05): DataFrame = {
     // one materialized token array feeds everything (inlining tokens()
     // into the gram lambdas re-runs split() per element_at)
-    val base = Tables.documents(s, d)
+    val base = docs
       .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
     val g2 = wordGrams(col("t"), 2)
     val dup2 = when(size(g2) === 0, 0.0).otherwise(
@@ -281,8 +287,12 @@ object CorpusPrep {
     val scored = base.select(
       col("doc_id"),
       size(col("t")).as("n_tokens"),
-      round(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
-        size(col("t")), 3).as("mean_word_len"),
+      // zero guard (like dup2's): a whitespace-only document would
+      // otherwise NULL-propagate through `pass`/`fail_reasons` in Spark
+      // and NaN/error in the oracle; 0.0 makes the mwl rule fire
+      when(size(col("t")) === 0, 0.0).otherwise(
+        round(length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+          size(col("t")), 3)).as("mean_word_len"),
       dup2.as("dup_2gram_frac"),
       gateStopwords.map(w => array_contains(col("t"), w)).reduce(_ && _)
         .as("has_stopwords"))

@@ -53,19 +53,31 @@ object Sessionize {
     * tumbling op (TIMESTAMP(NANOS) parquet reads as long nanos here).
     * Fan-out happens map-side; one shuffle for the final aggregation. */
   def slidingWindows(s: SparkSession, d: String,
+      windowUs: Long = 3600000000L, slideUs: Long = 1800000000L): DataFrame =
+    slidingWindowsOf(
+      Tables.events(s, d)
+        .select(expr("ts div 1000").as("us"), col("event_type"), col("value")),
+      windowUs, slideUs)
+
+  /** Core sliding-window op over any `(us, event_type, value)` frame —
+    * split out so specs can plant pre-epoch timestamps. */
+  def slidingWindowsOf(events: DataFrame,
       windowUs: Long = 3600000000L, slideUs: Long = 1800000000L): DataFrame = {
     val k = (windowUs / slideUs).toInt
-    Tables.events(s, d)
-      .select(expr("ts div 1000").as("us"), col("event_type"), col("value"))
+    events
       .select(col("event_type"), col("value"),
         explode(sequence(lit(0), lit(k - 1))).as("i"),
         col("us"))
+      // guard BEFORE the division: `div` truncates toward zero, so a
+      // negative intermediate (us < i*slide, i.e. pre-epoch or within
+      // the first slide) would alias into window 0 instead of being
+      // dropped — floor-division semantics need the filter first
+      .filter(col("us") >= col("i") * lit(slideUs))
       .select(
         // `div`, not `/`: Spark's `/` on longs is DOUBLE division
         expr(s"((us - i * ${slideUs}L) div ${slideUs}L) * ${slideUs}L")
           .as("window_start_us"),
         col("event_type"), col("value"))
-      .filter(col("window_start_us") >= 0)
       .groupBy(col("window_start_us"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("window_start_us"), col("event_type"))

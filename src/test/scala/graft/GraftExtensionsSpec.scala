@@ -58,4 +58,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .as[String].collect()
     assert(hits.toSeq == Seq("seen text"), hits.toSeq)
   }
+
+  test("cosine_similarity keeps double-array precision (no float narrowing)") {
+    val s = SparkSpec.spark
+    import s.implicits._
+    new GraftExtensions().functions.foreach { case (ident, _, builder) =>
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        ident.funcName, builder, "built-in")
+    }
+    // dot = (2^24+1)·1 + 1·(−2^24) = 1 in double; a float-narrowed left
+    // side rounds 2^24+1 to 2^24 and the dot collapses to 0
+    val sim = s.sql("SELECT cosine_similarity(array(16777217.0D, 1.0D), " +
+      "array(1.0D, -16777216.0D))").as[Double].head()
+    assert(sim > 0.0, s"double input must not be narrowed to float (got $sim)")
+    // per-side element width: float left, double right
+    val one = s.sql("SELECT cosine_similarity(array(float(3), float(4)), " +
+      "array(3.0D, 4.0D))").as[Double].head()
+    assert(math.abs(one - 1.0) < 1e-12)
+  }
 }

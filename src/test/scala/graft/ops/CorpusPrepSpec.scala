@@ -367,4 +367,20 @@ class CorpusPrepSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     top.foreach { case (gram, n) => assert(all(gram) == n, s"count mismatch for '$gram'") }
   }
+
+  test("qualityGate zero guard: whitespace-only and empty documents fail cleanly") {
+    val passing = "the a " + (1 to 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq((1L, "   \t  "), (2L, ""), (3L, passing)).toDF("doc_id", "text")
+    val byId = CorpusPrep.qualityGateOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      val r = byId(id)
+      assert(!r.anyNull, s"doc $id must not NULL-propagate: $r")
+      assert(r.getAs[Double]("mean_word_len") == 0.0, s"doc $id mwl")
+      assert(!r.getAs[Boolean]("pass"), s"doc $id must fail")
+      assert(r.getAs[String]("fail_reasons").split(",").toSet
+        == Set("mean_word_len", "stopwords", "word_count"), s"doc $id reasons")
+    }
+    assert(byId(3L).getAs[Boolean]("pass"), byId(3L).toString)
+  }
 }

@@ -319,4 +319,17 @@ class ExtensionsSpec extends SparkSpec {
       .filter(col("n_bytes") =!= length(col("text"))).count() // ASCII corpus
     assert(mismatch == 0)
   }
+
+  test("slidingWindowsOf drops pre-window events instead of aliasing into window 0") {
+    val evs = Seq(
+      (-3600000000L, "view", 1.0), // pre-epoch: belongs to NO window ≥ 0
+      (600000000L, "view", 1.0),   // 10 min: window 0 only (i=1 is pre-epoch)
+      (1900000000L, "view", 1.0))  // ~31.7 min: windows 0 and 1800 s
+      .toDF("us", "event_type", "value")
+    val got = Sessionize.slidingWindowsOf(evs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n")).toMap
+    // truncate-toward-zero `div` without the pre-filter would double-count
+    // the 10-min event into window 0 (n=3) and keep the pre-epoch event
+    assert(got == Map(0L -> 2L, 1800000000L -> 1L), got.toString)
+  }
 }
