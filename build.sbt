@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the LAST stdout line as JSON; sbt's
+// "[success] Total time ..." epilogue lands after the program's output
+// and breaks that parse (observed: BENCH_r{1,2,3}.json all parsed:null
+// with tails ending in the [success] line). Suppress it.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
