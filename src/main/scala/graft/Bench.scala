@@ -41,24 +41,49 @@ object Bench {
     // A failed query must be loud: it is excluded from the total (so a
     // crash can never *improve* the headline number), listed in
     // "failed", reported on stderr with its cause, and fails the run.
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    //
+    // Median-of-3: three full passes over the query set (interleaved, not
+    // back-to-back per query, so one transient burst of sandbox/JIT
+    // contention lands in a single pass and the per-query median rejects
+    // it — measured round-over-round swings of 1.7× on byte-identical
+    // code with the old single-shot timing). The headline total is the
+    // sum of per-query medians; per-run values are kept in "runs" for
+    // variance visibility.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val names = SparkEntry.queries.keys.toSeq
+    val times = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    val errs = scala.collection.mutable.Map[String, Throwable]()
+    for (_ <- 1 to nRuns; name <- names if !errs.contains(name)) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val err: Option[Throwable] =
-        try { fn(spark, sfDir).count(); None }
-        catch { case t: Throwable => Some(t) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      try { fn(spark, sfDir).count(); times(name) :+= (System.nanoTime() - t0) / 1e9 }
+      catch { case t: Throwable => errs(name) = t }
     }
-    val failed = results.collect { case (name, _, Some(t)) =>
+    val failed = names.filter(errs.contains).map { name =>
+      val t = errs(name)
       System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
       name
     }
-    val qs = results.map { case (k, v, e) =>
-      "\"" + k + "\":" + (if (e.isDefined) "null" else v.toString)
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val medians = names.map(n => n -> (if (errs.contains(n)) None else Some(median(times(n)))))
+    val qs = medians.map { case (k, v) =>
+      "\"" + k + "\":" + v.fold("null")(_.toString)
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val runsJson = names.map { n =>
+      "\"" + n + "\":" + times(n).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = medians.collect { case (_, Some(v)) => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    // stop FIRST, print LAST: Spark's console logging writes to stdout in
+    // the default log4j2 template, so the contract line is emitted after
+    // everything else that could print — the driver reads the last line.
     spark.stop()
+    println(json)
     if (failed.nonEmpty) sys.exit(1)
   }
 }

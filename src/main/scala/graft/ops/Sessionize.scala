@@ -54,8 +54,20 @@ object Sessionize {
     * Fan-out happens map-side; one shuffle for the final aggregation. */
   def slidingWindows(s: SparkSession, d: String,
       windowUs: Long = 3600000000L, slideUs: Long = 1800000000L): DataFrame =
+    slidingWindowsNanos(
+      Tables.events(s, d).select(col("ts"), col("event_type"), col("value")),
+      windowUs, slideUs)
+
+  /** Nanos→micros adapter over any `(ts, event_type, value)` frame.
+    * The `ts >= 0` guard must run BEFORE the nanos→micros division:
+    * `div` truncates toward zero, so ts ∈ (-999, -1) ns would otherwise
+    * map to us = 0 and alias into window 0 — the same truncation class
+    * `slidingWindowsOf` already guards one level down, which can't see
+    * it because the sign is lost in this wrapper's division. */
+  def slidingWindowsNanos(events: DataFrame,
+      windowUs: Long = 3600000000L, slideUs: Long = 1800000000L): DataFrame =
     slidingWindowsOf(
-      Tables.events(s, d)
+      events.filter(col("ts") >= 0)
         .select(expr("ts div 1000").as("us"), col("event_type"), col("value")),
       windowUs, slideUs)
 

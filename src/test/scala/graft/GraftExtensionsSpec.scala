@@ -76,4 +76,39 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "array(3.0D, 4.0D))").as[Double].head()
     assert(math.abs(one - 1.0) < 1e-12)
   }
+
+  test("cosine_similarity null semantics: NULL arg and null array element") {
+    val s = SparkSpec.spark
+    import s.implicits._
+    new GraftExtensions().functions.foreach { case (ident, _, builder) =>
+      s.sessionState.functionRegistry.createOrReplaceTempFunction(
+        ident.funcName, builder, "built-in")
+    }
+    // a NULL literal must pass analysis (NullType accepted) and return
+    // null, SQL-style — not throw a TypeCheckFailure
+    val nullArg = s.sql(
+      "SELECT cosine_similarity(NULL, array(1.0D, 2.0D))")
+      .as[Option[Double]].head()
+    assert(nullArg.isEmpty, s"NULL arg must yield null, got $nullArg")
+    // a null ELEMENT (containsNull=true input) must yield null — the
+    // unsafe getters would otherwise read the null slot as garbage/0.0
+    // and silently skew the similarity
+    val nullElem = s.sql(
+      "SELECT cosine_similarity(array(1.0D, CAST(NULL AS DOUBLE)), " +
+        "array(1.0D, 2.0D))").as[Option[Double]].head()
+    assert(nullElem.isEmpty, s"null element must yield null, got $nullElem")
+    // and on the other side, via the Column API
+    val df = Seq((Array(1.0, 2.0), Array[java.lang.Double](1.0, null)))
+      .toDF("a", "b")
+    val viaCol = df.select(graft.functions.CosineSimilarity(
+      org.apache.spark.sql.functions.col("a"),
+      org.apache.spark.sql.functions.col("b"))).as[Option[Double]].head()
+    assert(viaCol.isEmpty, s"null element (right side) must yield null, got $viaCol")
+    // non-null inputs through the SAME containsNull=true-typed path are
+    // unaffected
+    val ok = s.sql(
+      "SELECT cosine_similarity(array(1.0D, 2.0D), array(1.0D, 2.0D))")
+      .as[Double].head()
+    assert(math.abs(ok - 1.0) < 1e-12)
+  }
 }

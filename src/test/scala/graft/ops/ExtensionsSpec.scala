@@ -332,4 +332,17 @@ class ExtensionsSpec extends SparkSpec {
     // the 10-min event into window 0 (n=3) and keep the pre-epoch event
     assert(got == Map(0L -> 2L, 1800000000L -> 1L), got.toString)
   }
+
+  test("slidingWindowsNanos guards pre-epoch nanos before the micros division") {
+    // ts ∈ (-999, -1) ns: `ts div 1000` truncates toward zero → us = 0,
+    // which would pass slidingWindowsOf's `us >= 0` guard and alias into
+    // window 0 — the wrapper must drop negative nanos BEFORE dividing
+    val evs = Seq(
+      (-500L, "view", 1.0),          // pre-epoch: must emit NO window rows
+      (1900000000000L, "view", 1.0)) // ~31.7 min in ns: windows 0 and 1800 s
+      .toDF("ts", "event_type", "value")
+    val got = Sessionize.slidingWindowsNanos(evs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n")).toMap
+    assert(got == Map(0L -> 1L, 1800000000L -> 1L), got.toString)
+  }
 }
