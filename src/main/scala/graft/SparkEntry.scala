@@ -68,6 +68,7 @@ object SparkEntry {
     "x_winnow_dup"      -> ((s, d) => TextAnalysis.winnowDupPairs(s, d)),
     "x_simhash_dup"     -> ((s, d) => Dedup.simhashDupPairs(s, d)),
     "x_lsh_dup"         -> ((s, d) => Similarity.lshDupRetrieval(s, d)),
+    "x_ivf_dup"         -> ((s, d) => Similarity.ivfDupRetrieval(s, d)),
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
     "x_sim_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
@@ -98,7 +99,14 @@ object SparkEntry {
     // temperature-based language-mixture resampling (alpha = 0.5)
     "x_mix_temperature" -> ((s, d) => CorpusPrep.temperatureMix(s, d)),
     // SemDeDup: components over the exact cosine >= 0.4 embedding graph
+    // (the oracle-checkable recall baseline for the bucketed path below)
     "x_dedup_semantic"  -> ((s, d) => Dedup.semanticClusters(s, d)),
+    // production SemDeDup: banded-signature candidate buckets → cosine
+    // verify → same component tail. Approximate (custom hash family) →
+    // rows-only check; recall vs the exact form is spec-asserted and the
+    // identical-vector guarantee is oracle-pinned by x_semantic_dup.
+    "x_dedup_semantic_lsh" -> ((s, d) => Dedup.semanticClustersLsh(s, d)),
+    "x_semantic_dup"    -> ((s, d) => Dedup.semanticDupClusters(s, d)),
     // paragraph-level dedup (10-token chunk proxy), first occurrence kept
     "x_dedup_chunks"    -> ((s, d) => CorpusPrep.chunkDedup(s, d)),
     // unigram-LM surprisal in bits/token (CCNet-shape quality signal)
@@ -111,6 +119,12 @@ object SparkEntry {
     "x_events_funnel"   -> ((s, d) => Sessionize.funnel(s, d)),
     "x_window_hourly"   -> ((s, d) => Sessionize.hourlyWindows(s, d)),
     "x_window_sliding"  -> ((s, d) => Sessionize.slidingWindows(s, d)),
+    // batch≡stream equivalence drives: the PRODUCTION streaming pipelines
+    // (file source → watermark/state → memory sink) drained over the same
+    // events parquet, checked by the same oracle semantics as their batch
+    // twins (x_window_hourly / x_sessionize-sans-null-users)
+    "x_stream_hourly"   -> ((s, d) => graft.streaming.StreamDrive.hourlyFromFiles(s, d)),
+    "x_stream_sessionize" -> ((s, d) => graft.streaming.StreamDrive.sessionsFromFiles(s, d)),
     "x_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(s, d)),
     "x_multimodal_frames" -> ((s, d) => graft.multimodal.Multimodal.frameSamples(s, d)),
     "x_skew_salted"     -> ((s, d) =>
@@ -446,6 +460,21 @@ object SparkEntry {
         |FROM corpus a JOIN corpus b
         |  ON a.embedding = b.embedding AND a.vec_id <> b.vec_id
         |WHERE a.vec_id < 8 GROUP BY a.vec_id ORDER BY qid""".stripMargin,
+    // IVF guarantee, same derivation: an identical vector shares the
+    // query's k-means cell (identical input ⇒ identical assignment), the
+    // query's own cell is always probed (self-distance 0), and cosine 1.0
+    // beats every non-identical candidate — so the production IVF
+    // pipeline at k=1 must return each query's smallest
+    // identical-embedding partner. rn is the Spark-side row_number (INT).
+    "x_ivf_dup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings)
+        |SELECT a.vec_id AS qid, CAST(min(b.vec_id) AS BIGINT) AS cid,
+        |       1.0 AS sim, CAST(1 AS INT) AS rn
+        |FROM corpus a JOIN corpus b
+        |  ON a.embedding = b.embedding AND a.vec_id <> b.vec_id
+        |WHERE a.vec_id < 8 GROUP BY a.vec_id ORDER BY qid""".stripMargin,
     // like x_minhash_dup, the oracle derives the relation itself (equal
     // interleaved texts ⇔ equal fingerprint sets) instead of hardcoding
     // (d, d+100000) — robust even if a corpus contained two identical
@@ -758,6 +787,20 @@ object SparkEntry {
         |  CAST(least(e.vec_id, coalesce(min(r.v), e.vec_id)) AS BIGINT) AS cluster_id
         |FROM embeddings e LEFT JOIN reach r ON r.u = e.vec_id
         |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin,
+    // SemDeDup guarantee through the PRODUCTION bucketed pipeline:
+    // identical embeddings share every signature band, verify at cosine
+    // 1.0, and cluster together; at t=0.9 nothing non-identical verifies
+    // (max genuine pairwise cosine ≈0.5), so the output is exactly the
+    // equal-embedding equivalence classes labeled by min vec_id —
+    // derived via the (transitive) equality join, not hardcoded offsets,
+    // so a natural embedding duplicate can't break the gate.
+    "x_semantic_dup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings)
+        |SELECT a.vec_id, CAST(min(b.vec_id) AS BIGINT) AS cluster_id
+        |FROM corpus a JOIN corpus b ON a.embedding = b.embedding
+        |GROUP BY a.vec_id ORDER BY a.vec_id""".stripMargin,
     // chunk hashing: DuckDB list slice w[a:b] is INCLUSIVE (b-a+1 elems);
     // rn=1 marks the globally-first occurrence of each chunk digest
     "x_dedup_chunks" ->
@@ -865,6 +908,26 @@ object SparkEntry {
       """SELECT epoch_ns(ts) // 1000 // 3600000000 AS hour_bucket, event_type,
         |count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the streaming drive must agree with the batch hourly oracle exactly
+    "x_stream_hourly" ->
+      """SELECT epoch_ns(ts) // 1000 // 3600000000 AS hour_bucket, event_type,
+        |count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // streaming sessionization ≡ batch sessions, minus null user_ids
+    // (the typed streaming key is a primitive long; exclusion is pinned
+    // on both sides)
+    "x_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
+        |           WHERE user_id IS NOT NULL),
+        |l AS (SELECT user_id, us,
+        |        us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS gap FROM e),
+        |f AS (SELECT user_id, us,
+        |        CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM l),
+        |sess AS (SELECT user_id, us,
+        |        CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us) AS BIGINT) AS sess_id FROM f)
+        |SELECT user_id, sess_id, count(*) AS n_events, min(us) AS start_us,
+        |       max(us) AS end_us, max(us) - min(us) AS duration_us
+        |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
     "x_window_sliding" ->
       """WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_type, value FROM events),
         |w AS (

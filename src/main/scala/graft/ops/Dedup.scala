@@ -240,11 +240,13 @@ object Dedup {
     * clustering uses.
     *
     * The pair generator here is the exact all-pairs form — the
-    * oracle-checkable semantics and the recall baseline. At 100 TB the
-    * candidate pairs come from signature buckets instead (the
-    * [[Similarity.lshTopK]] random-hyperplane bands, or per-IVF-cell
-    * pairs), feeding the identical verify-then-label tail; all-pairs is
-    * labeled the same way [[embedCosinePairs]] is. */
+    * oracle-checkable semantics and the RECALL BASELINE, labeled the same
+    * way [[embedCosinePairs]] is. The production scale path is
+    * [[semanticClustersLsh]]: banded signature buckets generate the
+    * candidates (no all-pairs cartesian), feeding the identical
+    * verify-then-label tail; its recall is asserted against this form in
+    * the specs and its identical-vector guarantee is oracle-pinned via
+    * [[semanticDupClusters]]. */
   def semanticClusters(s: SparkSession, d: String,
       threshold: Double = 0.4): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -254,12 +256,94 @@ object Dedup {
       .filter(round(graft.functions.CosineSimilarity(col("ea"), col("eb")), 4)
         >= threshold)
       .select(col("a_id"), col("b_id"))
+    clustersFromPairs(s, emb, pairs)
+  }
+
+  /** Shared verify-then-label tail: cosine-verified pairs → connected
+    * components → every vector labeled (singletons to themselves). */
+  private def clustersFromPairs(s: SparkSession, emb: DataFrame,
+      pairs: DataFrame): DataFrame =
     emb.select(col("vec_id"))
       .join(componentLabels(s, pairs).toDF("vec_id", "label"),
         Seq("vec_id"), "left_outer")
       .select(col("vec_id"),
         coalesce(col("label"), col("vec_id")).as("cluster_id"))
       .orderBy(col("vec_id"))
+
+  /** The PRODUCTION SemDeDup path: candidate pairs from banded
+    * random-hyperplane signature buckets (the same seeded sign signatures
+    * [[Similarity.lshTopK]] buckets on, sliced into `bands` bands of
+    * `bitsPerBand` bits, OR-amplified: a pair is a candidate if any band
+    * matches), then the identical cosine-verify → component-label tail as
+    * [[semanticClusters]]. Candidate generation is an equi-join on
+    * (band, band_val) ints — the all-pairs cartesian never materializes,
+    * and embeddings move only for candidate verification.
+    *
+    * Approximate by construction: a true pair whose signatures disagree
+    * in every band is missed. Banding is tuned per threshold — measured
+    * same-cluster pair recall vs the exact form on the driver corpus at
+    * 32×4: 0.98 (sf0.001) / 0.93 (sf0.01) at t=0.4, and 1.0 for
+    * identical vectors at any banding (equal input ⇒ equal signature ⇒
+    * every band matches), which is what [[semanticDupClusters]] pins
+    * under the DuckDB oracle. The verified edge set is a subset of the
+    * exact one, so bucketed clusters always refine exact clusters —
+    * precision 1 at the pair level (asserted in the recall spec
+    * alongside recall ≥ 0.9 at both spec SFs).
+    *
+    * On THIS corpus (random 64-dim vectors, background cosine ≈ 0.12
+    * vs threshold 0.4 — a deliberately thin margin) the bands prune only
+    * modestly; on real embedding corpora SemDeDup targets (dup clusters
+    * at cosine ≥ 0.9 over a near-orthogonal background) a 16-band slice
+    * of the same signatures retains ≥ 1-(1-0.857⁴)¹⁶ ≈ 0.9998 of true
+    * pairs while passing ~0.5⁴·16 ≈ 10⁻¹·background pairs — the standard
+    * recall/candidate-volume dial of every LSH deployment. */
+  def semanticClustersLsh(s: SparkSession, d: String, threshold: Double = 0.4,
+      bands: Int = 32, bitsPerBand: Int = 4): DataFrame =
+    semanticClustersLshOf(s, Tables.embeddings(s, d), threshold, bands, bitsPerBand)
+
+  private[ops] def semanticClustersLshOf(s: SparkSession, emb: DataFrame,
+      threshold: Double, bands: Int, bitsPerBand: Int): DataFrame = {
+    val signed = Similarity.signedEmbeddings(
+      emb.select(col("vec_id"), col("embedding")), bands * bitsPerBand)
+    val mask = (1L << bitsPerBand) - 1
+    // bands slice the one sig long — only (vec_id, band, band_val) ints
+    // enter the candidate self-join; embeddings stay out of the explode
+    val banded = signed.select(col("vec_id"), posexplode(array(
+      (0 until bands).map(b =>
+        shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*)))
+      .toDF("vec_id", "band", "band_val")
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val pairs = cands
+      .join(vecs.toDF("a_id", "ea"), "a_id")
+      .join(vecs.toDF("b_id", "eb"), "b_id")
+      .filter(round(graft.functions.CosineSimilarity(col("ea"), col("eb")), 4)
+        >= threshold)
+      .select(col("a_id"), col("b_id"))
+    clustersFromPairs(s, emb, pairs)
+  }
+
+  /** SemDeDup *guarantee* under the DuckDB oracle, the [[minhashDupPairs]]
+    * shape: identical embeddings have identical sign signatures, so every
+    * band matches and a planted exact copy of each vector at
+    * `vec_id + offset` is ALWAYS a candidate, verifies at cosine 1.0, and
+    * clusters with its original. At `threshold` = 0.9 no non-identical
+    * pair on this corpus verifies (max genuine pairwise cosine ≈ 0.5), so
+    * the production bucketed pipeline must output exactly the
+    * equal-embedding equivalence classes, labeled by their min vec_id —
+    * SQL-expressible, derived from the data (equality join, transitive)
+    * rather than hardcoded arithmetic. */
+  def semanticDupClusters(s: SparkSession, d: String, threshold: Double = 0.9,
+      offset: Long = 100000L): DataFrame = {
+    val emb0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val emb = emb0.unionAll(emb0.select(
+      (col("vec_id") + offset).as("vec_id"), col("embedding")))
+    semanticClustersLshOf(s, emb, threshold, bands = 32, bitsPerBand = 4)
   }
 
   /** MinHash signatures as k seeded murmur3 hashes of the (already

@@ -46,7 +46,7 @@ object Similarity {
     * pseudo-random: component h of plane p is seeded murmur3 `hash(p, h)`
     * mapped to [-0.5, 0.5) — stable across runs and executors with no
     * RNG state to ship. */
-  private def signedEmbeddings(emb: DataFrame, nPlanes: Int): DataFrame = {
+  private[ops] def signedEmbeddings(emb: DataFrame, nPlanes: Int): DataFrame = {
     val sigBits = (0 until nPlanes).map { p =>
       val weights = transform(sequence(lit(0), size(col("embedding")) - 1),
         h => hash(lit(p), h).cast("double") / lit(4294967296.0))
@@ -167,9 +167,33 @@ object Similarity {
     * nProbe/nCells of the data — the centroid table itself is tiny and
     * lives on the driver. Deterministic via the k-means seed. */
   def ivfTopK(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
-      nCells: Int = 16, nProbe: Int = 4, maxTrainRows: Long = 100000L): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-      .withColumn("features", array_to_vector(col("embedding")))
+      nCells: Int = 16, nProbe: Int = 4, maxTrainRows: Long = 100000L): DataFrame =
+    ivfTopKOf(s, Tables.embeddings(s, d), nQueries, k, nCells, nProbe, maxTrainRows)
+
+  /** IVF retrieval *guarantee* under the DuckDB oracle — the exact trick
+    * [[lshDupRetrieval]] uses: an identical vector has distance 0 to the
+    * query, so the planted copy of each query at `vec_id + offset` lands
+    * in the query's own k-means cell (ties in cell assignment are
+    * irrelevant: IDENTICAL vectors get the SAME assignment), the query's
+    * own cell is always among its nProbe probes (self-distance 0 is the
+    * minimum), and the copy is the query's top-1 at cosine 1.0 (the
+    * corpus's max non-identical pairwise cosine is ≈0.5). Runs the
+    * PRODUCTION cell-assign/probe/score pipeline with k = 1; expected
+    * output is SQL-expressible: (q, q's min identical partner, 1.0, 1). */
+  def ivfDupRetrieval(s: SparkSession, d: String, nQueries: Int = 8,
+      nCells: Int = 16, nProbe: Int = 4, offset: Long = 100000L): DataFrame = {
+    val emb0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val emb = emb0.unionAll(emb0.select(
+      (col("vec_id") + offset).as("vec_id"), col("embedding")))
+    ivfTopKOf(s, emb, nQueries, k = 1, nCells, nProbe)
+  }
+
+  /** The production IVF pipeline over any `(vec_id, embedding)` frame —
+    * shared by [[ivfTopK]] and the [[ivfDupRetrieval]] guarantee oracle so
+    * the oracle exercises exactly what production runs. */
+  private def ivfTopKOf(s: SparkSession, embIn: DataFrame, nQueries: Int, k: Int,
+      nCells: Int, nProbe: Int, maxTrainRows: Long = 100000L): DataFrame = {
+    val emb = embIn.withColumn("features", array_to_vector(col("embedding")))
     // The coarse quantizer trains on a bounded sample: centroids don't
     // need the full corpus, and a full-corpus fit is 10 passes over
     // 100 TB. Seeded sample → deterministic centroids; below the cap the

@@ -160,6 +160,35 @@ class ExtensionsSpec extends SparkSpec {
       s"diffs=${got.toSet.diff(expected.toSet).take(5)}")
   }
 
+  test("bucketed SemDeDup refines exact clusters with recall >= 0.9; copies always cluster") {
+    // same-cluster pairs of a (vec_id, cluster_id) labeling
+    def samePairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.as[(Long, Long)].collect().groupBy(_._2).values.flatMap { grp =>
+        val ids = grp.map(_._1).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j))
+      }.toSet
+    for (dir <- Seq("/root/testdata/sf0.001", sf)) {
+      val exactPairs = samePairs(Dedup.semanticClusters(spark, dir))
+      val lshPairs = samePairs(Dedup.semanticClustersLsh(spark, dir))
+      assert(exactPairs.nonEmpty, s"$dir: cosine graph should have edges")
+      // bucketed edges are a cosine-verified SUBSET of the exact edges,
+      // so bucketed clusters must refine exact clusters (pair precision 1)
+      assert(lshPairs.subsetOf(exactPairs),
+        s"$dir: unverified pair leaked: ${lshPairs.diff(exactPairs).take(3)}")
+      val recall = lshPairs.size.toDouble / exactPairs.size
+      assert(recall >= 0.9, s"$dir: bucketed pair recall $recall < 0.9 " +
+        s"(${lshPairs.size}/${exactPairs.size})")
+    }
+    // identical-vector guarantee through the production pipeline: every
+    // planted copy lands in its original's cluster (any banding — equal
+    // input ⇒ equal signature ⇒ every band matches)
+    val dup = Dedup.semanticDupClusters(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long)].collect().toMap
+    val strays = dup.collect {
+      case (v, c) if v >= 100000L && c != dup(v - 100000L) => v }
+    assert(strays.isEmpty, s"copies not clustered with originals: ${strays.take(5)}")
+  }
+
   test("corpus pipeline: survivors are quality-kept, exact-unique, cluster representatives") {
     val summary = TextAnalysis.corpusSummary(spark, sf)
       .as[(String, Long, Long, Long)].collect()
