@@ -15,12 +15,14 @@ import scala.collection.mutable
   * with CURIE / safe-CURIE / term resolution and a seeded set of common
   * prefixes (RDFa initial context).
   *
-  * `inlist` deviation, documented: values for one (subject, predicate)
-  * accumulate per PAGE in document order into a single rdf:List, where
-  * RDFa Core §7.5 closes a list at the end of the element that
-  * established its subject — re-establishing the same subject+predicate
-  * list twice on one page would merge here. Hanging `rel inlist`
-  * (completion by descendant subjects into a list) is not supported.
+  * `inlist` list mappings are SCOPED per RDFa Core §7.5: an element that
+  * establishes a new subject owns a fresh list mapping; values collected
+  * under it chain into one rdf:List per predicate, emitted when that
+  * element's subtree completes. Re-establishing the same subject later
+  * in the page therefore yields a SEPARATE list — matching the
+  * reference's processor — rather than merging across subtrees. The one
+  * remaining unsupported corner: hanging `rel inlist` completed by
+  * descendant subjects (list membership via incomplete triples).
   *
   * lblod behaviors reproduced:
   *   - `specialHtmlPredicates`: a `property="prov:value"` whose object is
@@ -87,11 +89,26 @@ object RdfaExtractor {
     // provenance/type triples from their nodes. Per-page counter + a
     // base-URI discriminator keeps labels stable and cross-page unique.
     val counter = new Counter(sha1Hex(baseUri))
-    // inlist collections: (subject, predicate) → values in document order
-    val lists = mutable.LinkedHashMap[(String, String), mutable.ArrayBuffer[Term]]()
+    // root list mapping (inlist collections at the page's base subject)
+    val lists: ListMap = mutable.LinkedHashMap()
     walk(root, Ctx(baseUri, baseUri, defaultPrefixes, None, None), out, counter, lists)
-    // emit each collected list as an rdf:first/rdf:rest chain (empty →
-    // predicate points at rdf:nil, RDFa Core §7.5 step 14)
+    emitLists(lists, out, counter)
+    // set semantics, like the reference's n3 Store: sibling property-only
+    // elements under one hanging rel each complete it with the same
+    // bridge node — identical quads collapse here.
+    out.distinct.toSeq
+  }
+
+  /** `inlist` collections of ONE list-mapping scope:
+    * (subject, predicate) → values in document order. */
+  private type ListMap =
+    mutable.LinkedHashMap[(String, String), mutable.ArrayBuffer[Term]]
+
+  /** Emit each collected list as an rdf:first/rdf:rest chain (empty →
+    * predicate points at rdf:nil, RDFa Core §7.5 step 14). Called when
+    * the mapping's owning element completes. */
+  private def emitLists(lists: ListMap, out: mutable.ArrayBuffer[Quad],
+      counter: Counter): Unit =
     lists.foreach { case ((subj, pred), values) =>
       if (values.isEmpty)
         out += Quad(toTerm(subj), Term.iri(pred), Term.iri(Vocab.rdfNil))
@@ -106,11 +123,6 @@ object RdfaExtractor {
         }
       }
     }
-    // set semantics, like the reference's n3 Store: sibling property-only
-    // elements under one hanging rel each complete it with the same
-    // bridge node — identical quads collapse here.
-    out.distinct.toSeq
-  }
 
   private final class Counter(pageTag: String) {
     private var n = 0L
@@ -123,11 +135,9 @@ object RdfaExtractor {
 
   private def walk(e: HtmlParser.Element, ctx0: Ctx,
       out: mutable.ArrayBuffer[Quad], counter: Counter,
-      lists: mutable.LinkedHashMap[(String, String), mutable.ArrayBuffer[Term]]): Unit = {
+      lists: ListMap): Unit = {
     var ctx = ctx0
     val inlist = e.attr("inlist").isDefined
-    def addToList(subj: String, pred: String, value: Term): Unit =
-      lists.getOrElseUpdate((subj, pred), mutable.ArrayBuffer[Term]()) += value
 
     // prefix / vocab / lang updates apply to this element and descendants.
     // xmlns:p="uri" (RDFa 1.0 host-language style) is still honored by
@@ -175,6 +185,17 @@ object RdfaExtractor {
       else None
     }
 
+    // --- list-mapping scope (RDFa Core §7.5 step 5/6): an element that
+    // establishes a new subject owns a FRESH list mapping; its own inlist
+    // values and its descendants' accumulate there and are emitted when
+    // this element's subtree completes (step 14, below). Otherwise the
+    // inherited mapping flows through and the nearest owning ancestor
+    // emits.
+    val localLists: ListMap =
+      if (newSubject.isDefined) mutable.LinkedHashMap() else lists
+    def addToList(subj: String, pred: String, value: Term): Unit =
+      localLists.getOrElseUpdate((subj, pred), mutable.ArrayBuffer[Term]()) += value
+
     // --- complete inherited incomplete triples (RDFa Core §7.5): any
     // element that establishes a subject — via about, resource, or a
     // typed blank node — closes the parent's hanging rel/rev. An element
@@ -221,7 +242,7 @@ object RdfaExtractor {
           // fall out. (Hanging-rel list completion by descendants is the
           // documented unsupported corner.)
           rels.foreach(r =>
-            lists.getOrElseUpdate((relSubject, r), mutable.ArrayBuffer[Term]()))
+            localLists.getOrElseUpdate((relSubject, r), mutable.ArrayBuffer[Term]()))
         case None =>
           childPending = rels.map(Pending(relSubject, _, isRev = false)) ++
             revs.map(Pending(relSubject, _, isRev = true))
@@ -293,9 +314,12 @@ object RdfaExtractor {
     val childCtx = ctx.copy(subject = childSubject, pending = childPending,
       pendingBridge = childBridge)
     e.children.foreach {
-      case el: HtmlParser.Element => walk(el, childCtx, out, counter, lists)
+      case el: HtmlParser.Element => walk(el, childCtx, out, counter, localLists)
       case _ =>
     }
+    // --- §7.5 step 14: this element owns its list mapping → serialize
+    // its lists now that the subtree is complete
+    if (localLists ne lists) emitLists(localLists, out, counter)
   }
 
   private def plainLiteral(v: String, ctx: Ctx): Term =

@@ -236,6 +236,37 @@ class RdfaExtractorSpec extends AnyFunSuite {
       q.obj.termType == Term.Literal))
   }
 
+  test("inlist: re-established subject yields a SEPARATE list per subtree (§7.5 step 14)") {
+    // two sibling subtrees about the SAME subject: each owns its list
+    // mapping, so ex:tags must point at TWO distinct rdf:List heads
+    // (alpha,beta) and (gamma) — not one merged (alpha,beta,gamma) chain
+    val html =
+      """<div prefix="ex: http://ex.org/ns#">
+        |  <div about="http://ex.org/s">
+        |    <span property="ex:tags" inlist content="alpha"></span>
+        |    <span property="ex:tags" inlist content="beta"></span>
+        |  </div>
+        |  <div about="http://ex.org/s">
+        |    <span property="ex:tags" inlist content="gamma"></span>
+        |  </div>
+        |</div>""".stripMargin
+    val quads = RdfaExtractor.extract(html, base)
+    val heads = quads.filter(q => q.subject.value == "http://ex.org/s" &&
+      q.predicate.value == "http://ex.org/ns#tags").map(_.obj)
+    assert(heads.length == 2, s"expected two list heads, got $heads")
+    assert(heads.forall(_.termType == Term.BlankNode))
+    def follow(node: String, acc: Seq[String]): Seq[String] = {
+      val first = quads.find(q => q.subject.value == node &&
+        q.predicate.value == Vocab.rdfFirst).get.obj.value
+      val rest = quads.find(q => q.subject.value == node &&
+        q.predicate.value == Vocab.rdfRest).get.obj
+      if (rest.value == Vocab.rdfNil) acc :+ first
+      else follow(rest.value, acc :+ first)
+    }
+    val chains = heads.map(h => follow(h.value, Nil)).sortBy(_.length)
+    assert(chains == Seq(Seq("gamma"), Seq("alpha", "beta")), chains.toString)
+  }
+
   test("inlist: rel with no object on a childless element is the empty list (rdf:nil)") {
     val html =
       """<div about="http://ex.org/s" prefix="ex: http://ex.org/ns#">
