@@ -116,6 +116,14 @@ object SparkEntry {
     "x_ngram_topk"      -> ((s, d) => CorpusPrep.topNgrams(s, d)),
     "x_len_quantiles"   -> ((s, d) => CorpusPrep.lengthQuantiles(s, d)),
     "x_sessionize"      -> ((s, d) => Sessionize.sessions(s, d)),
+    // temporal joins: single-shuffle as-of (union+window) and bucketed
+    // range join, both verified against DuckDB's inequality-join oracle
+    "x_asof_join"       -> ((s, d) => TemporalJoin.purchaseAttribution(s, d)),
+    "x_range_join"      -> ((s, d) => TemporalJoin.purchaseViewWindow(s, d)),
+    // Misra-Gries heavy hitters: capacity 64 > distinct event types, so
+    // the sketch is provably exact here and the GROUP BY oracle applies;
+    // the >capacity approximation regime is spec-tested with planted skew
+    "x_heavy_hitters"   -> ((s, d) => Sketches.heavyHitters(s, d)),
     "x_events_funnel"   -> ((s, d) => Sessionize.funnel(s, d)),
     "x_window_hourly"   -> ((s, d) => Sessionize.hourlyWindows(s, d)),
     "x_window_sliding"  -> ((s, d) => Sessionize.slidingWindows(s, d)),
@@ -893,6 +901,40 @@ object SparkEntry {
         |  count(s2.t1) AS n_step2_click,
         |  count(s3.t2) AS n_step3_purchase
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+    // temporal-join oracles use the textbook inequality-join formulation
+    // on purpose: an independent plan shape checking the cheap bucketed/
+    // windowed Spark plans. Tie-break (us DESC, event_id DESC → rn=1)
+    // mirrors the Spark side's last-over-(us, tag, build_id) exactly.
+    "x_asof_join" ->
+      """WITH v AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, value
+        |           FROM events WHERE event_type = 'view' AND user_id IS NOT NULL),
+        |p AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id
+        |      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |m AS (SELECT p.event_id AS pid, v.event_id AS view_event_id,
+        |             v.value AS view_value,
+        |             row_number() OVER (PARTITION BY p.event_id
+        |               ORDER BY v.us DESC, v.event_id DESC) AS rn
+        |      FROM p JOIN v ON v.user_id = p.user_id AND v.us <= p.us)
+        |SELECT p.event_id AS purchase_id, p.user_id, p.us AS purchase_us,
+        |       m.view_event_id, m.view_value
+        |FROM p LEFT JOIN m ON m.pid = p.event_id AND m.rn = 1
+        |ORDER BY purchase_id""".stripMargin,
+    "x_range_join" ->
+      """WITH v AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, value
+        |           FROM events WHERE event_type = 'view' AND user_id IS NOT NULL),
+        |p AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id
+        |      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |       count(v.event_id) AS n_views_1h,
+        |       round(coalesce(sum(v.value), 0), 2) AS sum_view_value
+        |FROM p LEFT JOIN v ON v.user_id = p.user_id
+        |  AND v.us >= p.us - 3600000000 AND v.us < p.us
+        |GROUP BY 1, 2 ORDER BY purchase_id""".stripMargin,
+    // exact because sketch capacity (64) exceeds the key cardinality —
+    // the Misra-Gries no-reduction corollary; see Sketches.heavyHitters
+    "x_heavy_hitters" ->
+      """SELECT event_type AS item, count(*) AS est_count FROM events
+        |WHERE event_type IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
         |l AS (SELECT user_id, us,
