@@ -132,6 +132,7 @@ object SparkEntry {
     // events parquet, checked by the same oracle semantics as their batch
     // twins (x_window_hourly / x_sessionize-sans-null-users)
     "x_stream_hourly"   -> ((s, d) => graft.streaming.StreamDrive.hourlyFromFiles(s, d)),
+    "x_stream_sliding"  -> ((s, d) => graft.streaming.StreamDrive.slidingFromFiles(s, d)),
     "x_stream_sessionize" -> ((s, d) => graft.streaming.StreamDrive.sessionsFromFiles(s, d)),
     "x_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(s, d)),
     "x_multimodal_frames" -> ((s, d) => graft.multimodal.Multimodal.frameSamples(s, d)),
@@ -970,6 +971,18 @@ object SparkEntry {
         |SELECT user_id, sess_id, count(*) AS n_events, min(us) AS start_us,
         |       max(us) AS end_us, max(us) - min(us) AS duration_us
         |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+    // the streaming drive must agree with the batch sliding oracle exactly
+    "x_stream_sliding" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_type, value FROM events),
+        |w AS (
+        |  SELECT ((us - i * 1800000000) // 1800000000) * 1800000000 AS window_start_us,
+        |         event_type, value
+        |  FROM e, unnest(range(0, 2)) AS t(i))
+        |SELECT window_start_us, event_type, count(*) AS n,
+        |       round(sum(value), 2) AS sum_value
+        |FROM w WHERE window_start_us >= 0
+        |GROUP BY window_start_us, event_type
+        |ORDER BY window_start_us, event_type""".stripMargin,
     "x_window_sliding" ->
       """WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_type, value FROM events),
         |w AS (

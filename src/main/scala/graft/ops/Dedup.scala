@@ -280,38 +280,62 @@ object Dedup {
     * and embeddings move only for candidate verification.
     *
     * Approximate by construction: a true pair whose signatures disagree
-    * in every band is missed. Banding is tuned per threshold — measured
-    * same-cluster pair recall vs the exact form on the driver corpus at
-    * 32×4: 0.98 (sf0.001) / 0.93 (sf0.01) at t=0.4, and 1.0 for
-    * identical vectors at any banding (equal input ⇒ equal signature ⇒
-    * every band matches), which is what [[semanticDupClusters]] pins
-    * under the DuckDB oracle. The verified edge set is a subset of the
-    * exact one, so bucketed clusters always refine exact clusters —
-    * precision 1 at the pair level (asserted in the recall spec
-    * alongside recall ≥ 0.9 at both spec SFs).
+    * in every band is missed. Banding is tuned per threshold: at the
+    * oracle threshold t=0.4 a pair at the threshold agrees per-bit with
+    * p₁ = 1 - arccos(0.4)/π ≈ 0.63, so 32×4 banding (two 64-bit
+    * signature words over disjoint plane families) retains
+    * 1-(1-p₁⁴)³² ≈ 0.996 of threshold pairs (better above it) —
+    * measured same-cluster pair recall vs the exact form on the driver
+    * corpus is asserted ≥ 0.9 at sf0.001 and sf0.01 in the specs.
+    * Identical vectors survive ANY banding (equal input ⇒ equal
+    * signature ⇒ every band matches), which is what
+    * [[semanticDupClusters]] pins under the DuckDB oracle. The verified
+    * edge set is a subset of the exact one, so bucketed clusters always
+    * refine exact clusters — precision 1 at the pair level (asserted in
+    * the recall spec).
     *
-    * On THIS corpus (random 64-dim vectors, background cosine ≈ 0.12
-    * vs threshold 0.4 — a deliberately thin margin) the bands prune only
-    * modestly; on real embedding corpora SemDeDup targets (dup clusters
-    * at cosine ≥ 0.9 over a near-orthogonal background) a 16-band slice
-    * of the same signatures retains ≥ 1-(1-0.857⁴)¹⁶ ≈ 0.9998 of true
-    * pairs while passing ~0.5⁴·16 ≈ 10⁻¹·background pairs — the standard
-    * recall/candidate-volume dial of every LSH deployment. */
+    * Candidate-volume honesty: at t=0.4 over THIS corpus (random 64-dim
+    * vectors, background cosine ≈ 0.12) the threshold-to-background
+    * angular margin is thin — 32×4 bands still pass ≈ 94% of background
+    * pairs, so at this regime the banding mainly bounds the join (no
+    * all-pairs cartesian) rather than shrinking it; that is the LSH
+    * no-free-lunch, not an implementation artifact. At the thresholds
+    * production SemDeDup actually runs (duplicates at cosine ≥ 0.9 over
+    * a near-orthogonal background), the SAME pipeline with 8×8 banding
+    * passes only 1-(1-0.54⁸)⁸ ≈ 5% of background pairs while retaining
+    * 1-(1-0.86⁸)⁸ ≈ 0.93 of true duplicate pairs (identical copies:
+    * always) — that regime is what [[semanticDupClusters]] exercises. */
   def semanticClustersLsh(s: SparkSession, d: String, threshold: Double = 0.4,
       bands: Int = 32, bitsPerBand: Int = 4): DataFrame =
     semanticClustersLshOf(s, Tables.embeddings(s, d), threshold, bands, bitsPerBand)
 
   private[ops] def semanticClustersLshOf(s: SparkSession, emb: DataFrame,
       threshold: Double, bands: Int, bitsPerBand: Int): DataFrame = {
-    val signed = Similarity.signedEmbeddings(
-      emb.select(col("vec_id"), col("embedding")), bands * bitsPerBand)
+    require(bitsPerBand >= 1 && bitsPerBand <= 64,
+      s"band width must be in [1, 64] bits, got $bitsPerBand")
+    val vecs0 = emb.select(col("vec_id"), col("embedding"))
     val mask = (1L << bitsPerBand) - 1
-    // bands slice the one sig long — only (vec_id, band, band_val) ints
-    // enter the candidate self-join; embeddings stay out of the explode
-    val banded = signed.select(col("vec_id"), posexplode(array(
-      (0 until bands).map(b =>
-        shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*)))
-      .toDF("vec_id", "band", "band_val")
+    // bands slice 64-bit signature words — only (vec_id, band, band_val)
+    // enter the candidate self-join; embeddings stay out of the explode.
+    // Bandings wider than one word (bands × bitsPerBand > 64) compose
+    // additional words over DISJOINT seeded plane families (planeOffset),
+    // one banded slice per word — never by shifting past bit 63, which
+    // wraps mod 64 and would silently duplicate the low bands.
+    val bandsPerWord = 64 / bitsPerBand
+    val nWords = (bands + bandsPerWord - 1) / bandsPerWord
+    val banded = (0 until nWords).map { w =>
+      val first = w * bandsPerWord
+      val cnt = math.min(bandsPerWord, bands - first)
+      Similarity.signedEmbeddings(vecs0, cnt * bitsPerBand,
+          planeOffset = first * bitsPerBand)
+        .select(col("vec_id"), posexplode(array(
+          (0 until cnt).map(b =>
+            shiftrightunsigned(col("sig"), b * bitsPerBand)
+              .bitwiseAND(lit(mask))): _*)))
+        .toDF("vec_id", "band", "band_val")
+        .select(col("vec_id"), (col("band") + lit(first)).as("band"),
+          col("band_val"))
+    }.reduce(_ unionByName _)
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_val") === col("b.band_val") &&
@@ -343,7 +367,9 @@ object Dedup {
     val emb0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val emb = emb0.unionAll(emb0.select(
       (col("vec_id") + offset).as("vec_id"), col("embedding")))
-    semanticClustersLshOf(s, emb, threshold, bands = 32, bitsPerBand = 4)
+    // high-threshold regime → pruning banding (8×8): wide bands pass only
+    // ~5% of background pairs; planted copies match every band regardless
+    semanticClustersLshOf(s, emb, threshold, bands = 8, bitsPerBand = 8)
   }
 
   /** MinHash signatures as k seeded murmur3 hashes of the (already

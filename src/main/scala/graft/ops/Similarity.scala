@@ -46,10 +46,19 @@ object Similarity {
     * pseudo-random: component h of plane p is seeded murmur3 `hash(p, h)`
     * mapped to [-0.5, 0.5) — stable across runs and executors with no
     * RNG state to ship. */
-  private[ops] def signedEmbeddings(emb: DataFrame, nPlanes: Int): DataFrame = {
+  private[ops] def signedEmbeddings(emb: DataFrame, nPlanes: Int,
+      planeOffset: Int = 0): DataFrame = {
+    // the signature is ONE long: `1L << p` wraps mod 64, so more than 64
+    // planes would silently alias onto the low bits (planes 64..127
+    // OR-ing into 0..63) — reject rather than corrupt the signature.
+    // Wider signatures compose from multiple words via `planeOffset`
+    // (plane index p + planeOffset seeds the hyperplane, so words draw
+    // from disjoint plane families), as the SemDeDup banding does.
+    require(nPlanes >= 1 && nPlanes <= 64,
+      s"one sign-signature word holds at most 64 planes, got $nPlanes")
     val sigBits = (0 until nPlanes).map { p =>
       val weights = transform(sequence(lit(0), size(col("embedding")) - 1),
-        h => hash(lit(p), h).cast("double") / lit(4294967296.0))
+        h => hash(lit(p + planeOffset), h).cast("double") / lit(4294967296.0))
       val dot = aggregate(
         zip_with(col("embedding"), weights, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)

@@ -21,6 +21,18 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding 1-hour windows on a 30-minute slide, 2-hour watermark: each
+    * event lands in window/slide = 2 overlapping windows (fan-out happens
+    * inside the codegen'd `window()` generator, map-side) — the streaming
+    * analogue of Sessionize.slidingWindows. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Gap-based session windows (30 min) via the built-in session_window —
     * the streaming analogue of Sessionize.sessions. */
   def sessionCounts(events: DataFrame): DataFrame =

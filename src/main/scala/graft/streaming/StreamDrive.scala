@@ -67,6 +67,21 @@ object StreamDrive {
         col("event_type"), col("n"), round(col("sum_value"), 2).as("sum_value"))
       .orderBy(col("hour_bucket"), col("event_type"))
 
+  /** Streaming [[EventStream.slidingCounts]] over the events parquet,
+    * reshaped to the integer-bucket schema of the batch twin
+    * (`Sessionize.slidingWindows`) — verified by the SAME oracle SQL.
+    * The `window_start_us >= 0` filter mirrors the batch op's pre-epoch
+    * guard: `window()` emits a negative-start window for events inside
+    * the first slide after the epoch, which the batch formulation (and
+    * the oracle) exclude. */
+  def slidingFromFiles(s: SparkSession, d: String): DataFrame =
+    drain(s, EventStream.slidingCounts(eventStream(s, d)),
+      "graft_stream_sliding", "complete")
+      .select(expr("unix_micros(window_start)").as("window_start_us"),
+        col("event_type"), col("n"), round(col("sum_value"), 2).as("sum_value"))
+      .filter(col("window_start_us") >= 0)
+      .orderBy(col("window_start_us"), col("event_type"))
+
   /** Streaming [[SessionStateOps.sessionize]] (flatMapGroupsWithState,
     * append mode, NoTimeout) over the events parquet, compared against
     * the batch `Sessionize.sessions` oracle.

@@ -103,6 +103,14 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("click", 2L), ("view", 1L)))
   }
 
+  test("streaming sliding windows drain to exactly the batch sliding result") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamDrive.slidingFromFiles(spark, sf).collect().toSeq
+    val batch = graft.ops.Sessionize.slidingWindows(spark, sf).collect().toSeq
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming novelty filter drops prior-corpus re-arrivals, passes new docs") {
     val prior = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
       .toDF("doc_id", "text")
