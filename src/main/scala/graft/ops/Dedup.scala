@@ -282,9 +282,12 @@ object Dedup {
     * Approximate by construction: a true pair whose signatures disagree
     * in every band is missed. Banding is tuned per threshold: at the
     * oracle threshold t=0.4 a pair at the threshold agrees per-bit with
-    * p₁ = 1 - arccos(0.4)/π ≈ 0.63, so 32×4 banding (two 64-bit
-    * signature words over disjoint plane families) retains
-    * 1-(1-p₁⁴)³² ≈ 0.996 of threshold pairs (better above it) —
+    * p₁ = 1 - arccos(0.4)/π ≈ 0.63, so 48×4 banding (three 64-bit
+    * signature words over disjoint plane families) misses a threshold
+    * pair with probability (1-p₁⁴)⁴⁸ ≈ 2·10⁻⁴ (smaller above the
+    * threshold) — the margin matters because the spec bar is on
+    * same-CLUSTER pairs, where one missed bridge edge severs a whole
+    * component's worth of pairs —
     * measured same-cluster pair recall vs the exact form on the driver
     * corpus is asserted ≥ 0.9 at sf0.001 and sf0.01 in the specs.
     * Identical vectors survive ANY banding (equal input ⇒ equal
@@ -296,7 +299,7 @@ object Dedup {
     *
     * Candidate-volume honesty: at t=0.4 over THIS corpus (random 64-dim
     * vectors, background cosine ≈ 0.12) the threshold-to-background
-    * angular margin is thin — 32×4 bands still pass ≈ 94% of background
+    * angular margin is thin — 48×4 bands still pass ≈ 98% of background
     * pairs, so at this regime the banding mainly bounds the join (no
     * all-pairs cartesian) rather than shrinking it; that is the LSH
     * no-free-lunch, not an implementation artifact. At the thresholds
@@ -306,7 +309,7 @@ object Dedup {
     * 1-(1-0.86⁸)⁸ ≈ 0.93 of true duplicate pairs (identical copies:
     * always) — that regime is what [[semanticDupClusters]] exercises. */
   def semanticClustersLsh(s: SparkSession, d: String, threshold: Double = 0.4,
-      bands: Int = 32, bitsPerBand: Int = 4): DataFrame =
+      bands: Int = 48, bitsPerBand: Int = 4): DataFrame =
     semanticClustersLshOf(s, Tables.embeddings(s, d), threshold, bands, bitsPerBand)
 
   private[ops] def semanticClustersLshOf(s: SparkSession, emb: DataFrame,
@@ -341,14 +344,20 @@ object Dedup {
           col("a.band_val") === col("b.band_val") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-      .distinct()
     val vecs = emb.select(col("vec_id"), col("embedding"))
+    // verify BEFORE deduplicating: a pair matching in m bands is scored m
+    // times (m ≤ bands, typically 1-2), but the threshold filter is far
+    // more selective than band dedup, so distinct() runs on the surviving
+    // edges instead of exchanging the full candidate stream — drops an
+    // entire shuffle of |candidates| (long, long) rows for a bounded
+    // amount of duplicate map-side cosine work
     val pairs = cands
       .join(vecs.toDF("a_id", "ea"), "a_id")
       .join(vecs.toDF("b_id", "eb"), "b_id")
       .filter(round(graft.functions.CosineSimilarity(col("ea"), col("eb")), 4)
         >= threshold)
       .select(col("a_id"), col("b_id"))
+      .distinct()
     clustersFromPairs(s, emb, pairs)
   }
 

@@ -42,31 +42,17 @@ object Similarity {
   }
 
   /** Sign-signature frame shared by the LSH paths: signature bit p =
-    * sign(<embedding, plane_p>). Hyperplanes are deterministic
-    * pseudo-random: component h of plane p is seeded murmur3 `hash(p, h)`
-    * mapped to [-0.5, 0.5) — stable across runs and executors with no
-    * RNG state to ship. */
+    * sign(<embedding, plane_{p+planeOffset}>) via the native codegen'd
+    * [[graft.functions.SignSignature]] expression (deterministic seeded
+    * hyperplanes, weight tables cached per executor). One word holds at
+    * most 64 planes — `1L << p` wraps mod 64, so wider signatures
+    * compose from multiple words over DISJOINT plane families selected
+    * by `planeOffset`, as the SemDeDup banding does. */
   private[ops] def signedEmbeddings(emb: DataFrame, nPlanes: Int,
-      planeOffset: Int = 0): DataFrame = {
-    // the signature is ONE long: `1L << p` wraps mod 64, so more than 64
-    // planes would silently alias onto the low bits (planes 64..127
-    // OR-ing into 0..63) — reject rather than corrupt the signature.
-    // Wider signatures compose from multiple words via `planeOffset`
-    // (plane index p + planeOffset seeds the hyperplane, so words draw
-    // from disjoint plane families), as the SemDeDup banding does.
-    require(nPlanes >= 1 && nPlanes <= 64,
-      s"one sign-signature word holds at most 64 planes, got $nPlanes")
-    val sigBits = (0 until nPlanes).map { p =>
-      val weights = transform(sequence(lit(0), size(col("embedding")) - 1),
-        h => hash(lit(p + planeOffset), h).cast("double") / lit(4294967296.0))
-      val dot = aggregate(
-        zip_with(col("embedding"), weights, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
+      planeOffset: Int = 0): DataFrame =
     emb.select(col("vec_id"), col("embedding"),
-      sigBits.reduce(_.bitwiseOR(_)).as("sig"))
-  }
+      graft.functions.SignSignature.of(col("embedding"), nPlanes, planeOffset)
+        .as("sig"))
 
   /** Same-bucket candidates exactly re-scored, per-query top-k. */
   private def bucketTopK(signed: DataFrame, nQueries: Int, k: Int): DataFrame = {

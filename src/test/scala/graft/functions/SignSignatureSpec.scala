@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SignSignatureSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deterministic, partition-independent, equal inputs give equal signatures") {
+    val vecs = Seq.tabulate(64)(i =>
+      (i.toLong, Array.tabulate(16)(d => (math.sin(i * 17 + d) * 10).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    def sigs(parts: Int) = df.repartition(parts)
+      .select(col("vec_id"), SignSignature.of(col("embedding"), 32).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val a = sigs(1)
+    assert(a == sigs(13)) // partitioning must not change signatures
+    // an exact copy must share its original's signature
+    val dup = df.unionAll(df.select((col("vec_id") + 1000L).as("vec_id"),
+        col("embedding")))
+      .select(col("vec_id"), SignSignature.of(col("embedding"), 32).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(vecs.forall { case (id, _) => dup(id) == dup(id + 1000L) })
+  }
+
+  test("disjoint plane families: word 0 and word 1 signatures are independent") {
+    val df = Seq.tabulate(256)(i =>
+      (i.toLong, Array.tabulate(16)(d => (math.cos(i * 31 + d * 7) * 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val words = df.select(
+      SignSignature.of(col("embedding"), 64, 0).as("w0"),
+      SignSignature.of(col("embedding"), 64, 64).as("w1"))
+      .as[(Long, Long)].collect()
+    assert(words.exists { case (w0, w1) => w0 != w1 },
+      "disjoint families should not reproduce the same word")
+    // bits are roughly balanced over pseudo-random input (sanity, wide bar)
+    val ones = words.map { case (w0, _) => java.lang.Long.bitCount(w0) }.sum
+    val frac = ones.toDouble / (words.length * 64)
+    assert(frac > 0.3 && frac < 0.7, s"bit-one fraction $frac")
+  }
+
+  test("null array gives null; null element gives null, not garbage") {
+    val rows = spark.sql(
+      """SELECT * FROM VALUES
+        |(1L, array(cast(1.0 as float), cast(-2.0 as float))),
+        |(2L, cast(null as array<float>)),
+        |(3L, array(cast(1.0 as float), cast(null as float)))
+        |t(vec_id, embedding)""".stripMargin)
+      .select(col("vec_id"), SignSignature.of(col("embedding"), 16).as("sig"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(rows(1L).isDefined)
+    assert(rows(2L).isEmpty)
+    assert(rows(3L).isEmpty)
+  }
+}
