@@ -116,6 +116,7 @@ object SparkEntry {
     "x_ngram_topk"      -> ((s, d) => CorpusPrep.topNgrams(s, d)),
     "x_len_quantiles"   -> ((s, d) => CorpusPrep.lengthQuantiles(s, d)),
     "x_sessionize"      -> ((s, d) => Sessionize.sessions(s, d)),
+    "x_user_running"    -> ((s, d) => Sessionize.runningTotals(s, d)),
     // temporal joins: single-shuffle as-of (union+window) and bucketed
     // range join, both verified against DuckDB's inequality-join oracle
     "x_asof_join"       -> ((s, d) => TemporalJoin.purchaseAttribution(s, d)),
@@ -936,6 +937,17 @@ object SparkEntry {
     "x_heavy_hitters" ->
       """SELECT event_type AS item, count(*) AS est_count FROM events
         |WHERE event_type IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ties on us ordered by event_id on BOTH sides so the cumulative
+    // double additions run in the same sequence (exact compare)
+    "x_user_running" ->
+      """SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+        |  round(sum(value) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ns(ts) // 1000, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ns(ts) // 1000, event_id) AS seq
+        |FROM events WHERE user_id IS NOT NULL
+        |ORDER BY user_id, seq""".stripMargin,
     "x_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
         |l AS (SELECT user_id, us,

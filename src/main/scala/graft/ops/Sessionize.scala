@@ -95,6 +95,27 @@ object Sessionize {
       .orderBy(col("window_start_us"), col("event_type"))
   }
 
+  /** Per-user running totals: cumulative sum + sequence number over an
+    * explicit ROWS UNBOUNDED PRECEDING..CURRENT ROW frame (the running
+    * frame none of the other window ops exercise — sessionize's running
+    * sum rides the default RANGE frame). Ties on `us` are ordered by
+    * `event_id` on both the Spark and oracle sides, so the cumulative
+    * double additions happen in the same sequence and the sums compare
+    * exactly. One shuffle on user_id. */
+  def runningTotals(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), micros.as("us"), col("value"))
+      .withColumn("run_value", round(sum(col("value")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .withColumn("seq", row_number().over(byUser).cast("long"))
+      .select(col("user_id"), col("event_id"), col("us"),
+        col("run_value"), col("seq"))
+      .orderBy(col("user_id"), col("seq"))
+  }
+
   /** Strictly-ordered conversion funnel (view → click → purchase): a
     * user reaches step N when an event of step N's type occurs AFTER the
     * user's step-N-1 arrival time. ONE shuffle total: events aggregate

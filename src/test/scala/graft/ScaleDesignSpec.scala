@@ -60,6 +60,31 @@ class ScaleDesignSpec extends SparkSpec {
       s"queries-side vec_id filter not pushed to the scan:\n$plan")
   }
 
+  test("as-of join plan is pure union+window — zero join operators") {
+    // the whole point of the union+window formulation: the textbook
+    // inequality join (the oracle's plan) degenerates to a per-key
+    // cartesian; the production plan must contain NO join at all
+    val plan = graft.ops.TemporalJoin.purchaseAttribution(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of plan grew a join:\n$plan")
+    assert(plan.contains("Window"), s"as-of plan lost its window:\n$plan")
+  }
+
+  test("range join plan is an equi-join on (key, bucket) — never nested-loop/cartesian") {
+    val plan = graft.ops.TemporalJoin.purchaseViewWindow(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a non-equi join:\n$plan")
+  }
+
+  test("heavy-hitters sketch aggregates partially map-side (only sketches shuffle)") {
+    val plan = graft.ops.Sketches.heavyHitters(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_misra_gries"),
+      s"no map-side partial sketch aggregation in:\n$plan")
+  }
+
   test("custom-state sessionization agrees with the window-based operator") {
     val evs = Tables.events(spark, sf)
       .select(col("user_id"), expr("ts div 1000").as("us"))
