@@ -115,6 +115,7 @@ object SparkEntry {
     "x_shuffle_shards"  -> ((s, d) => CorpusPrep.shuffleShards(s, d)),
     "x_ngram_topk"      -> ((s, d) => CorpusPrep.topNgrams(s, d)),
     "x_len_quantiles"   -> ((s, d) => CorpusPrep.lengthQuantiles(s, d)),
+    "x_len_ntile"       -> ((s, d) => CorpusPrep.lengthDeciles(s, d)),
     "x_sessionize"      -> ((s, d) => Sessionize.sessions(s, d)),
     "x_user_running"    -> ((s, d) => Sessionize.runningTotals(s, d)),
     // temporal joins: single-shuffle as-of (union+window) and bucketed
@@ -880,6 +881,16 @@ object SparkEntry {
         |  FROM toks)
         |SELECT gram, count(*) AS n_occ FROM grams
         |GROUP BY gram ORDER BY n_occ DESC, gram LIMIT 20""".stripMargin,
+    // NTILE tie-broken by doc_id on both sides → total order → exact
+    "x_len_ntile" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         CAST(ntile(10) OVER (PARTITION BY lang
+        |           ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+        |  FROM documents)
+        |SELECT lang, decile, count(*) AS n_docs,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM t GROUP BY lang, decile ORDER BY lang, decile""".stripMargin,
     "x_len_quantiles" ->
       """SELECT lang, count(*) AS n_docs,
         |  round(quantile_cont(n_chars, 0.25), 2) AS p25,

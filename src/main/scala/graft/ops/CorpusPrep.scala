@@ -183,6 +183,25 @@ object CorpusPrep {
         round(expr("percentile(n_chars, 0.99)"), 2).as("p99"))
       .orderBy(col("lang"))
 
+  /** Equi-depth decile bucketing via NTILE: assign every document a
+    * 1..10 length decile within its language (tie-broken by doc_id so
+    * the bucketing is total and oracle-stable), then summarize each
+    * bucket's boundaries — the binning stage of a length-balanced
+    * sampling/mixing policy. One shuffle on lang; the window sort rides
+    * the same exchange as the final aggregation's partial stage. */
+  def lengthDeciles(s: SparkSession, d: String): DataFrame = {
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("decile", ntile(10).over(byLang).cast("long"))
+      .groupBy(col("lang"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"), col("decile"))
+  }
+
   /** Sketch-based twin of [[lengthQuantiles]] for unbounded-cardinality
     * columns at scale (mergeable KLL state, no value map). */
   def lengthQuantilesApprox(s: SparkSession, d: String): DataFrame =
