@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally passes through sbt's logger, which prefixes
+// every line with "[info] " — that prefix lands in front of the bench/
+// verify contract JSON line and breaks a strict json.loads of the last
+// line. StdoutOutput hands the forked process the real stdout instead.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // The bench/verify drivers parse the LAST stdout line as JSON; sbt's
 // "[success] Total time ..." epilogue lands after the program's output
 // and breaks that parse (observed: BENCH_r{1,2,3}.json all parsed:null

@@ -70,19 +70,50 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val medians = names.map(n => n -> (if (errs.contains(n)) None else Some(median(times(n)))))
-    val qs = medians.map { case (k, v) =>
-      "\"" + k + "\":" + v.fold("null")(_.toString)
-    }.mkString("{", ",", "}")
+    val total = medians.collect { case (_, Some(v)) => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Full-precision detail (all per-run samples) goes out FIRST; the
+    // harness that collects our stdout keeps only the last ~2000 chars
+    // and parses the LAST line as the result, so the final line must be
+    // compact enough to fit that window whole — the full-detail line
+    // (~4 KB across 80+ queries) never can, and shipping it last is how
+    // rounds 4-6 ended up with an unparseable bench. Detail is also
+    // written to bench_detail.json for post-hoc variance analysis.
     val runsJson = names.map { n =>
       "\"" + n + "\":" + times(n).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = medians.collect { case (_, Some(v)) => v }.sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("bench_detail.json")
+      try w.println(detail) finally w.close()
+    } catch { case scala.util.control.NonFatal(_) => () } // detail is best-effort
+    // Compact final line: medians rounded to ms, slowest queries first,
+    // greedily added under a hard byte budget (the dropped tail is the
+    // cheapest queries, individually negligible against the total, and
+    // "omitted" says how many fell off). Budget 1800 leaves headroom for
+    // the window to also hold the line's trailing newline and any stray
+    // preceding bytes.
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val ranked = medians.collect { case (k, Some(v)) => (k, v) }.sortBy(-_._2)
+    val budget = 1800
+    val fixedTail = s""","failed":$failedJson,"nq":${names.size},"omitted":NNN,"sf":"$sfDir"}"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
+    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    var used = head.length + fixedTail.length + 2
+    var omitted = 0
+    for ((k, v) <- ranked) {
+      val e = "\"" + k + "\":" + fmt(v)
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+      else omitted += 1
+    }
+    val json = head + entries.mkString(",") + "}" +
+      fixedTail.replace("NNN", omitted.toString)
     // stop FIRST, print LAST: Spark's console logging writes to stdout in
     // the default log4j2 template, so the contract line is emitted after
     // everything else that could print — the driver reads the last line.
     spark.stop()
+    println(detail)
     println(json)
     if (failed.nonEmpty) sys.exit(1)
   }

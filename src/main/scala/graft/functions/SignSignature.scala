@@ -32,7 +32,11 @@ case class SignSignature(child: Expression, nPlanes: Int, planeOffset: Int)
 
   require(nPlanes >= 1 && nPlanes <= 64,
     s"one sign-signature word holds at most 64 planes, got $nPlanes")
-  require(planeOffset >= 0, s"plane offset must be >= 0, got $planeOffset")
+  // upper bound matches the 20-bit field the weight-cache key packs the
+  // offset into (SignSignature.weights) — beyond it keys would collide
+  // silently and serve the wrong hyperplane table
+  require(planeOffset >= 0 && planeOffset < (1 << 20),
+    s"plane offset must be in [0, 2^20), got $planeOffset")
 
   private def elemIsDouble: Boolean = child.dataType match {
     case ArrayType(DoubleType, _) => true
@@ -93,6 +97,12 @@ object SignSignature {
   }
 
   private def weights(nPlanes: Int, off: Int, dims: Int): Array[Double] = {
+    // the key packs off into bits 20..39 and dims into bits 0..19; an
+    // out-of-range value would alias another entry's key and silently
+    // serve the wrong hyperplane table (off is already constructor-
+    // checked; dims arrives from data, so it must be checked here)
+    require(off >= 0 && off < (1 << 20) && dims >= 1 && dims < (1 << 20),
+      s"weight-cache key fields out of range: off=$off dims=$dims")
     val key = (nPlanes.toLong << 40) | (off.toLong << 20) | dims.toLong
     var w = cache.get(key)
     if (w == null) {

@@ -312,12 +312,21 @@ object Dedup {
       bands: Int = 48, bitsPerBand: Int = 4): DataFrame =
     semanticClustersLshOf(s, Tables.embeddings(s, d), threshold, bands, bitsPerBand)
 
+  /** All-ones mask of the low `bits` bits, wrap-safe at 64: the naive
+    * `(1L << bits) - 1` shifts mod 64 and collapses to 0 at bits = 64,
+    * turning every band_val into 0 and the candidate self-join into
+    * all-pairs per band; an unsigned right shift of all-ones never
+    * wraps in [1, 64]. */
+  private[ops] def bandMask(bits: Int): Long = {
+    require(bits >= 1 && bits <= 64,
+      s"band width must be in [1, 64] bits, got $bits")
+    -1L >>> (64 - bits)
+  }
+
   private[ops] def semanticClustersLshOf(s: SparkSession, emb: DataFrame,
       threshold: Double, bands: Int, bitsPerBand: Int): DataFrame = {
-    require(bitsPerBand >= 1 && bitsPerBand <= 64,
-      s"band width must be in [1, 64] bits, got $bitsPerBand")
     val vecs0 = emb.select(col("vec_id"), col("embedding"))
-    val mask = (1L << bitsPerBand) - 1
+    val mask = bandMask(bitsPerBand)
     // bands slice 64-bit signature words — only (vec_id, band, band_val)
     // enter the candidate self-join; embeddings stay out of the explode.
     // Bandings wider than one word (bands × bitsPerBand > 64) compose

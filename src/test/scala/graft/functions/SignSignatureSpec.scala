@@ -39,6 +39,25 @@ class SignSignatureSpec extends SparkSpec {
     assert(frac > 0.3 && frac < 0.7, s"bit-one fraction $frac")
   }
 
+  test("cache-key fields are range-checked, never silently aliased") {
+    // planeOffset packs into a 20-bit key field; beyond it two different
+    // plane families would collide on one cache entry
+    val arr = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Array(1.0f), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    intercept[IllegalArgumentException] {
+      SignSignature(arr, 16, 1 << 20)
+    }
+    assert(SignSignature(arr, 16, (1 << 20) - 1) != null)
+    // dims comes from data, checked at weight build: a 2^20-component
+    // embedding must fail loudly instead of serving an aliased table
+    val big = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.fill(1 << 20)(0.5f))
+    intercept[IllegalArgumentException] {
+      SignSignature.compute(big, 16, 0, isDouble = false)
+    }
+  }
+
   test("null array gives null; null element gives null, not garbage") {
     val rows = spark.sql(
       """SELECT * FROM VALUES
