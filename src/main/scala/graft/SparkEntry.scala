@@ -113,7 +113,12 @@ object SparkEntry {
     "x_quality_lm"      -> ((s, d) => CorpusPrep.unigramLmScore(s, d)),
     // deterministic 16-way shuffle-shard assignment for training order
     "x_shuffle_shards"  -> ((s, d) => CorpusPrep.shuffleShards(s, d)),
+    // deterministic hash-bucketed train/val/test assignment (stable
+    // under corpus growth — position-free)
+    "x_split_assign"    -> ((s, d) => CorpusPrep.splitAssign(s, d)),
     "x_ngram_topk"      -> ((s, d) => CorpusPrep.topNgrams(s, d)),
+    // bigram collocations by PMI in integer millinats (phrase mining)
+    "x_pmi_bigrams"     -> ((s, d) => CorpusPrep.pmiBigrams(s, d)),
     "x_len_quantiles"   -> ((s, d) => CorpusPrep.lengthQuantiles(s, d)),
     "x_len_ntile"       -> ((s, d) => CorpusPrep.lengthDeciles(s, d)),
     "x_sessionize"      -> ((s, d) => Sessionize.sessions(s, d)),
@@ -126,6 +131,8 @@ object SparkEntry {
     // the sketch is provably exact here and the GROUP BY oracle applies;
     // the >capacity approximation regime is spec-tested with planted skew
     "x_heavy_hitters"   -> ((s, d) => Sketches.heavyHitters(s, d)),
+    // HLL++ distinct-count guarantee twin: exact count + within-5% flag
+    "x_approx_users"    -> ((s, d) => Sketches.approxDistinctUsers(s, d)),
     "x_events_funnel"   -> ((s, d) => Sessionize.funnel(s, d)),
     "x_window_hourly"   -> ((s, d) => Sessionize.hourlyWindows(s, d)),
     "x_window_sliding"  -> ((s, d) => Sessionize.slidingWindows(s, d)),
@@ -870,6 +877,44 @@ object SparkEntry {
         |    PARTITION BY strpos('0123456789abcdef', substring(digest, 1, 1))
         |    ORDER BY digest, doc_id) AS BIGINT) AS pos
         |FROM d ORDER BY shard, pos""".stripMargin,
+    "x_split_assign" ->
+      """WITH d AS (
+        |  SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+        |    AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 'e6' THEN 'train'
+        |       WHEN bucket < 'f3' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // same integer-millinat fixed point as x_quality_lm; the top-k is
+    // ordered on the rounded integer so the tie-break is exact
+    "x_pmi_bigrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS n_w
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |nuni AS (SELECT sum(n_w) AS n_uni FROM uni),
+        |grams AS (
+        |  SELECT unnest(CASE WHEN len(t) >= 2
+        |    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |    ELSE []::VARCHAR[] END) AS gram
+        |  FROM toks),
+        |bi0 AS (SELECT gram, count(*) AS n_ab FROM grams GROUP BY gram),
+        |nbi AS (SELECT sum(n_ab) AS n_bi FROM bi0),
+        |bi AS (
+        |  SELECT gram, n_ab, split_part(gram, ' ', 1) AS wa,
+        |         split_part(gram, ' ', 2) AS wb
+        |  FROM bi0 WHERE n_ab >= 5)
+        |SELECT gram, n_ab,
+        |  CAST(round(ln((n_ab * 1.0 / n_bi) /
+        |    ((ua.n_w * 1.0 / n_uni) * (ub.n_w * 1.0 / n_uni))) * 1000)
+        |    AS BIGINT) AS pmi_millinats
+        |FROM bi JOIN uni ua ON ua.w = bi.wa JOIN uni ub ON ub.w = bi.wb,
+        |     nuni, nbi
+        |ORDER BY pmi_millinats DESC, gram LIMIT 20""".stripMargin,
     "x_ngram_topk" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
@@ -948,6 +993,14 @@ object SparkEntry {
     "x_heavy_hitters" ->
       """SELECT event_type AS item, count(*) AS est_count FROM events
         |WHERE event_type IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the within_tol flag is computed Spark-side from the HLL estimate;
+    // the oracle pins the exact count and demands the flag hold
+    "x_approx_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  true AS within_tol
+        |FROM events
+        |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // ties on us ordered by event_id on BOTH sides so the cumulative
     // double additions run in the same sequence (exact compare)
     "x_user_running" ->

@@ -227,6 +227,53 @@ object CorpusPrep {
       .orderBy(col("n_occ").desc, col("gram"))
       .limit(k)
 
+  /** Top-`k` bigram collocations by pointwise mutual information
+    * (the association statistic behind phrase mining and tokenizer-merge
+    * candidates; Church & Hanks, CL 1990). PMI(a,b) =
+    * ln( p(ab) / (p(a) p(b)) ) with p(ab) over bigram occurrences and
+    * p(a), p(b) over unigram occurrences; reported in integer millinats
+    * (the [[unigramLmScore]] fixed-point precedent — integer compare, no
+    * float-hash fragility) with the top-k ordered on the rounded value.
+    *
+    * Shape at scale: two explode→count aggregations (map-side partials
+    * shrink both shuffles to distinct-gram cardinality), then the bigram
+    * table equi-joins the unigram counts twice on the component words.
+    * The unigram side is vocabulary-bounded but NOT forced broadcast —
+    * at web scale a vocabulary can run to tens of millions of rows, and
+    * AQE already picks broadcast whenever it actually fits (the
+    * [[Dedup.ngramJaccard]] reasoning). The two 1-row totals ARE forced
+    * broadcast. `minCount` keeps rare-pair noise out of the top-k (PMI's
+    * known low-count pathology). */
+  def pmiBigrams(s: SparkSession, d: String, k: Int = 20,
+      minCount: Long = 5): DataFrame =
+    pmiBigramsOf(Tables.documents(s, d), k, minCount)
+
+  private[ops] def pmiBigramsOf(docs: DataFrame, k: Int,
+      minCount: Long): DataFrame = {
+    val toks = docs.select(tokens(col("text")).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val bi0 = toks.select(explode(wordGrams(col("t"), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_ab"))
+    val nUni = uni.agg(sum(col("n_w")).as("n_uni"))
+    val nBi = bi0.agg(sum(col("n_ab")).as("n_bi"))
+    bi0.filter(col("n_ab") >= minCount)
+      .withColumn("wa", substring_index(col("gram"), " ", 1))
+      .withColumn("wb", substring_index(col("gram"), " ", -1))
+      .join(uni.withColumnRenamed("w", "wa").withColumnRenamed("n_w", "n_a"), "wa")
+      .join(uni.withColumnRenamed("w", "wb").withColumnRenamed("n_w", "n_b"), "wb")
+      .crossJoin(broadcast(nUni))
+      .crossJoin(broadcast(nBi))
+      .select(col("gram"), col("n_ab"),
+        round(log(
+          (col("n_ab") * lit(1.0) / col("n_bi")) /
+            ((col("n_a") * lit(1.0) / col("n_uni")) *
+              (col("n_b") * lit(1.0) / col("n_uni")))) * 1000)
+          .cast("long").as("pmi_millinats"))
+      .orderBy(col("pmi_millinats").desc, col("gram"))
+      .limit(k)
+  }
+
   /** Sequence packing (training-batch preparation: fill a fixed token
     * budget with documents so little padding is wasted — the T5/GPT
     * sample-packing step). Documents are packed greedily in doc_id order
@@ -476,4 +523,30 @@ object CorpusPrep {
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy(col("shard"), col("pos"))
   }
+
+  /** Deterministic train/val/test split assignment by content-free id
+    * hash: bucket = first md5 byte of the id string (256 buckets), split
+    * boundaries at 0xe6 (230/256 ≈ 89.8% train) and 0xf3 (13/256 ≈ 5.1%
+    * val, rest test). Hashing the ID — not a row number — is what makes
+    * the assignment stable under repartitioning, re-runs, and corpus
+    * growth (a new document never moves an old one between splits, the
+    * property a position-based split lacks). The bucket compares as a
+    * hex STRING: lexicographic order on fixed-width lowercase hex equals
+    * numeric order, and the literal thresholds stay engine-portable (no
+    * hex-to-int builtin needed on either side).
+    *
+    * Scale shape: a pure per-row projection — no shuffle, no state; the
+    * one `orderBy` is presentation-determinism for the oracle. */
+  def splitAssign(s: SparkSession, d: String): DataFrame =
+    splitAssignOf(Tables.documents(s, d))
+
+  private[ops] def splitAssignOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 2).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < "e6", "train")
+          .when(col("bucket") < "f3", "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
 }

@@ -368,6 +368,66 @@ class CorpusPrepSpec extends SparkSpec {
     top.foreach { case (gram, n) => assert(all(gram) == n, s"count mismatch for '$gram'") }
   }
 
+  test("splitAssign matches a JVM md5 oracle and is stable under corpus growth") {
+    val ids = Tables.documents(spark, sf).select("doc_id").as[Long].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = ids.map { id =>
+      val b = md5hex(id.toString).substring(0, 2)
+      (id, b, if (b < "e6") "train" else if (b < "f3") "val" else "test")
+    }.toSet
+    val got = CorpusPrep.splitAssign(spark, sf)
+      .as[(Long, String, String)].collect().toSet
+    assert(got == expected,
+      s"extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+    // roughly 90/5/5 (wide bars at 500 docs); all three splits present
+    val frac = got.groupBy(_._3).view.mapValues(_.size.toDouble / ids.length)
+    assert(frac("train") > 0.8 && frac("train") < 0.96, frac.toMap.toString)
+    assert(frac.getOrElse("val", 0.0) > 0.0 && frac.getOrElse("test", 0.0) > 0.0)
+    // growth stability: assignment is a pure function of doc_id — the
+    // same doc gets the same split when computed over HALF the corpus
+    val half = CorpusPrep.splitAssignOf(
+      Tables.documents(spark, sf).filter(col("doc_id") % 2 === 0))
+      .as[(Long, String, String)].collect().toSet
+    assert(half == expected.filter(_._1 % 2 == 0))
+  }
+
+  test("pmiBigrams recomputes exactly from driver-side counts; fixture pins the formula") {
+    val top = CorpusPrep.pmiBigrams(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(top.length == 20)
+    assert(top.map(_._3).sliding(2).forall(w => w(0) >= w(1)), "pmi descending")
+    // brute-force driver recompute over production tokenization
+    val uni = Tables.documents(spark, sf)
+      .select(explode(CorpusPrep.tokens(col("text"))).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    val bi = Tables.documents(spark, sf)
+      .select(CorpusPrep.tokens(col("text")).as("t"))
+      .select(explode(CorpusPrep.wordGrams(col("t"), 2)).as("g"))
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    val nUni = uni.values.sum.toDouble
+    val nBi = bi.values.sum.toDouble
+    val expected = bi.collect { case (g, nab) if nab >= 5 =>
+      val Array(a, b) = g.split(" ", 2)
+      val pmi = math.round(math.log((nab / nBi) /
+        ((uni(a) / nUni) * (uni(b) / nUni))) * 1000)
+      (g, nab, pmi)
+    }.toSeq.sortBy(t => (-t._3, t._1)).take(20)
+    assert(top.toSeq == expected,
+      s"first diff: ${top.toSeq.zip(expected).find(p => p._1 != p._2)}")
+    // literal fixture: "x y" ×6 docs, "p q" ×3, one 6-token filler doc →
+    // 14 bigram occurrences, 24 tokens; only "x y" clears minCount=5.
+    // P(x y)=6/14, P(x)=P(y)=6/24 → PMI = ln(6.857…) → 1926 millinats
+    val docs = (Seq.fill(6)("x y") ++ Seq.fill(3)("p q") ++
+      Seq("f1 f2 f3 f4 f5 f6")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val fx = CorpusPrep.pmiBigramsOf(docs, k = 10, minCount = 5)
+      .as[(String, Long, Long)].collect()
+    assert(fx.toSeq == Seq(("x y", 6L,
+      math.round(math.log((6.0 / 14.0) / ((6.0 / 24.0) * (6.0 / 24.0))) * 1000))))
+  }
+
   test("qualityGate zero guard: whitespace-only and empty documents fail cleanly") {
     val passing = "the a " + (1 to 40).map(i => s"word$i").mkString(" ")
     val docs = Seq((1L, "   \t  "), (2L, ""), (3L, passing)).toDF("doc_id", "text")
