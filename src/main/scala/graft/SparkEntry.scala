@@ -119,6 +119,8 @@ object SparkEntry {
     "x_ngram_topk"      -> ((s, d) => CorpusPrep.topNgrams(s, d)),
     // bigram collocations by PMI in integer millinats (phrase mining)
     "x_pmi_bigrams"     -> ((s, d) => CorpusPrep.pmiBigrams(s, d)),
+    // BM25 lexical retrieval: top-3 corpus docs per eval-slice query
+    "x_bm25_topk"       -> ((s, d) => Retrieval.bm25TopK(s, d)),
     "x_len_quantiles"   -> ((s, d) => CorpusPrep.lengthQuantiles(s, d)),
     "x_len_ntile"       -> ((s, d) => CorpusPrep.lengthDeciles(s, d)),
     "x_sessionize"      -> ((s, d) => Sessionize.sessions(s, d)),
@@ -915,6 +917,43 @@ object SparkEntry {
         |FROM bi JOIN uni ua ON ua.w = bi.wa JOIN uni ub ON ub.w = bi.wb,
         |     nuni, nbi
         |ORDER BY pmi_millinats DESC, gram LIMIT 20""".stripMargin,
+    // BM25 constants written as the same literal double ops as the Spark
+    // side (k1 + 1, 1 - b unfolded) so both engines round identically;
+    // score fixed-pointed to milli-units, rank on the integer
+    "x_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0)) AS term
+        |  FROM documents),
+        |postings AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |qterms AS (
+        |  SELECT DISTINCT doc_id AS query_id, term FROM postings
+        |  WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT * FROM postings WHERE doc_id % 97 <> 0),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM corpus GROUP BY doc_id),
+        |dfr AS (SELECT term, count(DISTINCT doc_id) AS df
+        |        FROM corpus GROUP BY term),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+        |        FROM dl),
+        |w AS (
+        |  SELECT q.query_id, c.doc_id,
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |      (tf * (1.2 + 1.0)) /
+        |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS w
+        |  FROM corpus c JOIN qterms q USING (term) JOIN dfr USING (term)
+        |    JOIN dl USING (doc_id), tot),
+        |sc AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(round(sum(w) * 1000) AS BIGINT) AS score_milli
+        |  FROM w GROUP BY query_id, doc_id),
+        |r AS (
+        |  SELECT query_id, doc_id, score_milli,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT query_id, rank, doc_id, score_milli FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     "x_ngram_topk" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t

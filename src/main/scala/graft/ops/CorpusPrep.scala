@@ -235,26 +235,45 @@ object CorpusPrep {
     * (the [[unigramLmScore]] fixed-point precedent — integer compare, no
     * float-hash fragility) with the top-k ordered on the rounded value.
     *
-    * Shape at scale: two explode→count aggregations (map-side partials
-    * shrink both shuffles to distinct-gram cardinality), then the bigram
-    * table equi-joins the unigram counts twice on the component words.
-    * The unigram side is vocabulary-bounded but NOT forced broadcast —
-    * at web scale a vocabulary can run to tens of millions of rows, and
-    * AQE already picks broadcast whenever it actually fits (the
-    * [[Dedup.ngramJaccard]] reasoning). The two 1-row totals ARE forced
-    * broadcast. `minCount` keeps rare-pair noise out of the top-k (PMI's
-    * known low-count pathology). */
+    * Shape at scale: ONE corpus pass — a tagged explode emits unigrams
+    * and bigrams together, one shuffle keyed (kind, gram) counts both
+    * (map-side partials shrink it to distinct-gram cardinality), and the
+    * vocabulary-sized count table is checkpointed so all downstream
+    * consumers (two component-word joins, two totals) read the computed
+    * table instead of re-scanning the corpus. The unigram join side is
+    * vocabulary-bounded but NOT forced broadcast — at web scale a
+    * vocabulary can run to tens of millions of rows, and AQE already
+    * picks broadcast whenever it actually fits (the [[Dedup.ngramJaccard]]
+    * reasoning). The two 1-row totals ARE forced broadcast. `minCount`
+    * keeps rare-pair noise out of the top-k (PMI's known low-count
+    * pathology). */
   def pmiBigrams(s: SparkSession, d: String, k: Int = 20,
       minCount: Long = 5): DataFrame =
     pmiBigramsOf(Tables.documents(s, d), k, minCount)
 
   private[ops] def pmiBigramsOf(docs: DataFrame, k: Int,
       minCount: Long): DataFrame = {
+    // Single corpus pass: the naive CTE formulation (separate unigram
+    // and bigram aggregations, totals derived from each) inlines the
+    // corpus subtree into every consumer — 5 full scans in the physical
+    // plan. Instead one tagged explode emits unigrams (kind 0) and
+    // bigrams (kind 1) together, one shuffle keyed (kind, gram) counts
+    // both, and the RESULT — a vocabulary-sized table, many orders of
+    // magnitude below the corpus — is checkpointed so the joins and the
+    // two totals read the computed table, not the plan.
     val toks = docs.select(tokens(col("text")).as("t"))
-    val uni = toks.select(explode(col("t")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
-    val bi0 = toks.select(explode(wordGrams(col("t"), 2)).as("gram"))
-      .groupBy(col("gram")).agg(count(lit(1)).as("n_ab"))
+    val counts = toks.select(explode(concat(
+        transform(col("t"), w =>
+          struct(lit(0).as("kind"), w.as("g"))),
+        transform(wordGrams(col("t"), 2), g =>
+          struct(lit(1).as("kind"), g.as("g"))))).as("e"))
+      .groupBy(col("e.kind").as("kind"), col("e.g").as("g"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val uni = counts.filter(col("kind") === 0)
+      .select(col("g").as("w"), col("n").as("n_w"))
+    val bi0 = counts.filter(col("kind") === 1)
+      .select(col("g").as("gram"), col("n").as("n_ab"))
     val nUni = uni.agg(sum(col("n_w")).as("n_uni"))
     val nBi = bi0.agg(sum(col("n_ab")).as("n_bi"))
     bi0.filter(col("n_ab") >= minCount)
