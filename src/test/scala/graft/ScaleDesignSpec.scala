@@ -122,6 +122,54 @@ class ScaleDesignSpec extends SparkSpec {
     assert(sliced.length == 8 && sliced.forall(n => n >= 0 && n <= 5))
   }
 
+  test("splitAssign scans doc_id only — a pure projection, no joins or aggregates") {
+    val plan = graft.ops.CorpusPrep.splitAssign(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"split assignment must not read text/lang/source bytes:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"split assignment grew a join/aggregate:\n$plan")
+  }
+
+  test("pmiBigrams consumers read the checkpointed counts — zero corpus re-scans") {
+    // the naive CTE formulation inlined the corpus subtree into all five
+    // consumers (5 parquet scans in one plan); after the tagged-explode
+    // rewrite the one corpus scan happens in the eager checkpoint job,
+    // so the RESULT plan must contain no parquet scan at all
+    val qe = graft.ops.CorpusPrep.pmiBigrams(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      s"a consumer re-scans the corpus instead of the checkpoint:\n$plan")
+    // only the two 1-row totals carry broadcast hints; the vocab joins
+    // are left to AQE (vocabulary grows with the corpus)
+    val hinted = qe.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.size == 2 &&
+      hinted.exists(_.toString.contains("n_uni")) &&
+      hinted.exists(_.toString.contains("n_bi")),
+      s"exactly the two 1-row totals must be hinted:\n$hinted")
+  }
+
+  test("bm25TopK joins are equi-joins off the checkpointed index; only totals hinted") {
+    val qe = graft.ops.Retrieval.bm25TopK(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"bm25 fell back to a cartesian:\n$plan")
+    // exactly ONE nested-loop join may appear: the broadcast cross join
+    // of the 1-row (n_docs, avgdl) totals. A second one would mean a
+    // data-sized join lost its equi keys.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length == 1,
+      s"expected only the 1-row totals cross join as BNLJ:\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      s"a consumer re-scans the corpus instead of the postings index:\n$plan")
+    val hinted = qe.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.size == 1 && hinted.head.toString.contains("avgdl"),
+      s"exactly the 1-row (n_docs, avgdl) totals may carry a hint:\n$hinted")
+  }
+
   test("tf-idf carries no forced broadcast on the vocabulary-sized df table") {
     // document frequencies are one row per distinct word — vocabulary
     // grows with corpus size, so only the 1-row corpus count may carry
