@@ -90,6 +90,9 @@ object SparkEntry {
     "x_pii_redact"      -> ((s, d) => CorpusPrep.piiRedact(s, d)),
     "x_domain_cap"      -> ((s, d) => CorpusPrep.domainCap(s, d)),
     "x_sample_strat"    -> ((s, d) => CorpusPrep.stratifiedSample(s, d)),
+    // quality-weighted deterministic acceptance sampling (id-hash
+    // uniform vs a per-doc acceptance weight)
+    "x_sample_weighted" -> ((s, d) => CorpusPrep.weightedSample(s, d)),
     "x_tfidf_top"       -> ((s, d) => CorpusPrep.tfIdfTopTerms(s, d)),
     // training-batch preparation: greedy token-budget sequence packing
     // within fixed id-range groups (the parallel unit)
@@ -145,6 +148,9 @@ object SparkEntry {
     "x_stream_hourly"   -> ((s, d) => graft.streaming.StreamDrive.hourlyFromFiles(s, d)),
     "x_stream_sliding"  -> ((s, d) => graft.streaming.StreamDrive.slidingFromFiles(s, d)),
     "x_stream_sessionize" -> ((s, d) => graft.streaming.StreamDrive.sessionsFromFiles(s, d)),
+    // corpus-side streaming twin: exact-dedup digest aggregation as a
+    // streaming agg (constant per-digest state), drained complete
+    "x_stream_dedup"    -> ((s, d) => graft.streaming.StreamDrive.dedupFromFiles(s, d)),
     "x_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(s, d)),
     "x_multimodal_frames" -> ((s, d) => graft.multimodal.Multimodal.frameSamples(s, d)),
     "x_skew_salted"     -> ((s, d) =>
@@ -708,6 +714,17 @@ object SparkEntry {
         |  round(sum(CASE WHEN substring(md5(doc_id::VARCHAR), 32, 1) IN ('0','1','2')
         |           THEN 1 ELSE 0 END) * 1.0 / count(*), 3) AS rate
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "x_sample_weighted" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST((strpos('0123456789abcdef',
+        |            substring(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16 +
+        |         (strpos('0123456789abcdef',
+        |            substring(md5(doc_id::VARCHAR), 2, 1)) - 1) AS BIGINT) AS u,
+        |    CAST(floor(256.0 * least(1.0, n_chars / 500.0)) AS BIGINT) AS cut
+        |  FROM documents)
+        |SELECT doc_id, n_chars, u, cut FROM d
+        |WHERE u < cut ORDER BY doc_id""".stripMargin,
     "x_tfidf_top" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
@@ -1086,6 +1103,12 @@ object SparkEntry {
         |SELECT user_id, sess_id, count(*) AS n_events, min(us) AS start_us,
         |       max(us) AS end_us, max(us) - min(us) AS duration_us
         |FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+    // min/count are order-insensitive, so the drained streaming state
+    // table equals the batch GROUP BY regardless of batch boundaries
+    "x_stream_dedup" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
     // the streaming drive must agree with the batch sliding oracle exactly
     "x_stream_sliding" ->
       """WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_type, value FROM events),

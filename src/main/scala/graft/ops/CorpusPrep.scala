@@ -135,6 +135,36 @@ object CorpusPrep {
       .orderBy(col("lang"))
   }
 
+  /** Quality-weighted acceptance sampling (the classifier-weighted
+    * upsampling/downsampling step of DCLM/FineWeb-style pipelines):
+    * document `d` is kept iff its deterministic uniform byte
+    * `u(d) ∈ [0, 256)` — the first two md5 hex digits of the id string,
+    * decoded by nibble arithmetic so both engines compute the same
+    * integer — is below `floor(256 · w(d))`, where the acceptance weight
+    * `w(d) = min(1, n_chars / 500)` is a transparent length-based
+    * quality proxy (swap in any scorer; the mechanism is the operator).
+    * Hashing the ID makes acceptance reproducible under repartitioning,
+    * retries, and corpus growth — the same properties as
+    * [[splitAssign]] — and E[kept | w] = w exactly in 1/256 steps.
+    *
+    * Scale shape: pure per-row projection + filter, no shuffle; the
+    * `orderBy` is presentation determinism. */
+  def weightedSample(s: SparkSession, d: String): DataFrame =
+    weightedSampleOf(Tables.documents(s, d))
+
+  private[ops] def weightedSampleOf(docs: DataFrame): DataFrame = {
+    val hex = "0123456789abcdef"
+    val dig = md5(col("doc_id").cast("string"))
+    val u = ((instr(lit(hex), substring(dig, 1, 1)) - 1) * 16 +
+      (instr(lit(hex), substring(dig, 2, 1)) - 1)).cast("long")
+    docs
+      .select(col("doc_id"), col("n_chars"), u.as("u"),
+        floor(lit(256.0) * least(lit(1.0),
+          col("n_chars") / lit(500.0))).cast("long").as("cut"))
+      .filter(col("u") < col("cut"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF top-`k` terms per document (tf × ln(N/df), the textbook
     * form). Two aggregates: term frequency keyed by (doc_id, word) and
     * document frequency keyed by word — both map-side combinable. The

@@ -393,6 +393,30 @@ class CorpusPrepSpec extends SparkSpec {
     assert(half == expected.filter(_._1 % 2 == 0))
   }
 
+  test("weightedSample matches a JVM md5 oracle; weight boundaries behave") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    val expected = docs.flatMap { case (id, nc) =>
+      val h = md5hex(id.toString)
+      val u = java.lang.Long.parseLong(h.substring(0, 2), 16)
+      val cut = math.floor(256.0 * math.min(1.0, nc / 500.0)).toLong
+      if (u < cut) Some((id, nc, u, cut)) else None
+    }.toSet
+    val got = CorpusPrep.weightedSample(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected,
+      s"extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+    // boundary weights: w >= 1 always kept, w = 0 never kept
+    val fx = CorpusPrep.weightedSampleOf(Seq(
+      (1L, "", 500L), (2L, "", 9999L), (3L, "", 0L))
+      .toDF("doc_id", "text", "n_chars"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(fx == Set(1L, 2L), fx.toString)
+  }
+
   test("pmiBigrams recomputes exactly from driver-side counts; fixture pins the formula") {
     val top = CorpusPrep.pmiBigrams(spark, sf)
       .as[(String, Long, Long)].collect()
