@@ -111,6 +111,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming exact dedup drains to exactly the batch digest grouping") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamDrive.dedupFromFiles(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    val batch = graft.ops.Tables.documents(spark, sf)
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("digest"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming novelty filter drops prior-corpus re-arrivals, passes new docs") {
     val prior = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
       .toDF("doc_id", "text")
