@@ -125,6 +125,9 @@ object SparkEntry {
     // BM25 lexical retrieval: top-3 corpus docs per eval-slice query
     "x_bm25_topk"       -> ((s, d) => Retrieval.bm25TopK(s, d)),
     "x_len_quantiles"   -> ((s, d) => CorpusPrep.lengthQuantiles(s, d)),
+    // GK-sketch scale path, exact below its accuracy (see Scaladoc) —
+    // the quantile_disc oracle applies by the exactness corollary
+    "x_len_quantiles_sketch" -> ((s, d) => CorpusPrep.lengthQuantilesApprox(s, d)),
     "x_len_ntile"       -> ((s, d) => CorpusPrep.lengthDeciles(s, d)),
     "x_sessionize"      -> ((s, d) => Sessionize.sessions(s, d)),
     "x_user_running"    -> ((s, d) => Sessionize.runningTotals(s, d)),
@@ -992,6 +995,13 @@ object SparkEntry {
         |SELECT lang, decile, count(*) AS n_docs,
         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
         |FROM t GROUP BY lang, decile ORDER BY lang, decile""".stripMargin,
+    "x_len_quantiles_sketch" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  quantile_disc(n_chars, 0.25) AS p25,
+        |  quantile_disc(n_chars, 0.5) AS p50,
+        |  quantile_disc(n_chars, 0.75) AS p75,
+        |  quantile_disc(n_chars, 0.99) AS p99
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "x_len_quantiles" ->
       """SELECT lang, count(*) AS n_docs,
         |  round(quantile_cont(n_chars, 0.25), 2) AS p25,

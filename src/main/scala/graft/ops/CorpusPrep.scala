@@ -233,13 +233,29 @@ object CorpusPrep {
   }
 
   /** Sketch-based twin of [[lengthQuantiles]] for unbounded-cardinality
-    * columns at scale (mergeable KLL state, no value map). */
+    * columns at scale (mergeable GK state, no value map). Driver-
+    * verified by the exactness corollary (the [[Sketches.heavyHitters]]
+    * pattern): with accuracy 10000 the sketch's rank error is ≤ n/10000,
+    * so on groups under 10000 rows it never compresses and returns the
+    * EXACT discrete percentile values — which is what the `quantile_disc`
+    * oracle checks (verified: identical rank convention, first value at
+    * cumulative ≥ p). The >accuracy approximation regime is covered by
+    * the in-suite tolerance spec. */
   def lengthQuantilesApprox(s: SparkSession, d: String): DataFrame =
+    lengthQuantilesApproxAt(s, d, accuracy = 10000)
+
+  private[ops] def lengthQuantilesApproxAt(s: SparkSession, d: String,
+      accuracy: Int): DataFrame =
     Tables.documents(s, d)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        expr("approx_percentile(n_chars, array(0.25, 0.5, 0.75, 0.99), 10000)")
+        expr(s"approx_percentile(n_chars, array(0.25, 0.5, 0.75, 0.99), $accuracy)")
           .as("qs"))
+      .select(col("lang"), col("n_docs"),
+        element_at(col("qs"), 1).as("p25"),
+        element_at(col("qs"), 2).as("p50"),
+        element_at(col("qs"), 3).as("p75"),
+        element_at(col("qs"), 4).as("p99"))
       .orderBy(col("lang"))
 
   /** Corpus-level top-`k` word n-grams by occurrence count (the heavy-

@@ -126,13 +126,22 @@ class CorpusPrepSpec extends SparkSpec {
       .map(r => r.getString(0) -> Seq(r.getDouble(2), r.getDouble(3),
         r.getDouble(4), r.getDouble(5))).toMap
     CorpusPrep.lengthQuantilesApprox(spark, sf).collect().foreach { r =>
-      val approx = r.getSeq[Long](2)
+      val approx = Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
       exact(r.getString(0)).zip(approx).foreach { case (e, a) =>
         // accuracy 10000 → rank error ≤ 1/10000: on these group sizes the
         // sketch is exact up to interpolation; allow a loose 10% band
         assert(math.abs(a - e) <= math.max(1.0, e * 0.1),
           s"lang=${r.getString(0)} exact=$e approx=$a")
       }
+    }
+    // the >accuracy regime: accuracy 50 over sf's largest group forces
+    // compression — values must still land within the rank-error band
+    // of the exact percentile values (here: within the observed range)
+    val lo = CorpusPrep.lengthQuantilesApproxAt(spark, sf, accuracy = 50)
+      .collect()
+    lo.foreach { r =>
+      val approx = Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(approx == approx.sorted, s"quantiles must be monotone: $approx")
     }
   }
 
