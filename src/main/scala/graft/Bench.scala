@@ -49,6 +49,30 @@ object Bench {
     // code with the old single-shot timing). The headline total is the
     // sum of per-query medians; per-run values are kept in "runs" for
     // variance visibility.
+    // Machine-speed calibration anchor: sandbox contention moves EVERY
+    // query by a uniform factor between runs (measured: two
+    // back-to-back identical benches, per-query median ratio 1.28
+    // across the board) — no per-query statistic can reject that. A
+    // fixed pure-JVM workload timed the same way gives the consumer a
+    // denominator: total/cal_sec is comparable across rounds even when
+    // the machine itself was slower. Median of 3, same as the queries.
+    val calSec = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        var acc = 0L
+        var i = 0L
+        while (i < 200000000L) { // splitmix64-ish mix, ~sub-second
+          var z = i + 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          acc ^= z ^ (z >>> 27)
+          i += 1
+        }
+        if (acc == 42L) println("") // keep the loop observable
+        (System.nanoTime() - t0) / 1e9
+      }
+      val xs = Vector.fill(3)(once()).sorted
+      xs(1)
+    }
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
@@ -82,7 +106,7 @@ object Bench {
     val runsJson = names.map { n =>
       "\"" + n + "\":" + times(n).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","cal_sec":$calSec,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detail) finally w.close()
@@ -97,7 +121,7 @@ object Bench {
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val ranked = medians.collect { case (k, Some(v)) => (k, v) }.sortBy(-_._2)
     val budget = 1800
-    val fixedTail = s""","failed":$failedJson,"nq":${names.size},"omitted":NNN,"sf":"$sfDir"}"""
+    val fixedTail = s""","failed":$failedJson,"nq":${names.size},"omitted":NNN,"cal_sec":${fmt(calSec)},"sf":"$sfDir"}"""
     val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
     val entries = scala.collection.mutable.ArrayBuffer[String]()
     var used = head.length + fixedTail.length + 2
