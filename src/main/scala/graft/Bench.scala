@@ -55,35 +55,49 @@ object Bench {
     // across the board) — no per-query statistic can reject that. A
     // fixed pure-JVM workload timed the same way gives the consumer a
     // denominator: total/cal_sec is comparable across rounds even when
-    // the machine itself was slower. Median of 3, same as the queries.
-    val calSec = {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        var acc = 0L
-        var i = 0L
-        while (i < 200000000L) { // splitmix64-ish mix, ~sub-second
-          var z = i + 0x9e3779b97f4a7c15L
-          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-          acc ^= z ^ (z >>> 27)
-          i += 1
-        }
-        if (acc == 42L) println("") // keep the loop observable
-        (System.nanoTime() - t0) / 1e9
+    // the machine itself was slower. The loop runs on ALL configured
+    // cores (a single-threaded probe measured flat 0.25 s while query
+    // totals drifted 2×: neighbor load eats spare cores, which only an
+    // aggregate-throughput probe sees), and one sample is taken INSIDE
+    // each timed pass so mid-bench contention lands in the anchor the
+    // same way it lands in the queries; the median is reported.
+    def calOnce(): Double = {
+      val nThreads = cpus.toInt
+      val t0 = System.nanoTime()
+      val threads = (0 until nThreads).map { t =>
+        val th = new Thread(() => {
+          var acc = 0L
+          var i = t * 100000000L
+          val end = i + 100000000L
+          while (i < end) { // splitmix64-ish mix, ~sub-second
+            var z = i + 0x9e3779b97f4a7c15L
+            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+            acc ^= z ^ (z >>> 27)
+            i += 1
+          }
+          if (acc == 42L) println("") // keep the loop observable
+        })
+        th.start(); th
       }
-      val xs = Vector.fill(3)(once()).sorted
-      xs(1)
+      threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
     }
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val names = SparkEntry.queries.keys.toSeq
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     val errs = scala.collection.mutable.Map[String, Throwable]()
-    for (_ <- 1 to nRuns; name <- names if !errs.contains(name)) {
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); times(name) :+= (System.nanoTime() - t0) / 1e9 }
-      catch { case t: Throwable => errs(name) = t }
+    var calSamples = Vector.empty[Double]
+    for (_ <- 1 to nRuns) {
+      calSamples :+= calOnce()
+      for (name <- names if !errs.contains(name)) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); times(name) :+= (System.nanoTime() - t0) / 1e9 }
+        catch { case t: Throwable => errs(name) = t }
+      }
     }
+    val calSec = calSamples.sorted.apply(calSamples.size / 2)
     val failed = names.filter(errs.contains).map { name =>
       val t = errs(name)
       System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")

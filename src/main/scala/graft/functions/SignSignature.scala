@@ -126,6 +126,12 @@ object SignSignature {
 
   def compute(a: ArrayData, nPlanes: Int, off: Int, isDouble: Boolean): Long = {
     val n = a.numElements()
+    // empty embedding → null signature: every dot is vacuously 0, which
+    // would yield the all-set degenerate signature (one giant LSH bucket
+    // if a malformed embedder emits many empties); same undefined-input
+    // treatment as a null element, and it keeps weights()'s dims >= 1
+    // cache-key guard unreachable from data instead of a task-killer
+    if (n == 0) return NullSentinel
     var i = 0
     while (i < n) { // null element → null signature, never garbage reads
       if (a.isNullAt(i)) return NullSentinel

@@ -45,8 +45,11 @@ object Retrieval {
     val corpus = postings.filter(col("doc_id") % 97 =!= 0)
     val dl = corpus.groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("dl"))
+    // postings rows are unique per (doc_id, term) by construction, so a
+    // plain count IS the document frequency — countDistinct would add a
+    // second dedup aggregation over the largest table for nothing
     val df = corpus.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df"))
     val totals = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
     corpus

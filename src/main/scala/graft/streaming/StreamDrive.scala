@@ -99,26 +99,6 @@ object StreamDrive {
     * primitive long); `sess_id` is re-derived as the per-user time rank —
     * identical to the batch running-sum numbering, which is also
     * 1-based in time order. */
-  /** Streaming exact dedup over the documents parquet: the corpus-side
-    * twin of [[graft.ops.Dedup.exact]]'s digest grouping, run as a
-    * streaming aggregation — per-digest state is the constant-size
-    * mergeable pair (min doc_id, count), the streaming-ingestion dedup
-    * story (an unbounded corpus feed keeps exactly one row of state per
-    * distinct document text). Complete mode drains the final state table,
-    * which equals the batch GROUP BY — min/count are order-insensitive,
-    * so batch boundaries cannot perturb the result. Only the digest
-    * shuffles; text never leaves the stateless pre-projection. */
-  def dedupFromFiles(s: SparkSession, d: String): DataFrame = {
-    val schema = s.read.parquet(s"$d/documents.parquet").schema
-    val docs = s.readStream.schema(schema)
-      .parquet(streamableDir(s"$d/documents.parquet"))
-      .select(md5(col("text")).as("digest"), col("doc_id"))
-    drain(s, docs.groupBy(col("digest"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
-      "graft_stream_dedup", "complete")
-      .orderBy(col("digest"))
-  }
-
   def sessionsFromFiles(s: SparkSession, d: String,
       gapMinutes: Int = 30): DataFrame = {
     import s.implicits._
@@ -148,5 +128,25 @@ object StreamDrive {
         col("start_us"), col("end_us"),
         (col("end_us") - col("start_us")).as("duration_us"))
       .orderBy(col("user_id"), col("sess_id"))
+  }
+
+  /** Streaming exact dedup over the documents parquet: the corpus-side
+    * twin of [[graft.ops.Dedup.exact]]'s digest grouping, run as a
+    * streaming aggregation — per-digest state is the constant-size
+    * mergeable pair (min doc_id, count), the streaming-ingestion dedup
+    * story (an unbounded corpus feed keeps exactly one row of state per
+    * distinct document text). Complete mode drains the final state table,
+    * which equals the batch GROUP BY — min/count are order-insensitive,
+    * so batch boundaries cannot perturb the result. Only the digest
+    * shuffles; text never leaves the stateless pre-projection. */
+  def dedupFromFiles(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val docs = s.readStream.schema(schema)
+      .parquet(streamableDir(s"$d/documents.parquet"))
+      .select(md5(col("text")).as("digest"), col("doc_id"))
+    drain(s, docs.groupBy(col("digest"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),
+      "graft_stream_dedup", "complete")
+      .orderBy(col("digest"))
   }
 }

@@ -21,4 +21,11 @@ trait SparkSpec extends AnyFunSuite {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** The ONE JVM-side oracle for the engines' `md5(...)` hex digest —
+    * every hash-assignment spec must recompute through this helper so a
+    * charset/case divergence can't hide in a stale local copy. */
+  protected def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
 }

@@ -58,17 +58,21 @@ class SignSignatureSpec extends SparkSpec {
     }
   }
 
-  test("null array gives null; null element gives null, not garbage") {
+  test("null array gives null; null element and empty array give null, not garbage") {
     val rows = spark.sql(
       """SELECT * FROM VALUES
         |(1L, array(cast(1.0 as float), cast(-2.0 as float))),
         |(2L, cast(null as array<float>)),
-        |(3L, array(cast(1.0 as float), cast(null as float)))
+        |(3L, array(cast(1.0 as float), cast(null as float))),
+        |(4L, cast(array() as array<float>))
         |t(vec_id, embedding)""".stripMargin)
       .select(col("vec_id"), SignSignature.of(col("embedding"), 16).as("sig"))
       .as[(Long, Option[Long])].collect().toMap
     assert(rows(1L).isDefined)
     assert(rows(2L).isEmpty)
     assert(rows(3L).isEmpty)
+    // empty ≠ all-set degenerate signature (that would bucket every
+    // malformed row together), and ≠ a task-killing exception
+    assert(rows(4L).isEmpty)
   }
 }

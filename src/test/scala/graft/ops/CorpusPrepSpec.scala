@@ -338,9 +338,6 @@ class CorpusPrepSpec extends SparkSpec {
   test("shuffleShards is an exact deterministic permutation into 16 shards") {
     val ids = Tables.documents(spark, sf)
       .select("doc_id").as[Long].collect()
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     val digests = ids.map(id => id -> md5hex(s"42:$id"))
     val expected = digests.groupBy { case (_, h) =>
       "0123456789abcdef".indexOf(h.head).toLong }.toSeq.flatMap {
@@ -379,9 +376,6 @@ class CorpusPrepSpec extends SparkSpec {
 
   test("splitAssign matches a JVM md5 oracle and is stable under corpus growth") {
     val ids = Tables.documents(spark, sf).select("doc_id").as[Long].collect()
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     val expected = ids.map { id =>
       val b = md5hex(id.toString).substring(0, 2)
       (id, b, if (b < "e6") "train" else if (b < "f3") "val" else "test")
@@ -403,9 +397,6 @@ class CorpusPrepSpec extends SparkSpec {
   }
 
   test("weightedSample matches a JVM md5 oracle; weight boundaries behave") {
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "n_chars").as[(Long, Long)].collect()
     val expected = docs.flatMap { case (id, nc) =>

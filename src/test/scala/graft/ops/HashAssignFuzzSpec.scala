@@ -14,9 +14,6 @@ import org.scalacheck.Prop.forAll
 class HashAssignFuzzSpec extends SparkSpec {
   import spark.implicits._
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
 
   private val idsGen: Gen[List[Long]] = Gen.listOfN(40, Gen.oneOf(
     Gen.chooseNum(Long.MinValue, Long.MaxValue),
