@@ -156,6 +156,11 @@ object SparkEntry {
     "x_stream_dedup"    -> ((s, d) => graft.streaming.StreamDrive.dedupFromFiles(s, d)),
     "x_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(s, d)),
     "x_multimodal_frames" -> ((s, d) => graft.multimodal.Multimodal.frameSamples(s, d)),
+    // binary→binary resize shape (content pinned via out_md5) and the
+    // media→embedding feature-extract bridge; stub arithmetic is
+    // deliberately oracle-recomputable
+    "x_mm_resize"       -> ((s, d) => graft.multimodal.Multimodal.resize(s, d)),
+    "x_mm_features"     -> ((s, d) => graft.multimodal.Multimodal.features(s, d)),
     "x_skew_salted"     -> ((s, d) =>
       Skew.saltedCount(Tables.events(s, d), org.apache.spark.sql.functions.col("event_type"))
         .orderBy("key")),
@@ -1159,6 +1164,35 @@ object SparkEntry {
         |CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
         |CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
         |CAST(doc_id % 30 + 1 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the resized CONTENT is pinned, not just its size: the corpus is
+    // ASCII (chars = bytes), so every-2nd-byte equals every-2nd-char
+    // and DuckDB can rebuild the resized string and hash it
+    "x_mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |    octet_length(encode(text)) % 640 + 1 AS w,
+        |    (octet_length(encode(text)) * 7) % 480 + 1 AS h,
+        |    md5(array_to_string(
+        |      [text[i] for i in range(1, octet_length(encode(text)) + 1, 2)],
+        |      '')) AS out_md5
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST((w + 1) // 2 AS INT) AS out_width,
+        |  CAST((h + 1) // 2 AS INT) AS out_height,
+        |  CAST(n AS BIGINT) AS n_bytes,
+        |  CAST((n + 1) // 2 AS BIGINT) AS out_bytes, out_md5
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "x_mm_features" ->
+      """SELECT doc_id,
+        |  (octet_length(encode(text)) * 1) % 1000 / 1000.0 AS f0,
+        |  (octet_length(encode(text)) * 2) % 1000 / 1000.0 AS f1,
+        |  (octet_length(encode(text)) * 3) % 1000 / 1000.0 AS f2,
+        |  (octet_length(encode(text)) * 4) % 1000 / 1000.0 AS f3,
+        |  (octet_length(encode(text)) * 5) % 1000 / 1000.0 AS f4,
+        |  (octet_length(encode(text)) * 6) % 1000 / 1000.0 AS f5,
+        |  (octet_length(encode(text)) * 7) % 1000 / 1000.0 AS f6,
+        |  (octet_length(encode(text)) * 8) % 1000 / 1000.0 AS f7
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

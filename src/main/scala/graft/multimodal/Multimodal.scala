@@ -71,6 +71,64 @@ object Multimodal {
         col("n_frames"))
       .orderBy(col("doc_id"))
 
+  /** Resize — the binary→binary transform shape: payload in, re-encoded
+    * payload out with recomputed dimensions, decoder constructed once
+    * per partition. The stub "resampling" keeps every `factor`-th byte
+    * (a real implementation swaps in an image scaler without touching
+    * the plumbing); output metadata is pure arithmetic in the input so
+    * the oracle can recompute it relationally. Payload bytes stay inside
+    * the task — only (doc_id, dims, sizes) leave the map. */
+  def resize(s: SparkSession, d: String, factor: Int = 2): DataFrame = {
+    import s.implicits._
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    mediaTable(s, d)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decoder = new StubDecoder
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, bytes) =>
+          val m = decoder.decode(id, bytes)
+          val out = if (bytes == null) Array.emptyByteArray
+            else Array.tabulate(((bytes.length + factor - 1) / factor).max(0))(
+              i => bytes(i * factor))
+          digest.reset()
+          val outMd5 = digest.digest(out).map("%02x".format(_)).mkString
+          (id, m.width, m.height,
+            (m.width + factor - 1) / factor, (m.height + factor - 1) / factor,
+            m.n_bytes, out.length.toLong, outMd5)
+        }
+      }
+      .toDF("doc_id", "width", "height", "out_width", "out_height",
+        "n_bytes", "out_bytes", "out_md5")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Feature extraction to a fixed-width vector — the media→embedding
+    * bridge that feeds the [[graft.ops.Similarity]] ANN operators. The
+    * stub features are transparent arithmetic in the payload size
+    * (`((n_bytes * (i+1)) mod 1000) / 1000`), flat columns so the
+    * contract (one deterministic k-dim vector per document, computed
+    * per-partition beside the decoder) stays oracle-checkable; a real
+    * extractor replaces the arithmetic with a model forward pass. */
+  def features(s: SparkSession, d: String, dims: Int = 8): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val decoder = new StubDecoder
+        rows.map { case (id, bytes) =>
+          val n = decoder.decode(id, bytes).n_bytes
+          (id, Array.tabulate(dims)(i => ((n * (i + 1)) % 1000L) / 1000.0))
+        }
+      }
+      .toDF("doc_id", "f")
+      .select(col("doc_id") +:
+        (0 until dims).map(i => element_at(col("f"), i + 1).as(s"f$i")): _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** Frame sampling — the video-pipeline fan-out shape: every `stride`-th
     * frame index per document becomes its own row with a byte offset into
     * the payload, ready for a per-frame decode stage. Pure explode — one

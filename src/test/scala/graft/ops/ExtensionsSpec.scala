@@ -379,6 +379,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(mismatch == 0)
   }
 
+  test("multimodal resize pins the actual resampled bytes; features match the stub arithmetic") {
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val rs = graft.multimodal.Multimodal.resize(spark, sf).collect()
+    assert(rs.length == texts.size)
+    rs.take(25).foreach { r =>
+      val bytes = texts(r.getAs[Long]("doc_id")).getBytes("UTF-8")
+      val out = Array.tabulate((bytes.length + 1) / 2)(i => bytes(i * 2))
+      val exp = java.security.MessageDigest.getInstance("MD5").digest(out)
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("out_md5") == exp, s"content drift at $r")
+      assert(r.getAs[Long]("out_bytes") == out.length.toLong)
+    }
+    val fs = graft.multimodal.Multimodal.features(spark, sf).collect()
+    fs.take(25).foreach { r =>
+      val n = texts(r.getAs[Long]("doc_id")).getBytes("UTF-8").length.toLong
+      (0 until 8).foreach { i =>
+        assert(r.getAs[Double](s"f$i") == ((n * (i + 1)) % 1000L) / 1000.0)
+      }
+    }
+  }
+
   test("slidingWindowsOf drops pre-window events instead of aliasing into window 0") {
     val evs = Seq(
       (-3600000000L, "view", 1.0), // pre-epoch: belongs to NO window ≥ 0
