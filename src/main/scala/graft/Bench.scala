@@ -83,6 +83,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    require(nRuns >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $nRuns")
     val names = SparkEntry.queries.keys.toSeq
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
@@ -97,18 +98,26 @@ object Bench {
         catch { case t: Throwable => errs(name) = t }
       }
     }
-    val calSec = calSamples.sorted.apply(calSamples.size / 2)
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val calSec = median(calSamples)
     val failed = names.filter(errs.contains).map { name =>
       val t = errs(name)
       System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
       name
     }
-    def median(xs: Vector[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
     val medians = names.map(n => n -> (if (errs.contains(n)) None else Some(median(times(n)))))
     val total = medians.collect { case (_, Some(v)) => v }.sum
+    // Min-of-N beside the median total: sandbox contention is one-sided
+    // noise (it only ever ADDS time), so the per-query minimum is the
+    // best estimate of the uncontended cost, and median-of-3 fails
+    // whenever a contention burst spans two of the three passes (observed
+    // r7: per-run spreads up to 10×, run-3 matching the prior round). The
+    // median stays as "value" for continuity; "min" is the
+    // contention-robust headline.
+    val totalMin = names.collect { case n if !errs.contains(n) => times(n).min }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full-precision detail (all per-run samples) goes out FIRST; the
     // harness that collects our stdout keeps only the last ~2000 chars
@@ -120,7 +129,11 @@ object Bench {
     val runsJson = names.map { n =>
       "\"" + n + "\":" + times(n).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","cal_sec":$calSec,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    // Per-pass cal samples ship alongside the per-query runs: one anchor
+    // sample was taken INSIDE each timed pass, so a consumer can detect
+    // which passes were contended and normalize (or drop) exactly those.
+    val calJson = calSamples.mkString("[", ",", "]")
+    val detail = s"""{"metric":"total","value":$total,"min":$totalMin,"unit":"sec","cal_sec":$calSec,"cal_samples":$calJson,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detail) finally w.close()
@@ -135,18 +148,25 @@ object Bench {
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val ranked = medians.collect { case (k, Some(v)) => (k, v) }.sortBy(-_._2)
     val budget = 1800
-    val fixedTail = s""","failed":$failedJson,"nq":${names.size},"omitted":NNN,"cal_sec":${fmt(calSec)},"sf":"$sfDir"}"""
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{"""
+    val calSamplesCompact = calSamples.map(fmt).mkString("[", ",", "]")
+    // The tail depends on `omitted`, which depends on how much room the
+    // tail leaves — resolved by budgeting the tail at its worst-case
+    // length (omitted <= nq, so its digit count is that of nq) and
+    // building the real tail afterwards. No placeholder substitution:
+    // a query name containing the placeholder could otherwise corrupt
+    // the contract line.
+    def tailFor(omitted: Int): String =
+      s""","failed":$failedJson,"nq":${names.size},"omitted":$omitted,"cal_sec":${fmt(calSec)},"cal_samples":$calSamplesCompact,"sf":"$sfDir"}"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"min":${fmt(totalMin)},"unit":"sec","queries":{"""
     val entries = scala.collection.mutable.ArrayBuffer[String]()
-    var used = head.length + fixedTail.length + 2
+    var used = head.length + tailFor(names.size).length + 2
     var omitted = 0
     for ((k, v) <- ranked) {
       val e = "\"" + k + "\":" + fmt(v)
       if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
       else omitted += 1
     }
-    val json = head + entries.mkString(",") + "}" +
-      fixedTail.replace("NNN", omitted.toString)
+    val json = head + entries.mkString(",") + "}" + tailFor(omitted)
     // stop FIRST, print LAST: Spark's console logging writes to stdout in
     // the default log4j2 template, so the contract line is emitted after
     // everything else that could print — the driver reads the last line.

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle that checks `Sessionize.hourlyWindows` / `.sessions`
   * also pins the streaming path.
   *
+  * Every drive replays its input as MULTIPLE micro-batches
+  * (`maxFilesPerTrigger=1` over ≥3 staged files in event-time order), so
+  * the state-store merge path — the thing that distinguishes streaming
+  * aggregation / `flatMapGroupsWithState` from a batch group pass — is
+  * exercised by the oracle, not just argued: per-window partial
+  * aggregates and per-user open sessions must survive and merge across
+  * batch boundaries for the rows to hash-match the batch twin.
+  *
   * Determinism: the drive processes the whole input before returning
   * (`processAllAvailable`), uses complete output mode for the windowed
   * aggregation (every window emitted regardless of watermark progress),
@@ -21,25 +29,64 @@ import org.apache.spark.sql.functions._
   */
 object StreamDrive {
 
-  /** The streaming file source lists a DIRECTORY; the driver's
-    * `events.parquet` is a single file. Stage a symlink to it inside a
-    * temp dir when needed (a directory-shaped table passes through). */
-  private def streamableDir(path: String): String = {
-    val f = new java.io.File(path)
-    if (f.isDirectory) path
-    else {
-      val dir = Files.createTempDirectory("graft-stream-in")
-      Files.createSymbolicLink(dir.resolve(f.getName), f.toPath)
-      dir.toString
+  /** Staged split directories, one sorted write per (input, shape) per
+    * JVM — Verify runs each drive once but Bench replays them per pass. */
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Give the staged part files strictly increasing modification times in
+    * lexicographic name order (range order for `repartitionByRange`
+    * output, sentinels-last for the session drive). The file stream
+    * source processes oldest-first (`latestFirst=false`), so this pins
+    * the batch arrival order deterministically; a fixed epoch base keeps
+    * the staging itself reproducible. The ~seconds spread keeps every
+    * file inside the source's `maxFileAge` window (relative to the
+    * newest file, not wall clock). */
+  private def stampAscending(dir: String): Unit = {
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val base = 1700000000000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + (i + 1) * 1000L)
     }
   }
 
+  /** Stage `df` as `nFiles` parquet files holding ascending `orderCol`
+    * ranges, mod-times increasing with the ranges. Replayed with
+    * `maxFilesPerTrigger=1` this is a faithful in-order stream: each
+    * micro-batch's rows are at-or-after everything already processed, so
+    * no row ever falls behind the watermark of a previous batch and the
+    * per-user event order the session fold assumes (a stream delivers a
+    * user's events in time order) holds across batches. Splitting by
+    * time range — not round-robin — is what makes the multi-batch drive
+    * semantically equivalent to the single-batch one; it is drive
+    * scaffolding (one bounded sorted write of the drive input), not a
+    * production operator. */
+  private def stageSplit(s: SparkSession, path: String, purpose: String,
+      orderCol: String, nFiles: Int = 3): String =
+    stagedCache.computeIfAbsent(s"$path#$purpose", _ => {
+      val dir = Files.createTempDirectory("graft-stream-split").toString
+      s.read.parquet(path)
+        .repartitionByRange(nFiles, col(orderCol))
+        .write.mode("overwrite").parquet(dir)
+      stampAscending(dir)
+      dir
+    })
+
+  /** Per-batch input-row counts (non-empty micro-batches only) of the
+    * most recent drive — the spec hook proving the drives really cross
+    * batch boundaries (StreamingSpec asserts ≥3). */
+  @volatile var lastDriveBatches: Seq[Long] = Nil
+
   /** `ts` arrives as long nanoseconds (nanosAsLong conf); the streaming
     * operators take real timestamps — one stateless projection upstream
-    * of the watermark. */
+    * of the watermark. Input staged as 3 time-range files replayed one
+    * per micro-batch. */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    s.readStream.schema(schema).parquet(streamableDir(s"$d/events.parquet"))
+    val staged = stageSplit(s, s"$d/events.parquet", "events", "ts")
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(staged)
       .select(timestamp_micros(expr("ts div 1000")).as("ts"),
         col("user_id"), col("event_type"), col("value"))
   }
@@ -50,7 +97,11 @@ object StreamDrive {
     s.catalog.dropTempView(name)
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      lastDriveBatches =
+        q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+      q.stop()
+    }
     s.table(name)
   }
 
@@ -59,7 +110,9 @@ object StreamDrive {
     * (`Sessionize.hourlyWindows`) — verified by the SAME oracle SQL.
     * Complete mode: every window is emitted when the stream drains, so
     * the watermark (a state-size bound on unbounded streams) cannot
-    * withhold the final windows of a finite drive. */
+    * withhold the final windows of a finite drive. Multi-batch replay
+    * makes the oracle pin the state-store merge: most windows receive
+    * rows from more than one micro-batch. */
   def hourlyFromFiles(s: SparkSession, d: String): DataFrame =
     drain(s, EventStream.hourlyCounts(eventStream(s, d)),
       "graft_stream_hourly", "complete")
@@ -89,11 +142,20 @@ object StreamDrive {
     * Append mode only emits CLOSED sessions — a finite drive would
     * otherwise withhold every user's last session forever (and a
     * processing-time timeout makes `processAllAvailable` never quiesce,
-    * see [[SessionStateOps.sessionize]]). So the drive unions a sentinel
-    * stream: one post-corpus event per user at `max(us) + gap + 1`,
-    * which closes the user's real last session; the sentinel's own
-    * session stays open and is never emitted. Output = exactly the
-    * batch sessions of the real events.
+    * see [[SessionStateOps.sessionize]]). So the drive appends a sentinel
+    * file: one post-corpus event per user at `max(us) + gap + 1`, which
+    * closes the user's real last session; the sentinel's own session
+    * stays open and is never emitted. Output = exactly the batch
+    * sessions of the real events.
+    *
+    * The staged directory holds the real events as 3 ascending
+    * time-range files plus the sentinel file LAST (mod-time order), one
+    * file per micro-batch — so open sessions genuinely persist in the
+    * state store across batches and the cross-batch merge (an event in
+    * batch N+1 extending a session opened in batch N) is what the oracle
+    * verifies. In-order arrival is load-bearing: the session fold
+    * assumes a user's events arrive in time order, exactly the contract
+    * a real in-order stream (or a watermark-reordered one) provides.
     *
     * Null user_ids are excluded on both sides (the typed `Ev` key is a
     * primitive long); `sess_id` is re-derived as the per-user time rank —
@@ -103,23 +165,31 @@ object StreamDrive {
       gapMinutes: Int = 30): DataFrame = {
     import s.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
-    // sentinels are data-derived (one tiny aggregate of the batch table),
-    // written as a second file source so the whole drive stays streaming
-    val sentinelDir = Files.createTempDirectory("graft-sentinel").toString
-    val batch = s.read.parquet(s"$d/events.parquet")
-      .filter(col("user_id").isNotNull)
-      .select(col("user_id"), expr("ts div 1000").as("us"))
-    batch.groupBy(col("user_id"))
-      .agg((max(col("us")) + gapUs + 1L).as("us"))
-      .write.mode("overwrite").parquet(sentinelDir)
-    val schema = s.read.parquet(s"$d/events.parquet").schema
-    val real = s.readStream.schema(schema)
-      .parquet(streamableDir(s"$d/events.parquet"))
-      .filter(col("user_id").isNotNull)
-      .select(col("user_id"), expr("ts div 1000").as("us"))
-    val sentinels = s.readStream
-      .schema("user_id LONG, us LONG").parquet(sentinelDir)
-    val evs = real.unionByName(sentinels).as[SessionStateOps.Ev]
+    val staged = stagedCache.computeIfAbsent(
+      s"$d/events.parquet#sessions-$gapUs", _ => {
+        val dir = Files.createTempDirectory("graft-stream-split").toString
+        val batch = s.read.parquet(s"$d/events.parquet")
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id"), expr("ts div 1000").as("us"))
+        batch.repartitionByRange(3, col("us"))
+          .write.mode("overwrite").parquet(dir)
+        // sentinels are data-derived (one tiny aggregate of the batch
+        // table), staged as the LAST file so every user's real events are
+        // already in state before the closer arrives
+        val sentTmp = Files.createTempDirectory("graft-sentinel").toString
+        batch.groupBy(col("user_id"))
+          .agg((max(col("us")) + gapUs + 1L).as("us"))
+          .coalesce(1).write.mode("overwrite").parquet(sentTmp)
+        val sentPart = new java.io.File(sentTmp).listFiles()
+          .find(_.getName.startsWith("part-")).get
+        Files.move(sentPart.toPath,
+          Paths.get(dir, "part-zz-sentinels.parquet"))
+        stampAscending(dir)
+        dir
+      })
+    val evs = s.readStream.schema("user_id LONG, us LONG")
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+      .as[SessionStateOps.Ev]
     val sessions = SessionStateOps.sessionize(s, evs, isStreaming = true)
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("start_us"))
     drain(s, sessions.toDF(), "graft_stream_sessions", "append")
@@ -137,12 +207,16 @@ object StreamDrive {
     * story (an unbounded corpus feed keeps exactly one row of state per
     * distinct document text). Complete mode drains the final state table,
     * which equals the batch GROUP BY — min/count are order-insensitive,
-    * so batch boundaries cannot perturb the result. Only the digest
-    * shuffles; text never leaves the stateless pre-projection. */
+    * so batch boundaries cannot perturb the result, and the multi-batch
+    * replay (3 doc_id-range files, one per trigger) makes that a tested
+    * property rather than an argued one: duplicate groups spanning files
+    * must merge in the state store. Only the digest shuffles; text never
+    * leaves the stateless pre-projection. */
   def dedupFromFiles(s: SparkSession, d: String): DataFrame = {
     val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val staged = stageSplit(s, s"$d/documents.parquet", "docs", "doc_id")
     val docs = s.readStream.schema(schema)
-      .parquet(streamableDir(s"$d/documents.parquet"))
+      .option("maxFilesPerTrigger", "1").parquet(staged)
       .select(md5(col("text")).as("digest"), col("doc_id"))
     drain(s, docs.groupBy(col("digest"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies")),

@@ -106,7 +106,28 @@ class StreamingSpec extends SparkSpec {
   test("streaming sliding windows drain to exactly the batch sliding result") {
     val sf = "/root/testdata/sf0.001"
     val streamed = StreamDrive.slidingFromFiles(spark, sf).collect().toSeq
+    // the drive must have crossed real micro-batch boundaries — the
+    // equivalence below then pins the state-store merge path, not just
+    // a single-batch batch-in-disguise run
+    assert(StreamDrive.lastDriveBatches.length >= 3,
+      s"expected >=3 non-empty micro-batches, got ${StreamDrive.lastDriveBatches}")
     val batch = graft.ops.Sessionize.slidingWindows(spark, sf).collect().toSeq
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("streaming sessions drain to exactly the batch sessions across batches") {
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamDrive.sessionsFromFiles(spark, sf).collect().toSeq
+    // 3 time-range event files + 1 sentinel file, one per trigger: open
+    // sessions must survive in the state store across batches and merge
+    // with later events for the rows to match the batch twin
+    assert(StreamDrive.lastDriveBatches.length >= 4,
+      s"expected >=4 non-empty micro-batches, got ${StreamDrive.lastDriveBatches}")
+    // null user_ids are excluded on the streaming side (primitive long
+    // key) — pin the same exclusion here, as the oracle SQL does
+    val batch = graft.ops.Sessionize.sessions(spark, sf)
+      .filter(col("user_id").isNotNull).collect().toSeq
     assert(batch.nonEmpty)
     assert(streamed == batch)
   }
@@ -115,6 +136,8 @@ class StreamingSpec extends SparkSpec {
     val sf = "/root/testdata/sf0.001"
     val streamed = StreamDrive.dedupFromFiles(spark, sf)
       .as[(String, Long, Long)].collect().toSeq
+    assert(StreamDrive.lastDriveBatches.length >= 3,
+      s"expected >=3 non-empty micro-batches, got ${StreamDrive.lastDriveBatches}")
     val batch = graft.ops.Tables.documents(spark, sf)
       .groupBy(md5(col("text")).as("digest"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
