@@ -204,10 +204,33 @@ object Similarity {
     val train =
       if (smallCorpus) emb
       else {
-        val corpusRows = emb.count()
-        emb.sample(withReplacement = false,
-          // 1.1× headroom: Bernoulli sampling undershoots the expectation
-          math.min(1.0, maxTrainRows * 1.1 / corpusRows), seed = 42L)
+        // The branch exists BECAUSE the corpus is huge, so it must never
+        // pay a full pass just to size the sample. Row count comes from
+        // plan statistics (parquet footers / CBO), which cost no job; when
+        // the optimizer only knows sizeInBytes, rows are estimated with
+        // the schema's defaultSize as the bytes-per-row divisor. That
+        // divisor undercounts real rows (arrays are costed at one
+        // element), so the row estimate errs HIGH and the fraction errs
+        // LOW. Neither direction can break the trainer:
+        //   - overshoot is bounded by the trailing hard limit;
+        //   - undershoot is bounded by the fraction FLOOR: the limit
+        //     probe above proved the corpus exceeds maxTrainRows, so a
+        //     fraction of at least floorRows/maxTrainRows yields an
+        //     expected sample of at least floorRows (~50 points per
+        //     centroid) no matter how wrong the byte-based estimate is.
+        val stats = emb.queryExecution.optimizedPlan.stats
+        val rowEst = stats.rowCount.map(_.toDouble).getOrElse {
+          val bytesPerRow =
+            math.max(1, emb.schema.map(_.dataType.defaultSize).sum)
+          stats.sizeInBytes.toDouble / bytesPerRow
+        }
+        val floorRows = 50.0 * nCells
+        // 1.3× headroom: Bernoulli sampling undershoots the expectation
+        val frac = math.min(1.0,
+          math.max(maxTrainRows * 1.3 / math.max(rowEst, 1.0),
+            floorRows / maxTrainRows))
+        emb.sample(withReplacement = false, frac, seed = 42L)
+          .limit(math.min(maxTrainRows, Int.MaxValue.toLong - 1).toInt)
       }
     val kmeans = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
     val model = kmeans.fit(train)
