@@ -45,9 +45,11 @@ object SparkEntry {
     "a3_verdict_counts" -> ((s, d) => QuadOps.verdictCounts(s, d)),
     "k9_partition_sizes" -> ((s, d) => QuadOps.partitionFileSizes(s, d)),
     // North-star extension operators (dedup / similarity / text / events /
-    // multimodal). x_dedup_minhash, x_dedup_simhash and x_sim_lsh have no
+    // multimodal). x_dedup_minhash and x_dedup_simhash have no
     // SQL-expressible oracle (custom hash families) → rows-only check;
     // their recall is asserted against the exact operators in the specs.
+    // x_sim_lsh IS oracle-checked: its hyperplane doubles are baked into
+    // the SQL as literals, so DuckDB reproduces every signature bit.
     "x_dedup_exact"     -> ((s, d) => Dedup.exact(s, d)),
     "x_dedup_jaccard"   -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "x_dedup_minhash"   -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -72,6 +74,12 @@ object SparkEntry {
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
     "x_sim_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
+    // measured recall@k of the ANN paths against the exact baseline —
+    // hash-checked every run, not just spec'd once (the oracle rebuilds
+    // the LSH signatures from the literal hyperplane doubles; the IVF
+    // twin swaps k-means for the SQL-expressible md5-sampled quantizer)
+    "x_lsh_recall"      -> ((s, d) => Similarity.lshRecallAtK(s, d)),
+    "x_ivf_recall"      -> ((s, d) => Similarity.ivfRecallAtK(s, d)),
     "x_emb_quantize"    -> ((s, d) => Similarity.quantizeInt8(s, d)),
     "x_emb_slice"       -> ((s, d) => Similarity.slicedTopKAgreement(s, d)),
     "x_txt_tokens"      -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
@@ -246,6 +254,31 @@ object SparkEntry {
       |SELECT a_id, b_id, round(i * 1.0 / (sa.n + sb.n - i), 3) AS jaccard
       |FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
       |WHERE round(i * 1.0 / (sa.n + sb.n - i), 3) >= $threshold ORDER BY a_id, b_id""".stripMargin
+
+  /** The 8×64 hyperplane table behind `x_sim_lsh`, as a DuckDB
+    * list-of-lists literal — the EXACT doubles the native
+    * [[graft.functions.SignSignature]] expression multiplies against
+    * (Double.toString round-trips through DuckDB's correctly-rounded
+    * parser), so the oracle reproduces every signature bit and the
+    * LSH bucketing is hash-checkable, not just rows-checkable. */
+  private lazy val lshPlanesLiteral: String =
+    graft.functions.SignSignature.planeWeights(8, 0, 64)
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  /** `sig` as bit p = (embedding · plane_p >= 0), summed as 2^p — the
+    * same integer the native expression assembles with `1L << p`. */
+  private lazy val lshSigExpr: String =
+    (0 until 8).map(p =>
+      s"(CASE WHEN list_inner_product(embedding::DOUBLE[], w[${p + 1}]) >= 0" +
+        s" THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+
+  /** Shared CTE prefix for the LSH oracles: hyperplanes → signatures →
+    * query/candidate frames. */
+  private lazy val lshSigCtes: String =
+    s"""WITH pl AS (SELECT $lshPlanesLiteral AS w),
+       |s AS (SELECT vec_id, embedding, $lshSigExpr AS sig FROM embeddings, pl),
+       |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe, sig FROM s WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce, sig FROM s)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "t_lifecycle_state" -> (lifecycleCte +
@@ -536,6 +569,80 @@ object SparkEntry {
         |  FROM scored)
         |SELECT qid, cid, sim, CAST(rn AS BIGINT) AS rn FROM ranked
         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    // the production LSH path, fully oracle-checked: identical hyperplane
+    // doubles → identical signature bits → identical buckets; rescoring
+    // and ranking then mirror x_sim_topk's (already-green) arithmetic
+    "x_sim_lsh" ->
+      s"""$lshSigCtes,
+        |scored AS (
+        |  SELECT qid, cid, round(list_cosine_similarity(qe, ce), 4) AS sim
+        |  FROM c JOIN q USING (sig) WHERE qid <> cid),
+        |ranked AS (
+        |  SELECT qid, cid, sim,
+        |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        |  FROM scored)
+        |SELECT qid, cid, sim, CAST(rn AS BIGINT) AS rn FROM ranked
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    // measured recall@k: |LSH top-k ∩ exact top-k| per query — the
+    // x_emb_slice agreement pattern applied to the production ANN path
+    "x_lsh_recall" ->
+      s"""$lshSigCtes,
+        |ann AS (SELECT qid, cid FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid
+        |    ORDER BY round(list_cosine_similarity(qe, ce), 4) DESC, cid) AS rn
+        |  FROM c JOIN q USING (sig) WHERE qid <> cid) WHERE rn <= 5),
+        |ex AS (SELECT qid, cid FROM (
+        |  SELECT q.qid, c.cid, row_number() OVER (PARTITION BY q.qid
+        |    ORDER BY round(list_cosine_similarity(q.qe, c.ce), 4) DESC, c.cid) AS rn
+        |  FROM c CROSS JOIN q WHERE q.qid <> c.cid) WHERE rn <= 5)
+        |SELECT e.qid, CAST(count(a.cid) AS BIGINT) AS n_common
+        |FROM ex e LEFT JOIN ann a ON e.qid = a.qid AND e.cid = a.cid
+        |GROUP BY e.qid ORDER BY e.qid""".stripMargin,
+    // measured recall@k of the IVF shape under the one coarse quantizer
+    // an oracle can replicate: centroids = the 16 corpus vectors with the
+    // smallest md5(vec_id || '/ivf'); Voronoi assign (rounded cosine,
+    // centroid-id tie-break), probe 4 nearest cells, exact re-score.
+    // The trained k-means path (x_sim_ivf) keeps its planted-copy oracle.
+    "x_ivf_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY h) AS centroid_id, x AS cent_e
+        |  FROM (SELECT x, md5(CAST(vec_id AS VARCHAR) || '/ivf') AS h
+        |        FROM e ORDER BY h LIMIT 16)),
+        |assigned AS (SELECT vec_id, x, cell FROM (
+        |  SELECT e.vec_id, e.x, c.centroid_id AS cell,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |           ORDER BY round(list_cosine_similarity(e.x, c.cent_e), 4) DESC,
+        |                    c.centroid_id) AS rn
+        |  FROM e CROSS JOIN cent c) WHERE rn = 1),
+        |probes AS (SELECT query_cell, probe_cell FROM (
+        |  SELECT a.centroid_id AS query_cell, b.centroid_id AS probe_cell,
+        |         row_number() OVER (PARTITION BY a.centroid_id
+        |           ORDER BY round(list_cosine_similarity(a.cent_e, b.cent_e), 4) DESC,
+        |                    b.centroid_id) AS pr
+        |  FROM cent a CROSS JOIN cent b) WHERE pr <= 4),
+        |qp AS (
+        |  SELECT vec_id AS qid, x AS qe, probe_cell
+        |  FROM assigned JOIN probes ON assigned.cell = probes.query_cell
+        |  WHERE vec_id < 8),
+        |ann AS (SELECT qid, cid FROM (
+        |  SELECT qp.qid, a.vec_id AS cid,
+        |         row_number() OVER (PARTITION BY qp.qid
+        |           ORDER BY round(list_cosine_similarity(qp.qe, a.x), 4) DESC,
+        |                    a.vec_id) AS rn
+        |  FROM assigned a JOIN qp ON a.cell = qp.probe_cell
+        |  WHERE qp.qid <> a.vec_id) WHERE rn <= 5),
+        |ex AS (SELECT qid, cid FROM (
+        |  SELECT q2.qid, c2.vec_id AS cid,
+        |         row_number() OVER (PARTITION BY q2.qid
+        |           ORDER BY round(list_cosine_similarity(q2.qe, c2.x), 4) DESC,
+        |                    c2.vec_id) AS rn
+        |  FROM e c2 CROSS JOIN (SELECT vec_id AS qid, x AS qe FROM e
+        |                        WHERE vec_id < 8) q2
+        |  WHERE q2.qid <> c2.vec_id) WHERE rn <= 5)
+        |SELECT x.qid, CAST(count(a2.cid) AS BIGINT) AS n_common
+        |FROM ex x LEFT JOIN ann a2 ON x.qid = a2.qid AND x.cid = a2.cid
+        |GROUP BY x.qid ORDER BY x.qid""".stripMargin,
     "x_emb_quantize" ->
       """WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS x,

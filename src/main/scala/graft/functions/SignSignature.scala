@@ -124,6 +124,16 @@ object SignSignature {
     w
   }
 
+  /** The hyperplane table as per-plane rows — the exact doubles
+    * [[compute]] multiplies against. Public so an oracle generator can
+    * bake the planes into SQL literals (Double.toString round-trips
+    * through a correctly-rounded parser, so the oracle engine sees
+    * bit-identical weights and reproduces every signature bit). */
+  def planeWeights(nPlanes: Int, planeOffset: Int, dims: Int): Array[Array[Double]] = {
+    val flat = weights(nPlanes, planeOffset, dims)
+    Array.tabulate(nPlanes)(p => flat.slice(p * dims, (p + 1) * dims))
+  }
+
   def compute(a: ArrayData, nPlanes: Int, off: Int, isDouble: Boolean): Long = {
     val n = a.numElements()
     // empty embedding → null signature: every dot is vacuously 0, which

@@ -94,6 +94,26 @@ object Similarity {
     bucketTopK(signedEmbeddings(emb, nPlanes), nQueries, k = 1)
   }
 
+  /** Measured recall@k of the production LSH path ([[lshTopK]]) against
+    * the exact baseline ([[bruteForceTopK]]): per query, how many of the
+    * true top-k the bucketed search returned. The [[slicedTopKAgreement]]
+    * pattern — both rankings are deterministic, so the oracle recomputes
+    * both sides and the overlap is a hash-checkable number, turning the
+    * ANN quality claim from "spec'd once" into "measured every run".
+    * (The oracle reproduces the signatures from the same hyperplane
+    * doubles via [[graft.functions.SignSignature.planeWeights]].) */
+  def lshRecallAtK(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
+      nPlanes: Int = 8): DataFrame = {
+    val exact = bruteForceTopK(s, d, nQueries, k).select(col("qid"), col("cid"))
+    val ann = lshTopK(s, d, nQueries, k, nPlanes)
+      .select(col("qid").as("aqid"), col("cid").as("acid"))
+    exact.join(ann, col("qid") === col("aqid") && col("cid") === col("acid"),
+        "left")
+      .groupBy(col("qid"))
+      .agg(count(col("acid")).as("n_common"))
+      .orderBy(col("qid"))
+  }
+
   /** Matryoshka-style truncated retrieval: score on only the first
     * `dims` dimensions (MRL-trained embeddings concentrate signal in the
     * prefix, making the truncation the cheap first-pass ranker — 4× less
@@ -181,6 +201,81 @@ object Similarity {
     val emb = emb0.unionAll(emb0.select(
       (col("vec_id") + offset).as("vec_id"), col("embedding")))
     ivfTopKOf(s, emb, nQueries, k = 1, nCells, nProbe)
+  }
+
+  /** Measured recall@k of an IVF-structured search under the DuckDB
+    * oracle. The trained coarse quantizer ([[ivfTopK]]'s seeded k-means)
+    * is not SQL-expressible, so ITS quality evidence is the planted-copy
+    * guarantee plus the spec'd recall bound; this twin swaps in the one
+    * coarse quantizer an oracle CAN replicate — centroids are the
+    * `nCells` corpus vectors with the smallest `md5(vec_id || '/ivf')`
+    * (a seeded sample, the untrained-quantizer IVF baseline) — and keeps
+    * every other stage of the production shape: Voronoi cell assignment
+    * (nearest centroid by rounded cosine, centroid-id tie-break),
+    * nProbe-nearest-cells probing, exact re-score, per-query top-k,
+    * overlap with [[bruteForceTopK]]. Every stage is deterministic and
+    * SQL-expressible, so recall@k lands as a hash-checked oracle row.
+    *
+    * Scale shape: centroid selection is a distributed top-`nCells` (no
+    * global sort); assignment is a broadcast cross join against the tiny
+    * centroid table aggregated with map-side-combinable max(struct) —
+    * one row per vec_id shuffles, embeddings never do. */
+  def ivfRecallAtK(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // deterministic seeded sample as centroids: top-nCells by md5 order
+    // (TakeOrderedAndProject — distributed, no full sort); the id-assign
+    // window runs on the already-reduced nCells rows only
+    val picked = emb
+      .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("/ivf"))))
+      .orderBy(col("h")).limit(nCells)
+    val cent = picked
+      .withColumn("centroid_id", row_number().over(Window.orderBy(col("h"))))
+      .select(col("centroid_id"), col("embedding").as("cent_e"))
+    // Voronoi assignment: argmax over the broadcast centroids with a
+    // deterministic (sim desc, centroid_id asc) tie-break — max(struct)
+    // is partially aggregable, so only (vec_id, winner) ever shuffles
+    val assigned = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"),
+        round(CosineSimilarity(col("embedding"), col("cent_e")), 4).as("csim"),
+        col("centroid_id"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        max(struct(col("csim"), (-col("centroid_id")).as("neg_id")))
+          .as("w"))
+      .select(col("vec_id"), col("embedding"), (-col("w.neg_id")).as("cell"))
+    // nProbe nearest cells per cell, from the tiny centroid self-join
+    val c2 = cent.select(col("centroid_id").as("probe_cell"),
+      col("cent_e").as("probe_e"))
+    val probes = cent.crossJoin(c2)
+      .select(col("centroid_id").as("query_cell"), col("probe_cell"),
+        round(CosineSimilarity(col("cent_e"), col("probe_e")), 4).as("psim"))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("query_cell"))
+        .orderBy(col("psim").desc, col("probe_cell"))))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_cell"), col("probe_cell"))
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("cell").as("query_cell"))
+      .join(broadcast(probes), "query_cell")
+    val cands = assigned.select(col("vec_id").as("cid"),
+      col("embedding").as("ce"), col("cell").as("probe_cell"))
+    // each candidate has one cell and probe pairs are unique → (qid, cid)
+    // appears at most once, no dedup needed (same argument as ivfTopKOf)
+    val ann = cands.join(broadcast(queries), Seq("probe_cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(CosineSimilarity(col("qe"), col("ce")), 4).as("sim"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("cid"))))
+      .filter(col("rn") <= k)
+      .select(col("qid").as("aqid"), col("cid").as("acid"))
+    val exact = bruteForceTopK(s, d, nQueries, k).select(col("qid"), col("cid"))
+    exact.join(ann, col("qid") === col("aqid") && col("cid") === col("acid"),
+        "left")
+      .groupBy(col("qid"))
+      .agg(count(col("acid")).as("n_common"))
+      .orderBy(col("qid"))
   }
 
   /** The production IVF pipeline over any `(vec_id, embedding)` frame —

@@ -112,6 +112,28 @@ class ScaleDesignSpec extends SparkSpec {
     assert(firstStageGroups > 5, s"expected >1 salt bucket per key, got $firstStageGroups")
   }
 
+  test("measured ANN recall rows agree with a direct top-k intersection") {
+    // the oracle checks both engines compute the same number; this pins
+    // that the number IS |ann ∩ exact| per query (8 rows, each in [0, k])
+    def overlap(ann: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val a = ann.select("qid", "cid").as[(Long, Long)].collect().toSet
+      val e = Similarity.bruteForceTopK(spark, sf, nQueries = 8, k = 5)
+        .select("qid", "cid").as[(Long, Long)].collect().toSet
+      (0L until 8L).map(q => q -> e.filter(_._1 == q).count(a.contains).toLong).toMap
+    }
+    val lsh = Similarity.lshRecallAtK(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(lsh.keySet == (0L until 8L).toSet && lsh.values.forall(n => n >= 0 && n <= 5))
+    assert(lsh == overlap(Similarity.lshTopK(spark, sf)), "lsh recall != direct overlap")
+    val ivf = Similarity.ivfRecallAtK(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(ivf.keySet == (0L until 8L).toSet && ivf.values.forall(n => n >= 0 && n <= 5))
+    // 4/16 probed cells ≈ 25% of the corpus; the sampled-quantizer IVF
+    // still concentrates neighbours — require meaningful aggregate recall
+    // (deterministic: md5-picked centroids, fixed data, seeded nothing)
+    assert(ivf.values.sum >= 4, s"IVF recall collapsed: $ivf")
+  }
+
   test("matryoshka slice agreement: full-dim slice agrees totally, counts bounded") {
     // dims = full width → the two top-k sets are identical by definition
     val self = Similarity.slicedTopKAgreement(spark, sf, dims = 64)
