@@ -379,6 +379,44 @@ class ExtensionsSpec extends SparkSpec {
     assert(mismatch == 0)
   }
 
+  test("multimodal seam decodes REAL image bytes via the JDK's ImageIO") {
+    // zero-dependency proof of the "swap in a real decoder" claim:
+    // synthesize tiny PNGs with known dimensions, run them through the
+    // SAME mapPartitions seam the stub uses, and check the decoder read
+    // the true width/height back out of the bytes (not arithmetic in the
+    // payload size — a 5×3 PNG's byte length is codec-dependent).
+    import graft.multimodal.Multimodal
+    def png(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (seed * 2654435761L + x * 31 + y).toInt & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = (0L until 20L).map { id =>
+      val (w, h) = (3 + (id % 5).toInt, 2 + (id % 7).toInt)
+      (id, png(w, h, id.toInt), w, h)
+    }
+    val media = rows.map { case (id, b, _, _) => (id, b) }.toDF("doc_id", "payload")
+    val meta = Multimodal
+      .decodeMetaOf(spark, media, () => new Multimodal.ImageIODecoder)
+      .collect().map(m => m.doc_id -> m).toMap
+    rows.foreach { case (id, bytes, w, h) =>
+      val m = meta(id)
+      assert((m.width, m.height, m.n_frames, m.n_bytes) == ((w, h, 1, bytes.length.toLong)),
+        s"doc $id decoded to $m, expected ${w}x$h")
+    }
+    // per-file error isolation: garbage bytes degrade, they don't throw
+    val bad = Seq((99L, "not a png".getBytes("UTF-8")), (100L, Array.emptyByteArray))
+      .toDF("doc_id", "payload")
+    val badMeta = Multimodal
+      .decodeMetaOf(spark, bad, () => new Multimodal.ImageIODecoder)
+      .collect().map(m => m.doc_id -> ((m.width, m.height, m.n_frames))).toMap
+    assert(badMeta == Map(99L -> ((0, 0, 0)), 100L -> ((0, 0, 0))))
+  }
+
   test("multimodal resize pins the actual resampled bytes; features match the stub arithmetic") {
     val texts = Tables.documents(spark, sf)
       .select("doc_id", "text").as[(Long, String)].collect().toMap
