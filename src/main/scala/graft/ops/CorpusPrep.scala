@@ -539,11 +539,13 @@ object CorpusPrep {
     * and bitwise-identical in the DuckDB oracle (a raw double sum would
     * drift with reduction order).
     *
-    * Scale shape: the vocabulary aggregate is bounded by distinct word
-    * types (millions of rows at web scale — broadcastable; beyond that
-    * the join degrades gracefully to sort-merge when the hint is dropped
-    * by AQE size checks), and the per-doc aggregate combines map-side.
-    * Document text moves only as exploded words that pre-aggregate. */
+    * Scale shape: the per-word log-prob table is VOCABULARY-sized — it
+    * grows with the corpus, so (same policy as the tf-idf df join) it
+    * carries no broadcast hint: a hint would override
+    * autoBroadcastJoinThreshold unconditionally and OOM the driver at
+    * web scale, while AQE still chooses a broadcast whenever the table
+    * measures small. Only the 1-row grand total is force-broadcast; the
+    * per-doc aggregate combines map-side. */
   def unigramLmScore(s: SparkSession, d: String): DataFrame = {
     val words = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
@@ -553,7 +555,7 @@ object CorpusPrep {
       .select(col("w"),
         round(log2(col("cnt").cast("double") / col("total")) * 1000)
           .cast("long").as("millibits"))
-    words.join(broadcast(logp), "w")
+    words.join(logp, "w")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("millibits")).as("sum_millibits"))

@@ -242,6 +242,36 @@ class ScaleDesignSpec extends SparkSpec {
       "struct<text:string>")
   }
 
+  test("plan-shape sweep: no production query grows a cartesian/nested-loop join") {
+    // regression guard over the WHOLE registered query surface: a future
+    // edit that loses an equi-join key silently degenerates to an
+    // all-pairs join — fine at sf0.01, fatal at 100 TB. Exemptions are
+    // named and justified; everything else must carry zero
+    // CartesianProduct and zero BroadcastNestedLoopJoin.
+    val allPairsByDesign = Set(
+      "x_dedup_semantic", "x_dedup_embed", "x_sim_topk", // labeled exact recall baselines
+      "x_emb_slice",                     // truncation-evaluation harness (scores both variants all-pairs)
+      "x_lsh_recall", "x_ivf_recall")    // recall rows embed the brute-force side by design
+    val boundedBnlj = Set(
+      "x_bm25_topk",      // ONE 1-row (n_docs, avgdl) totals cross join — pinned by its own test
+      "x_pmi_bigrams",    // 1-row unigram/bigram totals cross joins — pinned by its own test
+      "x_tfidf_top",      // 1-row n_docs cross join — hint audit pinned by its own test
+      "x_quality_lm",     // 1-row grand-total cross join (surprisal denominator)
+      "x_mix_temperature") // 1-row n_min + 1-row corpus-totals cross joins
+    val sfSmall = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq
+      .filterNot { case (name, _) =>
+        name.startsWith("x_stream_") ||  // drives run at construction; result is a memory-sink scan
+        allPairsByDesign(name) || boundedBnlj(name)
+      }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sfSmall).queryExecution.executedPlan.toString
+        val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
+        if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(",")}")
+      }
+    assert(offenders.isEmpty, s"all-pairs joins crept into:\n${offenders.mkString("\n")}")
+  }
+
   test("bucketed quad tables join and pivot without an exchange") {
     val quads = graft.ops.QuadOps.geoQuads(spark, sf)
       .withColumn("graph", lit("g1"))
