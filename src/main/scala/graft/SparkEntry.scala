@@ -1070,14 +1070,15 @@ object SparkEntry {
         |        FROM dl),
         |w AS (
         |  SELECT q.query_id, c.doc_id,
-        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |    CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
         |      (tf * (1.2 + 1.0)) /
-        |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS w
+        |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) * 1000)
+        |      AS BIGINT) AS w_milli
         |  FROM corpus c JOIN qterms q USING (term) JOIN dfr USING (term)
         |    JOIN dl USING (doc_id), tot),
         |sc AS (
         |  SELECT query_id, doc_id,
-        |    CAST(round(sum(w) * 1000) AS BIGINT) AS score_milli
+        |    CAST(sum(w_milli) AS BIGINT) AS score_milli
         |  FROM w GROUP BY query_id, doc_id),
         |r AS (
         |  SELECT query_id, doc_id, score_milli,

@@ -60,14 +60,20 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"),
         // constants stay as the LITERALS (k1 + 1, 1 - b evaluated as
         // double ops, not Scala-folded): the oracle writes the same
-        // expressions, so both engines round identically at every step
-        (log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+        // expressions, so both engines round identically at every step.
+        // Each per-term weight fixed-points to integer milli-units BEFORE
+        // the sum: the aggregate is then exact integer arithmetic —
+        // order-insensitive under any partitioning (a double sum rounded
+        // after the fact could flip at a .0005 boundary depending on
+        // scan order, silently breaking the hash gate)
+        round(log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
             (col("df") + lit(0.5))) *
           (col("tf") * (lit(k1) + lit(1.0))) /
           (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) +
-            lit(b) * col("dl") / col("avgdl")))).as("w"))
+            lit(b) * col("dl") / col("avgdl"))) * 1000)
+          .cast("long").as("w_milli"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum(col("w")) * 1000).cast("long").as("score_milli"))
+      .agg(sum(col("w_milli")).as("score_milli"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("score_milli").desc, col("doc_id"))).cast("long"))

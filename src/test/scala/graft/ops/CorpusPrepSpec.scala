@@ -432,9 +432,15 @@ class CorpusPrepSpec extends SparkSpec {
       .groupBy("g").count().as[(String, Long)].collect().toMap
     val nUni = uni.values.sum.toDouble
     val nBi = bi.values.sum.toDouble
+    // HALF_UP (away from zero), the convention BOTH engines use: Scala's
+    // math.round is floor(x+0.5), which rounds an exact negative .5
+    // millinat toward +inf and would make this driver oracle flaky even
+    // when Spark and DuckDB agree
+    def halfUp(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     val expected = bi.collect { case (g, nab) if nab >= 5 =>
       val Array(a, b) = g.split(" ", 2)
-      val pmi = math.round(math.log((nab / nBi) /
+      val pmi = halfUp(math.log((nab / nBi) /
         ((uni(a) / nUni) * (uni(b) / nUni))) * 1000)
       (g, nab, pmi)
     }.toSeq.sortBy(t => (-t._3, t._1)).take(20)
@@ -449,7 +455,8 @@ class CorpusPrepSpec extends SparkSpec {
     val fx = CorpusPrep.pmiBigramsOf(docs, k = 10, minCount = 5)
       .as[(String, Long, Long)].collect()
     assert(fx.toSeq == Seq(("x y", 6L,
-      math.round(math.log((6.0 / 14.0) / ((6.0 / 24.0) * (6.0 / 24.0))) * 1000))))
+      BigDecimal(math.log((6.0 / 14.0) / ((6.0 / 24.0) * (6.0 / 24.0))) * 1000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
   }
 
   test("qualityGate zero guard: whitespace-only and empty documents fail cleanly") {

@@ -31,12 +31,15 @@ class RetrievalSpec extends SparkSpec {
         // only pairs sharing >= 1 term exist in the operator's join
         val terms = qs.flatMap(t => tfm.get(t).map(tf => (t, tf)))
         if (terms.isEmpty) None
-        else Some((qid, did, math.round(terms.map { case (t, tf) =>
+        // per-term HALF_UP fixed-pointing BEFORE the sum, mirroring the
+        // operator: the aggregate is integer, hence order-insensitive
+        else Some((qid, did, terms.map { case (t, tf) =>
           val df = dfm(t)
-          math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+          BigDecimal(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
             (tf * (k1 + 1.0)) /
-            (tf + k1 * ((1.0 - b) + b * dl(did) / avgdl))
-        }.sum * 1000)))
+            (tf + k1 * ((1.0 - b) + b * dl(did) / avgdl)) * 1000)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }.sum))
       }.sortBy { case (_, did, s) => (-s, did) }.take(3).zipWithIndex
         .map { case ((q, did, s), i) => (q, i + 1L, did, s) }
     }.toSet
