@@ -266,11 +266,18 @@ object SparkEntry {
       .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
 
   /** `sig` as bit p = (embedding · plane_p >= 0), summed as 2^p — the
-    * same integer the native expression assembles with `1L << p`. */
+    * same integer the native expression assembles with `1L << p`. The
+    * outer guard mirrors the native NULL semantics: a null or non-64-dim
+    * embedding gets a NULL signature (native compute() returns the null
+    * sentinel for null/empty arrays, and its plane table is sized to the
+    * row's dims — the literal table here is 64-wide), and NULL never
+    * equi-joins, so degenerate rows drop out of the buckets on BOTH
+    * engines instead of colliding into a fake sig=0 bucket here. */
   private lazy val lshSigExpr: String =
-    (0 until 8).map(p =>
-      s"(CASE WHEN list_inner_product(embedding::DOUBLE[], w[${p + 1}]) >= 0" +
-        s" THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+    "(CASE WHEN embedding IS NULL OR len(embedding) <> 64 THEN NULL ELSE " +
+      (0 until 8).map(p =>
+        s"(CASE WHEN list_inner_product(embedding::DOUBLE[], w[${p + 1}]) >= 0" +
+          s" THEN ${1L << p} ELSE 0 END)").mkString(" + ") + " END)"
 
   /** Shared CTE prefix for the LSH oracles: hyperplanes → signatures →
     * query/candidate frames. */

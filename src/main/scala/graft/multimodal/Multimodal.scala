@@ -66,8 +66,13 @@ object Multimodal {
   final class ImageIODecoder extends Decoder {
     def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
       val n = if (payload == null) 0L else payload.length.toLong
+      // try/catch, not just the null return: a payload with a valid PNG
+      // signature but a truncated body makes ImageIO.read THROW
+      // (IIOException) rather than return null — without the catch one
+      // corrupt file fails the task and, after retries, the whole job
       val img = if (n == 0L) null
-        else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) MediaMeta(docId, n, 0, 0, 0)
       else MediaMeta(docId, n, img.getWidth, img.getHeight, 1)
     }

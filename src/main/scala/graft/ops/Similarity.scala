@@ -103,12 +103,15 @@ object Similarity {
     * (The oracle reproduces the signatures from the same hyperplane
     * doubles via [[graft.functions.SignSignature.planeWeights]].) */
   def lshRecallAtK(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
-      nPlanes: Int = 8): DataFrame = {
-    val exact = bruteForceTopK(s, d, nQueries, k).select(col("qid"), col("cid"))
-    val ann = lshTopK(s, d, nQueries, k, nPlanes)
-      .select(col("qid").as("aqid"), col("cid").as("acid"))
-    exact.join(ann, col("qid") === col("aqid") && col("cid") === col("acid"),
-        "left")
+      nPlanes: Int = 8): DataFrame =
+    recallOverlap(bruteForceTopK(s, d, nQueries, k), lshTopK(s, d, nQueries, k, nPlanes))
+
+  /** |exact ∩ ann| per query — the one definition both recall rows (and
+    * their oracles) share: left join on (qid, cid), count matches. */
+  private def recallOverlap(exact: DataFrame, ann: DataFrame): DataFrame = {
+    val e = exact.select(col("qid"), col("cid"))
+    val a = ann.select(col("qid").as("aqid"), col("cid").as("acid"))
+    e.join(a, col("qid") === col("aqid") && col("cid") === col("acid"), "left")
       .groupBy(col("qid"))
       .agg(count(col("acid")).as("n_common"))
       .orderBy(col("qid"))
@@ -222,19 +225,28 @@ object Similarity {
     * one row per vec_id shuffles, embeddings never do. */
   def ivfRecallAtK(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import s.implicits._
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     // deterministic seeded sample as centroids: top-nCells by md5 order
-    // (TakeOrderedAndProject — distributed, no full sort); the id-assign
-    // window runs on the already-reduced nCells rows only
-    val picked = emb
+    // (TakeOrderedAndProject — distributed, no full sort), then COLLECTED
+    // to a local relation: the centroid table is tiny and is referenced
+    // three times (assignment, probe map ×2) — as a plan subtree each
+    // reference would re-run the corpus scan + top-N; as a local relation
+    // the corpus pays that scan exactly once (the same centroids-on-the-
+    // driver shape ivfTopKOf gets from model.clusterCenters)
+    val picked: Array[(Int, Array[Float])] = emb
       .withColumn("h", md5(concat(col("vec_id").cast("string"), lit("/ivf"))))
       .orderBy(col("h")).limit(nCells)
-    val cent = picked
-      .withColumn("centroid_id", row_number().over(Window.orderBy(col("h"))))
-      .select(col("centroid_id"), col("embedding").as("cent_e"))
+      .select(col("h"), col("embedding")).as[(String, Array[Float])]
+      .collect().sortBy(_._1).zipWithIndex
+      .map { case ((_, e), i) => (i + 1, e) }
+    val cent = picked.toSeq.toDF("centroid_id", "cent_e")
     // Voronoi assignment: argmax over the broadcast centroids with a
     // deterministic (sim desc, centroid_id asc) tie-break — max(struct)
-    // is partially aggregable, so only (vec_id, winner) ever shuffles
+    // is partially aggregable, so only (vec_id, winner) ever shuffles.
+    // localCheckpoint: queries and candidates both read `assigned`; as a
+    // lazy subtree each side would re-pay the corpus×centroid cross join
+    // (the repeated-scan trap the PMI/BM25 operators already close).
     val assigned = emb.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"),
         round(CosineSimilarity(col("embedding"), col("cent_e")), 4).as("csim"),
@@ -244,6 +256,7 @@ object Similarity {
         max(struct(col("csim"), (-col("centroid_id")).as("neg_id")))
           .as("w"))
       .select(col("vec_id"), col("embedding"), (-col("w.neg_id")).as("cell"))
+      .localCheckpoint()
     // nProbe nearest cells per cell, from the tiny centroid self-join
     val c2 = cent.select(col("centroid_id").as("probe_cell"),
       col("cent_e").as("probe_e"))
@@ -269,13 +282,7 @@ object Similarity {
       .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
         .orderBy(col("sim").desc, col("cid"))))
       .filter(col("rn") <= k)
-      .select(col("qid").as("aqid"), col("cid").as("acid"))
-    val exact = bruteForceTopK(s, d, nQueries, k).select(col("qid"), col("cid"))
-    exact.join(ann, col("qid") === col("aqid") && col("cid") === col("acid"),
-        "left")
-      .groupBy(col("qid"))
-      .agg(count(col("acid")).as("n_common"))
-      .orderBy(col("qid"))
+    recallOverlap(bruteForceTopK(s, d, nQueries, k), ann)
   }
 
   /** The production IVF pipeline over any `(vec_id, embedding)` frame —

@@ -47,11 +47,16 @@ object StreamDrive {
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
     val base = 1700000000000L
     parts.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(base + (i + 1) * 1000L)
+      // setLastModified returning false (some overlay/container mounts)
+      // must be LOUD: with tied mtimes the source's oldest-first order is
+      // undefined, the in-order-arrival contract silently breaks, and the
+      // session oracle mismatches with no hint as to why
+      require(f.setLastModified(base + (i + 1) * 1000L),
+        s"setLastModified failed on $f; staged batch order would be undefined")
     }
   }
 
-  /** Stage `df` as `nFiles` parquet files holding ascending `orderCol`
+  /** Stage `input` as `nFiles` parquet files holding ascending `orderCol`
     * ranges, mod-times increasing with the ranges. Replayed with
     * `maxFilesPerTrigger=1` this is a faithful in-order stream: each
     * micro-batch's rows are at-or-after everything already processed, so
@@ -61,14 +66,17 @@ object StreamDrive {
     * time range — not round-robin — is what makes the multi-batch drive
     * semantically equivalent to the single-batch one; it is drive
     * scaffolding (one bounded sorted write of the drive input), not a
-    * production operator. */
-  private def stageSplit(s: SparkSession, path: String, purpose: String,
-      orderCol: String, nFiles: Int = 3): String =
-    stagedCache.computeIfAbsent(s"$path#$purpose", _ => {
+    * production operator. `extraFiles` lets a drive append files (the
+    * session sentinels) BEFORE the mod-time stamping, so one copy of the
+    * staging/caching/ordering logic serves every drive. */
+  private def stageSplit(cacheKey: String, input: => DataFrame,
+      orderCol: String, nFiles: Int = 3,
+      extraFiles: String => Unit = _ => ()): String =
+    stagedCache.computeIfAbsent(cacheKey, _ => {
       val dir = Files.createTempDirectory("graft-stream-split").toString
-      s.read.parquet(path)
-        .repartitionByRange(nFiles, col(orderCol))
+      input.repartitionByRange(nFiles, col(orderCol))
         .write.mode("overwrite").parquet(dir)
+      extraFiles(dir)
       stampAscending(dir)
       dir
     })
@@ -84,7 +92,8 @@ object StreamDrive {
     * per micro-batch. */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    val staged = stageSplit(s, s"$d/events.parquet", "events", "ts")
+    val staged = stageSplit(s"$d/events.parquet#events",
+      s.read.parquet(s"$d/events.parquet"), "ts")
     s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .parquet(staged)
       .select(timestamp_micros(expr("ts div 1000")).as("ts"),
@@ -165,14 +174,11 @@ object StreamDrive {
       gapMinutes: Int = 30): DataFrame = {
     import s.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
-    val staged = stagedCache.computeIfAbsent(
-      s"$d/events.parquet#sessions-$gapUs", _ => {
-        val dir = Files.createTempDirectory("graft-stream-split").toString
-        val batch = s.read.parquet(s"$d/events.parquet")
-          .filter(col("user_id").isNotNull)
-          .select(col("user_id"), expr("ts div 1000").as("us"))
-        batch.repartitionByRange(3, col("us"))
-          .write.mode("overwrite").parquet(dir)
+    val batch = s.read.parquet(s"$d/events.parquet")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), expr("ts div 1000").as("us"))
+    val staged = stageSplit(s"$d/events.parquet#sessions-$gapUs", batch, "us",
+      extraFiles = dir => {
         // sentinels are data-derived (one tiny aggregate of the batch
         // table), staged as the LAST file so every user's real events are
         // already in state before the closer arrives
@@ -184,8 +190,6 @@ object StreamDrive {
           .find(_.getName.startsWith("part-")).get
         Files.move(sentPart.toPath,
           Paths.get(dir, "part-zz-sentinels.parquet"))
-        stampAscending(dir)
-        dir
       })
     val evs = s.readStream.schema("user_id LONG, us LONG")
       .option("maxFilesPerTrigger", "1").parquet(staged)
@@ -214,7 +218,8 @@ object StreamDrive {
     * leaves the stateless pre-projection. */
   def dedupFromFiles(s: SparkSession, d: String): DataFrame = {
     val schema = s.read.parquet(s"$d/documents.parquet").schema
-    val staged = stageSplit(s, s"$d/documents.parquet", "docs", "doc_id")
+    val staged = stageSplit(s"$d/documents.parquet#docs",
+      s.read.parquet(s"$d/documents.parquet"), "doc_id")
     val docs = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(staged)
       .select(md5(col("text")).as("digest"), col("doc_id"))

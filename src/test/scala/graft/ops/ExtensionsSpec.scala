@@ -408,13 +408,16 @@ class ExtensionsSpec extends SparkSpec {
       assert((m.width, m.height, m.n_frames, m.n_bytes) == ((w, h, 1, bytes.length.toLong)),
         s"doc $id decoded to $m, expected ${w}x$h")
     }
-    // per-file error isolation: garbage bytes degrade, they don't throw
-    val bad = Seq((99L, "not a png".getBytes("UTF-8")), (100L, Array.emptyByteArray))
-      .toDF("doc_id", "payload")
+    // per-file error isolation: garbage bytes degrade, they don't throw —
+    // including a TRUNCATED png (valid signature, broken body), where
+    // ImageIO.read throws IIOException instead of returning null
+    val truncated = rows.head._2.take(rows.head._2.length / 2)
+    val bad = Seq((98L, truncated), (99L, "not a png".getBytes("UTF-8")),
+      (100L, Array.emptyByteArray)).toDF("doc_id", "payload")
     val badMeta = Multimodal
       .decodeMetaOf(spark, bad, () => new Multimodal.ImageIODecoder)
       .collect().map(m => m.doc_id -> ((m.width, m.height, m.n_frames))).toMap
-    assert(badMeta == Map(99L -> ((0, 0, 0)), 100L -> ((0, 0, 0))))
+    assert(badMeta == Map(98L -> ((0, 0, 0)), 99L -> ((0, 0, 0)), 100L -> ((0, 0, 0))))
   }
 
   test("multimodal resize pins the actual resampled bytes; features match the stub arithmetic") {
