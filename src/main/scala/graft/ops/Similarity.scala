@@ -285,11 +285,11 @@ object Similarity {
     recallOverlap(bruteForceTopK(s, d, nQueries, k), ann)
   }
 
-  /** The production IVF pipeline over any `(vec_id, embedding)` frame —
-    * shared by [[ivfTopK]] and the [[ivfDupRetrieval]] guarantee oracle so
-    * the oracle exercises exactly what production runs. */
-  private def ivfTopKOf(s: SparkSession, embIn: DataFrame, nQueries: Int, k: Int,
-      nCells: Int, nProbe: Int, maxTrainRows: Long = 100000L): DataFrame = {
+  /** Seeded k-means coarse quantizer over any `(vec_id, embedding)`
+    * frame: the cell-assigned corpus plus the centroid table (the tiny
+    * index metadata that lives on the driver / beside the data). */
+  private[ops] def kmeansAssign(embIn: DataFrame, nCells: Int,
+      maxTrainRows: Long): (DataFrame, Array[Array[Double]]) = {
     val emb = embIn.withColumn("features", array_to_vector(col("embedding")))
     // The coarse quantizer trains on a bounded sample: centroids don't
     // need the full corpus, and a full-corpus fit is 10 passes over
@@ -338,17 +338,49 @@ object Similarity {
     val model = kmeans.fit(train)
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-    // nProbe nearest cells per query cell, from the (tiny) centroid set
-    val centroids = model.clusterCenters.map(_.toArray)
-    def dist2(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
-    val probeMap: Map[Int, Seq[Int]] = centroids.indices.map { c =>
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** nProbe nearest cells per cell, from the (tiny) centroid set —
+    * computed on the driver, the same place the centroids live. */
+  private[ops] def probeMapOf(centroids: Array[Array[Double]],
+      nProbe: Int): Map[Int, Seq[Int]] =
+    centroids.indices.map { c =>
       c -> centroids.indices.sortBy(o => dist2(centroids(c), centroids(o)))
         .take(nProbe).toSeq
     }.toMap
+
+  /** Exact re-score of probed candidates, per-query top-k: queries carry
+    * `(qid, qe, probe_cell)` (one row per probed cell), candidates
+    * `(cid, ce, probe_cell)` (one row per corpus vector — its own cell).
+    * Each candidate has exactly one cell and probe pairs are unique, so
+    * (qid, cid) appears at most once — no dedup needed. */
+  private def probedTopK(queries: DataFrame, cands: DataFrame,
+      k: Int): DataFrame = {
+    val scored = cands.join(broadcast(queries), Seq("probe_cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(CosineSimilarity(col("qe"), col("ce")), 4).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** The production IVF pipeline over any `(vec_id, embedding)` frame —
+    * shared by [[ivfTopK]] and the [[ivfDupRetrieval]] guarantee oracle so
+    * the oracle exercises exactly what production runs. */
+  private def ivfTopKOf(s: SparkSession, embIn: DataFrame, nQueries: Int, k: Int,
+      nCells: Int, nProbe: Int, maxTrainRows: Long = 100000L): DataFrame = {
+    val (assigned, centroids) = kmeansAssign(embIn, nCells, maxTrainRows)
+    val probeMap = probeMapOf(centroids, nProbe)
     val probes = s.createDataFrame(
       probeMap.toSeq.flatMap { case (c, ps) => ps.map(p => (c, p)) })
       .toDF("query_cell", "probe_cell")
@@ -359,16 +391,60 @@ object Similarity {
     val cands = assigned
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         col("cell").as("probe_cell"))
-    // each candidate has exactly one cell and probe pairs are unique, so
-    // (qid, cid) appears at most once — no dedup needed
-    val scored = cands.join(broadcast(queries), Seq("probe_cell"))
-      .filter(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        round(CosineSimilarity(col("qe"), col("ce")), 4).as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("cid"), col("sim"), col("rn"))
-      .orderBy(col("qid"), col("rn"))
+    probedTopK(queries, cands, k)
+  }
+
+  /** IVF at rest — the serving layout at 100 TB: the cell-assigned corpus
+    * is written `partitionBy("cell")`, one directory per k-means cell, and
+    * the centroid table lands beside it (it IS the index metadata: tiny,
+    * driver-resident). A probe against the stored index then reads ONLY
+    * its probed cell directories — partition pruning cuts the file listing
+    * before any I/O happens, so a query touches ~nProbe/nCells of the
+    * bytes at rest instead of filtering after a full scan. */
+  def writeIvfPartitioned(s: SparkSession, d: String, outDir: String,
+      nCells: Int = 16, maxTrainRows: Long = 100000L): Unit = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val (assigned, centroids) = kmeansAssign(emb, nCells, maxTrainRows)
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$outDir/corpus")
+    s.createDataFrame(centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
+  }
+
+  /** Query the stored IVF index: quantize the query vectors against the
+    * stored centroids ON THE DRIVER (the serving-path shape — no job runs
+    * to route a query), then exact-re-score only the probed cell
+    * directories. Query vectors come from the source embeddings table
+    * (`vec_id < nQueries`, a pushed-down point read); the STORED corpus
+    * is touched exclusively through the pruned partition filter. */
+  def ivfProbeStored(s: SparkSession, d: String, outDir: String,
+      nQueries: Int = 8, k: Int = 5, nProbe: Int = 4): DataFrame = {
+    import s.implicits._
+    val centroids: Array[Array[Double]] =
+      s.read.parquet(s"$outDir/centroids")
+        .select(col("cell"), col("centroid")).as[(Int, Seq[Double])]
+        .collect().sortBy(_._1).map(_._2.toArray)
+    val probeMap = probeMapOf(centroids, nProbe)
+    val qVecs = Tables.embeddings(s, d)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect()
+    // driver-side quantization, ties to the lowest cell index — the same
+    // first-minimum rule MLlib's findClosest applies in model.transform
+    val queryRows = qVecs.flatMap { case (qid, e) =>
+      val ed = e.map(_.toDouble)
+      val cell = centroids.indices.minBy(c => (dist2(ed, centroids(c)), c))
+      probeMap(cell).map(p => (qid, e, p))
+    }.toSeq
+    val queries = queryRows.toDF("qid", "qe", "probe_cell")
+    val probedCells = queryRows.map(_._3).distinct.sorted
+    val cands = s.read.parquet(s"$outDir/corpus")
+      // isin over the partition column: resolved against the directory
+      // listing (PartitionFilters), never against row data
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("cell").as("probe_cell"))
+    probedTopK(queries, cands, k)
   }
 }

@@ -272,6 +272,26 @@ class ScaleDesignSpec extends SparkSpec {
     assert(offenders.isEmpty, s"all-pairs joins crept into:\n${offenders.mkString("\n")}")
   }
 
+  test("IVF index at rest: stored probes prune to their cell directories and match in-memory") {
+    val out = java.nio.file.Files.createTempDirectory("graft-ivf-store").toString
+    Similarity.writeIvfPartitioned(spark, sf, out)
+    val probed = Similarity.ivfProbeStored(spark, sf, out)
+    // the stored-corpus scan must be partition-pruned: only the probed
+    // cell directories appear in the file index, not all 16
+    val scans = probed.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("corpus")) => f
+    }
+    assert(scans.nonEmpty, "no file scan over the stored corpus found")
+    val nParts = scans.head.selectedPartitions.partitionCount
+    assert(nParts >= 1 && nParts < 16, s"expected a pruned cell subset, read $nParts/16")
+    // same quantizer seed + shared probe/rescore code → the stored path
+    // returns exactly the in-memory pipeline's rows
+    val mem = Similarity.ivfTopK(spark, sf).collect().map(_.toSeq).toSeq
+    val st = probed.collect().map(_.toSeq).toSeq
+    assert(st == mem, s"stored-index results diverge from in-memory IVF")
+  }
+
   test("bucketed quad tables join and pivot without an exchange") {
     val quads = graft.ops.QuadOps.geoQuads(spark, sf)
       .withColumn("graph", lit("g1"))
