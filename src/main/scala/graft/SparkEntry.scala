@@ -279,6 +279,28 @@ object SparkEntry {
         s"(CASE WHEN list_inner_product(embedding::DOUBLE[], w[${p + 1}]) >= 0" +
           s" THEN ${1L << p} ELSE 0 END)").mkString(" + ") + " END)"
 
+  /** The 192 hyperplanes behind the 48×4 SemDeDup banding (three 64-plane
+    * words over the disjoint seeded families planeOffset = 0, 64, 128),
+    * as one DuckDB list-of-lists literal. Band b of the production
+    * pipeline reads bits 4(b mod 16)..4(b mod 16)+3 of word b div 16 —
+    * i.e. GLOBAL planes 4b..4b+3 — so the oracle recomputes every band
+    * value from the same doubles the native expression multiplies. */
+  private lazy val semPlanesLiteral: String =
+    (0 until 3).flatMap(w =>
+      graft.functions.SignSignature.planeWeights(64, w * 64, 64))
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+
+  /** The 48 band values as a DuckDB list: band b's bit i =
+    * (embedding · plane_{4b+i} >= 0), exactly the slice the Spark side
+    * takes with `shiftrightunsigned(sig, 4·(b mod 16)) & 15`. */
+  private lazy val semBandExprs: String =
+    (0 until 48).map { b =>
+      (0 until 4).map { i =>
+        s"(CASE WHEN list_inner_product(embedding::DOUBLE[], w[${4 * b + i + 1}])" +
+          s" >= 0 THEN ${1 << i} ELSE 0 END)"
+      }.mkString(" + ")
+    }.mkString("[", ", ", "]")
+
   /** Shared CTE prefix for the LSH oracles: hyperplanes → signatures →
     * query/candidate frames. */
   private lazy val lshSigCtes: String =
@@ -935,6 +957,44 @@ object SparkEntry {
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4),
+        |edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+        |SELECT e.vec_id,
+        |  CAST(least(e.vec_id, coalesce(min(r.v), e.vec_id)) AS BIGINT) AS cluster_id
+        |FROM embeddings e LEFT JOIN reach r ON r.u = e.vec_id
+        |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin,
+    // the PRODUCTION bucketed SemDeDup path, fully oracle-checked: the
+    // literal hyperplane doubles reproduce every band value, so DuckDB
+    // regrows the same candidate graph (pairs agreeing in ANY of the 48
+    // bands), verifies it with the same rounded cosine threshold, and
+    // closes the same components — including banding's misses: a
+    // threshold pair whose signatures disagree in every band is absent
+    // from BOTH engines' edge sets, so the approximation itself is what
+    // the hash pins, not just the happy path
+    "x_dedup_semantic_lsh" ->
+      s"""WITH RECURSIVE pl AS (SELECT $semPlanesLiteral AS w),
+        |sig AS (SELECT vec_id, embedding FROM embeddings
+        |        WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |bv AS (SELECT vec_id, $semBandExprs AS bvals FROM sig, pl),
+        |banded AS (
+        |  SELECT vec_id, band, bvals[band + 1] AS band_val
+        |  FROM bv, (SELECT unnest(range(0, 48)) AS band)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS a_id, b2.vec_id AS b_id
+        |  FROM banded a JOIN banded b2
+        |    ON a.band = b2.band AND a.band_val = b2.band_val
+        |   AND a.vec_id < b2.vec_id),
+        |pairs AS (
+        |  SELECT c.a_id, c.b_id FROM cand c
+        |  JOIN sig ea ON ea.vec_id = c.a_id
+        |  JOIN sig eb ON eb.vec_id = c.b_id
+        |  WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+        |        eb.embedding::DOUBLE[]), 4) >= 0.4),
         |edges AS (
         |  SELECT a_id AS u, b_id AS v FROM pairs
         |  UNION ALL SELECT b_id, a_id FROM pairs),
