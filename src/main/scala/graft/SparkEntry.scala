@@ -120,6 +120,9 @@ object SparkEntry {
     "x_semantic_dup"    -> ((s, d) => Dedup.semanticDupClusters(s, d)),
     // paragraph-level dedup (10-token chunk proxy), first occurrence kept
     "x_dedup_chunks"    -> ((s, d) => CorpusPrep.chunkDedup(s, d)),
+    // duplicated OVERLAPPING 8-token windows (substring-dedup coverage,
+    // Lee et al. 2021 shape): per-doc dup-window count + covered tokens
+    "x_dedup_spans"     -> ((s, d) => CorpusPrep.spanDedup(s, d)),
     // unigram-LM surprisal in bits/token (CCNet-shape quality signal)
     "x_quality_lm"      -> ((s, d) => CorpusPrep.unigramLmScore(s, d)),
     // deterministic 16-way shuffle-shard assignment for training order
@@ -1048,6 +1051,42 @@ object SparkEntry {
         |  round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 3)
         |    AS dup_frac
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // overlapping-window substring dedup: DuckDB groups by the window
+    // TEXT where Spark groups by its md5 — identical partitions (md5 is
+    // injective on these strings; chunk-dedup precedent). The coverage
+    // sweep is the same single lead() union-of-intervals on both sides.
+    "x_dedup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |tot AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |         CAST(greatest(0, len(t) - 7) AS BIGINT) AS n_windows
+        |  FROM toks),
+        |w AS (
+        |  SELECT doc_id,
+        |    CAST(unnest(range(0, greatest(0, len(t) - 7))) AS BIGINT) AS pos,
+        |    unnest(list_transform(range(1, greatest(1, len(t) - 6)),
+        |      i -> array_to_string(t[i:i+7], ' '))) AS win
+        |  FROM toks),
+        |dup AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+        |occ AS (
+        |  SELECT doc_id, pos,
+        |         lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |  FROM w WHERE win IN (SELECT win FROM dup)),
+        |cov AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows,
+        |    CAST(sum(CASE WHEN nxt IS NULL THEN 8
+        |                  ELSE least(8, nxt - pos) END) AS BIGINT) AS covered_tokens
+        |  FROM occ GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_tokens, t.n_windows,
+        |  coalesce(c.dup_windows, 0) AS dup_windows,
+        |  coalesce(c.covered_tokens, 0) AS covered_tokens,
+        |  CASE WHEN t.n_tokens > 0
+        |    THEN round(coalesce(c.covered_tokens, 0) * 1.0 / t.n_tokens, 3)
+        |    ELSE 0.0 END AS covered_frac
+        |FROM tot t LEFT JOIN cov c USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     // per-word surprisal quantized to integer millibits BEFORE the
     // per-doc sum — exact integer aggregation, no float reduction-order
     // drift on either engine

@@ -616,4 +616,60 @@ object CorpusPrep {
           .when(col("bucket") < "f3", "val")
           .otherwise("test"))
       .orderBy(col("doc_id"))
+
+  /** Duplicated-substring detection over OVERLAPPING token windows — the
+    * window approximation of suffix-array substring dedup ("Deduplicating
+    * Training Data Makes Language Models Better", Lee et al. 2021): a
+    * `w`-token window is duplicated when the identical window text occurs
+    * >= 2 times anywhere in the corpus (any document, any alignment —
+    * which is exactly what [[chunkDedup]]'s disjoint chunks miss). Per
+    * document, reports the duplicated-window count and the number of
+    * token positions covered by at least one duplicated window (the
+    * union of the [pos, pos+w) intervals, swept with a single `lead`),
+    * i.e. the fraction of the document a substring-level dedup pass
+    * would cut.
+    *
+    * Scale shape (100 TB): windows are keyed by their 16-byte md5
+    * map-side inside the explode projection, so window TEXT never
+    * shuffles — only (doc_id, pos, 16B) rows. The duplicate-key table
+    * comes from one partial-aggregating groupBy (repeated windows
+    * collapse map-side) and feeds a left-semi equi-join that AQE can
+    * skew-split if one boilerplate window dominates. The per-doc totals
+    * (n_tokens, n_windows) are computed from the token array WITHOUT
+    * exploding, so the non-duplicated bulk of the corpus crosses no
+    * shuffle at all. md5 keying is oracle-faithful: DuckDB groups by the
+    * same md5 of the same window strings. */
+  def spanDedup(s: SparkSession, d: String, w: Int = 8): DataFrame =
+    spanDedupOf(Tables.documents(s, d), w)
+
+  private[ops] def spanDedupOf(docs: DataFrame, w: Int): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n_tokens"))
+    val totals = base.select(col("doc_id"), col("n_tokens"),
+      greatest(lit(0L), col("n_tokens") - (w - 1)).as("n_windows"))
+    val wins = base.filter(col("n_tokens") >= w)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), (col("n_tokens") - w).cast("int")),
+        i => unhex(md5(concat_ws(" ", slice(col("t"), i + 1, lit(w))))))))
+      .toDF("doc_id", "pos", "h")
+    val dupKeys = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val sweep = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val covered = wins.join(dupKeys, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("nxt", lead(col("pos"), 1).over(sweep))
+      .withColumn("cov", when(col("nxt").isNull, lit(w.toLong))
+        .otherwise(least(lit(w.toLong), (col("nxt") - col("pos")).cast("long"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_windows"), sum(col("cov")).as("covered_tokens"))
+    totals.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("covered_frac", when(col("n_tokens") > 0,
+        round(col("covered_tokens").cast("double") / col("n_tokens"), 3))
+        .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -474,4 +474,69 @@ class CorpusPrepSpec extends SparkSpec {
     }
     assert(byId(3L).getAs[Boolean]("pass"), byId(3L).toString)
   }
+
+  test("spanDedup matches a driver-side overlapping-window recompute") {
+    // sf0.001 has near-identical doc pairs → real cross-doc duplicated
+    // windows at arbitrary alignments (what chunkDedup's disjoint
+    // chunks cannot see)
+    val d = "/root/testdata/sf0.001"
+    val w = 8
+    val texts = Tables.documents(spark, d)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    // ground truth on window STRINGS (md5 keying is an engine detail)
+    val docToks = texts.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty) }
+    val wins = docToks.flatMap { case (id, toks) =>
+      (0 to toks.length - w).map(p => (id, p, toks.slice(p, p + w).mkString(" "))) }
+    val dup = wins.groupBy(_._3).collect { case (s, occ) if occ.length >= 2 => s }.toSet
+    val expected = docToks.map { case (id, toks) =>
+      val ps = wins.collect { case (`id`, p, s) if dup(s) => p }.sorted
+      val covered = ps.zipAll(ps.drop(1).map(Some(_)), -1, None).map {
+        case (p, Some(n)) => math.min(w, n - p).toLong
+        case (_, None)    => w.toLong
+      }.sum
+      val n = toks.length.toLong
+      (id, n, math.max(0, n - (w - 1)), ps.length.toLong, covered,
+        if (n > 0) BigDecimal(covered.toDouble / n)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble else 0.0)
+    }.toSet
+    val got = CorpusPrep.spanDedup(spark, d, w)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(got == expected,
+      s"extra=${(got -- expected).take(3)} missing=${(expected -- got).take(3)}")
+    assert(got.exists(_._4 > 0), "corpus should exercise duplicated windows")
+    assert(got.exists(_._4 == 0), "and some docs must be fully novel")
+  }
+
+  test("spanDedup handles short docs, alignment shifts, and interval merging") {
+    // doc 1 / doc 2 share an 8-token span at DIFFERENT alignments; doc 3
+    // repeats it internally twice (overlapping coverage must merge, not
+    // double-count); doc 4 is shorter than the window (0 windows); doc 5
+    // is novel text
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma"),
+      (2L, s"$span delta epsilon zeta"),
+      (3L, s"$span $span"),
+      (4L, "tiny doc only"),
+      (5L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")
+    ).toDF("doc_id", "text")
+    val got = CorpusPrep.spanDedupOf(docs, 8)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc1: 11 tokens, 4 windows, 1 dup (the span at pos 2) → 8 covered
+    assert(got(1L) == ((1L, 11L, 4L, 1L, 8L, 0.727)))
+    // doc2: 11 tokens, span at pos 0 → 8 covered of 11
+    assert(got(2L) == ((2L, 11L, 4L, 1L, 8L, 0.727)))
+    // doc3 "s1..s8 s1..s8": windows at pos 0 and 8 are the base span
+    // (duplicated corpus-wide); pos 1..7 are rotations occurring once
+    // each → not dup. Coverage min(8, 8-0) + 8 = 16 of 16 tokens — the
+    // two overlapping-at-the-boundary intervals must merge, not sum to
+    // more than the doc length.
+    assert(got(3L) == ((3L, 16L, 9L, 2L, 16L, 1.0)))
+    // doc4: 3 tokens → no windows
+    assert(got(4L) == ((4L, 3L, 0L, 0L, 0L, 0.0)))
+    // doc5: 10 tokens, 3 windows, none duplicated
+    assert(got(5L) == ((5L, 10L, 3L, 0L, 0L, 0.0)))
+  }
 }
