@@ -304,6 +304,14 @@ object SparkEntry {
       }.mkString(" + ")
     }.mkString("[", ", ", "]")
 
+  /** Oracles whose literals only exist after a (cheap, cached) driver-side
+    * computation over the verify corpus — the trained k-means centroids
+    * behind `x_sim_ivf`. [[Verify]] merges these into the dumped
+    * oracle_sql.json after running the queries; the static [[oracleSql]]
+    * map stays data-independent. */
+  def oracleSqlDynamic(s: SparkSession, d: String): Map[String, String] = Map(
+    "x_sim_ivf" -> Similarity.ivfOracleSql(s, d))
+
   /** Shared CTE prefix for the LSH oracles: hyperplanes → signatures →
     * query/candidate frames. */
   private lazy val lshSigCtes: String =

@@ -186,7 +186,8 @@ object Similarity {
     * lives on the driver. Deterministic via the k-means seed. */
   def ivfTopK(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 4, maxTrainRows: Long = 100000L): DataFrame =
-    ivfTopKOf(s, Tables.embeddings(s, d), nQueries, k, nCells, nProbe, maxTrainRows)
+    ivfTopKOf(s, Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      trainedCentroids(s, d, nCells, maxTrainRows), nQueries, k, nProbe)
 
   /** IVF retrieval *guarantee* under the DuckDB oracle — the exact trick
     * [[lshDupRetrieval]] uses: an identical vector has distance 0 to the
@@ -203,7 +204,11 @@ object Similarity {
     val emb0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val emb = emb0.unionAll(emb0.select(
       (col("vec_id") + offset).as("vec_id"), col("embedding")))
-    ivfTopKOf(s, emb, nQueries, k = 1, nCells, nProbe)
+    // quantizer trained on the doubled corpus (uncached — guarantee-twin
+    // corpus, not the serving index); the guarantee argument is rule-free:
+    // IDENTICAL vectors get the same assignment under ANY deterministic rule
+    ivfTopKOf(s, emb, kmeansCentroids(emb, nCells, maxTrainRows = 100000L),
+      nQueries, k = 1, nProbe)
   }
 
   /** Measured recall@k of an IVF-structured search under the DuckDB
@@ -240,28 +245,18 @@ object Similarity {
       .select(col("h"), col("embedding")).as[(String, Array[Float])]
       .collect().sortBy(_._1).zipWithIndex
       .map { case ((_, e), i) => (i + 1, e) }
-    val cent = picked.toSeq.toDF("centroid_id", "cent_e")
-    // Voronoi assignment: argmax over the broadcast centroids with a
-    // deterministic (sim desc, centroid_id asc) tie-break — max(struct)
-    // is partially aggregable, so only (vec_id, winner) ever shuffles.
-    // localCheckpoint: queries and candidates both read `assigned`; as a
-    // lazy subtree each side would re-pay the corpus×centroid cross join
-    // (the repeated-scan trap the PMI/BM25 operators already close).
-    val assigned = emb.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("embedding"),
-        round(CosineSimilarity(col("embedding"), col("cent_e")), 4).as("csim"),
-        col("centroid_id"))
-      .groupBy(col("vec_id"))
-      .agg(first(col("embedding")).as("embedding"),
-        max(struct(col("csim"), (-col("centroid_id")).as("neg_id")))
-          .as("w"))
-      .select(col("vec_id"), col("embedding"), (-col("w.neg_id")).as("cell"))
-      .localCheckpoint()
+    val cent = picked.toSeq.toDF("cell", "cent_e")
+    // Voronoi assignment via the shared rule (rounded cosine desc, lowest
+    // cell on ties — [[voronoiAssign]]). localCheckpoint: queries and
+    // candidates both read `assigned`; as a lazy subtree each side would
+    // re-pay the corpus×centroid cross join (the repeated-scan trap the
+    // PMI/BM25 operators already close).
+    val assigned = voronoiAssign(emb, cent).localCheckpoint()
     // nProbe nearest cells per cell, from the tiny centroid self-join
-    val c2 = cent.select(col("centroid_id").as("probe_cell"),
+    val c2 = cent.select(col("cell").as("probe_cell"),
       col("cent_e").as("probe_e"))
     val probes = cent.crossJoin(c2)
-      .select(col("centroid_id").as("query_cell"), col("probe_cell"),
+      .select(col("cell").as("query_cell"), col("probe_cell"),
         round(CosineSimilarity(col("cent_e"), col("probe_e")), 4).as("psim"))
       .withColumn("pr", row_number().over(Window.partitionBy(col("query_cell"))
         .orderBy(col("psim").desc, col("probe_cell"))))
@@ -285,11 +280,16 @@ object Similarity {
     recallOverlap(bruteForceTopK(s, d, nQueries, k), ann)
   }
 
-  /** Seeded k-means coarse quantizer over any `(vec_id, embedding)`
-    * frame: the cell-assigned corpus plus the centroid table (the tiny
-    * index metadata that lives on the driver / beside the data). */
-  private[ops] def kmeansAssign(embIn: DataFrame, nCells: Int,
-      maxTrainRows: Long): (DataFrame, Array[Array[Double]]) = {
+  /** Seeded k-means training over any `(vec_id, embedding)` frame,
+    * returning just the centroid table — the tiny index metadata that
+    * lives on the driver / beside the data. Cell ASSIGNMENT is kept out
+    * of MLlib on purpose: `model.transform` routes through `findClosest`
+    * (norm-bound-pruned `fastSquaredDistance`), whose ulp-level shortcuts
+    * no SQL oracle can replay — so every consumer assigns with the one
+    * explicitly-defined rule [[voronoiAssign]] instead, and the trained
+    * centroids become plain literals both engines score identically. */
+  private[ops] def kmeansCentroids(embIn: DataFrame, nCells: Int,
+      maxTrainRows: Long): Array[Array[Double]] = {
     val emb = embIn.withColumn("features", array_to_vector(col("embedding")))
     // The coarse quantizer trains on a bounded sample: centroids don't
     // need the full corpus, and a full-corpus fit is 10 passes over
@@ -335,16 +335,64 @@ object Similarity {
           .limit(math.min(maxTrainRows, Int.MaxValue.toLong - 1).toInt)
       }
     val kmeans = new KMeans().setK(nCells).setSeed(42L).setMaxIter(10)
-    val model = kmeans.fit(train)
-    val assigned = model.transform(emb)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-    (assigned, model.clusterCenters.map(_.toArray))
+    kmeans.fit(train).clusterCenters.map(_.toArray)
   }
+
+  /** Trained-centroid cache keyed by (data dir, params): the oracle-SQL
+    * builder and the query path must see BITWISE-identical centroids in
+    * one JVM (train once, serialize the same doubles into the literals
+    * the production assignment scores against). */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, Int, Long), Array[Array[Double]]]
+
+  private[ops] def trainedCentroids(s: SparkSession, d: String,
+      nCells: Int, maxTrainRows: Long): Array[Array[Double]] =
+    centroidCache.getOrElseUpdate((d, nCells, maxTrainRows),
+      kmeansCentroids(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        nCells, maxTrainRows))
+
+  /** Centroids as a tiny (cell, cent_e) frame, 0-based cell ids. */
+  private def centroidFrame(s: SparkSession,
+      centroids: Array[Array[Double]]): DataFrame =
+    s.createDataFrame(
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
+      .toDF("cell", "cent_e")
+
+  /** Voronoi cell assignment with the ONE rule every IVF path (in-memory,
+    * at-rest write, stored-probe routing, DuckDB oracle) shares: nearest
+    * centroid by rounded cosine, lowest cell id on ties. The centroid
+    * table is broadcast; max(struct) is partially aggregable, so only
+    * (vec_id, winner) rows shuffle — embeddings never do. */
+  private[ops] def voronoiAssign(emb: DataFrame, cent: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("embedding"),
+        round(CosineSimilarity(col("embedding"), col("cent_e")), 4).as("csim"),
+        col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        max(struct(col("csim"), (-col("cell")).as("neg_id"))).as("w"))
+      .select(col("vec_id"), col("embedding"), (-col("w.neg_id")).as("cell"))
 
   private def dist2(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
     s
+  }
+
+  /** Driver-side mirror of `round(CosineSimilarity(a, b), 4)`: the same
+    * sequential double accumulation as [[CosineSimilarity.compute]] and
+    * the same `BigDecimal.valueOf`/HALF_UP rounding Spark's `round`
+    * compiles to — so driver-routed queries land in exactly the cell the
+    * distributed assignment would pick. */
+  private def roundedCosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    java.math.BigDecimal.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
   }
 
   /** nProbe nearest cells per cell, from the (tiny) centroid set —
@@ -376,10 +424,15 @@ object Similarity {
 
   /** The production IVF pipeline over any `(vec_id, embedding)` frame —
     * shared by [[ivfTopK]] and the [[ivfDupRetrieval]] guarantee oracle so
-    * the oracle exercises exactly what production runs. */
-  private def ivfTopKOf(s: SparkSession, embIn: DataFrame, nQueries: Int, k: Int,
-      nCells: Int, nProbe: Int, maxTrainRows: Long = 100000L): DataFrame = {
-    val (assigned, centroids) = kmeansAssign(embIn, nCells, maxTrainRows)
+    * the oracle exercises exactly what production runs. `assigned` is
+    * localCheckpointed for the same reason [[ivfRecallAtK]]'s is: queries
+    * and candidates both read it, and as a lazy subtree each side would
+    * re-pay the corpus×centroid assignment. */
+  private def ivfTopKOf(s: SparkSession, embIn: DataFrame,
+      centroids: Array[Array[Double]], nQueries: Int, k: Int,
+      nProbe: Int): DataFrame = {
+    val assigned =
+      voronoiAssign(embIn, centroidFrame(s, centroids)).localCheckpoint()
     val probeMap = probeMapOf(centroids, nProbe)
     val probes = s.createDataFrame(
       probeMap.toSeq.flatMap { case (c, ps) => ps.map(p => (c, p)) })
@@ -394,6 +447,48 @@ object Similarity {
     probedTopK(queries, cands, k)
   }
 
+  /** The `x_sim_ivf` DuckDB oracle, built at dump time: the trained
+    * k-means centroids (cached — the query path scores the SAME doubles)
+    * and the driver-computed probe map are emitted as literals, and the
+    * oracle replays assign → probe → rescore with the exact arithmetic
+    * the production plan uses (`round(list_cosine_similarity, 4)` is
+    * bitwise-aligned with the native [[CosineSimilarity]] — the invariant
+    * every green ANN oracle already rests on). The technique is the
+    * hyperplanes-as-literals trick that converted `x_sim_lsh`: any
+    * deterministic seeded driver-resident structure is SQL once
+    * serialized. */
+  def ivfOracleSql(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4, maxTrainRows: Long = 100000L): String = {
+    val centroids = trainedCentroids(s, d, nCells, maxTrainRows)
+    val probeMap = probeMapOf(centroids, nProbe)
+    val centVals = centroids.zipWithIndex.map { case (c, i) =>
+      s"($i, ${c.mkString("[", ", ", "]")}::DOUBLE[])"
+    }.mkString(", ")
+    val probeVals = probeMap.toSeq.sortBy(_._1).flatMap { case (c, ps) =>
+      ps.map(p => s"($c, $p)")
+    }.mkString(", ")
+    s"""WITH cent AS (SELECT * FROM (VALUES $centVals) AS t(cell, ce)),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+       |assigned AS (SELECT vec_id, x, cell FROM (
+       |  SELECT e.vec_id, e.x, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_cosine_similarity(e.x, c.ce), 4) DESC, c.cell) AS rn
+       |  FROM e CROSS JOIN cent c) WHERE rn = 1),
+       |probes AS (SELECT * FROM (VALUES $probeVals) AS p(query_cell, probe_cell)),
+       |qp AS (SELECT vec_id AS qid, x AS qe, probe_cell
+       |       FROM assigned JOIN probes ON assigned.cell = probes.query_cell
+       |       WHERE vec_id < $nQueries),
+       |ann AS (
+       |  SELECT qp.qid, a.vec_id AS cid,
+       |    round(list_cosine_similarity(qp.qe, a.x), 4) AS sim,
+       |    row_number() OVER (PARTITION BY qp.qid
+       |      ORDER BY round(list_cosine_similarity(qp.qe, a.x), 4) DESC, a.vec_id) AS rn
+       |  FROM assigned a JOIN qp ON a.cell = qp.probe_cell
+       |  WHERE qp.qid <> a.vec_id)
+       |SELECT qid, cid, sim, CAST(rn AS INT) AS rn FROM ann
+       |WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+  }
+
   /** IVF at rest — the serving layout at 100 TB: the cell-assigned corpus
     * is written `partitionBy("cell")`, one directory per k-means cell, and
     * the centroid table lands beside it (it IS the index metadata: tiny,
@@ -404,7 +499,8 @@ object Similarity {
   def writeIvfPartitioned(s: SparkSession, d: String, outDir: String,
       nCells: Int = 16, maxTrainRows: Long = 100000L): Unit = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val (assigned, centroids) = kmeansAssign(emb, nCells, maxTrainRows)
+    val centroids = trainedCentroids(s, d, nCells, maxTrainRows)
+    val assigned = voronoiAssign(emb, centroidFrame(s, centroids))
     assigned.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$outDir/corpus")
     s.createDataFrame(centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
@@ -417,10 +513,21 @@ object Similarity {
     * to route a query), then exact-re-score only the probed cell
     * directories. Query vectors come from the source embeddings table
     * (`vec_id < nQueries`, a pushed-down point read); the STORED corpus
-    * is touched exclusively through the pruned partition filter. */
+    * is touched exclusively through the pruned partition filter.
+    *
+    * Serving contract: this path `collect()`s the query vectors, so it is
+    * for query-set cardinality ≪ corpus — point lookups routed without a
+    * Spark job. Bulk query sets (a corpus self-join, an eval sweep) go
+    * through [[ivfTopK]], which keeps queries distributed; the
+    * `maxDriverQueries` guard makes the boundary explicit instead of
+    * letting a caller discover it as a driver OOM. */
   def ivfProbeStored(s: SparkSession, d: String, outDir: String,
-      nQueries: Int = 8, k: Int = 5, nProbe: Int = 4): DataFrame = {
+      nQueries: Int = 8, k: Int = 5, nProbe: Int = 4,
+      maxDriverQueries: Int = 4096): DataFrame = {
     import s.implicits._
+    require(nQueries <= maxDriverQueries,
+      s"ivfProbeStored routes queries on the driver (nQueries=$nQueries > " +
+        s"max $maxDriverQueries); use ivfTopK for bulk query sets")
     val centroids: Array[Array[Double]] =
       s.read.parquet(s"$outDir/centroids")
         .select(col("cell"), col("centroid")).as[(Int, Seq[Double])]
@@ -430,11 +537,14 @@ object Similarity {
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .collect()
-    // driver-side quantization, ties to the lowest cell index — the same
-    // first-minimum rule MLlib's findClosest applies in model.transform
+    // driver-side quantization with the SAME rule the stored corpus was
+    // assigned under (voronoiAssign: rounded cosine desc, lowest cell on
+    // ties) — one shared rule, so stored-vs-in-memory parity holds by
+    // construction, not by luck on near-equidistant queries
     val queryRows = qVecs.flatMap { case (qid, e) =>
       val ed = e.map(_.toDouble)
-      val cell = centroids.indices.minBy(c => (dist2(ed, centroids(c)), c))
+      val cell = centroids.indices
+        .maxBy(c => (roundedCosine(ed, centroids(c)), -c))
       probeMap(cell).map(p => (qid, e, p))
     }.toSeq
     val queries = queryRows.toDF("qid", "qe", "probe_cell")
