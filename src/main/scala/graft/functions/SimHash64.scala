@@ -10,9 +10,13 @@ import org.apache.spark.unsafe.types.UTF8String
 /** 64-bit SimHash document fingerprint (Charikar 2002) as a native
   * codegen'd Catalyst expression.
   *
-  * Tokenizes on ASCII whitespace and hashes each token with FNV-1a 64
-  * (public-domain hash; self-contained so the fingerprint is stable across
-  * Spark versions), then sign-aggregates the 64 bit-planes. Near-duplicate
+  * Tokenizes on ASCII whitespace and hashes each token to the first 8
+  * bytes (big-endian) of its MD5 — equivalently the first 16 hex chars of
+  * `md5(token)`, which is exactly what makes the fingerprint
+  * ORACLE-EXPRESSIBLE: a SQL engine with only `md5` can regrow every
+  * bit-plane vote from hex-digit arithmetic (the x_dedup_simhash DuckDB
+  * oracle does). Stable across Spark versions (MD5 is fixed forever).
+  * The votes then sign-aggregate the 64 bit-planes. Near-duplicate
   * documents differ in few bits, so candidate pairs come from banding the
   * fingerprint (4×16-bit bands ⇒ any pair within Hamming distance 3 shares
   * at least one full band — pigeonhole) and equi-joining on band values:
@@ -40,17 +44,21 @@ case class SimHash64(child: Expression)
 }
 
 object SimHash64 {
-  private final val FnvOffset = 0xcbf29ce484222325L
-  private final val FnvPrime = 0x100000001b3L
+  // one MessageDigest per thread: getInstance per token would dominate
+  // the hash itself; MD5 instances are not thread-safe but are reusable
+  private val md5Local: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
-  private def fnv1a64(bytes: Array[Byte], from: Int, until: Int): Long = {
-    var h = FnvOffset
-    var i = from
-    while (i < until) {
-      h ^= (bytes(i) & 0xffL)
-      h *= FnvPrime
-      i += 1
-    }
+  /** First 8 bytes of MD5(token bytes), big-endian — the long whose hex
+    * rendering is `substr(md5(token), 1, 16)`. */
+  private def md5Head64(bytes: Array[Byte], from: Int, until: Int): Long = {
+    val m = md5Local.get()
+    m.reset()
+    m.update(bytes, from, until - from)
+    val d = m.digest()
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
     h
   }
 
@@ -65,7 +73,7 @@ object SimHash64 {
       val start = i
       while (i < n && !isSpace(bytes(i))) i += 1
       if (i > start) {
-        val h = fnv1a64(bytes, start, i)
+        val h = md5Head64(bytes, start, i)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

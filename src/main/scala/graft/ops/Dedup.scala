@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   *   - n-gram Jaccard: inverted-index self-join on shingles (explode →
   *     join on shingle → count) — the classic "similarity join without a
   *     cross join"; candidate generation is linear in posting-list sizes.
-  *   - MinHash+LSH: k seeded murmur3 min-hashes per shingle set, banded;
+  *   - MinHash+LSH: k seeded linear-permutation min-hashes per shingle
+  *     set (md5-derived base values — oracle-expressible), banded;
   *     candidates are pairs sharing a (band, band-signature) bucket. Only
   *     signatures shuffle; bodies never move.
   *   - SimHash: 64-bit fingerprint (custom codegen expression), banded
@@ -390,21 +391,57 @@ object Dedup {
     semanticClustersLshOf(s, emb, threshold, bands = 8, bitsPerBand = 8)
   }
 
-  /** MinHash signatures as k seeded murmur3 hashes of the (already
-    * xxhash64'd) shingles, built from the exploded posting list with k
-    * `min` aggregates — partial aggregation collapses per-document mins
-    * map-side, so only (doc_id, k ints) rows ever shuffle and no nested
+  /** Modulus of the min-hash permutation family: 2³¹−1 (Mersenne prime).
+    * Base shingle values and the `a·x + b` products stay under 2⁶² — no
+    * overflow in 64-bit signed arithmetic on EITHER engine (Spark longs
+    * wrap silently; DuckDB BIGINT errors; staying in range sidesteps
+    * both). */
+  private[graft] val MinhashP = 2147483647L
+
+  /** The k seeded linear permutations h_i(x) = (a_i·x + b_i) mod P —
+    * driver-resident constants from a splittable PRNG, so the DuckDB
+    * oracle can embed them as literals and regrow the exact signature
+    * matrix (the hyperplanes-as-literals technique). a_i ∈ [1, P−1]
+    * keeps every map injective on Z_P. */
+  private[graft] def minhashPerms(k: Int, seed: Long = 42L): Array[(Long, Long)] = {
+    val r = new java.util.SplittableRandom(seed)
+    Array.fill(k)((1L + r.nextLong(MinhashP - 1), r.nextLong(MinhashP)))
+  }
+
+  /** Oracle-expressible shingle values: word-3-gram strings hashed to
+    * [0, P) via the first 8 hex chars of md5 — `conv(substr(md5(g),1,8))`
+    * here, pure string/strpos arithmetic in DuckDB. Unlike the xxhash64
+    * postings (which only ever feed Spark-side set algebra), these values
+    * must be recomputable by the oracle, which has no xxhash64. Min over
+    * a multiset equals min over the set, so shingle duplicates need no
+    * distinct pass. */
+  private def md5ShinglePostings(docs: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val grams = transform(sequence(lit(1), size(col("t")) - 2),
+      i => concat_ws(" ", element_at(col("t"), i),
+        element_at(col("t"), i + 1), element_at(col("t"), i + 2)))
+    docs.select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
+          % MinhashP).as("x"))
+  }
+
+  /** MinHash signatures as k seeded linear permutations over md5-derived
+    * shingle values, built from the exploded posting list with k `min`
+    * aggregates — partial aggregation collapses per-document mins
+    * map-side, so only (doc_id, k longs) rows ever shuffle and no nested
     * array expression sits in the hot path. */
-  private def minhashSignaturesOf(docs: DataFrame, k: Int): DataFrame = {
-    val postings = hashPostings(docs)
-    val mins = (0 until k).map(i => min(hash(col("h"), lit(i))).as(s"m$i"))
-    postings.groupBy(col("doc_id"))
+  private def minhashSignatures(s: SparkSession, d: String, k: Int): DataFrame = {
+    val perms = minhashPerms(k)
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("x") + lit(b)) % MinhashP).as(s"m$i") }.toSeq
+    md5ShinglePostings(Tables.documents(s, d))
+      .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
-
-  private def minhashSignatures(s: SparkSession, d: String, k: Int): DataFrame =
-    minhashSignaturesOf(Tables.documents(s, d), k)
 
   /** Planted-duplicate corpus: the documents table plus an exact copy of
     * every document at `doc_id + offset` — the deterministic ground truth
@@ -457,9 +494,11 @@ object Dedup {
 
   /** MinHash+LSH candidate pairs, verified with the signature-estimated
     * Jaccard: `bands` bands × `rowsPerBand` rows; a pair is a candidate if
-    * any band signature matches exactly. Band signatures join as single
-    * murmur3 longs, not arrays — the shuffle moves (doc_id, band, hash)
-    * triples only. */
+    * any band signature matches exactly. Band signatures join as compact
+    * rendered-value keys, not arrays — the shuffle moves (doc_id, band,
+    * key) rows only, and the key derivation is shared verbatim with the
+    * DuckDB oracle (`array_to_string(sig[slice], ',')`), so the whole
+    * banded candidate graph is hash-checkable. */
   def minhashLsh(s: SparkSession, d: String,
       bands: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
@@ -471,7 +510,9 @@ object Dedup {
     val sig = minhashSignatures(s, d, k)
     val banded = sig.select(col("doc_id"), posexplode(array(
       (0 until bands).map(b =>
-        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
+        array_join(transform(
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+          v => v.cast("string")), ",")): _*)))
       .toDF("doc_id", "band", "band_hash")
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&

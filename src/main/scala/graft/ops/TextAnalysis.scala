@@ -103,15 +103,20 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   /** Rolling-hash winnowing fingerprints (custom codegen'd expression):
-    * per-document selected-hash counts plus the fingerprint array size —
-    * the substring-overlap detector that md5/SimHash can't provide. */
+    * per-document selected-hash count plus a full-content digest of the
+    * selected set — the substring-overlap detector that md5/SimHash can't
+    * provide. The digest is md5 over the canonical rendering (ascending
+    * signed values, comma-joined): the winnow hash is plain polynomial
+    * arithmetic mod 2⁶⁴, so a DuckDB oracle regrows every selected value
+    * with HUGEINT arithmetic and must reproduce this digest exactly —
+    * full hash-check, not rows-only. */
   def winnowFingerprints(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
       graft.functions.Winnow(col("text")).as("fp"))
       .select(col("doc_id"), size(col("fp")).as("n_hashes"),
-        // a stable digest of the fingerprint set for rows-only checking
-        xxhash64(to_json(struct(col("fp")))).as("fp_digest"))
+        md5(array_join(transform(col("fp"), v => v.cast("string")), ","))
+          .as("fp_md5"))
       .orderBy(col("doc_id"))
 
   /** The composed training-corpus preparation pipeline — the flagship
