@@ -29,10 +29,39 @@ import org.apache.spark.sql.functions._
   */
 object StreamDrive {
 
-  /** Staged split directories, one sorted write per (input, shape) per
-    * JVM — Verify runs each drive once but Bench replays them per pass. */
+  /** Staged split directories, one sorted write per (input, shape,
+    * content fingerprint) per JVM — Verify runs each drive once but Bench
+    * replays them per pass. The fingerprint (source part-file lengths +
+    * mtimes) keys out in-place rewrites: a test that regenerates the
+    * parquet at the same path must not silently replay a stale staging. */
   private val stagedCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Staged temp dirs, removed on JVM exit (they are pure scaffolding;
+    * an sbt test+verify+bench session would otherwise accrete one copy
+    * of the corpus per drive shape in /tmp). */
+  private val stagedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    stagedDirs.forEach { d =>
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(d))
+    }
+  }))
+
+  /** Content fingerprint of a parquet file or directory: sorted part
+    * names with lengths and mtimes. Cheap (a directory listing), and any
+    * rewrite — even same-size — bumps an mtime. */
+  private def fingerprint(path: String): String = {
+    val f = new java.io.File(path)
+    val files =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName) else Seq(f)
+    files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+      .mkString("|")
+  }
 
   /** Give the staged part files strictly increasing modification times in
     * lexicographic name order (range order for `repartitionByRange`
@@ -69,17 +98,19 @@ object StreamDrive {
     * production operator. `extraFiles` lets a drive append files (the
     * session sentinels) BEFORE the mod-time stamping, so one copy of the
     * staging/caching/ordering logic serves every drive. */
-  private def stageSplit(cacheKey: String, input: => DataFrame,
+  private def stageSplit(srcPath: String, shape: String, input: => DataFrame,
       orderCol: String, nFiles: Int = 3,
       extraFiles: String => Unit = _ => ()): String =
-    stagedCache.computeIfAbsent(cacheKey, _ => {
-      val dir = Files.createTempDirectory("graft-stream-split").toString
-      input.repartitionByRange(nFiles, col(orderCol))
-        .write.mode("overwrite").parquet(dir)
-      extraFiles(dir)
-      stampAscending(dir)
-      dir
-    })
+    stagedCache.computeIfAbsent(
+      s"$srcPath#$shape#${fingerprint(srcPath)}", _ => {
+        val dir = Files.createTempDirectory("graft-stream-split").toString
+        stagedDirs.add(dir)
+        input.repartitionByRange(nFiles, col(orderCol))
+          .write.mode("overwrite").parquet(dir)
+        extraFiles(dir)
+        stampAscending(dir)
+        dir
+      })
 
   /** Per-batch input-row counts (non-empty micro-batches only) of the
     * most recent drive — the spec hook proving the drives really cross
@@ -92,7 +123,7 @@ object StreamDrive {
     * per micro-batch. */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    val staged = stageSplit(s"$d/events.parquet#events",
+    val staged = stageSplit(s"$d/events.parquet", "events",
       s.read.parquet(s"$d/events.parquet"), "ts")
     s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .parquet(staged)
@@ -177,7 +208,7 @@ object StreamDrive {
     val batch = s.read.parquet(s"$d/events.parquet")
       .filter(col("user_id").isNotNull)
       .select(col("user_id"), expr("ts div 1000").as("us"))
-    val staged = stageSplit(s"$d/events.parquet#sessions-$gapUs", batch, "us",
+    val staged = stageSplit(s"$d/events.parquet", s"sessions-$gapUs", batch, "us",
       extraFiles = dir => {
         // sentinels are data-derived (one tiny aggregate of the batch
         // table), staged as the LAST file so every user's real events are
@@ -204,6 +235,79 @@ object StreamDrive {
       .orderBy(col("user_id"), col("sess_id"))
   }
 
+  /** Watermark EVICTION drive — the one streaming-semantics corner the
+    * in-order batch≡stream drives cannot see by construction (their
+    * staging guarantees no row ever falls behind the watermark). This
+    * drive runs [[EventStream.hourlyCounts]] in APPEND mode (the mode in
+    * which the watermark actually drops late data and evicts state;
+    * complete mode retains everything) over a staged sequence that
+    * genuinely exercises both sides of the lateness boundary:
+    *
+    *   1. the real events as 3 ascending time-range files — after them
+    *      the watermark sits at max(ts) − 2 h;
+    *   2. a LATE batch holding (a) stale rows (copies of the first corpus
+    *      hour — hours below the watermark, must be DROPPED) and
+    *      (b) allowed-late rows (copies of the last corpus hour — inside
+    *      the 2 h horizon, must be KEPT and merged into their still-open
+    *      windows);
+    *   3. two flush sentinels (3 h and 6 h past the corpus, 1 µs skew to
+    *      break end==watermark ties): the first advances the watermark
+    *      past every real window END, the second is the data batch in
+    *      whose processing those windows are finally emitted — so the
+    *      drive never depends on a no-data flush batch racing
+    *      `processAllAvailable` (though when a no-data flush batch does
+    *      run, it may additionally emit the first sentinel's own window —
+    *      sentinels are drive scaffolding with a reserved event type, and
+    *      are filtered out of the drive result below).
+    *
+    * The DuckDB oracle encodes the same rule arithmetically: hourly
+    * counts over events ∪ (events of the last corpus hour, duplicated).
+    * If the engine kept a stale row, early-hour counts inflate; if it
+    * dropped an allowed-late row, last-hour counts deflate — either way
+    * the hash gate fails, so the boundary is pinned from both sides.
+    * Lateness filters compare in MICROSECONDS on both sides (the
+    * operators' own resolution — a nanosecond-remainder edge row would
+    * otherwise sit on different sides of the cut). */
+  def hourlyLateFromFiles(s: SparkSession, d: String): DataFrame = {
+    val src = s"$d/events.parquet"
+    val schema = s.read.parquet(src).schema
+    val hourUs = 3600L * 1000000L
+    val staged = stageSplit(src, "late-hourly", s.read.parquet(src), "ts",
+      extraFiles = dir => {
+        val raw = s.read.parquet(src)
+        val r = raw.agg(min(expr("ts div 1000")), max(expr("ts div 1000"))).head()
+        val (minUs, maxUs) = (r.getLong(0), r.getLong(1))
+        def writeExtra(frame: DataFrame, name: String): Unit = {
+          val tmp = Files.createTempDirectory("graft-late").toString
+          frame.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.startsWith("part-")).get
+          Files.move(part.toPath, Paths.get(dir, name))
+        }
+        writeExtra(
+          raw.filter(expr("ts div 1000") < minUs + hourUs)
+            .unionAll(raw.filter(expr("ts div 1000") >= maxUs - hourUs)),
+          "part-zz-a-late.parquet")
+        def sentinel(us: Long): DataFrame = raw.limit(1).select(
+          schema.fieldNames.toSeq.map {
+            case "ts" => lit(us * 1000L).as("ts")
+            case "event_type" => lit("graft_sentinel").as("event_type")
+            case c => col(c)
+          }: _*)
+        writeExtra(sentinel(maxUs + 3 * hourUs + 1), "part-zz-b-flush1.parquet")
+        writeExtra(sentinel(maxUs + 6 * hourUs + 1), "part-zz-c-flush2.parquet")
+      })
+    val events = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    drain(s, EventStream.hourlyCounts(events), "graft_stream_hourly_late", "append")
+      .filter(col("event_type") =!= "graft_sentinel")
+      .select(expr("unix_micros(window_start) div 3600000000").as("hour_bucket"),
+        col("event_type"), col("n"), round(col("sum_value"), 2).as("sum_value"))
+      .orderBy(col("hour_bucket"), col("event_type"))
+  }
+
   /** Streaming exact dedup over the documents parquet: the corpus-side
     * twin of [[graft.ops.Dedup.exact]]'s digest grouping, run as a
     * streaming aggregation — per-digest state is the constant-size
@@ -218,7 +322,7 @@ object StreamDrive {
     * leaves the stateless pre-projection. */
   def dedupFromFiles(s: SparkSession, d: String): DataFrame = {
     val schema = s.read.parquet(s"$d/documents.parquet").schema
-    val staged = stageSplit(s"$d/documents.parquet#docs",
+    val staged = stageSplit(s"$d/documents.parquet", "docs",
       s.read.parquet(s"$d/documents.parquet"), "doc_id")
     val docs = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(staged)
