@@ -26,8 +26,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * Null handling: a null array yields null (UnaryExpression default); a
   * null ELEMENT yields a null signature (the dot against a missing
   * component is undefined — mirrors SQL aggregate-over-null semantics
-  * rather than silently reading garbage). */
-case class SignSignature(child: Expression, nPlanes: Int, planeOffset: Int)
+  * rather than silently reading garbage).
+  *
+  * `expectedDims`: an index has ONE dimensionality — when configured
+  * (≥ 1), a row whose embedding has any other length gets a null
+  * signature instead of a signature from a differently-sized plane
+  * table. That makes the engine agree with a fixed-width oracle BY
+  * CONSTRUCTION on mixed-dim corpora (an oracle's literal plane table
+  * has one width; adaptively-signed stragglers would stay in Spark's
+  * buckets while dropping from the oracle's). The default (-1) keeps the
+  * adaptive behavior for exploratory use. */
+case class SignSignature(child: Expression, nPlanes: Int, planeOffset: Int,
+    expectedDims: Int = -1)
     extends UnaryExpression {
 
   require(nPlanes >= 1 && nPlanes <= 64,
@@ -37,6 +47,8 @@ case class SignSignature(child: Expression, nPlanes: Int, planeOffset: Int)
   // silently and serve the wrong hyperplane table
   require(planeOffset >= 0 && planeOffset < (1 << 20),
     s"plane offset must be in [0, 2^20), got $planeOffset")
+  require(expectedDims == -1 || (expectedDims >= 1 && expectedDims < (1 << 20)),
+    s"expectedDims must be -1 (adaptive) or in [1, 2^20), got $expectedDims")
 
   private def elemIsDouble: Boolean = child.dataType match {
     case ArrayType(DoubleType, _) => true
@@ -55,7 +67,7 @@ case class SignSignature(child: Expression, nPlanes: Int, planeOffset: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val out = SignSignature.compute(input.asInstanceOf[ArrayData],
-      nPlanes, planeOffset, elemIsDouble)
+      nPlanes, planeOffset, elemIsDouble, expectedDims)
     if (out == SignSignature.NullSentinel) null else java.lang.Long.valueOf(out)
   }
 
@@ -63,7 +75,7 @@ case class SignSignature(child: Expression, nPlanes: Int, planeOffset: Int)
     nullSafeCodeGen(ctx, ev, c => {
       s"""
          |${ev.value} = graft.functions.SignSignature.compute(
-         |  $c, $nPlanes, $planeOffset, $elemIsDouble);
+         |  $c, $nPlanes, $planeOffset, $elemIsDouble, $expectedDims);
          |if (${ev.value} == graft.functions.SignSignature.NullSentinel())
          |  { ${ev.isNull} = true; }
        """.stripMargin
@@ -134,7 +146,8 @@ object SignSignature {
     Array.tabulate(nPlanes)(p => flat.slice(p * dims, (p + 1) * dims))
   }
 
-  def compute(a: ArrayData, nPlanes: Int, off: Int, isDouble: Boolean): Long = {
+  def compute(a: ArrayData, nPlanes: Int, off: Int, isDouble: Boolean,
+      expectedDims: Int = -1): Long = {
     val n = a.numElements()
     // empty embedding → null signature: every dot is vacuously 0, which
     // would yield the all-set degenerate signature (one giant LSH bucket
@@ -142,6 +155,9 @@ object SignSignature {
     // treatment as a null element, and it keeps weights()'s dims >= 1
     // cache-key guard unreachable from data instead of a task-killer
     if (n == 0) return NullSentinel
+    // configured index width: any other dimensionality is undefined input
+    // (null signature), never a signature from a different plane table
+    if (expectedDims != -1 && n != expectedDims) return NullSentinel
     var i = 0
     while (i < n) { // null element → null signature, never garbage reads
       if (a.isNullAt(i)) return NullSentinel
@@ -165,8 +181,10 @@ object SignSignature {
     if (sig == NullSentinel) NullSentinel + 1 else sig
   }
 
-  /** `sign_signature(embedding, nPlanes, planeOffset)` as a Column. */
-  def of(col: Column, nPlanes: Int, planeOffset: Int = 0): Column =
+  /** `sign_signature(embedding, nPlanes, planeOffset)` as a Column;
+    * `expectedDims` pins the index dimensionality (see class doc). */
+  def of(col: Column, nPlanes: Int, planeOffset: Int = 0,
+      expectedDims: Int = -1): Column =
     ColumnBridge.toColumn(
-      SignSignature(ColumnBridge.toExpr(col), nPlanes, planeOffset))
+      SignSignature(ColumnBridge.toExpr(col), nPlanes, planeOffset, expectedDims))
 }

@@ -81,4 +81,86 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_milli"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** BM25 index AT REST — at 100 TB an index you rebuild per query set
+    * isn't an index (r8 finding). One tokenization pass writes:
+    *
+    *   - `postings/` — (doc_id, term, tf, dl, df), DENORMALIZED: document
+    *     length and document frequency ride on every posting row (one
+    *     long each — the standard impact-file trade: index bytes for
+    *     join-free probes), partitioned by `bucket = pmod(hash(term), n)`
+    *     so a probe's partition filter prunes whole term-bucket
+    *     directories before any I/O.
+    *   - `qterms/` — the eval-slice query terms (tiny by definition).
+    *   - `totals/` — one row: (n_docs, avgdl, n_buckets). n_buckets lives
+    *     here so probes derive the same bucket hash without out-of-band
+    *     config.
+    *
+    * Probing then joins stored postings against query terms with NO scan
+    * of `documents` — corpus text is never re-tokenized. */
+  def writeBm25Index(s: SparkSession, d: String, outDir: String,
+      nBuckets: Int = 64): Unit = {
+    val postings = Tables.documents(s, d)
+      .select(col("doc_id"), explode(CorpusPrep.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val qterms = postings.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val corpus = postings.filter(col("doc_id") % 97 =!= 0)
+    val dl = corpus.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = corpus.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    corpus.join(df, "term").join(dl, "doc_id")
+      .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$outDir/postings")
+    qterms.write.mode("overwrite").parquet(s"$outDir/qterms")
+    dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"), lit(nBuckets).as("n_buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/totals")
+  }
+
+  /** Probe the stored BM25 index: identical scoring arithmetic to
+    * [[bm25TopK]] (same literal constants, same milli-unit fixed point,
+    * same rank order), but every input comes from the index — the probe
+    * plan contains no `documents` scan. The query terms' bucket set is
+    * collected driver-side (≤ n_buckets ints — bounded) and pushed as a
+    * partition filter, so a narrow query set reads only its term-bucket
+    * directories; `queryIds` restricts to a query subset (the serving
+    * shape: one query → a handful of buckets out of 64). */
+  def bm25ProbeStored(s: SparkSession, outDir: String, k: Int = 3,
+      k1: Double = 1.2, b: Double = 0.75,
+      queryIds: Option[Seq[Long]] = None): DataFrame = {
+    val totals = broadcast(s.read.parquet(s"$outDir/totals")
+      .select(col("n_docs"), col("avgdl")))
+    val nBuckets = s.read.parquet(s"$outDir/totals")
+      .select(col("n_buckets")).head().getInt(0)
+    val qtAll = s.read.parquet(s"$outDir/qterms")
+    val qt = queryIds.fold(qtAll)(ids =>
+      qtAll.filter(col("query_id").isin(ids.map(Long.box): _*)))
+    val buckets = qt
+      .select(pmod(hash(col("term")), lit(nBuckets)).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    s.read.parquet(s"$outDir/postings")
+      // isin over the partition column: resolved against the directory
+      // listing (PartitionFilters), never against row data
+      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
+      .join(qt, "term")
+      .crossJoin(totals)
+      .select(col("query_id"), col("doc_id"),
+        round(log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) +
+            lit(b) * col("dl") / col("avgdl"))) * 1000)
+          .cast("long").as("w_milli"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w_milli")).as("score_milli"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_milli").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_milli"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -48,11 +48,18 @@ object Similarity {
     * most 64 planes — `1L << p` wraps mod 64, so wider signatures
     * compose from multiple words over DISJOINT plane families selected
     * by `planeOffset`, as the SemDeDup banding does. */
+  /** The index dimensionality every LSH/SemDeDup path is configured for:
+    * [[graft.functions.SignSignature]] nulls the signature of any row
+    * with a different embedding length, so stragglers on a mixed-dim
+    * corpus drop out of the buckets on BOTH engines (the oracle's literal
+    * plane table is this wide) instead of silently staying on one side. */
+  private[ops] val IndexDims = 64
+
   private[ops] def signedEmbeddings(emb: DataFrame, nPlanes: Int,
       planeOffset: Int = 0): DataFrame =
     emb.select(col("vec_id"), col("embedding"),
-      graft.functions.SignSignature.of(col("embedding"), nPlanes, planeOffset)
-        .as("sig"))
+      graft.functions.SignSignature.of(col("embedding"), nPlanes, planeOffset,
+        expectedDims = IndexDims).as("sig"))
 
   /** Same-bucket candidates exactly re-scored, per-query top-k. */
   private def bucketTopK(signed: DataFrame, nQueries: Int, k: Int): DataFrame = {
@@ -77,6 +84,73 @@ object Similarity {
   def lshTopK(s: SparkSession, d: String, nQueries: Int = 8, k: Int = 5,
       nPlanes: Int = 8): DataFrame =
     bucketTopK(signedEmbeddings(Tables.embeddings(s, d), nPlanes), nQueries, k)
+
+  /** LSH index at rest — the sign-signature twin of the IVF serving
+    * layout: the signed corpus is written `partitionBy("sig")`, one
+    * directory per signature bucket. The "centroid table" equivalent is
+    * the hyperplane family itself, which needs no storage at all: the
+    * planes are a pure function of (seed, plane index), so any process
+    * regenerates them bit-identically. */
+  def writeLshPartitioned(s: SparkSession, d: String, outDir: String,
+      nPlanes: Int = 8): Unit =
+    signedEmbeddings(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), nPlanes)
+      .write.mode("overwrite").partitionBy("sig").parquet(s"$outDir/corpus")
+
+  /** Probe the stored LSH index: query signatures are computed ON THE
+    * DRIVER from the same deterministic plane weights the native
+    * expression multiplies (same sequential fused multiply-add, so the
+    * bits agree by construction), then only the probed signature
+    * directories are read — partition pruning cuts the file listing to
+    * the queries' buckets. Same serving contract as [[ivfProbeStored]]:
+    * query cardinality ≪ corpus (vectors are collected to route them);
+    * bulk query sets go through [[lshTopK]]. */
+  def lshProbeStored(s: SparkSession, d: String, outDir: String,
+      nQueries: Int = 8, k: Int = 5, nPlanes: Int = 8,
+      maxDriverQueries: Int = 4096): DataFrame = {
+    import s.implicits._
+    require(nQueries <= maxDriverQueries,
+      s"lshProbeStored routes queries on the driver (nQueries=$nQueries > " +
+        s"max $maxDriverQueries); use lshTopK for bulk query sets")
+    val planes = graft.functions.SignSignature.planeWeights(nPlanes, 0, IndexDims)
+    val qVecs = Tables.embeddings(s, d)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect()
+    val queryRows = qVecs.flatMap { case (qid, e) =>
+      // the index width contract (signedEmbeddings pins expectedDims):
+      // a mismatched-width query has a null signature — no bucket
+      if (e.length != IndexDims) None
+      else {
+        var sig = 0L
+        var p = 0
+        while (p < nPlanes) {
+          var dot = 0.0
+          var h = 0
+          while (h < IndexDims) { dot += e(h).toDouble * planes(p)(h); h += 1 }
+          if (dot >= 0) sig |= 1L << p
+          p += 1
+        }
+        Some((qid, e, sig))
+      }
+    }.toSeq
+    val queries = queryRows.toDF("qid", "qe", "sig")
+    val probedSigs = queryRows.map(_._3).distinct.sorted
+    val cands = s.read.parquet(s"$outDir/corpus")
+      // isin over the partition column: resolved against the directory
+      // listing (PartitionFilters), never against row data
+      .filter(col("sig").isin(probedSigs.map(java.lang.Long.valueOf): _*))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("sig"))
+    val scored = cands.join(broadcast(queries), Seq("sig"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(CosineSimilarity(col("qe"), col("ce")), 4).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
 
   /** LSH retrieval *guarantee* under the DuckDB oracle: an identical
     * vector has an identical sign signature, so a planted exact copy of

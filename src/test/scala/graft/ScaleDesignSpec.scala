@@ -292,6 +292,63 @@ class ScaleDesignSpec extends SparkSpec {
     assert(st == mem, s"stored-index results diverge from in-memory IVF")
   }
 
+  test("LSH index at rest: stored probes prune to their signature directories and match in-memory") {
+    val out = java.nio.file.Files.createTempDirectory("graft-lsh-store").toString
+    Similarity.writeLshPartitioned(spark, sf, out)
+    val probed = Similarity.lshProbeStored(spark, sf, out)
+    val nStored = new java.io.File(s"$out/corpus").listFiles()
+      .count(_.getName.startsWith("sig="))
+    val scans = probed.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("corpus")) => f
+    }
+    assert(scans.nonEmpty, "no file scan over the stored corpus found")
+    val nParts = scans.head.selectedPartitions.partitionCount
+    assert(nParts >= 1 && nParts < nStored,
+      s"expected a pruned signature subset, read $nParts/$nStored")
+    // driver-side signature = native expression signature (same planes,
+    // same arithmetic) → the stored path returns exactly lshTopK's rows
+    val mem = Similarity.lshTopK(spark, sf).collect().map(_.toSeq).toSeq
+    val st = probed.collect().map(_.toSeq).toSeq
+    assert(st == mem, "stored-index LSH results diverge from in-memory LSH")
+  }
+
+  test("BM25 index at rest: probe scans no documents, prunes term buckets, matches in-memory") {
+    val out = java.nio.file.Files.createTempDirectory("graft-bm25-store").toString
+    graft.ops.Retrieval.writeBm25Index(spark, sf, out)
+    val probed = graft.ops.Retrieval.bm25ProbeStored(spark, out)
+    // the probe must never re-tokenize the corpus: every scan in its plan
+    // reads the stored index, none the documents table (sparkPlan, not
+    // executedPlan: AQE's adaptive wrapper hides the scans from collect)
+    val scanned = probed.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata.getOrElse("Location", "")
+    }
+    assert(scanned.nonEmpty && scanned.forall(!_.contains("documents")),
+      s"probe plan scans the corpus: $scanned")
+    // identical arithmetic + stored df/dl/totals → exact row parity with
+    // the rebuild-per-call path (which is itself oracle-green)
+    val mem = graft.ops.Retrieval.bm25TopK(spark, sf).collect().map(_.toSeq).toSeq
+    val st = probed.collect().map(_.toSeq).toSeq
+    assert(st == mem, "stored-index BM25 diverges from in-memory BM25")
+    // the serving shape: ONE query's terms cover a strict subset of the
+    // 64 term buckets, and the partition filter prunes the rest
+    val qid = spark.read.parquet(s"$out/qterms")
+      .select(min(col("query_id"))).head().getLong(0)
+    val one = graft.ops.Retrieval.bm25ProbeStored(spark, out,
+      queryIds = Some(Seq(qid)))
+    val scans = one.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("postings")) => f
+    }
+    assert(scans.nonEmpty, "no file scan over the stored postings found")
+    val nParts = scans.head.selectedPartitions.partitionCount
+    assert(nParts >= 1 && nParts < 64, s"expected pruned bucket subset, read $nParts/64")
+    // and the single-query probe agrees with the full probe's slice
+    val oneRows = one.collect().map(_.toSeq).toSeq
+    assert(oneRows == mem.filter(_.head == qid), "pruned probe diverges")
+  }
+
   test("bucketed quad tables join and pivot without an exchange") {
     val quads = graft.ops.QuadOps.geoQuads(spark, sf)
       .withColumn("graph", lit("g1"))

@@ -58,6 +58,28 @@ class SignSignatureSpec extends SparkSpec {
     }
   }
 
+  test("configured expectedDims nulls mismatched-width rows (oracle agreement by construction)") {
+    // a mixed-dim corpus: 64-dim rows sign normally, a 32-dim straggler
+    // must get a NULL signature — not a signature from a 32-wide plane
+    // table that would keep it in Spark's buckets while the fixed-width
+    // oracle drops it (ADVICE r8)
+    val rows = Seq(
+      (1L, Array.tabulate(64)(d => d.toFloat / 64)),
+      (2L, Array.tabulate(32)(d => d.toFloat / 32)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        SignSignature.of(col("embedding"), 16, expectedDims = 64).as("sig"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(rows(1L).isDefined, "matching width must sign")
+    assert(rows(2L).isEmpty, "mismatched width must be null")
+    // adaptive default still signs any width
+    val adaptive = Seq((3L, Array.tabulate(32)(d => d.toFloat / 32)))
+      .toDF("vec_id", "embedding")
+      .select(SignSignature.of(col("embedding"), 16).as("sig"))
+      .as[Option[Long]].collect()
+    assert(adaptive.head.isDefined)
+  }
+
   test("null array gives null; null element and empty array give null, not garbage") {
     val rows = spark.sql(
       """SELECT * FROM VALUES
