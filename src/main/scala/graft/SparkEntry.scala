@@ -45,11 +45,11 @@ object SparkEntry {
     "a3_verdict_counts" -> ((s, d) => QuadOps.verdictCounts(s, d)),
     "k9_partition_sizes" -> ((s, d) => QuadOps.partitionFileSizes(s, d)),
     // North-star extension operators (dedup / similarity / text / events /
-    // multimodal). x_dedup_minhash and x_dedup_simhash have no
-    // SQL-expressible oracle (custom hash families) → rows-only check;
-    // their recall is asserted against the exact operators in the specs.
-    // x_sim_lsh IS oracle-checked: its hyperplane doubles are baked into
-    // the SQL as literals, so DuckDB reproduces every signature bit.
+    // multimodal). Every signature family is oracle-checked: the LSH/
+    // SemDeDup hyperplane doubles, the trained IVF centroids, and the
+    // minhash permutation constants are baked into the SQL as literals;
+    // the simhash votes and winnow rolling hashes are regrown from
+    // md5-hex / HUGEINT arithmetic — DuckDB reproduces every bit.
     "x_dedup_exact"     -> ((s, d) => Dedup.exact(s, d)),
     "x_dedup_jaccard"   -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "x_dedup_minhash"   -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -165,6 +165,10 @@ object SparkEntry {
     // corpus-side streaming twin: exact-dedup digest aggregation as a
     // streaming agg (constant per-digest state), drained complete
     "x_stream_dedup"    -> ((s, d) => graft.streaming.StreamDrive.dedupFromFiles(s, d)),
+    // watermark EVICTION drive (append mode): stale late rows must drop,
+    // allowed-late rows must merge — the oracle pins the 2h lateness
+    // boundary from both sides (see StreamDrive.hourlyLateFromFiles)
+    "x_stream_late"     -> ((s, d) => graft.streaming.StreamDrive.hourlyLateFromFiles(s, d)),
     "x_multimodal_meta" -> ((s, d) => graft.multimodal.Multimodal.mediaMeta(s, d)),
     "x_multimodal_frames" -> ((s, d) => graft.multimodal.Multimodal.frameSamples(s, d)),
     // binary→binary resize shape (content pinned via out_md5) and the
@@ -270,12 +274,12 @@ object SparkEntry {
 
   /** `sig` as bit p = (embedding · plane_p >= 0), summed as 2^p — the
     * same integer the native expression assembles with `1L << p`. The
-    * outer guard mirrors the native NULL semantics: a null or non-64-dim
-    * embedding gets a NULL signature (native compute() returns the null
-    * sentinel for null/empty arrays, and its plane table is sized to the
-    * row's dims — the literal table here is 64-wide), and NULL never
-    * equi-joins, so degenerate rows drop out of the buckets on BOTH
-    * engines instead of colliding into a fake sig=0 bucket here. */
+    * outer guard mirrors the native NULL semantics exactly: the engine's
+    * signatures run with `expectedDims = 64` (Similarity.IndexDims), so a
+    * null, empty, or non-64-dim embedding gets a NULL signature on BOTH
+    * sides by construction, and NULL never equi-joins — degenerate rows
+    * drop out of the buckets identically instead of colliding into a
+    * fake sig=0 bucket here. */
   private lazy val lshSigExpr: String =
     "(CASE WHEN embedding IS NULL OR len(embedding) <> 64 THEN NULL ELSE " +
       (0 until 8).map(p =>
@@ -311,6 +315,145 @@ object SparkEntry {
     * map stays data-independent. */
   def oracleSqlDynamic(s: SparkSession, d: String): Map[String, String] = Map(
     "x_sim_ivf" -> Similarity.ivfOracleSql(s, d))
+
+  /** A fixed-width hex field of `col` (chars [from, from+len)) as the
+    * integer DuckDB expression Σ digit·16^position — the strpos-arithmetic
+    * idiom the md5-derived oracles share (DuckDB has no hex→int cast that
+    * matches Spark's `conv` directly). */
+  private def duckHexInt(col: String, from: Int, len: Int): String =
+    (0 until len).map { i =>
+      val pow = BigInt(16).pow(len - 1 - i)
+      s"(strpos('0123456789abcdef', substring($col, ${from + i}, 1)) - 1) * $pow"
+    }.mkString("(", " + ", ")")
+
+  /** The minhash permutation constants as a VALUES literal — the exact
+    * (a_i, b_i) pairs the Spark signatures use (Dedup.minhashPerms). */
+  private lazy val minhashPermValues: String =
+    graft.ops.Dedup.minhashPerms(32).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+
+  /** x_dedup_minhash, fully hash-checked: the oracle regrows the exact
+    * signature matrix — md5-derived shingle values mod P, the literal
+    * permutation constants, per-band rendered keys, and the
+    * signature-estimated Jaccard — so banding's candidate graph AND its
+    * misses are pinned, not just the happy path. */
+  private lazy val minhashOracle: String = {
+    val p = graft.ops.Dedup.MinhashP
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+       |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+       |  FROM toks WHERE len(t) >= 3),
+       |hx AS (SELECT doc_id, md5(g) AS hh FROM g),
+       |xs AS (SELECT doc_id, ${duckHexInt("hh", 1, 8)} % $p AS x FROM hx),
+       |perms AS (SELECT * FROM (VALUES $minhashPermValues) AS pp(i, a, b)),
+       |sigs AS (SELECT doc_id, i, min((a * x + b) % $p) AS m
+       |         FROM xs CROSS JOIN perms GROUP BY doc_id, i),
+       |sigarr AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigs GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, band, array_to_string(sig[band*4+1:band*4+4], ',') AS bkey
+       |  FROM sigarr CROSS JOIN (SELECT unnest(range(0, 8)) AS band) AS bb),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+       |  FROM banded a JOIN banded b2
+       |    ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id),
+       |est AS (
+       |  SELECT c.a_id, c.b_id,
+       |    round(len(list_filter(range(1, 33), j -> sa.sig[j] = sb.sig[j])) * 1.0 / 32, 3)
+       |      AS est_jaccard
+       |  FROM cand c JOIN sigarr sa ON sa.doc_id = c.a_id
+       |              JOIN sigarr sb ON sb.doc_id = c.b_id)
+       |SELECT a_id, b_id, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** x_dedup_simhash, fully hash-checked: per-token bit-plane votes from
+    * md5 hex digits (token hash = first 16 hex chars of md5 = the native
+    * expression's first-8-bytes-big-endian long), sign-aggregated, banded
+    * 4×16, candidates verified at Hamming ≤ 3 — every stage of the
+    * production pipeline replayed bit-for-bit. */
+  private lazy val simhashOracle: String = {
+    // bit j of the 64-bit token hash lives in hex char 16 - j/4 (1-based
+    // from the left), at in-nibble position j mod 4
+    val bitExpr =
+      "((strpos('0123456789abcdef', substring(h, 16 - j // 4, 1)) - 1) " +
+        ">> (j % 4)) & 1"
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+       |    x -> len(x) > 0)) AS w
+       |  FROM documents),
+       |th AS (SELECT doc_id, substring(md5(w), 1, 16) AS h FROM tok),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    CASE WHEN sum(CASE WHEN $bitExpr = 1 THEN 1 ELSE -1 END) > 0
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS j) AS jj
+       |  GROUP BY doc_id, j),
+       |bands AS (
+       |  SELECT doc_id, j // 16 AS band, sum(bit << (j % 16)) AS band_val
+       |  FROM bits GROUP BY doc_id, j // 16),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+       |  FROM bands a JOIN bands b2
+       |    ON a.band = b2.band AND a.band_val = b2.band_val
+       |   AND a.doc_id < b2.doc_id),
+       |ham AS (
+       |  SELECT c.a_id, c.b_id,
+       |    CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+       |  FROM cand c JOIN bits ba ON ba.doc_id = c.a_id
+       |              JOIN bits bb ON bb.doc_id = c.b_id AND bb.j = ba.j
+       |  GROUP BY c.a_id, c.b_id)
+       |SELECT a_id, b_id, hamming FROM ham WHERE hamming <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** x_txt_winnow, fully hash-checked: the winnow hash is a polynomial
+    * rolling hash whose Scala Long arithmetic wraps mod 2⁶⁴ — HUGEINT
+    * arithmetic with an explicit `% 2^64` (then a signed re-map) replays
+    * it exactly, the window minima come from the same 4-wide sliding
+    * window, and the md5 of the sorted comma-joined set must match the
+    * Spark digest byte-for-byte. ASCII corpus: unicode(char) = byte. */
+  private lazy val winnowOracle: String = {
+    val b = BigInt(1000003)
+    val (b2, b3, b4) = (b.pow(2), b.pow(3), b.pow(4))
+    val m = BigInt(2).pow(64)
+    val half = BigInt(2).pow(63)
+    // ::HUGEINT on every term: b3/b2 fit in BIGINT, so without the cast
+    // DuckDB keeps those products in INT64 and overflows
+    val poly = s"(unicode(substring(text, p, 1))::HUGEINT * $b4 + " +
+      s"unicode(substring(text, p + 1, 1))::HUGEINT * $b3 + " +
+      s"unicode(substring(text, p + 2, 1))::HUGEINT * $b2 + " +
+      s"unicode(substring(text, p + 3, 1))::HUGEINT * $b + " +
+      s"unicode(substring(text, p + 4, 1)))"
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |pos AS (
+       |  SELECT doc_id, text, n - 4 AS ngrams,
+       |         CAST(unnest(range(1, n - 3)) AS INT) AS p
+       |  FROM d WHERE n >= 5),
+       |hv AS (
+       |  SELECT doc_id, ngrams, p,
+       |    CAST(CASE WHEN u >= $half THEN u - $m ELSE u END AS BIGINT) AS h
+       |  FROM (SELECT doc_id, ngrams, p, $poly % $m AS u FROM pos)),
+       |wm AS (
+       |  SELECT doc_id, ngrams, p,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+       |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+       |  FROM hv),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, m FROM wm WHERE ngrams > 4 AND p <= ngrams - 3
+       |  UNION
+       |  SELECT doc_id, min(h) AS m FROM hv WHERE ngrams <= 4 GROUP BY doc_id),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_h,
+       |         array_to_string(list(m ORDER BY m), ',') AS fps
+       |  FROM sel GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(coalesce(a.n_h, 0) AS INT) AS n_hashes,
+       |       md5(coalesce(a.fps, '')) AS fp_md5
+       |FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** Shared CTE prefix for the LSH oracles: hyperplanes → signatures →
     * query/candidate frames. */
@@ -481,6 +624,9 @@ object SparkEntry {
     "x_dedup_exact" ->
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "x_dedup_minhash" -> minhashOracle,
+    "x_dedup_simhash" -> simhashOracle,
+    "x_txt_winnow" -> winnowOracle,
     "x_dedup_jaccard" -> jaccardOracle(0.5),
     // same relation at the strict threshold the prefix filter targets
     "x_dedup_jaccard_pp" -> jaccardOracle(0.9),
@@ -1346,6 +1492,22 @@ object SparkEntry {
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+    // the watermark rule, stated as batch arithmetic: the drive feeds the
+    // corpus in order, then a late batch of (stale first-hour copies,
+    // allowed-late last-hour copies); with the watermark at max - 2h the
+    // stale copies drop and the last-hour copies merge — so the expected
+    // table is hourly counts over events ∪ last-hour events. Any
+    // eviction/lateness deviation moves a count and fails the hash.
+    "x_stream_late" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_type, value FROM events),
+        |mx AS (SELECT max(us) AS mu FROM e),
+        |inp AS (
+        |  SELECT us, event_type, value FROM e
+        |  UNION ALL
+        |  SELECT us, event_type, value FROM e, mx WHERE us >= mu - 3600000000)
+        |SELECT us // 3600000000 AS hour_bucket, event_type, count(*) AS n,
+        |       round(sum(value), 2) AS sum_value
+        |FROM inp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the streaming drive must agree with the batch sliding oracle exactly
     "x_stream_sliding" ->
       """WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_type, value FROM events),
