@@ -20,9 +20,10 @@ import scala.collection.mutable
   * under it chain into one rdf:List per predicate, emitted when that
   * element's subtree completes. Re-establishing the same subject later
   * in the page therefore yields a SEPARATE list — matching the
-  * reference's processor — rather than merging across subtrees. The one
-  * remaining unsupported corner: hanging `rel inlist` completed by
-  * descendant subjects (list membership via incomplete triples).
+  * reference's processor — rather than merging across subtrees. Hanging
+  * `rel inlist` (no object on the rel element) is completed by
+  * descendant subjects in LIST direction per Core §7.5 step 10: each
+  * completing subject appends to the rel element's list.
   *
   * lblod behaviors reproduced:
   *   - `specialHtmlPredicates`: a `property="prov:value"` whose object is
@@ -57,9 +58,13 @@ object RdfaExtractor {
 
   /** An incomplete triple (RDFa Core §7.5 step 10): a `rel`/`rev` without
     * an object on its own element; completed by every descendant that
-    * establishes a new subject. */
+    * establishes a new subject. With `inlist` on the rel element the
+    * direction is "list" (§7.5 step 10's third case): completion appends
+    * the descendant subject to the rel element's list mapping —
+    * `listSink` carries that mapping by reference — instead of emitting
+    * a direct triple. */
   private final case class Pending(subject: String, predicate: String,
-      isRev: Boolean)
+      isRev: Boolean, listSink: Option[ListMap] = None)
 
   private final case class Ctx(
       base: String,
@@ -203,10 +208,18 @@ object RdfaExtractor {
     // fresh blank node, so chained rels compose instead of dropping.
     def complete(withSubject: String): Unit = {
       ctx.pending.foreach { p =>
-        if (p.isRev)
-          out += Quad(toTerm(withSubject), Term.iri(p.predicate), toTerm(p.subject))
-        else
-          out += Quad(toTerm(p.subject), Term.iri(p.predicate), toTerm(withSubject))
+        p.listSink match {
+          case Some(sink) =>
+            // list-direction incomplete triple: the completing subject
+            // joins the rel element's list (document order = append order)
+            sink.getOrElseUpdate((p.subject, p.predicate),
+              mutable.ArrayBuffer[Term]()) += toTerm(withSubject)
+          case None =>
+            if (p.isRev)
+              out += Quad(toTerm(withSubject), Term.iri(p.predicate), toTerm(p.subject))
+            else
+              out += Quad(toTerm(p.subject), Term.iri(p.predicate), toTerm(withSubject))
+        }
       }
       ctx = ctx.copy(pending = Nil, pendingBridge = None)
     }
@@ -237,12 +250,16 @@ object RdfaExtractor {
           revs.foreach(r =>
             out += Quad(toTerm(obj), Term.iri(r), toTerm(relSubject)))
         case None if inlist && rels.nonEmpty && revs.isEmpty =>
-          // rel+inlist with no object and no completing descendants is an
-          // EMPTY list (→ rdf:nil); registering the key here makes that
-          // fall out. (Hanging-rel list completion by descendants is the
-          // documented unsupported corner.)
+          // hanging rel+inlist (§7.5 step 10, list direction): register
+          // the key now — no completing descendant leaves an EMPTY list
+          // (→ rdf:nil) — and hand the subtree list-direction pendings so
+          // every descendant that establishes a subject APPENDS to this
+          // element's list mapping instead of emitting a direct triple.
           rels.foreach(r =>
             localLists.getOrElseUpdate((relSubject, r), mutable.ArrayBuffer[Term]()))
+          childPending = rels.map(
+            Pending(relSubject, _, isRev = false, listSink = Some(localLists)))
+          childBridge = Some(s"_:${counter.fresh()}")
         case None =>
           childPending = rels.map(Pending(relSubject, _, isRev = false)) ++
             revs.map(Pending(relSubject, _, isRev = true))

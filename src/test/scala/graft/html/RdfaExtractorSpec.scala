@@ -236,6 +236,43 @@ class RdfaExtractorSpec extends AnyFunSuite {
       q.obj.termType == Term.Literal))
   }
 
+  test("inlist: hanging rel completed by descendant subjects appends to the list (§7.5 step 10)") {
+    val html =
+      """<div about="http://ex.org/s" prefix="ex: http://ex.org/ns#">
+        |  <div rel="ex:items" inlist>
+        |    <span about="http://ex.org/a">A</span>
+        |    <span about="http://ex.org/b">B</span>
+        |  </div>
+        |  <div rel="ex:empty" inlist></div>
+        |</div>""".stripMargin
+    val quads = RdfaExtractor.extract(html, base)
+    def chain(pred: String): Seq[String] = {
+      val head = quads.find(q => q.subject.value == "http://ex.org/s" &&
+        q.predicate.value == pred).get.obj
+      def follow(node: String, acc: Seq[String]): Seq[String] = {
+        val first = quads.find(q => q.subject.value == node &&
+          q.predicate.value == Vocab.rdfFirst).get.obj.value
+        val rest = quads.find(q => q.subject.value == node &&
+          q.predicate.value == Vocab.rdfRest).get.obj
+        if (rest.value == Vocab.rdfNil) acc :+ first
+        else follow(rest.value, acc :+ first)
+      }
+      follow(head.value, Nil)
+    }
+    // list direction: descendant subjects join the list in document order
+    assert(chain("http://ex.org/ns#items") ==
+      Seq("http://ex.org/a", "http://ex.org/b"))
+    // and no direct (non-list) triples leak out of the completion
+    assert(!quads.exists(q => q.predicate.value == "http://ex.org/ns#items" &&
+      q.subject.value == "http://ex.org/s" &&
+      q.obj.value.startsWith("http://ex.org/")))
+    // a hanging rel inlist with no completing descendants stays an empty
+    // list → rdf:nil
+    val empty = quads.find(q => q.subject.value == "http://ex.org/s" &&
+      q.predicate.value == "http://ex.org/ns#empty").get
+    assert(empty.obj.value == Vocab.rdfNil)
+  }
+
   test("inlist: re-established subject yields a SEPARATE list per subtree (§7.5 step 14)") {
     // two sibling subtrees about the SAME subject: each owns its list
     // mapping, so ex:tags must point at TWO distinct rdf:List heads
