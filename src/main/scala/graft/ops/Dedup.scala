@@ -396,52 +396,30 @@ object Dedup {
     * overflow in 64-bit signed arithmetic on EITHER engine (Spark longs
     * wrap silently; DuckDB BIGINT errors; staying in range sidesteps
     * both). */
-  private[graft] val MinhashP = 2147483647L
+  private[graft] val MinhashP: Long = graft.functions.MinHashSig.P
 
   /** The k seeded linear permutations h_i(x) = (a_i·x + b_i) mod P —
-    * driver-resident constants from a splittable PRNG, so the DuckDB
-    * oracle can embed them as literals and regrow the exact signature
-    * matrix (the hyperplanes-as-literals technique). a_i ∈ [1, P−1]
-    * keeps every map injective on Z_P. */
+    * the EXACT constants the native [[graft.functions.MinHashSig]]
+    * expression evaluates, exposed so the DuckDB oracle can embed them
+    * as literals and regrow the identical signature matrix (the
+    * hyperplanes-as-literals technique). a_i ∈ [1, P−1] keeps every map
+    * injective on Z_P. */
   private[graft] def minhashPerms(k: Int, seed: Long = 42L): Array[(Long, Long)] = {
-    val r = new java.util.SplittableRandom(seed)
-    Array.fill(k)((1L + r.nextLong(MinhashP - 1), r.nextLong(MinhashP)))
+    val flat = graft.functions.MinHashSig.perms(k, seed)
+    Array.tabulate(k)(i => (flat(2 * i), flat(2 * i + 1)))
   }
 
-  /** Oracle-expressible shingle values: word-3-gram strings hashed to
-    * [0, P) via the first 8 hex chars of md5 — `conv(substr(md5(g),1,8))`
-    * here, pure string/strpos arithmetic in DuckDB. Unlike the xxhash64
-    * postings (which only ever feed Spark-side set algebra), these values
-    * must be recomputable by the oracle, which has no xxhash64. Min over
-    * a multiset equals min over the set, so shingle duplicates need no
-    * distinct pass. */
-  private def md5ShinglePostings(docs: DataFrame): DataFrame = {
-    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
-    val grams = transform(sequence(lit(1), size(col("t")) - 2),
-      i => concat_ws(" ", element_at(col("t"), i),
-        element_at(col("t"), i + 1), element_at(col("t"), i + 2)))
-    docs.select(col("doc_id"), toks.as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(grams).as("g"))
+  /** MinHash signatures via the fused native [[graft.functions.MinHashSig]]
+    * expression: md5-derived shingle values (oracle-recomputable — DuckDB
+    * has no xxhash64) through the k seeded permutations, all k minima in
+    * one map-side pass per document. The composed explode→groupBy form
+    * paid a full Exchange of the posting list just to reassemble
+    * per-document rows; here nothing shuffles at all until banding. */
+  private def minhashSignatures(s: SparkSession, d: String, k: Int): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"),
-        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
-          % MinhashP).as("x"))
-  }
-
-  /** MinHash signatures as k seeded linear permutations over md5-derived
-    * shingle values, built from the exploded posting list with k `min`
-    * aggregates — partial aggregation collapses per-document mins
-    * map-side, so only (doc_id, k longs) rows ever shuffle and no nested
-    * array expression sits in the hot path. */
-  private def minhashSignatures(s: SparkSession, d: String, k: Int): DataFrame = {
-    val perms = minhashPerms(k)
-    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("x") + lit(b)) % MinhashP).as(s"m$i") }.toSeq
-    md5ShinglePostings(Tables.documents(s, d))
-      .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-  }
+        graft.functions.MinHashSig(col("text"), k).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** Planted-duplicate corpus: the documents table plus an exact copy of
     * every document at `doc_id + offset` — the deterministic ground truth
@@ -502,12 +480,13 @@ object Dedup {
   def minhashLsh(s: SparkSession, d: String,
       bands: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
-    // no cache(): sig appears three times in the plan, but all three
-    // uses sit above the same aggregate Exchange, which Spark's
-    // ReuseExchange rule deduplicates — caching would pin executor
-    // storage for the session lifetime with no way to unpersist from a
-    // lazily-returned DataFrame.
-    val sig = minhashSignatures(s, d, k)
+    // localCheckpoint: sig appears three times in the plan (banding +
+    // both verification sides), and as a pure map-side projection there
+    // is no aggregate Exchange for ReuseExchange to deduplicate — without
+    // it every reference would re-run the full shingle+signature pass
+    // over the corpus. The materialized table is (doc_id, k longs), tiny
+    // relative to the text it distills (BM25-postings pattern).
+    val sig = minhashSignatures(s, d, k).localCheckpoint()
     val banded = sig.select(col("doc_id"), posexplode(array(
       (0 until bands).map(b =>
         array_join(transform(
