@@ -37,7 +37,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = (SparkEntry.oracleSql ++ SparkEntry.oracleSqlDynamic(spark, sfDir))
+    // a dynamic-oracle failure (e.g. k-means training throwing) must cost
+    // only ITS rows, never the whole oracle file — without the fallback,
+    // one bad entry would leave oracle_sql.json unwritten and silently
+    // zero every query's correctness check
+    val dynamic =
+      try SparkEntry.oracleSqlDynamic(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracles failed: ${e.getMessage}")
+        Map.empty[String, String]
+      }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

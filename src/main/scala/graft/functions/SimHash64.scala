@@ -33,17 +33,36 @@ case class SimHash64(child: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(input: Any): Any =
-    java.lang.Long.valueOf(SimHash64.compute(input.asInstanceOf[UTF8String]))
+  override def nullSafeEval(input: Any): Any = {
+    val out = SimHash64.compute(input.asInstanceOf[UTF8String])
+    if (out == SimHash64.NullSentinel) null else java.lang.Long.valueOf(out)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.SimHash64.compute($c);
+         |if (${ev.value} == graft.functions.SimHash64.NullSentinel())
+         |  { ${ev.isNull} = true; }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
 
 object SimHash64 {
+
+  /** Signals "no tokens" from the primitive-returning hot loop: a
+    * token-less document has NO votes, so its fingerprint is undefined —
+    * a null, not the all-zero word (fp = 0 would band every empty/
+    * whitespace-only document into one giant candidate bucket that a
+    * token-based SQL oracle, which produces no rows for such documents,
+    * can never reproduce). The one real fingerprint equal to the
+    * sentinel (bit 63 alone set) is remapped to sentinel+1 — a 1-bit
+    * perturbation, the [[SignSignature.NullSentinel]] precedent. */
+  def NullSentinel: Long = Long.MinValue
+
   // one MessageDigest per thread: getInstance per token would dominate
   // the hash itself; MD5 instances are not thread-safe but are reusable
   private val md5Local: ThreadLocal[java.security.MessageDigest] =
@@ -66,6 +85,7 @@ object SimHash64 {
   def compute(text: UTF8String): Long = {
     val bytes = text.getBytes
     val counts = new Array[Int](64)
+    var tokens = 0
     var i = 0
     val n = bytes.length
     while (i < n) {
@@ -73,6 +93,7 @@ object SimHash64 {
       val start = i
       while (i < n && !isSpace(bytes(i))) i += 1
       if (i > start) {
+        tokens += 1
         val h = md5Head64(bytes, start, i)
         var b = 0
         while (b < 64) {
@@ -81,17 +102,22 @@ object SimHash64 {
         }
       }
     }
+    if (tokens == 0) return NullSentinel
     var out = 0L
     var b = 0
     while (b < 64) {
       if (counts(b) > 0) out |= (1L << b)
       b += 1
     }
-    out
+    if (out == NullSentinel) NullSentinel + 1 else out
   }
 
+  /** The `\s` class over ASCII — including vertical tab (0x0B), which
+    * regex-based tokenizers (`split("\\s+")`, the SQL oracles' `\s`)
+    * split on; omitting it would tokenize a `\v`-bearing document
+    * differently here than everywhere else. */
   private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f'
+    b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f' || b == 0x0b
 
   def apply(c: Column): Column =
     ColumnBridge.toColumn(SimHash64(ColumnBridge.toExpr(c)))

@@ -249,19 +249,23 @@ object RdfaExtractor {
             else out += Quad(toTerm(relSubject), Term.iri(r), toTerm(obj)))
           revs.foreach(r =>
             out += Quad(toTerm(obj), Term.iri(r), toTerm(relSubject)))
-        case None if inlist && rels.nonEmpty && revs.isEmpty =>
-          // hanging rel+inlist (§7.5 step 10, list direction): register
-          // the key now — no completing descendant leaves an EMPTY list
-          // (→ rdf:nil) — and hand the subtree list-direction pendings so
-          // every descendant that establishes a subject APPENDS to this
-          // element's list mapping instead of emitting a direct triple.
-          rels.foreach(r =>
-            localLists.getOrElseUpdate((relSubject, r), mutable.ArrayBuffer[Term]()))
-          childPending = rels.map(
-            Pending(relSubject, _, isRev = false, listSink = Some(localLists)))
-          childBridge = Some(s"_:${counter.fresh()}")
         case None =>
-          childPending = rels.map(Pending(relSubject, _, isRev = false)) ++
+          // §7.5 step 10: `inlist` puts the hanging RELs in LIST
+          // direction — register each key now (no completing descendant
+          // leaves an EMPTY list → rdf:nil) and hand the subtree
+          // list-direction pendings, so every descendant that
+          // establishes a subject APPENDS to this element's list mapping
+          // instead of emitting a direct triple. REVs on the same
+          // element are unaffected (inlist never applies to rev) and
+          // pend normally — a rel+rev+inlist element hangs both kinds.
+          val listRels = if (inlist) rels else Nil
+          val plainRels = if (inlist) Nil else rels
+          listRels.foreach(r =>
+            localLists.getOrElseUpdate((relSubject, r), mutable.ArrayBuffer[Term]()))
+          childPending =
+            listRels.map(Pending(relSubject, _, isRev = false,
+              listSink = Some(localLists))) ++
+            plainRels.map(Pending(relSubject, _, isRev = false)) ++
             revs.map(Pending(relSubject, _, isRev = true))
           childBridge = Some(s"_:${counter.fresh()}")
       }

@@ -35,6 +35,26 @@ object Retrieval {
     * are forced broadcast. */
   def bm25TopK(s: SparkSession, d: String, k: Int = 3,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val ix = buildIndex(s, d)
+    ix.corpus
+      .join(ix.qterms, "term")
+      .join(ix.df, "term")
+      .join(ix.dl, "doc_id")
+      .crossJoin(broadcast(ix.totals))
+      .select(col("query_id"), col("doc_id"), wMilli(k1, b))
+      .transform(rankTopK(k))
+  }
+
+  /** The one tokenize-once index build shared by the in-memory scorer and
+    * the at-rest writer — the eval-slice convention (`doc_id % 97`) and
+    * the tf/dl/df derivations live HERE only, so the two consumers cannot
+    * drift. Postings rows are unique per (doc_id, term) by construction,
+    * so a plain count IS the document frequency — countDistinct would add
+    * a second dedup aggregation over the largest table for nothing. */
+  private case class Bm25Index(corpus: DataFrame, qterms: DataFrame,
+      dl: DataFrame, df: DataFrame, totals: DataFrame)
+
+  private def buildIndex(s: SparkSession, d: String): Bm25Index = {
     val postings = Tables.documents(s, d)
       .select(col("doc_id"), explode(CorpusPrep.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
@@ -43,35 +63,34 @@ object Retrieval {
     val qterms = postings.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("query_id"), col("term"))
     val corpus = postings.filter(col("doc_id") % 97 =!= 0)
-    val dl = corpus.groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("dl"))
-    // postings rows are unique per (doc_id, term) by construction, so a
-    // plain count IS the document frequency — countDistinct would add a
-    // second dedup aggregation over the largest table for nothing
-    val df = corpus.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
+    val dl = corpus.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = corpus.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val totals = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
-    corpus
-      .join(qterms, "term")
-      .join(df, "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(totals))
-      .select(col("query_id"), col("doc_id"),
-        // constants stay as the LITERALS (k1 + 1, 1 - b evaluated as
-        // double ops, not Scala-folded): the oracle writes the same
-        // expressions, so both engines round identically at every step.
-        // Each per-term weight fixed-points to integer milli-units BEFORE
-        // the sum: the aggregate is then exact integer arithmetic —
-        // order-insensitive under any partitioning (a double sum rounded
-        // after the fact could flip at a .0005 boundary depending on
-        // scan order, silently breaking the hash gate)
-        round(log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
-            (col("df") + lit(0.5))) *
-          (col("tf") * (lit(k1) + lit(1.0))) /
-          (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) +
-            lit(b) * col("dl") / col("avgdl"))) * 1000)
-          .cast("long").as("w_milli"))
+    Bm25Index(corpus, qterms, dl, df, totals)
+  }
+
+  /** The per-(query, doc, term) BM25 weight — ONE definition for both the
+    * in-memory and stored-probe scorers, over whatever frame carries
+    * (tf, df, dl, n_docs, avgdl). Constants stay as the LITERALS (k1 + 1,
+    * 1 - b evaluated as double ops, not Scala-folded): the oracle writes
+    * the same expressions, so both engines round identically at every
+    * step. Each per-term weight fixed-points to integer milli-units
+    * BEFORE the sum: the aggregate is then exact integer arithmetic —
+    * order-insensitive under any partitioning (a double sum rounded after
+    * the fact could flip at a .0005 boundary depending on scan order,
+    * silently breaking the hash gate). */
+  private def wMilli(k1: Double, b: Double) =
+    round(log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5))) *
+      (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) +
+        lit(b) * col("dl") / col("avgdl"))) * 1000)
+      .cast("long").as("w_milli")
+
+  /** Shared milli-sum + per-query rank tail of both scorers. */
+  private def rankTopK(k: Int)(scored: DataFrame): DataFrame =
+    scored
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("w_milli")).as("score_milli"))
       .withColumn("rank", row_number().over(
@@ -80,7 +99,6 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_milli"))
       .orderBy(col("query_id"), col("rank"))
-  }
 
   /** BM25 index AT REST — at 100 TB an index you rebuild per query set
     * isn't an index (r8 finding). One tokenization pass writes:
@@ -100,23 +118,13 @@ object Retrieval {
     * of `documents` — corpus text is never re-tokenized. */
   def writeBm25Index(s: SparkSession, d: String, outDir: String,
       nBuckets: Int = 64): Unit = {
-    val postings = Tables.documents(s, d)
-      .select(col("doc_id"), explode(CorpusPrep.tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    val qterms = postings.filter(col("doc_id") % 97 === 0)
-      .select(col("doc_id").as("query_id"), col("term"))
-    val corpus = postings.filter(col("doc_id") % 97 =!= 0)
-    val dl = corpus.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val df = corpus.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    corpus.join(df, "term").join(dl, "doc_id")
+    val ix = buildIndex(s, d)
+    ix.corpus.join(ix.df, "term").join(ix.dl, "doc_id")
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$outDir/postings")
-    qterms.write.mode("overwrite").parquet(s"$outDir/qterms")
-    dl.agg(count(lit(1)).cast("double").as("n_docs"),
-        avg(col("dl")).as("avgdl"), lit(nBuckets).as("n_buckets"))
+    ix.qterms.write.mode("overwrite").parquet(s"$outDir/qterms")
+    ix.totals.withColumn("n_buckets", lit(nBuckets))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/totals")
   }
 
@@ -131,10 +139,18 @@ object Retrieval {
   def bm25ProbeStored(s: SparkSession, outDir: String, k: Int = 3,
       k1: Double = 1.2, b: Double = 0.75,
       queryIds: Option[Seq[Long]] = None): DataFrame = {
-    val totals = broadcast(s.read.parquet(s"$outDir/totals")
-      .select(col("n_docs"), col("avgdl")))
-    val nBuckets = s.read.parquet(s"$outDir/totals")
-      .select(col("n_buckets")).head().getInt(0)
+    // ONE read of the 1-row totals: n_buckets routes the probe on the
+    // driver; (n_docs, avgdl) re-enter the plan as a literal-built frame
+    val t = s.read.parquet(s"$outDir/totals")
+      .select(col("n_docs"), col("avgdl"), col("n_buckets")).head()
+    val nBuckets = t.getInt(2)
+    val totals = broadcast(s.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(t.getDouble(0), t.getDouble(1))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("avgdl",
+          org.apache.spark.sql.types.DoubleType)))))
     val qtAll = s.read.parquet(s"$outDir/qterms")
     val qt = queryIds.fold(qtAll)(ids =>
       qtAll.filter(col("query_id").isin(ids.map(Long.box): _*)))
@@ -147,20 +163,7 @@ object Retrieval {
       .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
       .join(qt, "term")
       .crossJoin(totals)
-      .select(col("query_id"), col("doc_id"),
-        round(log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
-            (col("df") + lit(0.5))) *
-          (col("tf") * (lit(k1) + lit(1.0))) /
-          (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) +
-            lit(b) * col("dl") / col("avgdl"))) * 1000)
-          .cast("long").as("w_milli"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("w_milli")).as("score_milli"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("score_milli").desc, col("doc_id"))).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("doc_id"), col("score_milli"))
-      .orderBy(col("query_id"), col("rank"))
+      .select(col("query_id"), col("doc_id"), wMilli(k1, b))
+      .transform(rankTopK(k))
   }
 }

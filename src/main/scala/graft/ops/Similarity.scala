@@ -131,6 +131,12 @@ object Similarity {
           if (dot >= 0) sig |= 1L << p
           p += 1
         }
+        // mirror the native expression's sentinel remap (a real 64-plane
+        // signature equal to the null sentinel is flipped on plane 0) —
+        // without it a driver-routed query at nPlanes=64 could probe a
+        // signature directory the store never wrote
+        if (sig == graft.functions.SignSignature.NullSentinel)
+          sig = graft.functions.SignSignature.NullSentinel + 1
         Some((qid, e, sig))
       }
     }.toSeq
@@ -412,17 +418,29 @@ object Similarity {
     kmeans.fit(train).clusterCenters.map(_.toArray)
   }
 
-  /** Trained-centroid cache keyed by (data dir, params): the oracle-SQL
-    * builder and the query path must see BITWISE-identical centroids in
-    * one JVM (train once, serialize the same doubles into the literals
-    * the production assignment scores against). */
+  /** Trained-centroid cache keyed by (data dir, content fingerprint,
+    * params): the oracle-SQL builder and the query path must see
+    * BITWISE-identical centroids in one JVM (train once, serialize the
+    * same doubles into the literals the production assignment scores
+    * against). The fingerprint (part lengths + mtimes — the
+    * StreamDrive.stagedCache rule) keys out in-place rewrites: a corpus
+    * regenerated at the same path must retrain, not silently serve
+    * centroids of the old data. */
   private val centroidCache =
     scala.collection.concurrent.TrieMap
-      .empty[(String, Int, Long), Array[Array[Double]]]
+      .empty[(String, String, Int, Long), Array[Array[Double]]]
+
+  private def sourceFingerprint(path: String): String = {
+    val f = new java.io.File(path)
+    val files =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName) else Seq(f)
+    files.map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
+  }
 
   private[ops] def trainedCentroids(s: SparkSession, d: String,
       nCells: Int, maxTrainRows: Long): Array[Array[Double]] =
-    centroidCache.getOrElseUpdate((d, nCells, maxTrainRows),
+    centroidCache.getOrElseUpdate(
+      (d, sourceFingerprint(s"$d/embeddings.parquet"), nCells, maxTrainRows),
       kmeansCentroids(
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
         nCells, maxTrainRows))
@@ -614,12 +632,23 @@ object Similarity {
     // driver-side quantization with the SAME rule the stored corpus was
     // assigned under (voronoiAssign: rounded cosine desc, lowest cell on
     // ties) — one shared rule, so stored-vs-in-memory parity holds by
-    // construction, not by luck on near-equidistant queries
+    // construction, not by luck on near-equidistant queries. A query the
+    // distributed rule cannot score (width mismatch vs the index's
+    // centroids, zero norm → null cosine) is unroutable and dropped,
+    // mirroring how such rows fall out of every signature path — not an
+    // ArrayIndexOutOfBounds / NaN crash on the driver.
+    val dims = centroids.headOption.map(_.length).getOrElse(0)
     val queryRows = qVecs.flatMap { case (qid, e) =>
-      val ed = e.map(_.toDouble)
-      val cell = centroids.indices
-        .maxBy(c => (roundedCosine(ed, centroids(c)), -c))
-      probeMap(cell).map(p => (qid, e, p))
+      if (e.length != dims) Nil
+      else {
+        val ed = e.map(_.toDouble)
+        if (ed.forall(_ == 0.0)) Nil
+        else {
+          val cell = centroids.indices
+            .maxBy(c => (roundedCosine(ed, centroids(c)), -c))
+          probeMap(cell).map(p => (qid, e, p))
+        }
+      }
     }.toSeq
     val queries = queryRows.toDF("qid", "qe", "probe_cell")
     val probedCells = queryRows.map(_._3).distinct.sorted

@@ -244,6 +244,9 @@ class RdfaExtractorSpec extends AnyFunSuite {
         |    <span about="http://ex.org/b">B</span>
         |  </div>
         |  <div rel="ex:empty" inlist></div>
+        |  <div rel="ex:more" rev="ex:parent" inlist>
+        |    <span about="http://ex.org/c">C</span>
+        |  </div>
         |</div>""".stripMargin
     val quads = RdfaExtractor.extract(html, base)
     def chain(pred: String): Seq[String] = {
@@ -271,6 +274,12 @@ class RdfaExtractorSpec extends AnyFunSuite {
     val empty = quads.find(q => q.subject.value == "http://ex.org/s" &&
       q.predicate.value == "http://ex.org/ns#empty").get
     assert(empty.obj.value == Vocab.rdfNil)
+    // rel+rev+inlist: the rel hangs in LIST direction, the rev hangs
+    // normally — the same completing descendant serves both
+    assert(chain("http://ex.org/ns#more") == Seq("http://ex.org/c"))
+    assert(quads.exists(q => q.subject.value == "http://ex.org/c" &&
+      q.predicate.value == "http://ex.org/ns#parent" &&
+      q.obj.value == "http://ex.org/s"))
   }
 
   test("inlist: re-established subject yields a SEPARATE list per subtree (§7.5 step 14)") {

@@ -278,6 +278,12 @@ class ExtensionsSpec extends SparkSpec {
     assert(fps(0) == fps(1))
     assert(java.lang.Long.bitCount(fps(0) ^ fps(2)) <= 12)
     assert(java.lang.Long.bitCount(fps(0) ^ fps(3)) > 12)
+    // token-less documents have NO votes → null fingerprint, not fp=0
+    // (fp=0 would band every degenerate doc into one candidate bucket
+    // that the token-based oracle can never reproduce)
+    val degen = Seq("", "   \t\n ", "").toDF("text")
+      .select(SimHash64(col("text"))).as[Option[Long]].collect()
+    assert(degen.forall(_.isEmpty), s"degenerate docs must null: ${degen.toSeq}")
   }
 
   test("winnowing: shared substrings yield shared fingerprint hashes") {
