@@ -74,6 +74,13 @@ object SparkEntry {
     "x_sim_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "x_sim_lsh"         -> ((s, d) => Similarity.lshTopK(s, d)),
     "x_sim_ivf"         -> ((s, d) => Similarity.ivfTopK(s, d)),
+    // the SAME pipelines served from their at-rest layouts (write-once
+    // cached per JVM, pruned directory probes) — identical output by the
+    // shared-rule construction, so the identical oracles hash-check the
+    // whole write→prune→probe path, not just in-memory execution
+    "x_sim_lsh_stored"  -> ((s, d) => Similarity.lshStoredQuery(s, d)),
+    "x_sim_ivf_stored"  -> ((s, d) => Similarity.ivfStoredQuery(s, d)),
+    "x_bm25_stored"     -> ((s, d) => Retrieval.bm25StoredQuery(s, d)),
     // measured recall@k of the ANN paths against the exact baseline —
     // hash-checked every run, not just spec'd once (the oracle rebuilds
     // the LSH signatures from the literal hyperplane doubles; the IVF
@@ -313,8 +320,12 @@ object SparkEntry {
     * behind `x_sim_ivf`. [[Verify]] merges these into the dumped
     * oracle_sql.json after running the queries; the static [[oracleSql]]
     * map stays data-independent. */
-  def oracleSqlDynamic(s: SparkSession, d: String): Map[String, String] = Map(
-    "x_sim_ivf" -> Similarity.ivfOracleSql(s, d))
+  def oracleSqlDynamic(s: SparkSession, d: String): Map[String, String] = {
+    // the stored-probe twin is output-identical by construction — one
+    // oracle string, two hash gates (in-memory and at-rest)
+    val ivf = Similarity.ivfOracleSql(s, d)
+    Map("x_sim_ivf" -> ivf, "x_sim_ivf_stored" -> ivf)
+  }
 
   /** A fixed-width hex field of `col` (chars [from, from+len)) as the
     * integer DuckDB expression Σ digit·16^position — the strpos-arithmetic
@@ -454,6 +465,58 @@ object SparkEntry {
        |FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** The x_bm25_topk oracle, shared verbatim by its at-rest stored-probe
+    * twin (output-identical pipelines → one oracle, two gates). */
+  private lazy val bm25Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+      |    x -> len(x) > 0)) AS term
+      |  FROM documents),
+      |postings AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      |qterms AS (
+      |  SELECT DISTINCT doc_id AS query_id, term FROM postings
+      |  WHERE doc_id % 97 = 0),
+      |corpus AS (SELECT * FROM postings WHERE doc_id % 97 <> 0),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM corpus GROUP BY doc_id),
+      |dfr AS (SELECT term, count(DISTINCT doc_id) AS df
+      |        FROM corpus GROUP BY term),
+      |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+      |        FROM dl),
+      |w AS (
+      |  SELECT q.query_id, c.doc_id,
+      |    CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |      (tf * (1.2 + 1.0)) /
+      |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) * 1000)
+      |      AS BIGINT) AS w_milli
+      |  FROM corpus c JOIN qterms q USING (term) JOIN dfr USING (term)
+      |    JOIN dl USING (doc_id), tot),
+      |sc AS (
+      |  SELECT query_id, doc_id,
+      |    CAST(sum(w_milli) AS BIGINT) AS score_milli
+      |  FROM w GROUP BY query_id, doc_id),
+      |r AS (
+      |  SELECT query_id, doc_id, score_milli,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rank
+      |  FROM sc)
+      |SELECT query_id, rank, doc_id, score_milli FROM r WHERE rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** The x_sim_lsh oracle, shared verbatim by its at-rest stored-probe
+    * twin (output-identical pipelines → one oracle, two gates). */
+  private lazy val simLshOracle: String =
+    s"""$lshSigCtes,
+       |scored AS (
+       |  SELECT qid, cid, round(list_cosine_similarity(qe, ce), 4) AS sim
+       |  FROM c JOIN q USING (sig) WHERE qid <> cid),
+       |ranked AS (
+       |  SELECT qid, cid, sim,
+       |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+       |  FROM scored)
+       |SELECT qid, cid, sim, CAST(rn AS BIGINT) AS rn FROM ranked
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
   /** Shared CTE prefix for the LSH oracles: hyperplanes → signatures →
     * query/candidate frames. */
@@ -758,17 +821,9 @@ object SparkEntry {
     // the production LSH path, fully oracle-checked: identical hyperplane
     // doubles → identical signature bits → identical buckets; rescoring
     // and ranking then mirror x_sim_topk's (already-green) arithmetic
-    "x_sim_lsh" ->
-      s"""$lshSigCtes,
-        |scored AS (
-        |  SELECT qid, cid, round(list_cosine_similarity(qe, ce), 4) AS sim
-        |  FROM c JOIN q USING (sig) WHERE qid <> cid),
-        |ranked AS (
-        |  SELECT qid, cid, sim,
-        |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
-        |  FROM scored)
-        |SELECT qid, cid, sim, CAST(rn AS BIGINT) AS rn FROM ranked
-        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "x_sim_lsh" -> simLshOracle,
+    // at-rest twin: same buckets, same rescore — same oracle
+    "x_sim_lsh_stored" -> simLshOracle,
     // measured recall@k: |LSH top-k ∩ exact top-k| per query — the
     // x_emb_slice agreement pattern applied to the production ANN path
     "x_lsh_recall" ->
@@ -1312,41 +1367,10 @@ object SparkEntry {
     // BM25 constants written as the same literal double ops as the Spark
     // side (k1 + 1, 1 - b unfolded) so both engines round identically;
     // score fixed-pointed to milli-units, rank on the integer
-    "x_bm25_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
-        |    x -> len(x) > 0)) AS term
-        |  FROM documents),
-        |postings AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-        |qterms AS (
-        |  SELECT DISTINCT doc_id AS query_id, term FROM postings
-        |  WHERE doc_id % 97 = 0),
-        |corpus AS (SELECT * FROM postings WHERE doc_id % 97 <> 0),
-        |dl AS (SELECT doc_id, sum(tf) AS dl FROM corpus GROUP BY doc_id),
-        |dfr AS (SELECT term, count(DISTINCT doc_id) AS df
-        |        FROM corpus GROUP BY term),
-        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
-        |        FROM dl),
-        |w AS (
-        |  SELECT q.query_id, c.doc_id,
-        |    CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
-        |      (tf * (1.2 + 1.0)) /
-        |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) * 1000)
-        |      AS BIGINT) AS w_milli
-        |  FROM corpus c JOIN qterms q USING (term) JOIN dfr USING (term)
-        |    JOIN dl USING (doc_id), tot),
-        |sc AS (
-        |  SELECT query_id, doc_id,
-        |    CAST(sum(w_milli) AS BIGINT) AS score_milli
-        |  FROM w GROUP BY query_id, doc_id),
-        |r AS (
-        |  SELECT query_id, doc_id, score_milli,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rank
-        |  FROM sc)
-        |SELECT query_id, rank, doc_id, score_milli FROM r WHERE rank <= 3
-        |ORDER BY query_id, rank""".stripMargin,
+    "x_bm25_topk" -> bm25Oracle,
+    // at-rest twin: stored postings carry the same tf/df/dl/totals the
+    // in-memory build derives — same scores, same oracle
+    "x_bm25_stored" -> bm25Oracle,
     "x_ngram_topk" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t

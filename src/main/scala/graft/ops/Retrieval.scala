@@ -128,6 +128,17 @@ object Retrieval {
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/totals")
   }
 
+  /** The at-rest BM25 pipeline as ONE driver-checkable query: write the
+    * term-bucketed index (cached per JVM via [[Similarity.cachedStore]]),
+    * then probe it. Output is identical to [[bm25TopK]] by the shared
+    * build/weight/rank construction, so the same hash-checked oracle
+    * pins write→prune→probe end to end. */
+  def bm25StoredQuery(s: SparkSession, d: String): DataFrame = {
+    val out = Similarity.cachedStore("bm25", d, s"$d/documents.parquet")(
+      writeBm25Index(s, d, _))
+    bm25ProbeStored(s, out)
+  }
+
   /** Probe the stored BM25 index: identical scoring arithmetic to
     * [[bm25TopK]] (same literal constants, same milli-unit fixed point,
     * same rank order), but every input comes from the index — the probe

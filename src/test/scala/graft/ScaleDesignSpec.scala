@@ -254,6 +254,7 @@ class ScaleDesignSpec extends SparkSpec {
       "x_lsh_recall", "x_ivf_recall")    // recall rows embed the brute-force side by design
     val boundedBnlj = Set(
       "x_bm25_topk",      // ONE 1-row (n_docs, avgdl) totals cross join — pinned by its own test
+      "x_bm25_stored",    // same 1-row totals cross join, served from the stored index
       "x_pmi_bigrams",    // 1-row unigram/bigram totals cross joins — pinned by its own test
       "x_tfidf_top",      // 1-row n_docs cross join — hint audit pinned by its own test
       "x_quality_lm",     // 1-row grand-total cross join (surprisal denominator)
