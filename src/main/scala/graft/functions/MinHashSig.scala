@@ -22,8 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * P (P = 2³¹−1), h_i(x) = (a_i·x + b_i) mod P with the seeded
   * [[MinHashSig.perms]] constants, signature i = min over the shingle
   * MULTISET (min over multiset = min over set, so no dedup pass).
-  * Tokenization is maximal runs of non-`\s` bytes (including 0x0B,
-  * matching `split("\\s+")` and the oracle's regex class).
+  * Tokenization is maximal runs of non-whitespace bytes under RE2's
+  * `\s` class (the oracle's regex engine — see [[SimHash64]].isSpace).
   *
   * Documents with fewer than n tokens have no shingles and therefore no
   * signature: null (callers filter, mirroring the oracle's
@@ -87,9 +87,11 @@ object MinHashSig {
   private val md5Local: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 
-  /** `\s` over ASCII bytes, vertical tab included (SimHash64 precedent). */
+  /** RE2's `\s` class — `[\t\n\f\r ]`, no vertical tab: the DuckDB
+    * oracle's regex engine is RE2, and the oracle is the parity partner
+    * (SimHash64.isSpace carries the full reasoning). */
   private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f' || b == 0x0b
+    b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f'
 
   def compute(text: UTF8String, k: Int, n: Int, seed: Long): ArrayData = {
     val bytes = text.getBytes

@@ -112,12 +112,13 @@ object SimHash64 {
     if (out == NullSentinel) NullSentinel + 1 else out
   }
 
-  /** The `\s` class over ASCII — including vertical tab (0x0B), which
-    * regex-based tokenizers (`split("\\s+")`, the SQL oracles' `\s`)
-    * split on; omitting it would tokenize a `\v`-bearing document
-    * differently here than everywhere else. */
+  /** RE2's `\s` class — `[\t\n\f\r ]`, NO vertical tab. The parity
+    * partner for every fingerprint is the DuckDB oracle, whose regex
+    * engine is RE2; Java's `\s` additionally matches 0x0B, so matching
+    * Java here would tokenize a `\v`-bearing document differently from
+    * the oracle and silently break the hash gate on exactly that input. */
   private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f' || b == 0x0b
+    b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f'
 
   def apply(c: Column): Column =
     ColumnBridge.toColumn(SimHash64(ColumnBridge.toExpr(c)))

@@ -485,8 +485,12 @@ object Dedup {
     // is no aggregate Exchange for ReuseExchange to deduplicate — without
     // it every reference would re-run the full shingle+signature pass
     // over the corpus. The materialized table is (doc_id, k longs), tiny
-    // relative to the text it distills (BM25-postings pattern).
-    val sig = minhashSignatures(s, d, k).localCheckpoint()
+    // relative to the text it distills (BM25-postings pattern). LAZY
+    // (eager = false): building this DataFrame must not run a Spark job —
+    // the plan-shape sweep and the oracle dump construct every registered
+    // query without executing it; the checkpoint materializes on first
+    // action and is reused by all three references.
+    val sig = minhashSignatures(s, d, k).localCheckpoint(eager = false)
     val banded = sig.select(col("doc_id"), posexplode(array(
       (0 until bands).map(b =>
         array_join(transform(

@@ -154,6 +154,13 @@ object Retrieval {
     // driver; (n_docs, avgdl) re-enter the plan as a literal-built frame
     val t = s.read.parquet(s"$outDir/totals")
       .select(col("n_docs"), col("avgdl"), col("n_buckets")).head()
+    if (t.isNullAt(1)) {
+      // an index over a corpus with no non-eval documents has no avgdl:
+      // nothing can score — an empty result, not a driver NPE
+      import s.implicits._
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("query_id", "rank", "doc_id", "score_milli")
+    }
     val nBuckets = t.getInt(2)
     val totals = broadcast(s.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(t.getDouble(0), t.getDouble(1))),

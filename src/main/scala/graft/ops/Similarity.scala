@@ -430,17 +430,11 @@ object Similarity {
     scala.collection.concurrent.TrieMap
       .empty[(String, String, Int, Long), Array[Array[Double]]]
 
-  private def sourceFingerprint(path: String): String = {
-    val f = new java.io.File(path)
-    val files =
-      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName) else Seq(f)
-    files.map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
-  }
-
   private[ops] def trainedCentroids(s: SparkSession, d: String,
       nCells: Int, maxTrainRows: Long): Array[Array[Double]] =
     centroidCache.getOrElseUpdate(
-      (d, sourceFingerprint(s"$d/embeddings.parquet"), nCells, maxTrainRows),
+      (d, graft.Scaffold.fingerprint(s"$d/embeddings.parquet"),
+        nCells, maxTrainRows),
       kmeansCentroids(
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
         nCells, maxTrainRows))
@@ -456,12 +450,21 @@ object Similarity {
     * at-rest write, stored-probe routing, DuckDB oracle) shares: nearest
     * centroid by rounded cosine, lowest cell id on ties. The centroid
     * table is broadcast; max(struct) is partially aggregable, so only
-    * (vec_id, winner) rows shuffle — embeddings never do. */
+    * (vec_id, winner) rows shuffle — embeddings never do.
+    *
+    * Unscorable rows — null/zero-norm embeddings or a width different
+    * from the centroids' (cosine null for every centroid) — are OUTSIDE
+    * the indexed domain and dropped here, on every path alike: without
+    * the filter they would fall through max(struct)'s null ordering into
+    * an arbitrary cell on the distributed side while the driver-routed
+    * probe (which cannot score them either) drops them, silently
+    * breaking stored-vs-in-memory twin parity on mixed corpora. */
   private[ops] def voronoiAssign(emb: DataFrame, cent: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("embedding"),
         round(CosineSimilarity(col("embedding"), col("cent_e")), 4).as("csim"),
         col("cell"))
+      .filter(col("csim").isNotNull)
       .groupBy(col("vec_id"))
       .agg(first(col("embedding")).as("embedding"),
         max(struct(col("csim"), (-col("cell")).as("neg_id"))).as("w"))
@@ -559,8 +562,12 @@ object Similarity {
     val probeVals = probeMap.toSeq.sortBy(_._1).flatMap { case (c, ps) =>
       ps.map(p => s"($c, $p)")
     }.mkString(", ")
+    val dims = centroids.headOption.map(_.length).getOrElse(0)
     s"""WITH cent AS (SELECT * FROM (VALUES $centVals) AS t(cell, ce)),
-       |e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+       |      WHERE embedding IS NOT NULL AND len(embedding) = $dims
+       |        AND list_aggregate(list_transform(embedding::DOUBLE[],
+       |              v -> abs(v)), 'max') > 0),
        |assigned AS (SELECT vec_id, x, cell FROM (
        |  SELECT e.vec_id, e.x, c.cell,
        |    row_number() OVER (PARTITION BY e.vec_id
@@ -611,9 +618,12 @@ object Similarity {
 
   private[ops] def cachedStore(kind: String, d: String, src: String)(
       write: String => Unit): String =
-    storeCache.getOrElseUpdate((kind, d, sourceFingerprint(src)), {
-      val dir = java.nio.file.Files
-        .createTempDirectory(s"graft-$kind-store").toString
+    storeCache.getOrElseUpdate((kind, d, graft.Scaffold.fingerprint(src)), {
+      // registered for exit cleanup BEFORE the cache insert: TrieMap may
+      // evaluate racing thunks more than once, and a losing thread's dir
+      // must still be removed (Scaffold tracks dirs, not cache winners)
+      val dir = graft.Scaffold.cleanupOnExit(java.nio.file.Files
+        .createTempDirectory(s"graft-$kind-store").toString)
       write(dir)
       dir
     })

@@ -37,32 +37,6 @@ object StreamDrive {
   private val stagedCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Staged temp dirs, removed on JVM exit (they are pure scaffolding;
-    * an sbt test+verify+bench session would otherwise accrete one copy
-    * of the corpus per drive shape in /tmp). */
-  private val stagedDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  Runtime.getRuntime.addShutdownHook(new Thread(() => {
-    stagedDirs.forEach { d =>
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(d))
-    }
-  }))
-
-  /** Content fingerprint of a parquet file or directory: sorted part
-    * names with lengths and mtimes. Cheap (a directory listing), and any
-    * rewrite — even same-size — bumps an mtime. */
-  private def fingerprint(path: String): String = {
-    val f = new java.io.File(path)
-    val files =
-      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName) else Seq(f)
-    files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
-      .mkString("|")
-  }
-
   /** Give the staged part files strictly increasing modification times in
     * lexicographic name order (range order for `repartitionByRange`
     * output, sentinels-last for the session drive). The file stream
@@ -102,9 +76,9 @@ object StreamDrive {
       orderCol: String, nFiles: Int = 3,
       extraFiles: String => Unit = _ => ()): String =
     stagedCache.computeIfAbsent(
-      s"$srcPath#$shape#${fingerprint(srcPath)}", _ => {
-        val dir = Files.createTempDirectory("graft-stream-split").toString
-        stagedDirs.add(dir)
+      s"$srcPath#$shape#${graft.Scaffold.fingerprint(srcPath)}", _ => {
+        val dir = graft.Scaffold.cleanupOnExit(
+          Files.createTempDirectory("graft-stream-split").toString)
         input.repartitionByRange(nFiles, col(orderCol))
           .write.mode("overwrite").parquet(dir)
         extraFiles(dir)

@@ -281,9 +281,15 @@ class ExtensionsSpec extends SparkSpec {
     // token-less documents have NO votes → null fingerprint, not fp=0
     // (fp=0 would band every degenerate doc into one candidate bucket
     // that the token-based oracle can never reproduce)
-    val degen = Seq("", "   \t\n ", "").toDF("text")
+    val degen = Seq("", "   \t\n ", " \f ").toDF("text")
       .select(SimHash64(col("text"))).as[Option[Long]].collect()
     assert(degen.forall(_.isEmpty), s"degenerate docs must null: ${degen.toSeq}")
+    // vertical tab is NOT whitespace under RE2 (the oracle engine's \s
+    // class) → a \u000B-only doc is one real token and must fingerprint,
+    // exactly as the DuckDB oracle would
+    val vtab = Seq("\u000b").toDF("text")
+      .select(SimHash64(col("text"))).as[Option[Long]].collect()
+    assert(vtab.head.isDefined, "\\v-only doc must fingerprint (RE2 \\s excludes it)")
   }
 
   test("winnowing: shared substrings yield shared fingerprint hashes") {
