@@ -24,8 +24,13 @@ object Bench {
     // disable by pointing SPARK_GRAFT_WARMUP_DIR at a missing path.
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
       "/root/testdata/sf0.001")
+    // (subset filter declared early so warmup and timing agree on scope)
+    val onlyEnv = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val warmupQueries = SparkEntry.queries.filter {
+      case (n, _) => onlyEnv.forall(_.contains(n)) }
     if (new java.io.File(warmupDir).isDirectory) {
-      val failed = SparkEntry.queries.count { case (_, fn) =>
+      val failed = warmupQueries.count { case (_, fn) =>
         try { fn(spark, warmupDir).count(); false }
         catch { case scala.util.control.NonFatal(_) => true }
       }
@@ -33,7 +38,7 @@ object Bench {
       // not pass silently is a warmup that largely didn't happen (e.g. a
       // dir that exists but lacks the parquet tables → cold timings)
       if (failed > 0)
-        System.err.println(s"BENCH WARN $failed/${SparkEntry.queries.size} " +
+        System.err.println(s"BENCH WARN $failed/${warmupQueries.size} " +
           s"warmup queries failed on $warmupDir; affected plans are timed cold")
     } else // a skipped warmup must be visible: the total is then cold-start
       System.err.println(s"BENCH WARN warmup dir $warmupDir missing; " +
@@ -84,7 +89,11 @@ object Bench {
     }
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     require(nRuns >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $nRuns")
+    // Dev-only subset filter (comma-separated names, see warmup above):
+    // iterate on one query family without paying the full 98-query pass.
+    // The driver never sets it, so round benches always time the whole set.
     val names = SparkEntry.queries.keys.toSeq
+      .filter(n => onlyEnv.forall(_.contains(n)))
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     val errs = scala.collection.mutable.Map[String, Throwable]()

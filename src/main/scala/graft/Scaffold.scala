@@ -7,14 +7,41 @@ package graft
   * rely on them. */
 private[graft] object Scaffold {
 
-  /** Content fingerprint of a parquet file or directory: sorted part
-    * names with lengths and mtimes. Cheap (a directory listing), and any
-    * rewrite — even same-size — bumps an mtime. */
+  /** Content fingerprint of a parquet file or directory: file count plus
+    * sorted part names with lengths, mtimes, and a head/tail byte probe.
+    * The probe (first+last 16 bytes per part — for parquet, the magic and
+    * the footer length + magic) closes the mtime-granularity hole: an
+    * in-place same-length rewrite landing in the same lastModified tick
+    * (ms, or whole seconds on some filesystems) still changes the footer
+    * metadata offset with near-certainty. Still cheap: one listing plus
+    * two small reads per part. */
   def fingerprint(path: String): String = {
     val f = new java.io.File(path)
     val files =
       if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName) else Seq(f)
-    files.map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
+    val parts = files.map(x =>
+      s"${x.getName}:${x.length}:${x.lastModified}:${headTailProbe(x)}")
+    s"n=${files.size}|" + parts.mkString("|")
+  }
+
+  /** Hex of the first and last 16 bytes of a regular file (empty for
+    * directories / unreadable files — their children are listed by the
+    * caller's own fingerprints where relevant). */
+  private def headTailProbe(f: java.io.File): String = {
+    if (!f.isFile) return ""
+    try {
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        val n = raf.length()
+        def read(at: Long, len: Int): Array[Byte] = {
+          val buf = new Array[Byte](len)
+          raf.seek(at); raf.readFully(buf); buf
+        }
+        val head = read(0, math.min(16L, n).toInt)
+        val tail = read(math.max(0L, n - 16), math.min(16L, n).toInt)
+        (head ++ tail).map(b => f"${b & 0xff}%02x").mkString
+      } finally raf.close()
+    } catch { case scala.util.control.NonFatal(_) => "unreadable" }
   }
 
   private val cleanupDirs =

@@ -193,6 +193,8 @@ object SparkEntry {
     // relationally (see ExtractPipeline.pipelineSummary); exact triple
     // semantics are additionally pinned by golden fixtures in the specs.
     "rdfa_pipeline"     -> ((s, d) => graft.pipeline.ExtractPipeline.pipelineSummary(s, d)),
+    // G2 quad-rewrite + side-table parity, content URI = md5 of payload
+    "rdfa_externalize"  -> ((s, d) => graft.pipeline.ExtractPipeline.externalizeSummary(s, d)),
   )
 
   /** Shared quad-table CTE for the t_* oracles. */
@@ -345,9 +347,10 @@ object SparkEntry {
 
   /** x_dedup_minhash, fully hash-checked: the oracle regrows the exact
     * signature matrix — md5-derived shingle values mod P, the literal
-    * permutation constants, per-band rendered keys, and the
-    * signature-estimated Jaccard — so banding's candidate graph AND its
-    * misses are pinned, not just the happy path. */
+    * permutation constants, per-band packed-BIGINT keys (pairs of minima
+    * as hi·2³¹+lo, the same injective arithmetic the Spark side joins
+    * on), and the signature-estimated Jaccard — so banding's candidate
+    * graph AND its misses are pinned, not just the happy path. */
   private lazy val minhashOracle: String = {
     val p = graft.ops.Dedup.MinhashP
     s"""WITH toks AS (
@@ -364,12 +367,15 @@ object SparkEntry {
        |         FROM xs CROSS JOIN perms GROUP BY doc_id, i),
        |sigarr AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigs GROUP BY doc_id),
        |banded AS (
-       |  SELECT doc_id, band, array_to_string(sig[band*4+1:band*4+4], ',') AS bkey
+       |  SELECT doc_id, band,
+       |    sig[band*4+1] * 2147483648 + sig[band*4+2] AS bk1,
+       |    sig[band*4+3] * 2147483648 + sig[band*4+4] AS bk2
        |  FROM sigarr CROSS JOIN (SELECT unnest(range(0, 8)) AS band) AS bb),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
        |  FROM banded a JOIN banded b2
-       |    ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id),
+       |    ON a.band = b2.band AND a.bk1 = b2.bk1 AND a.bk2 = b2.bk2
+       |   AND a.doc_id < b2.doc_id),
        |est AS (
        |  SELECT c.a_id, c.b_id,
        |    round(len(list_filter(range(1, 33), j -> sa.sig[j] = sb.sig[j])) * 1.0 / 32, 3)
@@ -384,7 +390,11 @@ object SparkEntry {
     * md5 hex digits (token hash = first 16 hex chars of md5 = the native
     * expression's first-8-bytes-big-endian long), sign-aggregated, banded
     * 4×16, candidates verified at Hamming ≤ 3 — every stage of the
-    * production pipeline replayed bit-for-bit. */
+    * production pipeline replayed bit-for-bit, INCLUDING the
+    * [[graft.functions.SimHash64.NullSentinel]] remap: a fingerprint
+    * whose only set bit is bit 63 (P ≈ 2⁻⁶⁴ per doc) gets bit 0 flipped
+    * on the Spark side, so the `sent`/`bits` CTEs apply the identical
+    * flip before banding AND Hamming. */
   private lazy val simhashOracle: String = {
     // bit j of the 64-bit token hash lives in hex char 16 - j/4 (1-based
     // from the left), at in-nibble position j mod 4
@@ -396,12 +406,20 @@ object SparkEntry {
        |    x -> len(x) > 0)) AS w
        |  FROM documents),
        |th AS (SELECT doc_id, substring(md5(w), 1, 16) AS h FROM tok),
-       |bits AS (
+       |rawbits AS (
        |  SELECT doc_id, j,
        |    CASE WHEN sum(CASE WHEN $bitExpr = 1 THEN 1 ELSE -1 END) > 0
        |         THEN 1 ELSE 0 END AS bit
        |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS j) AS jj
        |  GROUP BY doc_id, j),
+       |sent AS (
+       |  SELECT doc_id FROM rawbits GROUP BY doc_id
+       |  HAVING sum(bit) = 1
+       |     AND sum(CASE WHEN j = 63 THEN bit ELSE 0 END) = 1),
+       |bits AS (
+       |  SELECT b.doc_id, b.j,
+       |    CASE WHEN s.doc_id IS NOT NULL AND b.j = 0 THEN 1 ELSE b.bit END AS bit
+       |  FROM rawbits b LEFT JOIN sent s ON s.doc_id = b.doc_id),
        |bands AS (
        |  SELECT doc_id, j // 16 AS band, sum(bit << (j % 16)) AS band_val
        |  FROM bits GROUP BY doc_id, j // 16),
@@ -905,6 +923,16 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_corrected,
         |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_invalid
         |FROM documents ORDER BY url""".stripMargin,
+    // G2: the %3 pages' rdf:HTML payload is arithmetic in (doc_id, text),
+    // so the externalized content AND its md5-minted file URI are
+    // relationally derivable — DuckDB recomputes the innerHtml
+    // serialization ('<p>…</p>') and the content hash byte-for-byte.
+    "rdfa_externalize" ->
+      """SELECT 'http://harvest.example.org/page/' || doc_id AS url,
+        |  'http://data.lblod.info/id/files/' ||
+        |    md5('<p>' || substring(text, 1, 20) || '</p>') AS file_uri,
+        |  '<p>' || substring(text, 1, 20) || '</p>' AS content
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY url""".stripMargin,
     "x_emb_slice" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
         |c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),

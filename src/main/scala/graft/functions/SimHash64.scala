@@ -60,7 +60,10 @@ object SimHash64 {
     * token-based SQL oracle, which produces no rows for such documents,
     * can never reproduce). The one real fingerprint equal to the
     * sentinel (bit 63 alone set) is remapped to sentinel+1 — a 1-bit
-    * perturbation, the [[SignSignature.NullSentinel]] precedent. */
+    * perturbation, the [[SignSignature.NullSentinel]] precedent — and
+    * the x_dedup_simhash DuckDB oracle mirrors exactly this flip (its
+    * `sent` CTE) before banding and Hamming, so the remap is
+    * hash-gate-checked, not a documented divergence. */
   def NullSentinel: Long = Long.MinValue
 
   // one MessageDigest per thread: getInstance per token would dominate

@@ -51,14 +51,16 @@ object ExtractPipeline {
   /** G2 (lib/rdfa-extractor.js:26-44): extractedDecisionContent objects
     * typed rdf:HTML are externalized — the quad keeps a deterministic
     * content-addressed file URI (the reference mints a uuid; content
-    * hashing keeps golden tests stable and makes re-runs idempotent),
-    * and the HTML bodies become a side table for the file sink. */
+    * hashing keeps golden tests stable and makes re-runs idempotent; md5
+    * rather than sha1 so the rdfa_externalize DuckDB oracle can recompute
+    * the URI — DuckDB has no sha1), and the HTML bodies become a side
+    * table for the file sink. */
   private def isExternalizable = col("predicate.value") === Vocab.extractedDecisionContent &&
     col("obj.datatype") === Vocab.rdfHTML
 
   def externalizeHtml(quads: DataFrame): (DataFrame, DataFrame) = {
     val fileUri = concat(lit("http://data.lblod.info/id/files/"),
-      sha1(col("obj.value")))
+      md5(col("obj.value")))
     val rewritten = quads.withColumn("obj",
       when(isExternalizable,
         struct(lit(Term.NamedNode).as("termType"), fileUri.as("value"),
@@ -148,7 +150,7 @@ object ExtractPipeline {
   }
 
   /** K1-for-HTML (lib/file-helpers.js:88-101 via rdfa-extractor.js:31-38):
-    * write each externalized decision body as its own `<sha1>.html` file.
+    * write each externalized decision body as its own `<md5>.html` file.
     * One file per row by contract (the reference writes one content.html
     * per extracted object), so this is a `foreachPartition` writer — the
     * only imperative sink in the pipeline, and per-partition parallel. */
@@ -229,4 +231,29 @@ object ExtractPipeline {
         sum(when(col("verdict") === "corrected", 1L).otherwise(0L)).as("n_corrected"),
         sum(when(col("verdict") === "invalid", 1L).otherwise(0L)).as("n_invalid"))
       .orderBy(col("url"))
+
+  /** Driver-contract query for the G2 rewrite itself (rdfa_externalize):
+    * every %3 synthetic page carries a `prov:value` div typed `rdf:HTML`
+    * that the extractor rewires to `extractedDecisionContent` and
+    * [[externalizeHtml]] externalizes. The row joins BOTH sides of the
+    * split — the rewritten quad's NamedNode object (now the
+    * content-addressed file URI) and the side table's payload, matched on
+    * (file_uri, url) so identical payloads on different pages (sf0.1 has
+    * duplicate-text groups) cannot fan out. The oracle recomputes
+    * `md5('<p>' || substring(text,1,20) || '</p>')` relationally, so a
+    * regression in the RDFa walk, the specialHtmlPredicates rewiring, the
+    * innerHtml serialization, OR the URI minting breaks the hash gate. */
+  def externalizeSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = extractQuads(spark, syntheticPages(spark, sfDir))
+    val (rewritten, htmlFiles) = externalizeHtml(raw)
+    val rewired = rewritten
+      .filter(col("predicate.value") === Vocab.extractedDecisionContent &&
+        col("obj.termType") === Term.NamedNode)
+      .select(col("url"), col("obj.value").as("file_uri"))
+    rewired
+      .join(htmlFiles.withColumnRenamed("derived_from", "url"),
+        Seq("file_uri", "url"))
+      .select(col("url"), col("file_uri"), col("content"))
+      .orderBy(col("url"))
+  }
 }

@@ -251,12 +251,29 @@ object StreamDrive {
         val raw = s.read.parquet(src)
         val r = raw.agg(min(expr("ts div 1000")), max(expr("ts div 1000"))).head()
         val (minUs, maxUs) = (r.getLong(0), r.getLong(1))
+        // The oracle derives "stale" from the FIRST corpus hour and
+        // "allowed-late" from the LAST; both are only meaningful against
+        // the 2h watermark cut when the corpus spans enough hours that
+        // the two filters cannot overlap and every first-hour window end
+        // falls below max(ts) − 2h. A regenerated smaller corpus must
+        // fail fast here, not as an undiagnosable hash mismatch.
+        require(maxUs - minUs >= 4 * hourUs,
+          s"x_stream_late needs an events corpus spanning >= 4h " +
+            s"(got ${(maxUs - minUs) / 3600e6} h); the first-hour 'stale' " +
+            "batch and last-hour 'late' batch would otherwise overlap the " +
+            "watermark cut and the batch oracle no longer models eviction")
         def writeExtra(frame: DataFrame, name: String): Unit = {
-          val tmp = Files.createTempDirectory("graft-late").toString
+          // registered for exit cleanup BEFORE use (only the part file is
+          // moved out; the dir with its _SUCCESS marker would otherwise
+          // leak per drive invocation), and removed eagerly after the
+          // move — exit cleanup is the exception path.
+          val tmp = graft.Scaffold.cleanupOnExit(
+            Files.createTempDirectory("graft-late").toString)
           frame.coalesce(1).write.mode("overwrite").parquet(tmp)
           val part = new java.io.File(tmp).listFiles()
             .find(_.getName.startsWith("part-")).get
           Files.move(part.toPath, Paths.get(dir, name))
+          graft.Scaffold.deleteRecursively(new java.io.File(tmp))
         }
         writeExtra(
           raw.filter(expr("ts div 1000") < minUs + hourUs)

@@ -106,7 +106,7 @@ class ExtractPipelineSpec extends SparkSpec {
     assert(f.head._3 == "https://example.org/zitting/1")
   }
 
-  test("html file sink writes one <sha1>.html per externalized object (G2/K1)") {
+  test("html file sink writes one <md5>.html per externalized object (G2/K1)") {
     val raw = ExtractPipeline.extractQuads(spark, pages)
     val (_, files) = ExtractPipeline.externalizeHtml(raw)
     val outDir = java.nio.file.Files.createTempDirectory("html-sink").toString
