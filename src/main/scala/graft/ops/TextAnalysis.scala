@@ -129,18 +129,23 @@ object TextAnalysis {
     * text column is read once. */
   def corpusSummary(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val kept = qualityScores(s, d).filter(col("keep")).select("doc_id")
+    // carry n_tokens out of the quality stage instead of re-running the
+    // \S+ matchCount over every surviving body in the final aggregate:
+    // the count is whitespace-defined, so lower() in qualityScores cannot
+    // change it, and the corpus-sized regex pass runs once, not twice
+    val kept = qualityScores(s, d).filter(col("keep"))
+      .select(col("doc_id"), col("n_tokens"))
     val exactSurvivors = Dedup.exact(s, d).select(col("keep_id").as("doc_id"))
     val clusterSurvivors = Dedup.nearDupClusters(s, d)
       .filter(col("doc_id") === col("cluster_id")).select("doc_id")
     docs
-      .join(kept, Seq("doc_id"), "left_semi")
+      .join(kept, Seq("doc_id"))
       .join(exactSurvivors, Seq("doc_id"), "left_semi")
       .join(clusterSurvivors, Seq("doc_id"), "left_semi")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text"))).as("sum_chars"),
-        sum(matchCount(col("text"), "(\\S+)").cast("long")).as("sum_tokens"))
+        sum(col("n_tokens").cast("long")).as("sum_tokens"))
       .orderBy(col("lang"))
   }
 

@@ -13,6 +13,64 @@ class ScaleDesignSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.01"
 
+  /** Partition count + filter presence of the (sole) pruned scan over the
+    * stored corpus/postings directory in `df`'s plan. */
+  private def prunedScan(df: org.apache.spark.sql.DataFrame,
+      dirToken: String): (Int, Boolean) = {
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains(dirToken)) => f
+    }
+    assert(scans.nonEmpty, s"no file scan over $dirToken found")
+    (scans.head.selectedPartitions.partitionCount,
+      scans.head.partitionFilters.nonEmpty)
+  }
+
+  test("stored-probe parity sweep: LSH and IVF stay pruned and exact at 512-1024 queries") {
+    // The serving contract is verified at nQueries=8 by the *_stored
+    // correctness rows; this sweep drives the driver-routing path toward
+    // maxDriverQueries (512 at sf0.01 = the whole 500-vector table; 1024
+    // genuine queries at sf0.1) and asserts BOTH halves of the contract
+    // hold as the probed-bucket set grows toward all buckets:
+    //   1. exact row parity with the distributed in-memory twin;
+    //   2. the stored-corpus scan still prunes BY PARTITION FILTER — the
+    //      isin list growing with the query set must never degenerate the
+    //      read into an unfiltered full scan, and the partitions read
+    //      never exceed the buckets the queries actually probe.
+    for ((dir, nq) <- Seq((sf, 512), ("/root/testdata/sf0.1", 1024))) {
+      val lshOut = java.nio.file.Files.createTempDirectory("graft-lshsweep").toString
+      Similarity.writeLshPartitioned(spark, dir, lshOut)
+      val lshProbe = Similarity.lshProbeStored(spark, dir, lshOut, nQueries = nq)
+      // expected probed set, derived independently of the probe's own
+      // routing: queries are vec_id < nq rows of the SAME table the store
+      // holds, so the store's own sig column gives their bucket set
+      val expectedSigs = spark.read.parquet(s"$lshOut/corpus")
+        .filter(col("vec_id") < nq).select("sig").distinct().count()
+      val (lshParts, lshFiltered) = prunedScan(lshProbe, "corpus")
+      assert(lshFiltered, "LSH stored scan lost its partition filter")
+      assert(lshParts <= expectedSigs,
+        s"LSH probe read $lshParts partitions for $expectedSigs probed sigs")
+      val lshMem = Similarity.lshTopK(spark, dir, nQueries = nq)
+        .collect().map(_.toSeq).toSeq
+      assert(lshProbe.collect().map(_.toSeq).toSeq == lshMem,
+        s"LSH stored/in-memory diverge at nQueries=$nq")
+
+      val ivfOut = java.nio.file.Files.createTempDirectory("graft-ivfsweep").toString
+      Similarity.writeIvfPartitioned(spark, dir, ivfOut)
+      val ivfProbe = Similarity.ivfProbeStored(spark, dir, ivfOut, nQueries = nq)
+      val nCells = new java.io.File(s"$ivfOut/corpus").listFiles()
+        .count(_.getName.startsWith("cell="))
+      val (ivfParts, ivfFiltered) = prunedScan(ivfProbe, "corpus")
+      assert(ivfFiltered, "IVF stored scan lost its partition filter")
+      assert(ivfParts <= nCells,
+        s"IVF probe read $ivfParts partitions of $nCells stored cells")
+      val ivfMem = Similarity.ivfTopK(spark, dir, nQueries = nq)
+        .collect().map(_.toSeq).toSeq
+      assert(ivfProbe.collect().map(_.toSeq).toSeq == ivfMem,
+        s"IVF stored/in-memory diverge at nQueries=$nq")
+    }
+  }
+
   test("IVF top-k: k results per query; strong overlap with exact top-k") {
     val exact = Similarity.bruteForceTopK(spark, sf, nQueries = 8, k = 5)
       .select("qid", "cid").as[(Long, Long)].collect().toSet
