@@ -296,7 +296,11 @@ object RdfaExtractor {
         if (dt.trim.isEmpty) "" else resolveIri(dt.trim, ctx).getOrElse(""))
       val objTerm: Term =
         datatype match {
-          case Some(dt) if dt == Vocab.rdfHTML => Term.typed(e.innerHtml, dt)
+          // markup-valued literals: the value is the re-serialized inner
+          // markup, not the text content (RDFa 1.1 §7.5 step 11 for
+          // rdf:XMLLiteral; rdf:HTML is its HTML5 host-language twin)
+          case Some(dt) if dt == Vocab.rdfHTML || dt == Vocab.rdfXMLLiteral =>
+            Term.typed(e.innerHtml, dt)
           case Some(dt) if dt.nonEmpty =>
             val value = e.attr("content").orElse(e.attr("datetime"))
               .getOrElse(e.text)

@@ -1,0 +1,214 @@
+package graft.html
+
+import graft.rdf.{Term, Vocab}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Curated W3C RDfa 1.1 conformance sweep (r9 VERDICT item 7): cases
+  * hand-authored from the published RDFa 1.1 Core / HTML5+RDFa test
+  * suite's corner semantics — the constructs harvested besluit pages do
+  * NOT exercise, so the golden specs above cannot catch regressions in
+  * them. Each test states the suite rule it pins. Known, deliberate
+  * divergences from a full conforming processor are asserted AS the
+  * current behavior and documented in FIXTURES.md §3 (this extractor
+  * targets the reference's jsdom+graph-rdfa-processor subset, not full
+  * conformance).
+  */
+class RdfaConformanceSpec extends AnyFunSuite {
+
+  private val base = "https://example.org/page"
+
+  private def extract(html: String): Seq[graft.rdf.Quad] =
+    RdfaExtractor.extract(html, base)
+
+  private def triples(html: String): Set[(String, String, String, String, String)] =
+    extract(html).map(q => (q.subject.value, q.predicate.value, q.obj.value,
+      Option(q.obj.datatype).getOrElse("-"),
+      Option(q.obj.lang).getOrElse("-"))).toSet
+
+  // --- @datatype="" overrides (Core §7.5 step 11: empty datatype forces
+  // a plain literal even when the element has markup children)
+
+  test("datatype='' with markup children yields the PLAIN text literal, not HTML") {
+    val got = triples(
+      """<div about="#d" prefix="ex: http://ex.org/">
+        |  <span property="ex:p" datatype="">plain <b>bold</b> tail</span>
+        |</div>""".stripMargin)
+    assert(got.contains(("https://example.org/page#d", "http://ex.org/p",
+      "plain bold tail", Vocab.xsdString, "-")))
+  }
+
+  test("datatype='' keeps the language tag (plain literal = langString under @lang)") {
+    val got = triples(
+      """<div about="#d" prefix="ex: http://ex.org/" lang="nl">
+        |  <span property="ex:p" datatype="">tekst</span>
+        |</div>""".stripMargin)
+    assert(got.contains(("https://example.org/page#d", "http://ex.org/p",
+      "tekst", Vocab.rdfLangString, "nl")))
+  }
+
+  test("datatype='' prefers @content over text content") {
+    val got = triples(
+      """<div about="#d" prefix="ex: http://ex.org/">
+        |  <span property="ex:p" datatype="" content="c-value">ignored</span>
+        |</div>""".stripMargin)
+    assert(got.exists(t => t._3 == "c-value"))
+    assert(!got.exists(t => t._3 == "ignored"))
+  }
+
+  test("unresolvable datatype CURIE is ignored → plain literal (Core §7.5)") {
+    val got = triples(
+      """<div about="#d" prefix="ex: http://ex.org/">
+        |  <span property="ex:p" datatype="nosuch:dt">v</span>
+        |</div>""".stripMargin)
+    assert(got.contains(("https://example.org/page#d", "http://ex.org/p",
+      "v", Vocab.xsdString, "-")))
+  }
+
+  // --- rdf:XMLLiteral (Core §7.5 step 11: value is the serialized inner
+  // markup, exactly like the HTML5 host-language rdf:HTML twin)
+
+  test("datatype=rdf:XMLLiteral serializes inner markup") {
+    val got = triples(
+      """<div about="#d" prefix="ex: http://ex.org/ rdf: http://www.w3.org/1999/02/22-rdf-syntax-ns#">
+        |  <span property="ex:p" datatype="rdf:XMLLiteral">keep <b>markup</b></span>
+        |</div>""".stripMargin)
+    assert(got.contains(("https://example.org/page#d", "http://ex.org/p",
+      "keep <b>markup</b>", Vocab.rdfXMLLiteral, "-")))
+  }
+
+  // --- language inheritance (Core §7.5 evaluation context; HTML+RDFa
+  // §3.4: xml:lang takes precedence over lang on the same element)
+
+  test("lang inherits through nesting; inner lang='' clears it") {
+    val got = triples(
+      """<div about="#d" prefix="ex: http://ex.org/" lang="de">
+        |  <span property="ex:outer">aussen</span>
+        |  <div lang="">
+        |    <span property="ex:inner">neutral</span>
+        |  </div>
+        |  <div lang="fr">
+        |    <span property="ex:deep">profond</span>
+        |  </div>
+        |</div>""".stripMargin)
+    assert(got.contains(("https://example.org/page#d", "http://ex.org/outer",
+      "aussen", Vocab.rdfLangString, "de")))
+    assert(got.contains(("https://example.org/page#d", "http://ex.org/inner",
+      "neutral", Vocab.xsdString, "-")))
+    assert(got.contains(("https://example.org/page#d", "http://ex.org/deep",
+      "profond", Vocab.rdfLangString, "fr")))
+  }
+
+  test("xml:lang beats lang on the same element") {
+    val got = triples(
+      """<div about="#d" prefix="ex: http://ex.org/">
+        |  <span property="ex:p" lang="en" xml:lang="it">ciao</span>
+        |</div>""".stripMargin)
+    assert(got.contains(("https://example.org/page#d", "http://ex.org/p",
+      "ciao", Vocab.rdfLangString, "it")))
+  }
+
+  test("lang applies to @content values too") {
+    val got = triples(
+      """<div about="#d" prefix="ex: http://ex.org/" lang="es">
+        |  <span property="ex:p" content="hola">x</span>
+        |</div>""".stripMargin)
+    assert(got.contains(("https://example.org/page#d", "http://ex.org/p",
+      "hola", Vocab.rdfLangString, "es")))
+  }
+
+  test("explicit datatype suppresses the language tag (typed, not langString)") {
+    val got = triples(
+      """<div about="#d" prefix="ex: http://ex.org/" lang="nl">
+        |  <span property="ex:p" datatype="xsd:string" content="s">x</span>
+        |</div>""".stripMargin)
+    assert(got.contains(("https://example.org/page#d", "http://ex.org/p",
+      "s", Vocab.xsdString, "-")))
+  }
+
+  // --- subject/object resolution corners
+
+  test("safe CURIE [ex:r] in @about resolves like the bare CURIE") {
+    val got = triples(
+      """<div about="[ex:r]" prefix="ex: http://ex.org/">
+        |  <span property="ex:p">v</span>
+        |</div>""".stripMargin)
+    assert(got.exists(t => t._1 == "http://ex.org/r" && t._3 == "v"))
+  }
+
+  test("blank node _:x in @about is stable across elements of the page") {
+    val quads = extract(
+      """<div prefix="ex: http://ex.org/">
+        |  <div about="_:x"><span property="ex:a">1</span></div>
+        |  <div about="_:x"><span property="ex:b">2</span></div>
+        |</div>""".stripMargin)
+    val subs = quads.map(_.subject.value).distinct
+    assert(subs.size == 1, s"same label must be same node, got $subs")
+    assert(quads.map(_.predicate.value).toSet ==
+      Set("http://ex.org/a", "http://ex.org/b"))
+  }
+
+  test("@resource beats @href as the rel object (attribute priority)") {
+    val got = triples(
+      """<div about="#d" prefix="ex: http://ex.org/">
+        |  <a rel="ex:link" resource="http://ex.org/R" href="http://ex.org/H">x</a>
+        |</div>""".stripMargin)
+    assert(got.contains(("https://example.org/page#d", "http://ex.org/link",
+      "http://ex.org/R", "-", "-")))
+    assert(!got.exists(_._3 == "http://ex.org/H"))
+  }
+
+  test("@vocab in a subtree overrides the ancestor @vocab for bare terms") {
+    val got = triples(
+      """<div vocab="http://schema.org/" about="#d">
+        |  <span property="name">outer</span>
+        |  <div vocab="http://ex.org/">
+        |    <span property="name">inner</span>
+        |  </div>
+        |</div>""".stripMargin)
+    assert(got.exists(t => t._2 == "http://schema.org/name" && t._3 == "outer"))
+    assert(got.exists(t => t._2 == "http://ex.org/name" && t._3 == "inner"))
+  }
+
+  test("xmlns:-declared prefix (RDFa 1.0 host style) still resolves") {
+    val got = triples(
+      """<div xmlns:old="http://old.example/ns#" about="#d">
+        |  <span property="old:p">v</span>
+        |</div>""".stripMargin)
+    assert(got.contains(("https://example.org/page#d", "http://old.example/ns#p",
+      "v", Vocab.xsdString, "-")))
+  }
+
+  test("@prefix on the same element overrides an identically-named xmlns: prefix") {
+    val got = triples(
+      """<div xmlns:p="http://a.example/" prefix="p: http://b.example/" about="#d">
+        |  <span property="p:x">v</span>
+        |</div>""".stripMargin)
+    assert(got.exists(t => t._2 == "http://b.example/x"),
+      s"@prefix must win over xmlns: (RDFa 1.1 §6), got ${got.map(_._2)}")
+  }
+
+  // --- property/rel interaction corners
+
+  test("property with @href and no rel takes the resource as object (HTML+RDFa §3.1)") {
+    val got = triples(
+      """<div about="#d" prefix="ex: http://ex.org/">
+        |  <a property="ex:p" href="http://ex.org/obj">text ignored</a>
+        |</div>""".stripMargin)
+    assert(got.contains(("https://example.org/page#d", "http://ex.org/p",
+      "http://ex.org/obj", "-", "-")))
+  }
+
+  test("property + content on the SAME element as typeof: literal from content, type on the typed node") {
+    // Core §7.5 step 5.2: typeof without about mints a typed node; a
+    // property with @content is a literal about the CURRENT subject —
+    // the typed node becomes the object only when no content/datatype
+    val quads = extract(
+      """<div about="#d" prefix="ex: http://ex.org/ schema: http://schema.org/">
+        |  <span property="ex:name" typeof="schema:Person" content="Alice">x</span>
+        |</div>""".stripMargin)
+    val types = quads.filter(_.predicate.value == Vocab.rdfType)
+    assert(types.size == 1 && types.head.obj.value == "http://schema.org/Person")
+    val props = quads.filter(q => q.predicate.value == "http://ex.org/name")
+    assert(props.nonEmpty && props.head.obj.value == "Alice")
+  }
+}
