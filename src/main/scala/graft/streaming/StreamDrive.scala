@@ -92,31 +92,46 @@ object StreamDrive {
   @volatile var lastDriveBatches: Seq[Long] = Nil
 
   /** Drained results, one full replay per (session, source content,
-    * drive) per JVM — the streaming twin of the at-rest index caches
-    * (writeIvfPartitioned / bm25 postings): the REPLAY is one-time setup
-    * of a long-running streaming query, the steady-state operation is
-    * reading its continuously-maintained result table. Verify and every
-    * spec invoke each drive once per session/corpus, so the correctness
-    * gate and the ≥3-micro-batch assertions always exercise the real
-    * drive; only repeat invocations (bench passes 2..n) serve the drained
-    * sink. Keyed on the source fingerprint so a regenerated corpus
-    * re-drives, and on the session identity so cross-session reuse (a
-    * memory-sink table is session-scoped) is impossible. */
+    * drive) — for REPEAT callers only: a spec or notebook invoking the
+    * same drive twice on the same corpus reads the drained sink instead
+    * of replaying. Anything that TIMES drives must not hit this cache —
+    * [[graft.Bench]] calls [[clearDrained]] before every timed pass, so
+    * each pass executes the full streaming drive (a cached read would
+    * measure a localCheckpoint scan, not streaming execution). Staging
+    * ([[stagedCache]]) stays shared across passes: it is drive
+    * scaffolding (one sorted write of the input), not the operator.
+    * Keyed on the source fingerprint so a regenerated corpus re-drives,
+    * and on a per-session UUID (identity hashes can collide or be reused
+    * after GC) so cross-session reuse — a memory-sink table is
+    * session-scoped — is impossible. Each entry carries the drive's
+    * non-empty micro-batch counts so a cache hit restores
+    * [[lastDriveBatches]] to that drive's real progress instead of
+    * leaving another drive's counts in place. */
   private val drainedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Seq[Long])]()
+
+  private val sessionIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.util.UUID]())
+
+  /** Drop all drained drive results (staging is kept). Bench calls this
+    * before each timed pass so every pass replays the real drives. */
+  def clearDrained(): Unit = drainedCache.clear()
 
   private def drainCached(s: SparkSession, srcPath: String, name: String)(
-      body: => DataFrame): DataFrame =
-    drainedCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}#$srcPath#" +
-        s"${graft.Scaffold.fingerprint(srcPath)}#$name",
+      body: => DataFrame): DataFrame = {
+    val sid = sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID())
+    val (df, batches) = drainedCache.computeIfAbsent(
+      s"$sid#$srcPath#${graft.Scaffold.fingerprint(srcPath)}#$name",
       // localCheckpoint pins the rows: the memory-sink view behind the
       // result is re-registered under the same queryName when a DIFFERENT
-      // corpus drives the same shape (bench warmup at sf0.001, timed at
-      // sf0.1) — a lazily-cached frame would silently re-read the new
-      // sink. The drive is already eager, so this adds one tiny local job
-      // over the drained result table.
-      _ => body.localCheckpoint())
+      // corpus drives the same shape — a lazily-cached frame would
+      // silently re-read the new sink. The drive is already eager, so
+      // this adds one tiny local job over the drained result table.
+      _ => { val out = body.localCheckpoint(); (out, lastDriveBatches) })
+    lastDriveBatches = batches
+    df
+  }
 
   /** `ts` arrives as long nanoseconds (nanosAsLong conf); the streaming
     * operators take real timestamps — one stateless projection upstream
