@@ -98,15 +98,24 @@ object Bench {
       .withDefaultValue(Vector.empty)
     val errs = scala.collection.mutable.Map[String, Throwable]()
     var calSamples = Vector.empty[Double]
-    for (_ <- 1 to nRuns) {
-      // Every timed pass must execute the real streaming drives: the
-      // drained-result cache is for untimed repeat callers, and serving a
-      // pass from it would time a checkpoint read instead of streaming
-      // execution (the staged input splits stay cached — scaffolding, not
-      // the operator under test).
-      graft.streaming.StreamDrive.clearDrained()
+    // Streaming-drive methodology (single-sample, run 1 only): a timed
+    // sample must execute the real multi-batch streaming drive — never a
+    // drained-cache read, which would measure a checkpoint scan instead of
+    // streaming execution. But a full drive costs tens of seconds
+    // (x_stream_sessionize ≈32 s/pass at sf0.1), so re-driving all five
+    // per pass would more than double the 3-pass bench for queries whose
+    // cost is drive-dominated and low-variance. So: the drained cache is
+    // cleared ONCE before pass 1, drive-backed queries are timed in that
+    // pass against the real drive, and later passes skip them — their
+    // reported median is the one genuine drive execution (visible in
+    // "runs" as a single sample), not a cached replay.
+    val driveBacked = Set("x_stream_hourly", "x_stream_sliding",
+      "x_stream_sessionize", "x_stream_dedup", "x_stream_late")
+    graft.streaming.StreamDrive.clearDrained()
+    for (run <- 1 to nRuns) {
       calSamples :+= calOnce()
-      for (name <- names if !errs.contains(name)) {
+      for (name <- names if !errs.contains(name)
+           && (run == 1 || !driveBacked(name))) {
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); times(name) :+= (System.nanoTime() - t0) / 1e9 }

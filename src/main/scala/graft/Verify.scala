@@ -11,8 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
-      // default; read as long nanoseconds (operators compute in micros).
+      // some driver generations ship events.ts as TIMESTAMP(NANOS), which
+      // Spark rejects by default — read those as long nanoseconds; the
+      // temporal operators adapt to either encoding (Tables.eventMicros).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

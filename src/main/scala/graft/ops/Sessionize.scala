@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
   * sessionization + time-window aggregation, the batch twins of the
   * Structured Streaming versions in graft.streaming).
   *
-  * `ts` arrives as long nanoseconds (see the nanosAsLong session conf);
+  * `ts` may arrive as long nanoseconds OR as a timestamp column — the
+  * schema belongs to the source, not the engine ([[Tables.eventMicros]]);
   * all arithmetic stays in integer microseconds — exact, oracle-stable,
   * and cheaper than timestamp codecs in the shuffle.
   */
 object Sessionize {
 
-  private def micros = expr("ts div 1000")
+  private def micros(df: DataFrame) = Tables.eventMicros(df)
 
   /** Gap-based sessionization (30-minute inactivity): the classic
     * lag → new-session flag → running sum pattern. Both windows share one
@@ -22,8 +23,8 @@ object Sessionize {
   def sessions(s: SparkSession, d: String, gapMinutes: Int = 30): DataFrame = {
     val gapUs = gapMinutes.toLong * 60L * 1000000L
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("us"))
-    Tables.events(s, d)
-      .select(col("user_id"), micros.as("us"))
+    val ev = Tables.events(s, d)
+    ev.select(col("user_id"), micros(ev).as("us"))
       .withColumn("new_sess",
         when(coalesce(col("us") - lag(col("us"), 1).over(byUser),
           lit(Long.MaxValue)) > gapUs, 1L).otherwise(0L))
@@ -38,25 +39,37 @@ object Sessionize {
 
   /** Tumbling 1-hour window aggregation: integer hour-bucket keys (no
     * timestamp round-trip), partial+final hash agg. */
-  def hourlyWindows(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .select(expr("(ts div 1000) div 3600000000").as("hour_bucket"),
+  def hourlyWindows(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.select(call_function("div", micros(ev), lit(3600000000L)).as("hour_bucket"),
         col("event_type"), col("value"))
       .groupBy(col("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour_bucket"), col("event_type"))
+  }
 
   /** Sliding windows (1 h long, 30 min slide): each event lands in
     * window/slide = 2 overlapping windows, produced by an explode over
     * the window index — the batch mirror of `window(ts, "1 hour",
     * "30 minutes")`, in the same integer-microsecond arithmetic as the
-    * tumbling op (TIMESTAMP(NANOS) parquet reads as long nanos here).
-    * Fan-out happens map-side; one shuffle for the final aggregation. */
+    * tumbling op, whichever `ts` encoding the source uses. Fan-out
+    * happens map-side; one shuffle for the final aggregation. */
   def slidingWindows(s: SparkSession, d: String,
-      windowUs: Long = 3600000000L, slideUs: Long = 1800000000L): DataFrame =
-    slidingWindowsNanos(
-      Tables.events(s, d).select(col("ts"), col("event_type"), col("value")),
-      windowUs, slideUs)
+      windowUs: Long = 3600000000L, slideUs: Long = 1800000000L): DataFrame = {
+    val ev = Tables.events(s, d).select(col("ts"), col("event_type"), col("value"))
+    ev.schema("ts").dataType match {
+      // long-nanos inputs need the pre-division sign guard below
+      case org.apache.spark.sql.types.LongType =>
+        slidingWindowsNanos(ev, windowUs, slideUs)
+      // timestamp inputs: unix_micros is exact (no truncating division),
+      // so the pre-epoch guard runs directly on the micros
+      case _ =>
+        slidingWindowsOf(
+          ev.select(micros(ev).as("us"), col("event_type"), col("value"))
+            .filter(col("us") >= 0),
+          windowUs, slideUs)
+    }
+  }
 
   /** Nanos→micros adapter over any `(ts, event_type, value)` frame.
     * The `ts >= 0` guard must run BEFORE the nanos→micros division:
@@ -105,9 +118,9 @@ object Sessionize {
   def runningTotals(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))
-    Tables.events(s, d)
-      .filter(col("user_id").isNotNull)
-      .select(col("user_id"), col("event_id"), micros.as("us"), col("value"))
+    val ev = Tables.events(s, d)
+    ev.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), micros(ev).as("us"), col("value"))
       .withColumn("run_value", round(sum(col("value")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
       .withColumn("seq", row_number().over(byUser).cast("long"))
@@ -125,9 +138,11 @@ object Sessionize {
     * bounded by the user's event count; for mega-users pre-filter to the
     * funnel's event types (done here) or fall back to the join form. */
   def funnel(s: SparkSession, d: String,
-      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
-    funnelOf(Tables.events(s, d)
-      .select(col("user_id"), micros.as("us"), col("event_type")), steps)
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val ev = Tables.events(s, d)
+    funnelOf(ev.select(col("user_id"), micros(ev).as("us"), col("event_type")),
+      steps)
+  }
 
   /** Core funnel over any `(user_id, us, event_type)` frame — split out
     * so specs can drive planted out-of-order cases (the driver corpus

@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Parquet table loaders for the driver testdata layout
   * (`TESTDATA.md`: `<sfDir>/<name>.parquet`). Plain `spark.read.parquet`
@@ -20,4 +22,49 @@ object Tables {
   def events(s: SparkSession, d: String)    = table(s, d, "events")
   def documents(s: SparkSession, d: String) = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
+
+  /** Schema-adaptive event time: project the `ts` column of an events
+    * frame to BIGINT microseconds since the epoch, whatever encoding the
+    * source chose. A production engine does not own its sources' schemas:
+    * the same logical event table arrives as TIMESTAMP(NANOS) parquet read
+    * as long nanos (`spark.sql.legacy.parquet.nanosAsLong`), as
+    * timestamp[us] (TIMESTAMP_NTZ), or as timestamptz — and every temporal
+    * operator must read event time from whichever one shows up. All
+    * downstream arithmetic stays in integer microseconds — exact,
+    * oracle-stable, and cheaper than timestamp codecs in the shuffle.
+    *
+    * NTZ is cast through TimestampType: under the engine's fixed UTC
+    * session zone ([[graft.Verify]]/[[graft.Bench]]/SparkSpec) the cast is
+    * the identity on the underlying micros, and `unix_micros` is exact. */
+  def eventMicros(df: DataFrame): Column = microsOf(df.schema("ts").dataType)
+
+  private[graft] def microsOf(dt: DataType): Column = dt match {
+    case LongType         => expr("ts div 1000") // int64 nanoseconds
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case TimestampType    => unix_micros(col("ts"))
+    case other => throw new IllegalArgumentException(
+      s"events.ts has unsupported type $other (expected int64 nanos or timestamp)")
+  }
+
+  /** The streaming twin of [[eventMicros]]: project `ts` to a true
+    * TimestampType column (what watermarks and `window()` operate on),
+    * from either source encoding. */
+  private[graft] def timestampOf(dt: DataType): Column = dt match {
+    case LongType         => timestamp_micros(expr("ts div 1000"))
+    case TimestampNTZType => col("ts").cast(TimestampType)
+    case TimestampType    => col("ts")
+    case other => throw new IllegalArgumentException(
+      s"events.ts has unsupported type $other (expected int64 nanos or timestamp)")
+  }
+
+  /** A literal in the SOURCE's `ts` encoding for a given epoch-micros
+    * instant — for drives that append synthetic rows (sentinels) to a
+    * corpus whose schema they must match exactly. */
+  private[graft] def tsLiteralOf(us: Long, dt: DataType): Column = dt match {
+    case LongType         => lit(us * 1000L)
+    case TimestampNTZType => timestamp_micros(lit(us)).cast(TimestampNTZType)
+    case TimestampType    => timestamp_micros(lit(us))
+    case other => throw new IllegalArgumentException(
+      s"events.ts has unsupported type $other (expected int64 nanos or timestamp)")
+  }
 }

@@ -14,10 +14,10 @@ import org.apache.spark.sql.functions._
   * keys at 100 TB. The DuckDB oracles USE that textbook formulation, so
   * the cheap plan is verified against the expensive-but-obvious one.
   *
-  * Time arithmetic stays in integer microseconds end-to-end (`ts` arrives
-  * as long nanoseconds under the nanosAsLong session conf), same as
-  * [[Sessionize]] — exact, oracle-stable, no timestamp codecs in the
-  * shuffle.
+  * Time arithmetic stays in integer microseconds end-to-end (`ts` is
+  * projected schema-adaptively via [[Tables.eventMicros]] — the source
+  * owns its encoding), same as [[Sessionize]] — exact, oracle-stable, no
+  * timestamp codecs in the shuffle.
   */
 object TemporalJoin {
 
@@ -107,11 +107,12 @@ object TemporalJoin {
         round(coalesce(col("s"), lit(0.0)), 2).as("sum_value"))
   }
 
-  private def typedEvents(s: SparkSession, d: String, tpe: String): DataFrame =
-    Tables.events(s, d)
-      .filter(col("event_type") === tpe && col("user_id").isNotNull)
-      .select(col("user_id").as("key"), expr("ts div 1000").as("us"),
+  private def typedEvents(s: SparkSession, d: String, tpe: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_type") === tpe && col("user_id").isNotNull)
+      .select(col("user_id").as("key"), Tables.eventMicros(ev).as("us"),
         col("event_id"), col("value"))
+  }
 
   /** Production as-of query: last-touch attribution — for each purchase,
     * the most recent view by the same user at or before the purchase. */

@@ -115,8 +115,30 @@ object StreamDrive {
       new java.util.WeakHashMap[SparkSession, java.util.UUID]())
 
   /** Drop all drained drive results (staging is kept). Bench calls this
-    * before each timed pass so every pass replays the real drives. */
-  def clearDrained(): Unit = drainedCache.clear()
+    * before each timed pass so every pass replays the real drives.
+    * The localCheckpoint'd result blocks are unpersisted EXPLICITLY —
+    * dropping the strong refs alone leaves the persisted RDD blocks to
+    * lazy GC + ContextCleaner, so repeated bench passes would briefly
+    * accumulate checkpoint blocks in the block manager. */
+  def clearDrained(): Unit = {
+    drainedCache.values.forEach { case (df, _) =>
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => () // not a checkpointed frame; nothing persisted to drop
+      }
+    }
+    drainedCache.clear()
+  }
+
+  /** Batch counts of the drive most recently drained ON THIS THREAD —
+    * read by [[drainCached]] inside its compute lambda. The shared
+    * [[lastDriveBatches]] global cannot be read there: two drives running
+    * concurrently (parallel specs) could capture each other's counts into
+    * the wrong cache entry. */
+  private val lastBatchesLocal = new ThreadLocal[Seq[Long]] {
+    override def initialValue: Seq[Long] = Nil
+  }
 
   private def drainCached(s: SparkSession, srcPath: String, name: String)(
       body: => DataFrame): DataFrame = {
@@ -128,12 +150,14 @@ object StreamDrive {
       // corpus drives the same shape — a lazily-cached frame would
       // silently re-read the new sink. The drive is already eager, so
       // this adds one tiny local job over the drained result table.
-      _ => { val out = body.localCheckpoint(); (out, lastDriveBatches) })
+      // `body` runs on THIS thread, so the thread-local count is its own.
+      _ => { val out = body.localCheckpoint(); (out, lastBatchesLocal.get) })
     lastDriveBatches = batches
     df
   }
 
-  /** `ts` arrives as long nanoseconds (nanosAsLong conf); the streaming
+  /** `ts` arrives as long nanoseconds OR a timestamp column (the source
+    * owns its schema — [[graft.ops.Tables.timestampOf]]); the streaming
     * operators take real timestamps — one stateless projection upstream
     * of the watermark. Input staged as 3 time-range files replayed one
     * per micro-batch. */
@@ -143,7 +167,7 @@ object StreamDrive {
       s.read.parquet(s"$d/events.parquet"), "ts")
     s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .parquet(staged)
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+      .select(graft.ops.Tables.timestampOf(schema("ts").dataType).as("ts"),
         col("user_id"), col("event_type"), col("value"))
   }
 
@@ -166,8 +190,9 @@ object StreamDrive {
         .outputMode(mode).start()
       finally s.conf.set("spark.sql.shuffle.partitions", prev)
     try q.processAllAvailable() finally {
-      lastDriveBatches =
-        q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+      val counts = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+      lastBatchesLocal.set(counts)
+      lastDriveBatches = counts
       q.stop()
     }
     s.table(name)
@@ -243,9 +268,9 @@ object StreamDrive {
       gapMinutes: Int): DataFrame = {
     import s.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
-    val batch = s.read.parquet(s"$d/events.parquet")
-      .filter(col("user_id").isNotNull)
-      .select(col("user_id"), expr("ts div 1000").as("us"))
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val batch = raw.filter(col("user_id").isNotNull)
+      .select(col("user_id"), graft.ops.Tables.eventMicros(raw).as("us"))
     val staged = stageSplit(s"$d/events.parquet", s"sessions-$gapUs", batch, "us",
       extraFiles = dir => {
         // sentinels are data-derived (one tiny aggregate of the batch
@@ -318,7 +343,8 @@ object StreamDrive {
     val staged = stageSplit(src, "late-hourly", s.read.parquet(src), "ts",
       extraFiles = dir => {
         val raw = s.read.parquet(src)
-        val r = raw.agg(min(expr("ts div 1000")), max(expr("ts div 1000"))).head()
+        val us = graft.ops.Tables.eventMicros(raw)
+        val r = raw.agg(min(us), max(us)).head()
         val (minUs, maxUs) = (r.getLong(0), r.getLong(1))
         // The oracle derives "stale" from the FIRST corpus hour and
         // "allowed-late" from the LAST; both are only meaningful against
@@ -345,12 +371,16 @@ object StreamDrive {
           graft.Scaffold.deleteRecursively(new java.io.File(tmp))
         }
         writeExtra(
-          raw.filter(expr("ts div 1000") < minUs + hourUs)
-            .unionAll(raw.filter(expr("ts div 1000") >= maxUs - hourUs)),
+          raw.filter(us < minUs + hourUs)
+            .unionAll(raw.filter(us >= maxUs - hourUs)),
           "part-zz-a-late.parquet")
-        def sentinel(us: Long): DataFrame = raw.limit(1).select(
+        // the sentinel row must carry `ts` in the SOURCE's own encoding —
+        // it is appended to the staged corpus and read back under the
+        // corpus schema
+        def sentinel(sentUs: Long): DataFrame = raw.limit(1).select(
           schema.fieldNames.toSeq.map {
-            case "ts" => lit(us * 1000L).as("ts")
+            case "ts" => graft.ops.Tables
+              .tsLiteralOf(sentUs, schema("ts").dataType).as("ts")
             case "event_type" => lit("graft_sentinel").as("event_type")
             case c => col(c)
           }: _*)
@@ -359,7 +389,7 @@ object StreamDrive {
       })
     val events = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .parquet(staged)
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+      .select(graft.ops.Tables.timestampOf(schema("ts").dataType).as("ts"),
         col("user_id"), col("event_type"), col("value"))
     drain(s, EventStream.hourlyCounts(events), "graft_stream_hourly_late", "append")
       .filter(col("event_type") =!= "graft_sentinel")

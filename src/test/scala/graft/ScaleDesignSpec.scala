@@ -38,7 +38,8 @@ class ScaleDesignSpec extends SparkSpec {
     //      read into an unfiltered full scan, and the partitions read
     //      never exceed the buckets the queries actually probe.
     for ((dir, nq) <- Seq((sf, 512), ("/root/testdata/sf0.1", 1024))) {
-      val lshOut = java.nio.file.Files.createTempDirectory("graft-lshsweep").toString
+      val lshOut = graft.Scaffold.cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("graft-lshsweep").toString)
       Similarity.writeLshPartitioned(spark, dir, lshOut)
       val lshProbe = Similarity.lshProbeStored(spark, dir, lshOut, nQueries = nq)
       // expected probed set, derived independently of the probe's own
@@ -55,7 +56,8 @@ class ScaleDesignSpec extends SparkSpec {
       assert(lshProbe.collect().map(_.toSeq).toSeq == lshMem,
         s"LSH stored/in-memory diverge at nQueries=$nq")
 
-      val ivfOut = java.nio.file.Files.createTempDirectory("graft-ivfsweep").toString
+      val ivfOut = graft.Scaffold.cleanupOnExit(
+        java.nio.file.Files.createTempDirectory("graft-ivfsweep").toString)
       Similarity.writeIvfPartitioned(spark, dir, ivfOut)
       val ivfProbe = Similarity.ivfProbeStored(spark, dir, ivfOut, nQueries = nq)
       val nCells = new java.io.File(s"$ivfOut/corpus").listFiles()
@@ -144,8 +146,9 @@ class ScaleDesignSpec extends SparkSpec {
   }
 
   test("custom-state sessionization agrees with the window-based operator") {
-    val evs = Tables.events(spark, sf)
-      .select(col("user_id"), expr("ts div 1000").as("us"))
+    val raw = Tables.events(spark, sf)
+    val evs = raw
+      .select(col("user_id"), Tables.eventMicros(raw).as("us"))
       .as[SessionStateOps.Ev]
     val viaState = SessionStateOps.sessionize(spark, evs, isStreaming = false)
       .select(col("user_id"), col("start_us"), col("n_events"))

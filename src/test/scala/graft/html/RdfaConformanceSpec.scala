@@ -55,10 +55,25 @@ class RdfaConformanceSpec extends AnyFunSuite {
     assert(!got.exists(t => t._3 == "ignored"))
   }
 
-  test("unresolvable datatype CURIE is ignored → plain literal (Core §7.5)") {
+  test("datatype with undeclared prefix resolves as an absolute IRI (TERMorCURIEorAbsIRI)") {
+    // Core §7.5/§A: @datatype is a TERMorCURIEorAbsIRI — when CURIE
+    // resolution fails (prefix undeclared), a value that is nonetheless a
+    // syntactically valid absolute IRI (scheme "nosuch") is used verbatim
     val got = triples(
       """<div about="#d" prefix="ex: http://ex.org/">
         |  <span property="ex:p" datatype="nosuch:dt">v</span>
+        |</div>""".stripMargin)
+    assert(got.contains(("https://example.org/page#d", "http://ex.org/p",
+      "v", "nosuch:dt", "-")))
+  }
+
+  test("genuinely unresolvable datatype (bare term, no vocab) is ignored → plain literal (Core §7.5)") {
+    // a colon-less term with no in-scope @vocab resolves to nothing at
+    // all — THIS is the unresolvable case that falls back to a plain
+    // literal, not an undeclared-prefix CURIE (which is still an AbsIRI)
+    val got = triples(
+      """<div about="#d" prefix="ex: http://ex.org/">
+        |  <span property="ex:p" datatype="undefinedterm">v</span>
         |</div>""".stripMargin)
     assert(got.contains(("https://example.org/page#d", "http://ex.org/p",
       "v", Vocab.xsdString, "-")))

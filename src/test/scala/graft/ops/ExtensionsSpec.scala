@@ -368,9 +368,9 @@ class ExtensionsSpec extends SparkSpec {
     val (nUsers, s1, s2, s3) =
       (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
     assert(nUsers >= s1 && s1 >= s2 && s2 >= s3, row.toString)
-    val e = Tables.events(spark, sf)
-      .filter(col("event_type").isin("view", "click", "purchase"))
-      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
+    val raw = Tables.events(spark, sf)
+    val e = raw.filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), Tables.eventMicros(raw).as("us"), col("event_type"))
     val v = e.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("us")).as("t0"))
     val c = e.filter(col("event_type") === "click").join(v, "user_id")
