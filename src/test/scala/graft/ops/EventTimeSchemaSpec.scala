@@ -44,20 +44,25 @@ class EventTimeSchemaSpec extends graft.SparkSpec {
   private lazy val nanosDir = fixture(col("us") * 1000L) // int64 nanoseconds
   private lazy val tsDir = // timestamp[us] (TIMESTAMP_NTZ), the r12 driver encoding
     fixture(timestamp_micros(col("us")).cast(TimestampNTZType))
+  private lazy val tzDir = // timestamp[us] adjusted-to-UTC (TimestampType)
+    fixture(timestamp_micros(col("us")))
 
   private def rowsOf(df: DataFrame) = df.collect().toSeq
 
-  test("written fixtures really carry the two distinct ts encodings") {
+  test("written fixtures really carry the three distinct ts encodings") {
     assert(spark.read.parquet(s"$nanosDir/events.parquet")
       .schema("ts").dataType === LongType)
     assert(spark.read.parquet(s"$tsDir/events.parquet")
       .schema("ts").dataType === TimestampNTZType)
+    assert(spark.read.parquet(s"$tzDir/events.parquet")
+      .schema("ts").dataType === TimestampType)
   }
 
   test("sessions is encoding-invariant") {
     val a = rowsOf(Sessionize.sessions(spark, nanosDir))
     val b = rowsOf(Sessionize.sessions(spark, tsDir))
-    assert(a.nonEmpty && a === b)
+    val c = rowsOf(Sessionize.sessions(spark, tzDir))
+    assert(a.nonEmpty && a === b && a === c)
     // and the gap logic actually ran: user 1 has two sessions
     assert(a.count(_.getLong(0) == 1L) === 2)
   }
@@ -65,7 +70,8 @@ class EventTimeSchemaSpec extends graft.SparkSpec {
   test("hourlyWindows is encoding-invariant") {
     val a = rowsOf(Sessionize.hourlyWindows(spark, nanosDir))
     val b = rowsOf(Sessionize.hourlyWindows(spark, tsDir))
-    assert(a.nonEmpty && a === b)
+    val c = rowsOf(Sessionize.hourlyWindows(spark, tzDir))
+    assert(a.nonEmpty && a === b && a === c)
     assert(a.map(_.getLong(0)).distinct.size >= 3) // multi-hour span survived
   }
 
