@@ -21,7 +21,28 @@ object Tables {
   def lineitem(s: SparkSession, d: String)  = table(s, d, "lineitem")
   def events(s: SparkSession, d: String)    = table(s, d, "events")
   def documents(s: SparkSession, d: String) = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
+
+  /** The embeddings table, with the `embedding` column normalized to the
+    * engine's vector contract: `array<float>` (float32 — the standard ANN
+    * storage width; every typed read downstream is `Array[Float]`). Like
+    * the events `ts` column ([[eventMicros]]), the element width belongs
+    * to whoever generated the parquet — a regeneration shipping
+    * `array<double>` must degrade to a (documented) float32 cast at the
+    * scan, not break every similarity/dedup operator with an encoder
+    * ANALYSIS error. The cast costs one codegen'd transform at read and
+    * ≤1e-7 relative precision — beneath the 4-decimal rounding every
+    * cosine-scoring operator applies before comparing. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "embeddings")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case ArrayType(DoubleType, _) =>
+        df.withColumn("embedding", col("embedding").cast("array<float>"))
+      case other => throw new IllegalArgumentException(
+        s"embeddings.embedding has unsupported type $other " +
+          "(expected array<float> or array<double>)")
+    }
+  }
 
   /** Schema-adaptive event time: project the `ts` column of an events
     * frame to BIGINT microseconds since the epoch, whatever encoding the
