@@ -104,22 +104,40 @@ object Bench {
     // streaming execution. But a full drive costs tens of seconds
     // (x_stream_sessionize ≈32 s/pass at sf0.1), so re-driving all five
     // per pass would more than double the 3-pass bench for queries whose
-    // cost is drive-dominated and low-variance. So: the drained cache is
-    // cleared ONCE before pass 1, drive-backed queries are timed in that
-    // pass against the real drive, and later passes skip them — their
-    // reported median is the one genuine drive execution (visible in
-    // "runs" as a single sample), not a cached replay.
-    val driveBacked = Set("x_stream_hourly", "x_stream_sliding",
+    // cost is drive-dominated and low-variance. So: known drive-backed
+    // queries run once UNTIMED at sfDir first — that pays the one-time
+    // staging write (repartitionByRange sort + sentinel aggregates),
+    // which StreamDrive's own contract calls scaffolding, not the
+    // operator — then the drained cache is cleared once and pass 1 times
+    // each drive staging-free against the real replay. Later passes skip
+    // them: their reported median is the one genuine drive execution
+    // (visible in "runs" as a single sample), not a cached read.
+    //
+    // Drive-backedness is DETECTED, not only enumerated: a query whose
+    // run-1 execution grows StreamDrive.drainedSize ran a real drive, so
+    // a drive added or renamed after this seed list was written is still
+    // skipped on later passes instead of silently timing a cached
+    // checkpoint scan (its one sample then includes the staging write —
+    // conservative, never cache-fast). The seed list only decides which
+    // queries get the untimed staging warm-up.
+    val seedDriveBacked = Set("x_stream_hourly", "x_stream_sliding",
       "x_stream_sessionize", "x_stream_dedup", "x_stream_late")
+    for (name <- names if seedDriveBacked(name))
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case scala.util.control.NonFatal(_) => () } // resurfaces timed
+    val driveBacked = scala.collection.mutable.Set[String]()
     graft.streaming.StreamDrive.clearDrained()
     for (run <- 1 to nRuns) {
       calSamples :+= calOnce()
       for (name <- names if !errs.contains(name)
            && (run == 1 || !driveBacked(name))) {
         val fn = SparkEntry.queries(name)
+        val drainedBefore = graft.streaming.StreamDrive.drainedSize
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); times(name) :+= (System.nanoTime() - t0) / 1e9 }
         catch { case t: Throwable => errs(name) = t }
+        if (run == 1 && graft.streaming.StreamDrive.drainedSize > drainedBefore)
+          driveBacked += name
       }
     }
     def median(xs: Vector[Double]): Double = {

@@ -95,9 +95,10 @@ object StreamDrive {
     * drive) — for REPEAT callers only: a spec or notebook invoking the
     * same drive twice on the same corpus reads the drained sink instead
     * of replaying. Anything that TIMES drives must not hit this cache —
-    * [[graft.Bench]] calls [[clearDrained]] before every timed pass, so
-    * each pass executes the full streaming drive (a cached read would
-    * measure a localCheckpoint scan, not streaming execution). Staging
+    * [[graft.Bench]] calls [[clearDrained]] before its one timed drive
+    * pass and detects drive-backed queries via [[drainedSize]] growth so
+    * later passes skip them entirely (a cached read would measure a
+    * localCheckpoint scan, not streaming execution). Staging
     * ([[stagedCache]]) stays shared across passes: it is drive
     * scaffolding (one sorted write of the input), not the operator.
     * Keyed on the source fingerprint so a regenerated corpus re-drives,
@@ -114,8 +115,16 @@ object StreamDrive {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, java.util.UUID]())
 
+  /** Number of drained drive results currently cached — [[graft.Bench]]
+    * samples this around each timed query to detect drive-backed queries
+    * (a query whose execution grew the cache ran a real drive), so the
+    * skip-on-later-passes logic can never silently time a cached read
+    * for a drive added or renamed after the bench was written. */
+  def drainedSize: Int = drainedCache.size
+
   /** Drop all drained drive results (staging is kept). Bench calls this
-    * before each timed pass so every pass replays the real drives.
+    * once, after warming drive staging and before its single timed drive
+    * pass, so that pass replays the real drives.
     * The localCheckpoint'd result blocks are unpersisted EXPLICITLY —
     * dropping the strong refs alone leaves the persisted RDD blocks to
     * lazy GC + ContextCleaner, so repeated bench passes would briefly

@@ -97,6 +97,32 @@ class EventTimeSchemaSpec extends graft.SparkSpec {
       rowsOf(TemporalJoin.purchaseViewWindow(spark, tsDir)))
   }
 
+  test("streaming drives are encoding-invariant and match the batch twins") {
+    // exercises the STREAMING adaptive paths the batch tests cannot:
+    // Tables.timestampOf (watermark projection in eventStream) and — via
+    // the late drive below — Tables.tsLiteralOf (sentinel rows written in
+    // the corpus's own encoding and read back under its schema)
+    import graft.streaming.StreamDrive
+    val a = rowsOf(StreamDrive.hourlyFromFiles(spark, nanosDir))
+    val b = rowsOf(StreamDrive.hourlyFromFiles(spark, tsDir))
+    assert(a.nonEmpty && a === b)
+    assert(a === rowsOf(Sessionize.hourlyWindows(spark, nanosDir)))
+    val sa = rowsOf(StreamDrive.sessionsFromFiles(spark, nanosDir))
+    val sb = rowsOf(StreamDrive.sessionsFromFiles(spark, tsDir))
+    assert(sa.nonEmpty && sa === sb)
+    assert(sa === rowsOf(Sessionize.sessions(spark, nanosDir)))
+  }
+
+  test("watermark-eviction drive (sentinel literals) is encoding-invariant") {
+    // the fixture spans ~4.4 h — just over the late drive's >= 4 h
+    // corpus-span requirement, so the stale/allowed-late staging and the
+    // tsLiteralOf sentinel encoding both genuinely execute
+    import graft.streaming.StreamDrive
+    val a = rowsOf(StreamDrive.hourlyLateFromFiles(spark, nanosDir))
+    val b = rowsOf(StreamDrive.hourlyLateFromFiles(spark, tsDir))
+    assert(a.nonEmpty && a === b)
+  }
+
   test("an unsupported ts type fails loudly with a named cause") {
     import spark.implicits._
     val dir = graft.Scaffold.cleanupOnExit(
