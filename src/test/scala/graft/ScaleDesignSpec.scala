@@ -205,6 +205,30 @@ class ScaleDesignSpec extends SparkSpec {
     assert(sliced.length == 8 && sliced.forall(n => n >= 0 && n <= 5))
   }
 
+  test("adaptive event-time projection keeps scan pruning and filter pushdown") {
+    // the schema-adaptive micros projection (Tables.eventMicros) must
+    // stay a scan-local column expression: hourlyWindows reads ONLY the
+    // three columns it consumes, whatever encoding ts arrives in
+    val plan = graft.ops.Sessionize.hourlyWindows(spark, sf)
+      .queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: (struct<[^>]*>)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty, s"no parquet scan found:\n$plan")
+    assert(schemas.forall(s =>
+      !s.contains("props") && !s.contains("event_id") && !s.contains("user_id")),
+      s"hourlyWindows reads columns it never consumes:\n$schemas")
+    // and it must not push the projection below into a join/extra shuffle
+    assert(!plan.contains("Join"), s"hourlyWindows grew a join:\n$plan")
+    // typedEvents' event_type equality must still reach the parquet scan
+    // as a pushed filter — the adaptive time projection sits ABOVE the
+    // filter, so pushdown must be unaffected by the ts encoding
+    val asof = graft.ops.TemporalJoin.purchaseAttribution(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(asof.contains("EqualTo(event_type,view)") &&
+      asof.contains("EqualTo(event_type,purchase)"),
+      s"event_type filters lost parquet pushdown:\n$asof")
+  }
+
   test("splitAssign scans doc_id only — a pure projection, no joins or aggregates") {
     val plan = graft.ops.CorpusPrep.splitAssign(spark, sf)
       .queryExecution.executedPlan.toString
