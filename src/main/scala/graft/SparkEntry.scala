@@ -102,6 +102,9 @@ object SparkEntry {
     // redaction, per-domain caps, deterministic sampling, TF-IDF,
     // corpus n-gram stats) — all oracle-checked
     "x_decontaminate"   -> ((s, d) => CorpusPrep.decontaminate(s, d)),
+    // the SAME decontamination served from its at-rest eval-gram index
+    // (write-once benchmark postings, probe per corpus snapshot)
+    "x_decon_stored"    -> ((s, d) => CorpusPrep.deconStoredQuery(s, d)),
     "x_pii_redact"      -> ((s, d) => CorpusPrep.piiRedact(s, d)),
     "x_domain_cap"      -> ((s, d) => CorpusPrep.domainCap(s, d)),
     "x_sample_strat"    -> ((s, d) => CorpusPrep.stratifiedSample(s, d)),
@@ -483,6 +486,24 @@ object SparkEntry {
        |FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** The x_decontaminate oracle, shared verbatim by its at-rest
+    * stored-index twin (output-identical pipelines → one oracle, two
+    * gates). */
+  private lazy val deconOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 4
+      |    THEN list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))
+      |    ELSE []::VARCHAR[] END)) AS gram
+      |  FROM toks)
+      |SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, count(*) AS n_shared
+      |FROM grams tr JOIN grams ev USING (gram)
+      |WHERE tr.doc_id % 97 != 0 AND ev.doc_id % 97 = 0
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY train_id, eval_id""".stripMargin
 
   /** The x_bm25_topk oracle, shared verbatim by its at-rest stored-probe
     * twin (output-identical pipelines → one oracle, two gates). */
@@ -1058,20 +1079,10 @@ object SparkEntry {
         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_tokens
         |FROM final GROUP BY lang ORDER BY lang""".stripMargin,
-    "x_decontaminate" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 4
-        |    THEN list_transform(range(1, len(t) - 2), i -> array_to_string(t[i:i+3], ' '))
-        |    ELSE []::VARCHAR[] END)) AS gram
-        |  FROM toks)
-        |SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, count(*) AS n_shared
-        |FROM grams tr JOIN grams ev USING (gram)
-        |WHERE tr.doc_id % 97 != 0 AND ev.doc_id % 97 = 0
-        |GROUP BY 1, 2 HAVING count(*) >= 2
-        |ORDER BY train_id, eval_id""".stripMargin,
+    "x_decontaminate" -> deconOracle,
+    // at-rest twin is output-identical → one oracle, two gates (the
+    // bm25Oracle precedent)
+    "x_decon_stored" -> deconOracle,
     "x_pii_redact" ->
       """WITH p AS (
         |  SELECT doc_id, text ||

@@ -50,22 +50,80 @@ object CorpusPrep {
     * corpus-sized side never shuffles raw text, only matched gram rows. */
   def decontaminate(s: SparkSession, d: String, n: Int = 4,
       minShared: Int = 2): DataFrame = {
-    // materialize the token array through a projection first: inlining
-    // tokens() into wordGrams would re-run split() per element_at
-    val grams = Tables.documents(s, d)
+    val grams = docGrams(s, d, n)
+    deconJoin(
+      grams.filter(col("doc_id") % 97 =!= 0),
+      grams.filter(col("doc_id") % 97 === 0)
+        .withColumnRenamed("doc_id", "eval_id"),
+      minShared)
+  }
+
+  /** One (doc_id, distinct word n-gram) exploded frame per document —
+    * the shared gram derivation of the in-memory and stored-index
+    * decontamination paths, so the two cannot drift. The token array is
+    * materialized through a projection first: inlining tokens() into
+    * wordGrams would re-run split() per element_at. */
+  private def docGrams(s: SparkSession, d: String, n: Int): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"),
         explode(array_distinct(wordGrams(col("t"), n))).as("gram"))
-    val evalGrams = grams.filter(col("doc_id") % 97 === 0)
-      .withColumnRenamed("doc_id", "eval_id")
-    val trainGrams = grams.filter(col("doc_id") % 97 =!= 0)
+
+  /** Shared matched-gram tail: eval postings are benchmark-sized (tiny
+    * vs the corpus) so they broadcast; the corpus side streams through a
+    * map-side hash join and the (train, eval) pair counts aggregate
+    * partial first — corpus text never shuffles, only matched gram rows. */
+  private def deconJoin(trainGrams: DataFrame, evalGrams: DataFrame,
+      minShared: Int): DataFrame =
     trainGrams.join(broadcast(evalGrams), "gram")
       .groupBy(col("doc_id").as("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .select(col("train_id"), col("eval_id"), col("n_shared"))
       .orderBy(col("train_id"), col("eval_id"))
+
+  /** Decontamination index AT REST — the production asymmetry the
+    * in-memory form ignores: an eval benchmark suite changes rarely,
+    * while corpus snapshots arrive continuously, so the eval slice's
+    * distinct n-gram postings are tokenized and written ONCE and every
+    * subsequent training snapshot probes the stored postings without
+    * ever re-reading the eval documents. Postings are bucketed by gram
+    * hash for write parallelism and surgical eval-suite updates (one
+    * benchmark's grams land in rewritable buckets); unlike the LSH/IVF/
+    * BM25 stored probes a corpus-sized probe key set touches every
+    * bucket, so partition pruning deliberately does NOT apply here —
+    * the index is benchmark-sized and the probe reads it whole (and
+    * broadcasts it, [[deconJoin]]). */
+  def writeDeconIndex(s: SparkSession, d: String, outDir: String,
+      n: Int = 4, nBuckets: Int = 16): Unit =
+    docGrams(s, d, n).filter(col("doc_id") % 97 === 0)
+      .withColumnRenamed("doc_id", "eval_id")
+      .withColumn("bucket", pmod(hash(col("gram")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$outDir/grams")
+
+  /** The at-rest decontamination pipeline as ONE driver-checkable query:
+    * write the eval-gram index (cached per JVM via
+    * [[Similarity.cachedStore]]), then probe the training corpus against
+    * it. Output is identical to [[decontaminate]] by the shared
+    * gram/join construction, so the same hash-checked oracle pins the
+    * write→probe path end to end. */
+  def deconStoredQuery(s: SparkSession, d: String): DataFrame = {
+    val out = Similarity.cachedStore("decon", d, s"$d/documents.parquet")(
+      writeDeconIndex(s, d, _))
+    deconProbeStored(s, d, out)
   }
+
+  /** Probe a stored eval-gram index: the training side is derived
+    * exactly as in [[decontaminate]]; the eval side comes from the index
+    * — the probe plan re-tokenizes ONLY the training corpus (one
+    * `documents` scan), never the eval slice. */
+  def deconProbeStored(s: SparkSession, d: String, outDir: String,
+      n: Int = 4, minShared: Int = 2): DataFrame =
+    deconJoin(
+      docGrams(s, d, n).filter(col("doc_id") % 97 =!= 0),
+      s.read.parquet(s"$outDir/grams").select(col("eval_id"), col("gram")),
+      minShared)
 
   /** PII redaction over a corpus with deterministically planted PII (the
     * synthetic `documents` table is PII-free, so emails/phones are first

@@ -67,6 +67,24 @@ class CorpusPrepSpec extends SparkSpec {
       "expected at least one high-overlap contamination pair")
   }
 
+  test("stored decon index probe matches the in-memory pipeline; eval slice never re-read") {
+    val got = CorpusPrep.deconStoredQuery(spark, sf)
+    assert(got.collect().toSeq ===
+      CorpusPrep.decontaminate(spark, sf).collect().toSeq)
+    // serving contract: the probe re-tokenizes ONLY the training corpus —
+    // exactly one documents scan; the eval grams come from the store
+    val scans = got.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("documents.parquet")) => f
+    }
+    assert(scans.size == 1,
+      s"probe must scan documents exactly once (training side), got ${scans.size}")
+    assert(got.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("decon-store")) => f
+    }.nonEmpty, "probe does not read the stored eval-gram index")
+  }
+
   test("piiRedact finds exactly the planted PII and leaves clean docs byte-identical") {
     val red = CorpusPrep.piiRedact(spark, sf)
     val joined = Tables.documents(spark, sf)
