@@ -62,6 +62,9 @@ object SparkEntry {
     // incremental-ingestion dedup: bloom-prefiltered new-batch vs prior
     // corpus, exact-verified — expected matches are SQL-expressible
     "x_dedup_incr"      -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    // the SAME incremental dedup served from its at-rest fingerprint+
+    // bloom index (hash-once prior corpus, probe per arriving batch)
+    "x_dedup_incr_stored" -> ((s, d) => Dedup.incrDedupStoredQuery(s, d)),
     // dup-guarantee variants: the custom-hash operators' *guarantee*
     // (identical input ⇒ identical signature/fingerprint) expressed over
     // a planted-duplicate corpus, where the expected pair set IS
@@ -487,6 +490,18 @@ object SparkEntry {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** The x_dedup_incr oracle, shared verbatim by its at-rest
+    * stored-index twin (output-identical pipelines → one oracle, two
+    * gates). */
+  private lazy val incrDedupOracle: String =
+    """WITH newb AS (
+      |  SELECT doc_id + 200000 AS new_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN text ELSE text || ' v2' END AS text
+      |  FROM documents)
+      |SELECT n.new_id, p.doc_id AS prior_id
+      |FROM newb n JOIN documents p ON n.text = p.text
+      |ORDER BY new_id, prior_id""".stripMargin
+
   /** The x_decontaminate oracle, shared verbatim by its at-rest
     * stored-index twin (output-identical pipelines → one oracle, two
     * gates). */
@@ -732,14 +747,9 @@ object SparkEntry {
     "x_dedup_jaccard" -> jaccardOracle(0.5),
     // same relation at the strict threshold the prefix filter targets
     "x_dedup_jaccard_pp" -> jaccardOracle(0.9),
-    "x_dedup_incr" ->
-      """WITH newb AS (
-        |  SELECT doc_id + 200000 AS new_id,
-        |    CASE WHEN doc_id % 3 = 0 THEN text ELSE text || ' v2' END AS text
-        |  FROM documents)
-        |SELECT n.new_id, p.doc_id AS prior_id
-        |FROM newb n JOIN documents p ON n.text = p.text
-        |ORDER BY new_id, prior_id""".stripMargin,
+    "x_dedup_incr" -> incrDedupOracle,
+    // at-rest twin is output-identical → one oracle, two gates
+    "x_dedup_incr_stored" -> incrDedupOracle,
     "x_dedup_embed" ->
       """WITH p AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -596,29 +596,85 @@ object Dedup {
       expectedItems: Long = 1L << 20): DataFrame = {
     import graft.functions.BloomSupport
     val docs = Tables.documents(s, d)
+    val bytes = BloomSupport.toBytes(docs
+      .select(xxhash64(col("text")).as("fp"))
+      .stat.bloomFilter("fp", expectedItems, fpp))
+    incrementalDedupOf(s, d,
+      docs.select(col("doc_id"), xxhash64(col("text")).as("fp")),
+      bytes, offset)
+  }
+
+  /** Shared probe tail of the in-memory and stored-index incremental
+    * dedup: synthesize the new batch, bloom-prefilter it, candidate-join
+    * fingerprints, exact-verify texts. `priorFp` and `bloomBytes` are
+    * whatever the caller has — freshly computed or read from the at-rest
+    * index — so the two paths cannot drift. The exact verify fetches
+    * prior TEXT for candidate ids only (AQE broadcasts the candidate set
+    * when small): a fingerprint collision costs one comparison, never a
+    * wrong pair. */
+  private def incrementalDedupOf(s: SparkSession, d: String,
+      priorFp: DataFrame, bloomBytes: Array[Byte],
+      offset: Long): DataFrame = {
+    import graft.functions.BloomSupport
+    val docs = Tables.documents(s, d)
     val prior = docs.select(col("doc_id"), col("text"))
     val newBatch = docs.select((col("doc_id") + offset).as("new_id"),
       when(col("doc_id") % 3 === 0, col("text"))
         .otherwise(concat(col("text"), lit(" v2"))).as("text"))
-    val bytes = BloomSupport.toBytes(docs
-      .select(xxhash64(col("text")).as("fp"))
-      .stat.bloomFilter("fp", expectedItems, fpp))
     // candidate generation: only (fp, id) longs cross the wire
-    val priorFp = prior.select(col("doc_id"), xxhash64(col("text")).as("fp"))
     val candidates = newBatch
-      .filter(BloomSupport.mightContain(bytes, xxhash64(col("text"))))
+      .filter(BloomSupport.mightContain(bloomBytes, xxhash64(col("text"))))
       .select(col("new_id"), xxhash64(col("text")).as("fp"))
-      .join(priorFp, Seq("fp"))
+      .join(priorFp.select(col("doc_id"), col("fp")), Seq("fp"))
       .select(col("new_id"), col("doc_id"))
-    // exact verify: fetch texts for candidate ids only (AQE broadcasts
-    // the candidate set when small) and compare bodies — a fingerprint
-    // collision costs one comparison, never a wrong pair
     candidates
       .join(newBatch, Seq("new_id"))
       .join(prior.withColumnRenamed("text", "prior_text"), Seq("doc_id"))
       .filter(col("text") === col("prior_text"))
       .select(col("new_id"), col("doc_id").as("prior_id"))
       .orderBy(col("new_id"), col("prior_id"))
+  }
+
+  /** Incremental-dedup index AT REST — the ingestion-time asymmetry: the
+    * prior corpus is hashed ONCE into a (fingerprint, doc_id) index plus
+    * its trained bloom filter, and every arriving batch probes the index
+    * — 100 TB of prior text is never re-read, let alone re-hashed, per
+    * batch; only candidate ids' bodies are fetched for the exact verify.
+    * Fingerprints are bucketed by fp hash for write parallelism and
+    * incremental index growth (append a new batch's fingerprints to its
+    * buckets); a batch's probe keys are hash-uniform so partition
+    * pruning deliberately does not apply — the index is 16 bytes/doc
+    * against the corpus's full text, which is the scale win. The bloom
+    * bytes ride along as a 1-row table, so probes need no out-of-band
+    * state. */
+  def writeIncrIndex(s: SparkSession, d: String, outDir: String,
+      fpp: Double = 0.03, expectedItems: Long = 1L << 20,
+      nBuckets: Int = 32): Unit = {
+    import s.implicits._
+    import graft.functions.BloomSupport
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"), xxhash64(col("text")).as("fp"))
+    fp.withColumn("bucket", pmod(hash(col("fp")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$outDir/fp")
+    val bytes = BloomSupport.toBytes(
+      fp.stat.bloomFilter("fp", expectedItems, fpp))
+    Seq(Tuple1(bytes)).toDF("bloom")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/bloom")
+  }
+
+  /** The at-rest incremental-dedup pipeline as ONE driver-checkable
+    * query: write the fingerprint+bloom index (cached per JVM via
+    * [[Similarity.cachedStore]]), then probe the synthesized new batch
+    * against it. Output is identical to [[incrementalDedup]] by the
+    * shared probe tail, so the same hash-checked oracle pins the
+    * write→probe path end to end. */
+  def incrDedupStoredQuery(s: SparkSession, d: String,
+      offset: Long = 200000L): DataFrame = {
+    val out = Similarity.cachedStore("dedupincr", d, s"$d/documents.parquet")(
+      writeIncrIndex(s, d, _))
+    val bytes = s.read.parquet(s"$out/bloom").head().getAs[Array[Byte]](0)
+    incrementalDedupOf(s, d, s.read.parquet(s"$out/fp"), bytes, offset)
   }
 
   /** SimHash near-dup pairs: fingerprint (custom expression) → 4×16-bit

@@ -196,6 +196,26 @@ class CorpusPrepSpec extends SparkSpec {
     assert(candidates >= expected.size, "no false negatives allowed")
   }
 
+  test("stored incremental-dedup index probe matches the in-memory pipeline") {
+    val got = Dedup.incrDedupStoredQuery(spark, sf)
+    assert(got.collect().toSeq ===
+      Dedup.incrementalDedup(spark, sf).collect().toSeq)
+    // serving contract: prior text is never re-hashed — the probe reads
+    // fingerprints from the store, so it scans documents strictly fewer
+    // times than the in-memory twin (which derives priorFp from text)
+    def docScans(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("documents.parquet")) => f
+      }.size
+    assert(docScans(got) < docScans(Dedup.incrementalDedup(spark, sf)),
+      "stored probe must not re-derive prior fingerprints from text")
+    assert(got.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("dedupincr-store")) => f
+    }.nonEmpty, "probe does not read the stored fingerprint index")
+  }
+
   test("packSequences reproduces an exact sequential greedy fold per group") {
     val cap = 512; val gsz = 100
     val got = CorpusPrep.packSequences(spark, sf, cap, gsz)
