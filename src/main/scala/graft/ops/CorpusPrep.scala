@@ -88,19 +88,29 @@ object CorpusPrep {
     * distinct n-gram postings are tokenized and written ONCE and every
     * subsequent training snapshot probes the stored postings without
     * ever re-reading the eval documents. Postings are bucketed by gram
-    * hash for write parallelism and surgical eval-suite updates (one
-    * benchmark's grams land in rewritable buckets); unlike the LSH/IVF/
-    * BM25 stored probes a corpus-sized probe key set touches every
-    * bucket, so partition pruning deliberately does NOT apply here —
-    * the index is benchmark-sized and the probe reads it whole (and
-    * broadcasts it, [[deconJoin]]). */
+    * hash purely for parallel, bounded-size write tasks (grams of any
+    * one benchmark scatter uniformly across buckets — updating a suite
+    * rewrites the index); unlike the LSH/IVF/BM25 stored probes a
+    * corpus-sized probe key set touches every bucket, so partition
+    * pruning deliberately does NOT apply here — the index is
+    * benchmark-sized and the probe reads it whole (and broadcasts it,
+    * [[deconJoin]]). The gram width `n` is a join-compatibility
+    * parameter: a probe tokenizing at a different n would equality-join
+    * disjoint string sets and silently report no contamination, so it is
+    * recorded in `meta/` and the probe DERIVES it from the index rather
+    * than accepting it as an argument (the bm25 n_buckets precedent: no
+    * out-of-band config). */
   def writeDeconIndex(s: SparkSession, d: String, outDir: String,
-      n: Int = 4, nBuckets: Int = 16): Unit =
+      n: Int = 4, nBuckets: Int = 16): Unit = {
+    import s.implicits._
     docGrams(s, d, n).filter(col("doc_id") % 97 === 0)
       .withColumnRenamed("doc_id", "eval_id")
       .withColumn("bucket", pmod(hash(col("gram")), lit(nBuckets)))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$outDir/grams")
+    Seq(n).toDF("n").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/meta")
+  }
 
   /** The at-rest decontamination pipeline as ONE driver-checkable query:
     * write the eval-gram index (cached per JVM via
@@ -115,15 +125,23 @@ object CorpusPrep {
   }
 
   /** Probe a stored eval-gram index: the training side is derived
-    * exactly as in [[decontaminate]]; the eval side comes from the index
-    * — the probe plan re-tokenizes ONLY the training corpus (one
-    * `documents` scan), never the eval slice. */
+    * exactly as in [[decontaminate]], tokenized at the gram width the
+    * INDEX records (never caller-supplied — a width mismatch would
+    * silently join disjoint gram sets); the eval side comes from the
+    * index — the probe plan re-tokenizes ONLY the training corpus (one
+    * `documents` scan), never the eval slice. The grams read carries an
+    * explicit schema: an empty eval slice writes a data-file-less
+    * partitioned dir, and schema INFERENCE over it would throw where the
+    * in-memory twin returns empty. */
   def deconProbeStored(s: SparkSession, d: String, outDir: String,
-      n: Int = 4, minShared: Int = 2): DataFrame =
+      minShared: Int = 2): DataFrame = {
+    val n = s.read.parquet(s"$outDir/meta").head().getInt(0)
     deconJoin(
       docGrams(s, d, n).filter(col("doc_id") % 97 =!= 0),
-      s.read.parquet(s"$outDir/grams").select(col("eval_id"), col("gram")),
+      s.read.schema("eval_id BIGINT, gram STRING, bucket INT")
+        .parquet(s"$outDir/grams").select(col("eval_id"), col("gram")),
       minShared)
+  }
 
   /** PII redaction over a corpus with deterministically planted PII (the
     * synthetic `documents` table is PII-free, so emails/phones are first

@@ -591,17 +591,23 @@ object Dedup {
     * (new, prior) pair with equal text — the verbatim re-arrivals PLUS
     * cross-pairs through pre-existing duplicate texts in the prior
     * corpus (sf0.1 has such groups) — and is SQL-expressible. */
+  /** THE corpus text fingerprint — one definition for the in-memory
+    * prior-side derivation, the stored-index writer, and the probe side
+    * ([[incrementalDedupOf]]): a salted or normalized variant edited in
+    * one site but not the others would equality-join probe hashes
+    * against stale index hashes and silently miss every duplicate (the
+    * exact verify only prevents FALSE pairs, not false negatives). */
+  private def textFp = xxhash64(col("text"))
+
   def incrementalDedup(s: SparkSession, d: String,
       offset: Long = 200000L, fpp: Double = 0.03,
       expectedItems: Long = 1L << 20): DataFrame = {
     import graft.functions.BloomSupport
     val docs = Tables.documents(s, d)
-    val bytes = BloomSupport.toBytes(docs
-      .select(xxhash64(col("text")).as("fp"))
-      .stat.bloomFilter("fp", expectedItems, fpp))
-    incrementalDedupOf(s, d,
-      docs.select(col("doc_id"), xxhash64(col("text")).as("fp")),
-      bytes, offset)
+    val priorFp = docs.select(col("doc_id"), textFp.as("fp"))
+    val bytes = BloomSupport.toBytes(
+      priorFp.stat.bloomFilter("fp", expectedItems, fpp))
+    incrementalDedupOf(s, d, priorFp, bytes, offset)
   }
 
   /** Shared probe tail of the in-memory and stored-index incremental
@@ -623,8 +629,8 @@ object Dedup {
         .otherwise(concat(col("text"), lit(" v2"))).as("text"))
     // candidate generation: only (fp, id) longs cross the wire
     val candidates = newBatch
-      .filter(BloomSupport.mightContain(bloomBytes, xxhash64(col("text"))))
-      .select(col("new_id"), xxhash64(col("text")).as("fp"))
+      .filter(BloomSupport.mightContain(bloomBytes, textFp))
+      .select(col("new_id"), textFp.as("fp"))
       .join(priorFp.select(col("doc_id"), col("fp")), Seq("fp"))
       .select(col("new_id"), col("doc_id"))
     candidates
@@ -652,16 +658,28 @@ object Dedup {
       nBuckets: Int = 32): Unit = {
     import s.implicits._
     import graft.functions.BloomSupport
-    val fp = Tables.documents(s, d)
-      .select(col("doc_id"), xxhash64(col("text")).as("fp"))
-    fp.withColumn("bucket", pmod(hash(col("fp")), lit(nBuckets)))
+    Tables.documents(s, d)
+      .select(col("doc_id"), textFp.as("fp"))
+      .withColumn("bucket", pmod(hash(col("fp")), lit(nBuckets)))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$outDir/fp")
+    // train the bloom from the index JUST WRITTEN, not from a re-derived
+    // text plan: the corpus is scanned+hashed exactly once (the "hashed
+    // ONCE" contract above), and the filter can never diverge from the
+    // stored fingerprints (a bloom trained on a re-read of a corpus
+    // rewritten between the two jobs would drop true duplicates)
     val bytes = BloomSupport.toBytes(
-      fp.stat.bloomFilter("fp", expectedItems, fpp))
+      readFpIndex(s, outDir).stat.bloomFilter("fp", expectedItems, fpp))
     Seq(Tuple1(bytes)).toDF("bloom")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/bloom")
   }
+
+  /** Explicit-schema read of the stored fingerprint index: an index over
+    * an empty corpus has no data files, and schema inference over it
+    * would throw where the in-memory twin returns empty. */
+  private def readFpIndex(s: SparkSession, outDir: String): DataFrame =
+    s.read.schema("doc_id BIGINT, fp BIGINT, bucket INT")
+      .parquet(s"$outDir/fp")
 
   /** The at-rest incremental-dedup pipeline as ONE driver-checkable
     * query: write the fingerprint+bloom index (cached per JVM via
@@ -674,7 +692,7 @@ object Dedup {
     val out = Similarity.cachedStore("dedupincr", d, s"$d/documents.parquet")(
       writeIncrIndex(s, d, _))
     val bytes = s.read.parquet(s"$out/bloom").head().getAs[Array[Byte]](0)
-    incrementalDedupOf(s, d, s.read.parquet(s"$out/fp"), bytes, offset)
+    incrementalDedupOf(s, d, readFpIndex(s, out), bytes, offset)
   }
 
   /** SimHash near-dup pairs: fingerprint (custom expression) → 4×16-bit

@@ -216,6 +216,24 @@ class CorpusPrepSpec extends SparkSpec {
     }.nonEmpty, "probe does not read the stored fingerprint index")
   }
 
+  test("stored twins match their in-memory pipelines on an eval-less corpus (empty index)") {
+    // doc_ids 1..50 contain no multiple of 97 → the eval slice is empty,
+    // the stored gram index has no data files, and the probe must return
+    // empty like the in-memory twin (schema inference over a file-less
+    // partitioned dir would throw instead — the explicit-schema reads)
+    val dir = graft.Scaffold.cleanupOnExit(java.nio.file.Files
+      .createTempDirectory("graft-decon-empty").toString)
+    (1 to 50).map(i => (i.toLong, s"alpha beta gamma delta epsilon doc $i", "en", "web", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(CorpusPrep.decontaminate(spark, dir).count() === 0)
+    assert(CorpusPrep.deconStoredQuery(spark, dir).count() === 0)
+    // the dedup stored twin over the same tiny corpus: every 3rd doc
+    // re-arrives verbatim, so both paths agree and are non-empty
+    assert(Dedup.incrDedupStoredQuery(spark, dir).collect().toSeq ===
+      Dedup.incrementalDedup(spark, dir).collect().toSeq)
+  }
+
   test("packSequences reproduces an exact sequential greedy fold per group") {
     val cap = 512; val gsz = 100
     val got = CorpusPrep.packSequences(spark, sf, cap, gsz)
