@@ -47,13 +47,19 @@ object Bench {
     // crash can never *improve* the headline number), listed in
     // "failed", reported on stderr with its cause, and fails the run.
     //
-    // Median-of-3: three full passes over the query set (interleaved, not
-    // back-to-back per query, so one transient burst of sandbox/JIT
-    // contention lands in a single pass and the per-query median rejects
-    // it — measured round-over-round swings of 1.7× on byte-identical
-    // code with the old single-shot timing). The headline total is the
-    // sum of per-query medians; per-run values are kept in "runs" for
-    // variance visibility.
+    // Median-of-3 + cal-anchor pass rejection: three full passes over
+    // the query set (interleaved, not back-to-back per query, so one
+    // transient burst of sandbox/JIT contention lands in a single pass —
+    // measured round-over-round swings of 1.7× on byte-identical code
+    // with the old single-shot timing). A bare median-of-3 still fails
+    // when contention spans TWO of the three passes (observed r12:
+    // cal_samples 0.506/0.150/0.273 — per-query medians inflated 2-10×
+    // over their own minima), so the per-pass calibration anchor decides
+    // which passes count: a pass whose in-pass cal sample exceeds 1.5×
+    // the best pass's is dropped from the per-query medians (rejection
+    // rule; the best pass always survives). The headline total is the
+    // sum of per-query medians over accepted passes; every raw sample
+    // stays in "runs"/"sample_passes" for post-hoc analysis.
     // Machine-speed calibration anchor: sandbox contention moves EVERY
     // query by a uniform factor between runs (measured: two
     // back-to-back identical benches, per-query median ratio 1.28
@@ -94,14 +100,19 @@ object Bench {
     // The driver never sets it, so round benches always time the whole set.
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => onlyEnv.forall(_.contains(n)))
-    val times = scala.collection.mutable.Map[String, Vector[Double]]()
+    // Samples are tagged with the pass they ran in, so the median can
+    // reject samples from passes the calibration anchor flags as
+    // contended (see below) — a per-query vector alone cannot say which
+    // of its samples shared a pass with a slow anchor.
+    val times = scala.collection.mutable.Map[String, Vector[(Int, Double)]]()
       .withDefaultValue(Vector.empty)
     val errs = scala.collection.mutable.Map[String, Throwable]()
     var calSamples = Vector.empty[Double]
-    // Streaming-drive methodology (single-sample, run 1 only): a timed
-    // sample must execute the real multi-batch streaming drive — never a
-    // drained-cache read, which would measure a checkpoint scan instead of
-    // streaming execution. But a full drive costs tens of seconds
+    // Streaming-drive methodology (single sample in pass 1, plus a
+    // contention-triggered retry pass): a timed sample must execute the
+    // real multi-batch streaming drive — never a drained-cache read,
+    // which would measure a checkpoint scan instead of streaming
+    // execution. But a full drive costs tens of seconds
     // (x_stream_sessionize ≈32 s/pass at sf0.1), so re-driving all five
     // per pass would more than double the 3-pass bench for queries whose
     // cost is drive-dominated and low-variance. So: known drive-backed
@@ -110,16 +121,34 @@ object Bench {
     // which StreamDrive's own contract calls scaffolding, not the
     // operator — then the drained cache is cleared once and pass 1 times
     // each drive staging-free against the real replay. Later passes skip
-    // them: their reported median is the one genuine drive execution
-    // (visible in "runs" as a single sample), not a cached read.
+    // them; when the pass-1 cal anchor flags contention, one retry pass
+    // after the regular passes re-drives them so the rejection/min logic
+    // has a better-anchored sample to pick (see the retry block below).
+    //
+    // Drive cost attribution (profiled uncontended at sf0.1 via
+    // SPARK_GRAFT_DRIVE_PROFILE): each micro-batch carries ~0.3-0.5 s of
+    // FIXED overhead — query planning, offset log, WAL commit, state
+    // store commit — regardless of batch size (a 1-row sentinel batch
+    // costs ~0.3 s, a 34k-row corpus batch ~0.4 s). So x_stream_late
+    // (~3.0 s) runs ~1.8× x_stream_hourly (~1.6 s) because its eviction
+    // scenario replays 7 micro-batches (3 corpus ranges + late batch +
+    // 2 flush sentinels + trailing empty batch) against hourly's 3 —
+    // inherent to the watermark-eviction semantics being tested, not an
+    // avoidable re-sort (staging is cached across passes; hourly and
+    // sliding share one staged split). r12's reported 11.7/10.7 s for
+    // late/sliding were pass-1 contention artifacts, the case the retry
+    // pass above now corrects.
     //
     // Drive-backedness is DETECTED, not only enumerated: a query whose
-    // run-1 execution grows StreamDrive.drainedSize ran a real drive, so
-    // a drive added or renamed after this seed list was written is still
+    // run-1 execution TOUCHED StreamDrive's drained cache (hit or miss —
+    // StreamDrive.drainTouches, not cache size, so even a query sharing
+    // a cache key with an earlier drive is caught) is drive-backed, so a
+    // drive added or renamed after this seed list was written is still
     // skipped on later passes instead of silently timing a cached
-    // checkpoint scan (its one sample then includes the staging write —
-    // conservative, never cache-fast). The seed list only decides which
-    // queries get the untimed staging warm-up.
+    // checkpoint scan. If a touch happened WITHOUT a real drive running
+    // (StreamDrive.driveRuns flat), the timed sample measured a cached
+    // read — reported loudly on stderr, never shipped silently. The seed
+    // list only decides which queries get the untimed staging warm-up.
     val seedDriveBacked = Set("x_stream_hourly", "x_stream_sliding",
       "x_stream_sessionize", "x_stream_dedup", "x_stream_late")
     for (name <- names if seedDriveBacked(name))
@@ -127,39 +156,85 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => () } // resurfaces timed
     val driveBacked = scala.collection.mutable.Set[String]()
     graft.streaming.StreamDrive.clearDrained()
+    def timeQuery(name: String, pass: Int): Unit = {
+      val fn = SparkEntry.queries(name)
+      val touchesBefore = graft.streaming.StreamDrive.drainTouches
+      val runsBefore = graft.streaming.StreamDrive.driveRuns
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); times(name) :+= (pass, (System.nanoTime() - t0) / 1e9) }
+      catch { case t: Throwable => errs(name) = t }
+      val touched = graft.streaming.StreamDrive.drainTouches > touchesBefore
+      if (touched) {
+        driveBacked += name
+        if (graft.streaming.StreamDrive.driveRuns == runsBefore)
+          System.err.println(s"BENCH WARN $name touched the drained-drive " +
+            "cache without running a drive in pass " + pass + " — its sample " +
+            "is a cached checkpoint read, not streaming execution (two bench " +
+            "queries likely share one drive cache key)")
+      }
+    }
     for (run <- 1 to nRuns) {
       calSamples :+= calOnce()
       for (name <- names if !errs.contains(name)
-           && (run == 1 || !driveBacked(name))) {
-        val fn = SparkEntry.queries(name)
-        val drainedBefore = graft.streaming.StreamDrive.drainedSize
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); times(name) :+= (System.nanoTime() - t0) / 1e9 }
-        catch { case t: Throwable => errs(name) = t }
-        if (run == 1 && graft.streaming.StreamDrive.drainedSize > drainedBefore)
-          driveBacked += name
-      }
+           && (run == 1 || !driveBacked(name)))
+        timeQuery(name, run)
+    }
+    // Drive retry pass: drive-backed queries are timed only in pass 1
+    // (re-driving every pass would more than double the bench), so their
+    // single sample carries whatever contention pass 1 had, with no
+    // within-query median to reject it. When the pass-1 anchor shows
+    // meaningful contention relative to the best pass (>1.25x), the
+    // drives are re-driven ONCE after the regular passes as an extra
+    // pass with its own anchor; the per-query rejection/min logic below
+    // then picks the better-anchored sample. Uncontended benches skip
+    // the retry and keep the single pass-1 sample.
+    val retryPass = nRuns + 1
+    if (driveBacked.nonEmpty && calSamples.nonEmpty &&
+        calSamples.head > 1.25 * calSamples.min) {
+      graft.streaming.StreamDrive.clearDrained()
+      calSamples :+= calOnce()
+      for (name <- names if driveBacked(name) && !errs.contains(name))
+        timeQuery(name, retryPass)
     }
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val calSec = median(calSamples)
+    // Contention-aware pass rejection: sandbox contention is one-sided
+    // (it only ADDS time) and pass-wide (the anchor and the queries of a
+    // pass slow down together), so a pass whose in-pass cal sample
+    // exceeds 1.5x the best pass's is dropped from the per-query MEDIAN
+    // (the best-anchored pass survives by construction, so every query
+    // keeps >=1 sample; queries absent from every surviving pass — a
+    // drive timed only in a rejected pass 1 with no retry triggered at
+    // the 1.25x threshold — fall back to all their samples). "min" is
+    // untouched: the per-query minimum is already contention-robust.
+    val calByPass: Map[Int, Double] = calSamples.zipWithIndex
+      .map { case (c, i) => (i + 1) -> c }.toMap
+    val rejectedPasses: Set[Int] =
+      calByPass.collect { case (p, c) if c > 1.5 * calSamples.min => p }.toSet
+    def accepted(samples: Vector[(Int, Double)]): Vector[Double] = {
+      val good = samples.collect { case (p, v) if !rejectedPasses(p) => v }
+      if (good.nonEmpty) good else samples.map(_._2)
+    }
     val failed = names.filter(errs.contains).map { name =>
       val t = errs(name)
       System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
       name
     }
-    val medians = names.map(n => n -> (if (errs.contains(n)) None else Some(median(times(n)))))
+    val medians = names.map(n =>
+      n -> (if (errs.contains(n)) None else Some(median(accepted(times(n))))))
     val total = medians.collect { case (_, Some(v)) => v }.sum
     // Min-of-N beside the median total: sandbox contention is one-sided
     // noise (it only ever ADDS time), so the per-query minimum is the
     // best estimate of the uncontended cost, and median-of-3 fails
     // whenever a contention burst spans two of the three passes (observed
     // r7: per-run spreads up to 10×, run-3 matching the prior round). The
-    // median stays as "value" for continuity; "min" is the
-    // contention-robust headline.
-    val totalMin = names.collect { case n if !errs.contains(n) => times(n).min }.sum
+    // median (now over cal-accepted passes only) stays as "value" for
+    // continuity; "min" is the contention-robust headline.
+    val totalMin = names.collect {
+      case n if !errs.contains(n) => times(n).map(_._2).min }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full-precision detail (all per-run samples) goes out FIRST; the
     // harness that collects our stdout keeps only the last ~2000 chars
@@ -168,14 +243,28 @@ object Bench {
     // (~4 KB across 80+ queries) never can, and shipping it last is how
     // rounds 4-6 ended up with an unparseable bench. Detail is also
     // written to bench_detail.json for post-hoc variance analysis.
+    // "runs" keeps its plain per-query sample arrays (cross-round
+    // min-of-N comparison is against it); "sample_passes" carries the
+    // 1-based pass each sample ran in (a drive-backed query has [1] or
+    // [1, nRuns+1], everything else [1..nRuns]), "rejected_passes" the
+    // passes the cal anchor disqualified from medians, and
+    // "single_sample" the queries whose median==min==one genuine
+    // execution — so the consumer knows exactly which numbers carry
+    // which statistical weight.
     val runsJson = names.map { n =>
-      "\"" + n + "\":" + times(n).mkString("[", ",", "]")
+      "\"" + n + "\":" + times(n).map(_._2).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val passesJson = names.map { n =>
+      "\"" + n + "\":" + times(n).map(_._1).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val rejectedJson = rejectedPasses.toSeq.sorted.mkString("[", ",", "]")
+    val singleSample = names.filter(n => !errs.contains(n) && times(n).size == 1)
+    val singleJson = singleSample.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Per-pass cal samples ship alongside the per-query runs: one anchor
     // sample was taken INSIDE each timed pass, so a consumer can detect
     // which passes were contended and normalize (or drop) exactly those.
     val calJson = calSamples.mkString("[", ",", "]")
-    val detail = s"""{"metric":"total","value":$total,"min":$totalMin,"unit":"sec","cal_sec":$calSec,"cal_samples":$calJson,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"min":$totalMin,"unit":"sec","cal_sec":$calSec,"cal_samples":$calJson,"rejected_passes":$rejectedJson,"single_sample":$singleJson,"runs":$runsJson,"sample_passes":$passesJson,"failed":$failedJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detail) finally w.close()

@@ -59,9 +59,25 @@ object Tables {
     * the identity on the underlying micros, and `unix_micros` is exact. */
   def eventMicros(df: DataFrame): Column = microsOf(df.schema("ts").dataType)
 
+  /** The NTZ↔timestamp casts below are the identity on the underlying
+    * micros ONLY under a UTC session zone; any other zone would shift
+    * every event time by the zone offset with no error anywhere. The
+    * engine's own entry points ([[graft.Verify]], [[graft.Bench]], the
+    * test harness) all pin UTC, but an embedding caller may not — so the
+    * NTZ branches fail loudly here, matching the unsupported-type
+    * branches, instead of silently corrupting event time. */
+  private def requireUtcSession(): Unit = {
+    val tz = SparkSession.active.conf.get("spark.sql.session.timeZone")
+    require(java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
+      s"events.ts is TIMESTAMP_NTZ and spark.sql.session.timeZone is '$tz': " +
+        "the NTZ<->timestamp cast is session-zone-dependent and would " +
+        "silently shift every event time; set the session time zone to UTC")
+  }
+
   private[graft] def microsOf(dt: DataType): Column = dt match {
     case LongType         => expr("ts div 1000") // int64 nanoseconds
-    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case TimestampNTZType =>
+      requireUtcSession(); unix_micros(col("ts").cast(TimestampType))
     case TimestampType    => unix_micros(col("ts"))
     case other => throw new IllegalArgumentException(
       s"events.ts has unsupported type $other (expected int64 nanos or timestamp)")
@@ -72,7 +88,7 @@ object Tables {
     * from either source encoding. */
   private[graft] def timestampOf(dt: DataType): Column = dt match {
     case LongType         => timestamp_micros(expr("ts div 1000"))
-    case TimestampNTZType => col("ts").cast(TimestampType)
+    case TimestampNTZType => requireUtcSession(); col("ts").cast(TimestampType)
     case TimestampType    => col("ts")
     case other => throw new IllegalArgumentException(
       s"events.ts has unsupported type $other (expected int64 nanos or timestamp)")
@@ -83,7 +99,8 @@ object Tables {
     * corpus whose schema they must match exactly. */
   private[graft] def tsLiteralOf(us: Long, dt: DataType): Column = dt match {
     case LongType         => lit(us * 1000L)
-    case TimestampNTZType => timestamp_micros(lit(us)).cast(TimestampNTZType)
+    case TimestampNTZType =>
+      requireUtcSession(); timestamp_micros(lit(us)).cast(TimestampNTZType)
     case TimestampType    => timestamp_micros(lit(us))
     case other => throw new IllegalArgumentException(
       s"events.ts has unsupported type $other (expected int64 nanos or timestamp)")

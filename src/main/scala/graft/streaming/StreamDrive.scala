@@ -95,10 +95,11 @@ object StreamDrive {
     * drive) — for REPEAT callers only: a spec or notebook invoking the
     * same drive twice on the same corpus reads the drained sink instead
     * of replaying. Anything that TIMES drives must not hit this cache —
-    * [[graft.Bench]] calls [[clearDrained]] before its one timed drive
-    * pass and detects drive-backed queries via [[drainedSize]] growth so
-    * later passes skip them entirely (a cached read would measure a
-    * localCheckpoint scan, not streaming execution). Staging
+    * [[graft.Bench]] calls [[clearDrained]] before its timed drive
+    * passes and detects drive-backed queries via the [[drainTouches]] /
+    * [[driveRuns]] counters so later passes skip them entirely (a cached
+    * read would measure a localCheckpoint scan, not streaming
+    * execution). Staging
     * ([[stagedCache]]) stays shared across passes: it is drive
     * scaffolding (one sorted write of the input), not the operator.
     * Keyed on the source fingerprint so a regenerated corpus re-drives,
@@ -115,21 +116,41 @@ object StreamDrive {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, java.util.UUID]())
 
-  /** Number of drained drive results currently cached — [[graft.Bench]]
-    * samples this around each timed query to detect drive-backed queries
-    * (a query whose execution grew the cache ran a real drive), so the
-    * skip-on-later-passes logic can never silently time a cached read
-    * for a drive added or renamed after the bench was written. */
-  def drainedSize: Int = drainedCache.size
+  private val drainTouchCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private val driveRunCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Count of [[drainCached]] entries — every drive invocation, cache hit
+    * or miss. [[graft.Bench]] samples this around each timed run-1 query:
+    * a query whose execution touched the drained cache is drive-backed
+    * and must be skipped on later passes. Touch-based (not cache-size
+    * based) detection closes the blind spot where two bench queries share
+    * one cache key: the second query's run-1 is a cache HIT, the cache
+    * does not grow, and size-based detection would let later passes time
+    * a localCheckpoint scan as if it were streaming execution. */
+  def drainTouches: Long = drainTouchCounter.get
+
+  /** Count of REAL drive executions (the compute lambda ran — a full
+    * multi-batch streaming replay, not a cache hit). Bench compares its
+    * growth with [[drainTouches]] growth: a timed sample whose execution
+    * touched the cache without running a drive measured a cached read,
+    * which Bench reports loudly instead of shipping silently. */
+  def driveRuns: Long = driveRunCounter.get
 
   /** Drop all drained drive results (staging is kept). Bench calls this
-    * once, after warming drive staging and before its single timed drive
-    * pass, so that pass replays the real drives.
+    * before each timed drive pass so that pass replays the real drives.
+    *
+    * INVALIDATION CONTRACT: the drained frames are localCheckpoint'd, so
+    * their lineage is truncated — after this call, any drained DataFrame
+    * a repeat caller still holds from before is permanently
+    * unrecomputable (an action on it fails), not merely uncached. That
+    * is why this is `private[graft]`: only [[graft.Bench]] may clear,
+    * and the cache's stated audience (specs, notebooks) always re-enters
+    * through the drive entry points, which re-drive on a cleared cache.
     * The localCheckpoint'd result blocks are unpersisted EXPLICITLY —
     * dropping the strong refs alone leaves the persisted RDD blocks to
     * lazy GC + ContextCleaner, so repeated bench passes would briefly
     * accumulate checkpoint blocks in the block manager. */
-  def clearDrained(): Unit = {
+  private[graft] def clearDrained(): Unit = {
     drainedCache.values.forEach { case (df, _) =>
       df.queryExecution.analyzed match {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
@@ -151,6 +172,7 @@ object StreamDrive {
 
   private def drainCached(s: SparkSession, srcPath: String, name: String)(
       body: => DataFrame): DataFrame = {
+    drainTouchCounter.incrementAndGet()
     val sid = sessionIds.computeIfAbsent(s, _ => java.util.UUID.randomUUID())
     val (df, batches) = drainedCache.computeIfAbsent(
       s"$sid#$srcPath#${graft.Scaffold.fingerprint(srcPath)}#$name",
@@ -160,7 +182,8 @@ object StreamDrive {
       // silently re-read the new sink. The drive is already eager, so
       // this adds one tiny local job over the drained result table.
       // `body` runs on THIS thread, so the thread-local count is its own.
-      _ => { val out = body.localCheckpoint(); (out, lastBatchesLocal.get) })
+      _ => { driveRunCounter.incrementAndGet()
+        val out = body.localCheckpoint(); (out, lastBatchesLocal.get) })
     lastDriveBatches = batches
     df
   }
@@ -202,6 +225,16 @@ object StreamDrive {
       val counts = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
       lastBatchesLocal.set(counts)
       lastDriveBatches = counts
+      // Dev-only drive profile (set SPARK_GRAFT_DRIVE_PROFILE): per-batch
+      // duration breakdown from the progress events, for attributing
+      // drive cost to planning vs state commit vs addBatch.
+      if (sys.env.contains("SPARK_GRAFT_DRIVE_PROFILE"))
+        q.recentProgress.foreach { p =>
+          val st = p.stateOperators.toSeq.map(o =>
+            s"rows=${o.numRowsTotal} commitMs=${o.commitTimeMs}").mkString(";")
+          System.err.println(s"DRIVEPROF $name batch=${p.batchId} " +
+            s"in=${p.numInputRows} dur=${p.durationMs} state[$st]")
+        }
       q.stop()
     }
     s.table(name)
