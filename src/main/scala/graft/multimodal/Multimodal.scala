@@ -140,6 +140,73 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL image resize over the same per-partition lifecycle as
+    * [[resize]]: decode via `javax.imageio` (JDK-only), nearest-neighbor
+    * downsample by `factor` with an explicit pixel loop — deterministic
+    * across JVMs, unlike `Graphics2D.drawImage` whose interpolation is
+    * implementation-defined — then re-encode as PNG. The binary→binary
+    * contract the stub only shapes is real here: payload in, resampled
+    * payload out, dims recomputed from the actual raster. `out_md5` is
+    * over the resized RASTER's packed RGB bytes (row-major, 3
+    * bytes/pixel), not the encoded PNG, so the pin is codec-independent;
+    * the spec re-decodes `payload_out` and recomputes it pixel-exact.
+    * Undecodable payloads degrade to zero dims + null payload (per-file
+    * error isolation, same stance as [[ImageIODecoder]]). The driver's
+    * documents table holds text blobs, not images, so the oracle-checked
+    * `x_mm_resize` keeps the synthetic [[resize]]; this path is spec'd
+    * on real PNG fixtures instead. */
+  def resizeImagesOf(s: SparkSession, media: DataFrame,
+      factor: Int = 2): DataFrame = {
+    import s.implicits._
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    media
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // one digest + decoder context per partition, never per row
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, bytes) =>
+          val n = if (bytes == null) 0L else bytes.length.toLong
+          val img = if (n == 0L) null
+            else try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null)
+            (id, 0, 0, 0, 0, n, 0L, null: String, null: Array[Byte])
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val ow = ((w + factor - 1) / factor).max(1)
+            val oh = ((h + factor - 1) / factor).max(1)
+            val out = new java.awt.image.BufferedImage(
+              ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val raster = new Array[Byte](ow * oh * 3)
+            var y = 0
+            while (y < oh) {
+              var x = 0
+              while (x < ow) {
+                val rgb = img.getRGB(x * factor, y * factor) & 0xffffff
+                out.setRGB(x, y, rgb)
+                val base = (y * ow + x) * 3
+                raster(base) = ((rgb >> 16) & 0xff).toByte
+                raster(base + 1) = ((rgb >> 8) & 0xff).toByte
+                raster(base + 2) = (rgb & 0xff).toByte
+                x += 1
+              }
+              y += 1
+            }
+            digest.reset()
+            val md5 = digest.digest(raster).map("%02x".format(_)).mkString
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            val enc = bos.toByteArray
+            (id, w, h, ow, oh, n, enc.length.toLong, md5, enc)
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "out_width", "out_height",
+        "n_bytes", "out_bytes", "out_md5", "payload_out")
+  }
+
   /** Feature extraction to a fixed-width vector — the media→embedding
     * bridge that feeds the [[graft.ops.Similarity]] ANN operators. The
     * stub features are transparent arithmetic in the payload size

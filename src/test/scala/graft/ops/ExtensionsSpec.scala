@@ -432,6 +432,59 @@ class ExtensionsSpec extends SparkSpec {
     assert(badMeta == Map(98L -> ((0, 0, 0)), 99L -> ((0, 0, 0)), 100L -> ((0, 0, 0))))
   }
 
+  test("multimodal REAL resize resamples actual PNG pixels through the production seam") {
+    import graft.multimodal.Multimodal
+    def png(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (seed * 2654435761L + x * 31 + y).toInt & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val factor = 2
+    val fixtures = (0L until 12L).map { id =>
+      val (w, h) = (4 + (id % 6).toInt, 3 + (id % 5).toInt)
+      (id, png(w, h, id.toInt + 7), w, h)
+    }
+    val media = fixtures.map { case (id, b, _, _) => (id, b) }
+      .toDF("doc_id", "payload").repartition(3) // exercise >1 partition
+    val out = Multimodal.resizeImagesOf(spark, media, factor)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    fixtures.foreach { case (id, bytes, w, h) =>
+      val r = out(id)
+      val (ow, oh) = ((w + factor - 1) / factor, (h + factor - 1) / factor)
+      assert((r.getAs[Int]("width"), r.getAs[Int]("height")) == ((w, h)))
+      assert((r.getAs[Int]("out_width"), r.getAs[Int]("out_height")) == ((ow, oh)))
+      // re-decode the emitted payload: pixel-exact nearest-neighbor of
+      // the INPUT image, and the raster md5 the operator pinned
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val dec = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload_out")))
+      assert((dec.getWidth, dec.getHeight) == ((ow, oh)))
+      val raster = new Array[Byte](ow * oh * 3)
+      for (y <- 0 until oh; x <- 0 until ow) {
+        val exp = src.getRGB(x * factor, y * factor) & 0xffffff
+        assert((dec.getRGB(x, y) & 0xffffff) == exp,
+          s"doc $id pixel ($x,$y) drifted through resize+reencode")
+        val base = (y * ow + x) * 3
+        raster(base) = ((exp >> 16) & 0xff).toByte
+        raster(base + 1) = ((exp >> 8) & 0xff).toByte
+        raster(base + 2) = (exp & 0xff).toByte
+      }
+      val md5 = java.security.MessageDigest.getInstance("MD5").digest(raster)
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("out_md5") == md5, s"doc $id raster md5 drift")
+    }
+    // per-file isolation: non-image payloads degrade to zero dims
+    val bad = Seq((99L, "definitely not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val badRow = Multimodal.resizeImagesOf(spark, bad, factor).collect().head
+    assert((badRow.getAs[Int]("out_width"), badRow.getAs[Int]("out_height")) == ((0, 0)))
+    assert(badRow.getAs[Array[Byte]]("payload_out") == null)
+  }
+
   test("multimodal resize pins the actual resampled bytes; features match the stub arithmetic") {
     val texts = Tables.documents(spark, sf)
       .select("doc_id", "text").as[(Long, String)].collect().toMap
