@@ -94,9 +94,22 @@ object RdfaExtractor {
     // provenance/type triples from their nodes. Per-page counter + a
     // base-URI discriminator keeps labels stable and cross-page unique.
     val counter = new Counter(sha1Hex(baseUri))
+    // HTML+RDFa §3.1: a <base href> element sets the in-scope base for
+    // IRI resolution (including about="" → the base itself). First base
+    // element wins, resolved against the caller's URI in case it is
+    // itself relative; the blank-node seed stays keyed on the caller's
+    // URI so labels remain page-stable regardless of in-document base.
+    def findBase(n: HtmlParser.Node): Option[String] = n match {
+      case e: HtmlParser.Element if e.tag == "base" =>
+        e.attr("href").map(h => resolveAgainstBase(h.trim, baseUri))
+      case e: HtmlParser.Element =>
+        e.children.iterator.map(findBase).collectFirst { case Some(b) => b }
+      case _ => None
+    }
+    val docBase = findBase(root).getOrElse(baseUri)
     // root list mapping (inlist collections at the page's base subject)
     val lists: ListMap = mutable.LinkedHashMap()
-    walk(root, Ctx(baseUri, baseUri, defaultPrefixes, None, None), out, counter, lists)
+    walk(root, Ctx(docBase, docBase, defaultPrefixes, None, None), out, counter, lists)
     emitLists(lists, out, counter)
     // set semantics, like the reference's n3 Store: sibling property-only
     // elements under one hanging rel each complete it with the same
@@ -150,7 +163,7 @@ object RdfaExtractor {
     // declarations override it on the same element.
     val xmlnsPrefixes = e.attrs.collect {
       case (k, v) if k.startsWith("xmlns:") && k.length > 6 && v.nonEmpty =>
-        k.substring(6) -> v
+        k.substring(6).toLowerCase(java.util.Locale.ROOT) -> v
     }
     if (xmlnsPrefixes.nonEmpty)
       ctx = ctx.copy(prefixes = ctx.prefixes ++ xmlnsPrefixes)
@@ -354,7 +367,10 @@ object RdfaExtractor {
     if (iriOrBlank.startsWith("_:")) Term.blank(iriOrBlank.substring(2))
     else Term.iri(iriOrBlank)
 
-  /** `prefix="p1: uri1 p2: uri2"` (RDFa Core §5). */
+  /** `prefix="p1: uri1 p2: uri2"` (RDFa Core §5). Prefix names are
+    * stored lowercased: RDFa Core §6 makes CURIE prefix mappings
+    * case-insensitive, so `prefix="EX: …"` must serve `ex:p` and
+    * `EX:p` alike — lookups lowercase their prefix to match. */
   def parsePrefixAttr(v: String): Map[String, String] = {
     val toks = v.trim.split("\\s+").filter(_.nonEmpty)
     val pairs = mutable.Map[String, String]()
@@ -362,7 +378,7 @@ object RdfaExtractor {
     while (i + 1 < toks.length) {
       val p = toks(i)
       if (p.endsWith(":")) {
-        pairs += p.dropRight(1) -> toks(i + 1)
+        pairs += p.dropRight(1).toLowerCase(java.util.Locale.ROOT) -> toks(i + 1)
         i += 2
       } else i += 1
     }
@@ -377,7 +393,7 @@ object RdfaExtractor {
     if (v.isEmpty) None
     else if (v.contains(":")) {
       val idx = v.indexOf(':')
-      val prefix = v.substring(0, idx)
+      val prefix = v.substring(0, idx).toLowerCase(java.util.Locale.ROOT)
       val local = v.substring(idx + 1)
       ctx.prefixes.get(prefix) match {
         case Some(ns) => Some(ns + local)
@@ -397,7 +413,7 @@ object RdfaExtractor {
     if (v.startsWith("_:")) Some(v)
     else if (v.contains(":")) {
       val idx = v.indexOf(':')
-      ctx.prefixes.get(v.substring(0, idx)) match {
+      ctx.prefixes.get(v.substring(0, idx).toLowerCase(java.util.Locale.ROOT)) match {
         case Some(ns) => Some(ns + v.substring(idx + 1))
         case None if isAbsoluteIri(v) => Some(v)
         case None => Some(v) // scheme-looking value, keep verbatim
@@ -411,6 +427,10 @@ object RdfaExtractor {
   /** RFC-3986-lite relative resolution (enough for harvested pages). */
   def resolveAgainstBase(ref: String, base: String): String = {
     if (ref.isEmpty) base
+    // RFC 3986 §5.2: a reference with a scheme IS the target — callers
+    // normally strip these in resolveResource, but <base href> resolution
+    // feeds absolute URLs here directly
+    else if (isAbsoluteIri(ref)) ref
     else if (ref.startsWith("#")) base.takeWhile(_ != '#') + ref
     else if (ref.startsWith("//"))
       base.takeWhile(_ != ':') + ":" + ref

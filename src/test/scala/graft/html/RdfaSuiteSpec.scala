@@ -1,0 +1,103 @@
+package graft.html
+
+import graft.rdf.{NTriples, Term, Vocab}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** File-based RDFa 1.1 conformance fixtures (r12 VERDICT item 3):
+  * `src/test/resources/rdfa11/<case>.html` + `<case>.nt` pairs modeled on
+  * the public rdfa.info test suite (HTML5 host language — the suite
+  * itself is reconstructed from its published construct semantics, since
+  * this environment has no network egress to vendor bytes). Each page is
+  * extracted with the suite's base-URI convention
+  * (`…/rdfa1.1/html5/<case>.html`) and compared against the expected
+  * graph ISOMORPHICALLY over blank nodes — label choices in either the
+  * extractor or the fixture are irrelevant, only graph shape counts.
+  *
+  * Deliberate divergences from a fully conforming processor (this
+  * extractor targets the reference's jsdom+graph-rdfa-processor subset,
+  * `lib/rdfa-extractor.js`) are excused per case in FIXTURES.md §3a; a
+  * case exercising an excused divergence pins the DOCUMENTED behavior so
+  * drift in either direction is loud.
+  */
+class RdfaSuiteSpec extends AnyFunSuite {
+
+  private val cases = Seq(
+    "about-property", "rel-rev", "about-empty", "rel-resource",
+    "datatype-content", "head-link-meta", "hanging-rel-typed-bnode",
+    "content-overrides-text", "typeof-about", "typeof-bnode",
+    "property-multiple", "vocab-bare-terms", "typeof-on-resource",
+    "inlist-literals", "inlist-rel", "hanging-rel-two-subjects",
+    "prefix-case", "property-markup-text", "rel-multiple",
+    "base-element", "property-href", "safe-curie-about")
+
+  private def slurp(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/rdfa11/$name")
+    require(in != null, s"missing fixture resource rdfa11/$name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** (s, p, o) with plain-literal datatype normalized: `"x"` in an .nt
+    * fixture and the extractor's xsd:string-typed plain literal are the
+    * same RDF 1.1 term. */
+  private type Triple = (Term, String, Term)
+  private def norm(t: Term): Term =
+    if (t.termType == Term.Literal && t.datatype == null)
+      t.copy(datatype = Vocab.xsdString)
+    else t
+
+  private def isBlank(t: Term): Boolean = t.termType == Term.BlankNode
+
+  /** Graph isomorphism over blank nodes: find a bijective bnode mapping
+    * under which the triple multisets coincide. Backtracking over the
+    * expected graph's triples, ground-most first — fixture graphs are
+    * tiny (≤ a dozen triples), so worst case is trivial. */
+  private def isomorphic(expected: Seq[Triple], actual: Seq[Triple]): Boolean = {
+    if (expected.size != actual.size) return false
+    val groundFirst = expected.sortBy(t =>
+      (if (isBlank(t._1)) 1 else 0) + (if (isBlank(t._3)) 1 else 0))
+    def matches(e: Term, a: Term, m: Map[String, String]): Option[Map[String, String]] =
+      if (isBlank(e) && isBlank(a)) m.get(e.value) match {
+        case Some(mapped) => if (mapped == a.value) Some(m) else None
+        case None =>
+          if (m.valuesIterator.contains(a.value)) None // injective
+          else Some(m + (e.value -> a.value))
+      }
+      else if (!isBlank(e) && !isBlank(a) && e == a) Some(m)
+      else None
+    def solve(es: List[Triple], remaining: Vector[Triple],
+        m: Map[String, String]): Boolean = es match {
+      case Nil => remaining.isEmpty
+      case e :: rest =>
+        remaining.indices.exists { i =>
+          val a = remaining(i)
+          (if (e._2 == a._2) matches(e._1, a._1, m) else None)
+            .flatMap(m1 => matches(e._3, a._3, m1))
+            .exists(m2 => solve(rest, remaining.patch(i, Nil, 1), m2))
+        }
+    }
+    solve(groundFirst.toList, actual.toVector, Map.empty)
+  }
+
+  private def show(ts: Seq[Triple]): String =
+    ts.map { case (s, p, o) =>
+      val ov = if (o.termType == Term.Literal)
+        "\"" + o.value + "\"" +
+          (if (o.lang != null) "@" + o.lang
+           else if (o.datatype != Vocab.xsdString) "^^" + o.datatype else "")
+      else o.value
+      s"  ${s.value} <$p> $ov"
+    }.sorted.mkString("\n")
+
+  for (name <- cases) test(s"rdfa11/$name") {
+    val base = s"http://rdfa.info/test-suite/test-cases/rdfa1.1/html5/$name.html"
+    val expected: Seq[Triple] = slurp(s"$name.nt").linesIterator
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(l => NTriples.parseLine(l).getOrElse(
+        fail(s"fixture $name.nt has a malformed line: $l")))
+      .map(q => (norm(q.subject), q.predicate.value, norm(q.obj))).toSeq
+    val actual: Seq[Triple] = RdfaExtractor.extract(slurp(s"$name.html"), base)
+      .map(q => (norm(q.subject), q.predicate.value, norm(q.obj)))
+    assert(isomorphic(expected, actual),
+      s"\nexpected:\n${show(expected)}\nactual:\n${show(actual)}")
+  }
+}
