@@ -12,6 +12,36 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Schema-adaptive column projection shared by the [[documents]] /
+    * [[events]] loaders (same ownership stance as [[embeddings]] /
+    * [[eventMicros]]: the DRIVER owns the testdata schemas, and a
+    * regeneration may plausibly flip an id to int32, a text column to
+    * un-annotated binary, or a measure to float32). Integral columns
+    * widen to BIGINT, binary text decodes as UTF-8, float measures widen
+    * to DOUBLE — each a lossless, codegen'd cast at the scan. Anything
+    * else fails loudly with the table+column named, so a genuinely new
+    * encoding surfaces here (and in the schema-canary specs) instead of
+    * as encoder-analysis errors scattered across every operator. */
+  private def normalized(tbl: String, df: DataFrame,
+      contract: Map[String, DataType]): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      contract.get(f.name) match {
+        case None => col(f.name)
+        case Some(want) => (f.dataType, want) match {
+          case (got, w) if got == w => col(f.name)
+          case (ByteType | ShortType | IntegerType, LongType) =>
+            col(f.name).cast(LongType).as(f.name)
+          case (BinaryType, StringType) => col(f.name).cast(StringType).as(f.name)
+          case (FloatType, DoubleType) => col(f.name).cast(DoubleType).as(f.name)
+          case (got, w) => throw new IllegalArgumentException(
+            s"$tbl.${f.name} has unsupported type $got (expected $w or a " +
+              "losslessly-widenable encoding of it)")
+        }
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+
   def region(s: SparkSession, d: String)    = table(s, d, "region")
   def nation(s: SparkSession, d: String)    = table(s, d, "nation")
   def customer(s: SparkSession, d: String)  = table(s, d, "customer")
@@ -19,8 +49,14 @@ object Tables {
   def part(s: SparkSession, d: String)      = table(s, d, "part")
   def orders(s: SparkSession, d: String)    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String)    = table(s, d, "events")
-  def documents(s: SparkSession, d: String) = table(s, d, "documents")
+  def events(s: SparkSession, d: String)    =
+    normalized("events", table(s, d, "events"), Map(
+      "event_id" -> LongType, "user_id" -> LongType,
+      "event_type" -> StringType, "value" -> DoubleType))
+  def documents(s: SparkSession, d: String) =
+    normalized("documents", table(s, d, "documents"), Map(
+      "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+      "source" -> StringType, "n_chars" -> LongType))
 
   /** The embeddings table, with the `embedding` column normalized to the
     * engine's vector contract: `array<float>` (float32 — the standard ANN
