@@ -223,8 +223,17 @@ object Bench {
       System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
       name
     }
+    // Drive-backed queries report their MINIMUM, not the median: they
+    // get exactly one genuine execution per pass (pass 1 + the optional
+    // retry), so a 2-sample "median" is the mean and keeps half of any
+    // pass-1 contention the retry pass exists to discard (measured: one
+    // contended pass-1 sessionize sample of 13.6 s vs a 2.8 s retry —
+    // the mean ships 8.2 s of noise, the min ships the real cost).
+    // Multi-sample queries keep the median over accepted passes.
     val medians = names.map(n =>
-      n -> (if (errs.contains(n)) None else Some(median(accepted(times(n))))))
+      n -> (if (errs.contains(n)) None
+            else if (driveBacked(n)) Some(times(n).map(_._2).min)
+            else Some(median(accepted(times(n))))))
     val total = medians.collect { case (_, Some(v)) => v }.sum
     // Min-of-N beside the median total: sandbox contention is one-sided
     // noise (it only ever ADDS time), so the per-query minimum is the
