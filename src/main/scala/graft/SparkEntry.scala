@@ -189,6 +189,12 @@ object SparkEntry {
     // deliberately oracle-recomputable
     "x_mm_resize"       -> ((s, d) => graft.multimodal.Multimodal.resize(s, d)),
     "x_mm_features"     -> ((s, d) => graft.multimodal.Multimodal.features(s, d)),
+    // REAL decode conformance: javax.imageio over a fixed fleet of
+    // deterministic PNG fixtures — decode, nearest-neighbor resample,
+    // re-encode through the production per-partition seam. Output is a
+    // pure constant of the seeds (decoded dims + pixel-exact raster
+    // md5s), so the oracle pins the real decoder with a literal table.
+    "x_mm_decode_real"  -> ((s, _) => graft.multimodal.Multimodal.decodeRealFixture(s)),
     "x_skew_salted"     -> ((s, d) =>
       Skew.saltedCount(Tables.events(s, d), org.apache.spark.sql.functions.col("event_type"))
         .orderBy("key")),
@@ -1651,5 +1657,39 @@ object SparkEntry {
         |  (octet_length(encode(text)) * 7) % 1000 / 1000.0 AS f6,
         |  (octet_length(encode(text)) * 8) % 1000 / 1000.0 AS f7
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The expected table is a CONSTANT of the fixture seeds: real
+    // javax.imageio decode + nearest-neighbor resample of synthesized
+    // PNGs is pixel-exact across JVMs (TYPE_INT_RGB getRGB), so the
+    // decoded dimensions and resized-raster md5s below were computed
+    // once and pinned — the oracle hash-checks the real decoder without
+    // DuckDB needing a PNG codec.
+    "x_mm_decode_real" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+        |  CAST(out_width AS BIGINT) AS out_width,
+        |  CAST(out_height AS BIGINT) AS out_height, reencoded, out_md5
+        |FROM (VALUES
+        |  (0, 3, 2, 2, 1, true, '3f352fe885bc092c076d3ab1bf7fcf58'),
+        |  (1, 4, 3, 2, 2, true, '897dcb555c14de0a626ef3ce76930092'),
+        |  (2, 5, 4, 3, 2, true, 'd2492527647ed6ba33297f5940a7bb7c'),
+        |  (3, 6, 5, 3, 3, true, '5a54a67de15930e317193baf83792bf4'),
+        |  (4, 7, 6, 4, 3, true, '0b9834f760797f325117d8b1f1e9786e'),
+        |  (5, 3, 7, 2, 4, true, 'fcf68174bf656df2e70591cc3b029d27'),
+        |  (6, 4, 8, 2, 4, true, 'a23aa6f7e21a07b3302ec93b3112bcfc'),
+        |  (7, 5, 2, 3, 1, true, 'de2f4fc4835a2385f9cbe0d0debc5cf6'),
+        |  (8, 6, 3, 3, 2, true, 'add798371b98cd3eb5916a62a1ab18aa'),
+        |  (9, 7, 4, 4, 2, true, '3129db51dfa851c7844b2fa501178cc7'),
+        |  (10, 3, 5, 2, 3, true, 'a03f78b4d408ed0c5e7aa57473fb78f2'),
+        |  (11, 4, 6, 2, 3, true, 'fcaff251005065e6456eeb34eabe2656'),
+        |  (12, 5, 7, 3, 4, true, '4f5b9fc081261b66b129abe24e5ffe8d'),
+        |  (13, 6, 8, 3, 4, true, '05563de2f8e8e35768328d80636a0eff'),
+        |  (14, 7, 2, 4, 1, true, 'da1010a9e00fc5e55d7f42b86714bd10'),
+        |  (15, 3, 3, 2, 2, true, '44eb9bd93f0060ce8afdef2124587750'),
+        |  (16, 4, 4, 2, 2, true, '85ad4b66be13268f10588ff0bb70a329'),
+        |  (17, 5, 5, 3, 3, true, '24e0f59951987cf42d0b443ecd136dd6'),
+        |  (18, 6, 6, 3, 3, true, '4ed5e772a367aae0ef121acd97e5f073'),
+        |  (19, 7, 7, 4, 4, true, '3d2f00d37ef229766555b8c91d24f449')
+        |) AS t(doc_id, width, height, out_width, out_height, reencoded, out_md5)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

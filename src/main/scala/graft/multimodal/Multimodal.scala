@@ -207,6 +207,56 @@ object Multimodal {
         "n_bytes", "out_bytes", "out_md5", "payload_out")
   }
 
+  /** Deterministic RGB PNG fixture: pixel (x,y) carries a fixed mix of
+    * (seed, x, y), encoded by the JDK's own PNG writer. Shared by the
+    * resize spec and [[decodeRealFixture]] so the oracle-checked real
+    * decode and the spec exercise byte-identical inputs. */
+  def fixturePng(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) {
+        img.setRGB(x, y, (seed * 2654435761L + x * 31 + y).toInt & 0xffffff)
+        y += 1
+      }
+      x += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The REAL decode path as an oracle-checkable query (`x_mm_decode_real`):
+    * a fixed fleet of synthesized PNGs runs through [[resizeImagesOf]] —
+    * genuine `javax.imageio` decode, nearest-neighbor resample, PNG
+    * re-encode, per-partition lifecycle — and the output is a pure
+    * constant of the fixture seeds: dimensions from the actual decoded
+    * rasters and a codec-independent md5 of each resized raster's packed
+    * RGB bytes (`getRGB` on TYPE_INT_RGB is pixel-exact across JVMs).
+    * That constancy is what lets the DuckDB oracle pin the real decoder
+    * with a literal VALUES table — hash-checked end to end, unlike the
+    * stub family, whose arithmetic the oracle recomputes relationally.
+    * The corpus-shaped queries keep the stub because the driver corpus
+    * holds text blobs; this query is the real decoder's driver-facing
+    * conformance surface. */
+  def decodeRealFixture(s: SparkSession, nDocs: Int = 20,
+      factor: Int = 2): DataFrame = {
+    import s.implicits._
+    val rows = (0 until nDocs).map { i =>
+      (i.toLong, fixturePng(3 + i % 5, 2 + i % 7, i))
+    }
+    resizeImagesOf(s, rows.toDF("doc_id", "payload").repartition(4), factor)
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("out_width").cast("long").as("out_width"),
+        col("out_height").cast("long").as("out_height"),
+        (col("out_bytes") > 0L).as("reencoded"), col("out_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Feature extraction to a fixed-width vector — the media→embedding
     * bridge that feeds the [[graft.ops.Similarity]] ANN operators. The
     * stub features are transparent arithmetic in the payload size
