@@ -28,7 +28,8 @@ class RdfaSuiteSpec extends AnyFunSuite {
     "property-multiple", "vocab-bare-terms", "typeof-on-resource",
     "inlist-literals", "inlist-rel", "hanging-rel-two-subjects",
     "prefix-case", "property-markup-text", "rel-multiple",
-    "base-element", "property-href", "safe-curie-about")
+    "base-element", "property-href", "safe-curie-about",
+    "src-attribute", "hanging-rev", "time-datetime")
 
   private def slurp(name: String): String = {
     val in = getClass.getResourceAsStream(s"/rdfa11/$name")

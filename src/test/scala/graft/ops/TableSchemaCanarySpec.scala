@@ -68,6 +68,23 @@ class TableSchemaCanarySpec extends graft.SparkSpec {
     assert(a.nonEmpty && a === b)
   }
 
+  test("canonical-encoding loads are identity: plan equals a raw read (no extra Project)") {
+    // The 100 TB claim behind the adaptive loaders: on data already in
+    // the contract encoding, normalization must cost NOTHING — same
+    // optimized plan as reading the parquet directly, so pushdown,
+    // pruning, and codegen spans are untouched.
+    for (t <- Seq("documents", "events")) {
+      val loaded = (if (t == "documents") Tables.documents(spark, docsCanonical)
+                    else Tables.events(spark, evCanonical))
+      val raw = spark.read.parquet(
+        s"${if (t == "documents") docsCanonical else evCanonical}/$t.parquet")
+      def shape(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.optimizedPlan.toString.replaceAll("#\\d+", "#x")
+      assert(shape(loaded) === shape(raw),
+        s"$t loader introduced plan nodes on canonical data")
+    }
+  }
+
   test("a genuinely unsupported documents encoding fails loudly, named") {
     import spark.implicits._
     val dir = graft.Scaffold.cleanupOnExit(
