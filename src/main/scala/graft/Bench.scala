@@ -155,6 +155,14 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case scala.util.control.NonFatal(_) => () } // resurfaces timed
     val driveBacked = scala.collection.mutable.Set[String]()
+    // (name, pass) samples that measured a drained-cache read instead of a
+    // real streaming drive — surfaced in bench_detail.json ("cached_read")
+    // and, for the headline, the affected query's cached samples are
+    // DISCARDED when it also has >=1 genuine drive sample (a cached scan
+    // can only understate streaming cost; if every sample is cached the
+    // query keeps them — a too-fast number with a loud marker beats a
+    // silently missing query, which would shrink the total).
+    val cachedReads = scala.collection.mutable.Set[(String, Int)]()
     graft.streaming.StreamDrive.clearDrained()
     def timeQuery(name: String, pass: Int): Unit = {
       val fn = SparkEntry.queries(name)
@@ -166,11 +174,13 @@ object Bench {
       val touched = graft.streaming.StreamDrive.drainTouches > touchesBefore
       if (touched) {
         driveBacked += name
-        if (graft.streaming.StreamDrive.driveRuns == runsBefore)
+        if (graft.streaming.StreamDrive.driveRuns == runsBefore) {
+          cachedReads += ((name, pass))
           System.err.println(s"BENCH WARN $name touched the drained-drive " +
             "cache without running a drive in pass " + pass + " — its sample " +
             "is a cached checkpoint read, not streaming execution (two bench " +
             "queries likely share one drive cache key)")
+        }
       }
     }
     for (run <- 1 to nRuns) {
@@ -182,15 +192,28 @@ object Bench {
     // Drive retry pass: drive-backed queries are timed only in pass 1
     // (re-driving every pass would more than double the bench), so their
     // single sample carries whatever contention pass 1 had, with no
-    // within-query median to reject it. When the pass-1 anchor shows
-    // meaningful contention relative to the best pass (>1.25x), the
-    // drives are re-driven ONCE after the regular passes as an extra
+    // within-query median to reject it. When the anchors BRACKETING pass
+    // 1 show meaningful contention relative to the best pass (>1.25x),
+    // the drives are re-driven ONCE after the regular passes as an extra
     // pass with its own anchor; the per-query rejection/min logic below
-    // then picks the better-anchored sample. Uncontended benches skip
-    // the retry and keep the single pass-1 sample.
+    // then picks the better-anchored sample. The bracket is the pass-1
+    // anchor (taken before the drives run) AND the pass-2 anchor (taken
+    // right after pass 1 ends): contention that starts mid-pass-1, after
+    // calOnce() but while the drives execute, is invisible to the leading
+    // anchor but lands in the trailing one — so either side of the
+    // bracket exceeding 1.25x triggers the retry. Residual window: a
+    // burst fully contained WITHIN pass 1 (starts after the leading
+    // anchor, ends before pass 1 does) still evades both anchors; a
+    // cached-read retry (below) and the cross-round min watch are the
+    // backstops. Uncontended benches skip the retry and keep the single
+    // pass-1 sample. A query whose only sample measured a cached read
+    // (cachedReads) is also retried, so the headline gets >=1 genuine
+    // drive sample even when the anchors were clean.
     val retryPass = nRuns + 1
+    val pass1Bracket = calSamples.take(2)
     if (driveBacked.nonEmpty && calSamples.nonEmpty &&
-        calSamples.head > 1.25 * calSamples.min) {
+        (pass1Bracket.max > 1.25 * calSamples.min ||
+         driveBacked.exists(n => cachedReads((n, 1))))) {
       graft.streaming.StreamDrive.clearDrained()
       calSamples :+= calOnce()
       for (name <- names if driveBacked(name) && !errs.contains(name))
@@ -223,17 +246,47 @@ object Bench {
       System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
       name
     }
+    // Cached-read samples (a drive query that read another query's
+    // drained checkpoint instead of streaming) are dropped from the
+    // headline whenever the query also has a genuine sample — a cached
+    // scan can only UNDERSTATE streaming cost. If every sample is cached
+    // the samples are kept (marked in "cached_read"): a loud too-fast
+    // number beats silently shrinking the total by omitting the query.
+    def genuine(n: String): Vector[(Int, Double)] = {
+      val g = times(n).filterNot { case (p, _) => cachedReads((n, p)) }
+      if (g.nonEmpty) g else times(n)
+    }
     // Drive-backed queries report their MINIMUM, not the median: they
     // get exactly one genuine execution per pass (pass 1 + the optional
     // retry), so a 2-sample "median" is the mean and keeps half of any
     // pass-1 contention the retry pass exists to discard (measured: one
     // contended pass-1 sessionize sample of 13.6 s vs a 2.8 s retry —
     // the mean ships 8.2 s of noise, the min ships the real cost).
-    // Multi-sample queries keep the median over accepted passes.
+    //
+    // Multi-sample queries keep the median over accepted passes — UNLESS
+    // the accepted samples themselves disagree by more than 2x, in which
+    // case the query reports its minimum. Rationale: the pass-level cal
+    // anchor brackets a PASS, not a query; an intra-pass contention burst
+    // can hit one multi-second query while the pass's anchor stays clean
+    // (measured r13: pass 3 anchored 0.175 s vs best 0.164, yet
+    // x_bm25_topk ran 21.7 s in it vs 5.0 s in pass 2 — and with pass 1
+    // rejected, the two-sample "median" is the MEAN, shipping 13.3 s for
+    // a ~5 s query). Contention is one-sided noise (it only ever ADDS
+    // time), so when accepted samples disagree >2x the minimum is the
+    // only defensible estimate of uncontended cost; at spreads <=2x the
+    // median keeps its usual outlier robustness. Queries affected this
+    // way are listed in bench_detail.json ("spread_min").
+    val spreadMin = scala.collection.mutable.ArrayBuffer[String]()
+    def headline(n: String): Double =
+      if (driveBacked(n)) genuine(n).map(_._2).min
+      else {
+        val acc = accepted(genuine(n))
+        if (acc.size >= 2 && acc.max > 2.0 * acc.min) {
+          spreadMin += n; acc.min
+        } else median(acc)
+      }
     val medians = names.map(n =>
-      n -> (if (errs.contains(n)) None
-            else if (driveBacked(n)) Some(times(n).map(_._2).min)
-            else Some(median(accepted(times(n))))))
+      n -> (if (errs.contains(n)) None else Some(headline(n))))
     val total = medians.collect { case (_, Some(v)) => v }.sum
     // Min-of-N beside the median total: sandbox contention is one-sided
     // noise (it only ever ADDS time), so the per-query minimum is the
@@ -243,7 +296,7 @@ object Bench {
     // median (now over cal-accepted passes only) stays as "value" for
     // continuity; "min" is the contention-robust headline.
     val totalMin = names.collect {
-      case n if !errs.contains(n) => times(n).map(_._2).min }.sum
+      case n if !errs.contains(n) => genuine(n).map(_._2).min }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full-precision detail (all per-run samples) goes out FIRST; the
     // harness that collects our stdout keeps only the last ~2000 chars
@@ -273,10 +326,31 @@ object Bench {
     // sample was taken INSIDE each timed pass, so a consumer can detect
     // which passes were contended and normalize (or drop) exactly those.
     val calJson = calSamples.mkString("[", ",", "]")
-    val detail = s"""{"metric":"total","value":$total,"min":$totalMin,"unit":"sec","cal_sec":$calSec,"cal_samples":$calJson,"rejected_passes":$rejectedJson,"single_sample":$singleJson,"runs":$runsJson,"sample_passes":$passesJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    // "cached_read": (query, pass) samples that measured a drained-cache
+    // checkpoint read instead of a streaming drive (discarded from the
+    // headline when a genuine sample exists — see `genuine` above).
+    // "spread_min": multi-sample queries whose accepted samples spread
+    // >2x, reported by their minimum instead of the median.
+    val cachedJson = cachedReads.toSeq.sorted
+      .map { case (n, p) => s"""["$n",$p]""" }.mkString("[", ",", "]")
+    val spreadJson = spreadMin.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val detail = s"""{"metric":"total","value":$total,"min":$totalMin,"unit":"sec","cal_sec":$calSec,"cal_samples":$calJson,"rejected_passes":$rejectedJson,"single_sample":$singleJson,"cached_read":$cachedJson,"spread_min":$spreadJson,"runs":$runsJson,"sample_passes":$passesJson,"failed":$failedJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detail) finally w.close()
+      // Durable per-round copy: the driver snapshots BENCH_r{N}.json but
+      // bench_detail.json is overwritten every run, so cross-round
+      // per-query MIN comparison (the round-over-round regression watch)
+      // previously depended on the prior verdict quoting numbers. The
+      // round index is inferred as 1 + the highest committed BENCH_r*.json
+      // (this bench run produces that next round's numbers); dev reruns
+      // within a round just overwrite the same file.
+      val roundRe = "BENCH_r(\\d+)\\.json".r
+      val nextRound = 1 + Option(new java.io.File(".").listFiles).toSeq.flatten
+        .flatMap(f => roundRe.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        .foldLeft(0)(math.max)
+      val wr = new java.io.PrintWriter(f"bench_detail_r$nextRound%02d.json")
+      try wr.println(detail) finally wr.close()
     } catch { case scala.util.control.NonFatal(_) => () } // detail is best-effort
     // Compact final line: medians rounded to ms, slowest queries first,
     // greedily added under a hard byte budget (the dropped tail is the
