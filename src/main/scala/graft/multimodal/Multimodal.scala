@@ -58,11 +58,20 @@ object Multimodal {
 
   /** REAL image decoder over the JDK's own `javax.imageio` — zero
     * external dependencies, so the "swap in a real decoder" claim is
-    * provable here: the spec feeds synthesized PNG bytes through the
-    * same [[decodeMetaOf]] seam and checks the decoded dimensions.
+    * provable here: the spec feeds synthesized PNG and JPEG bytes through
+    * the same [[decodeMetaOf]] seam and checks the decoded dimensions.
     * Undecodable payloads (null/empty/not-an-image) degrade to zero
     * dimensions rather than killing the task — per-file error isolation,
-    * the same stance the extract pipeline takes. */
+    * the same stance the extract pipeline takes.
+    *
+    * Determinism contract: decoded DIMENSIONS and metadata are
+    * deterministic for any conforming decoder of either format. PNG
+    * raster VALUES are bit-exact everywhere (lossless format, output
+    * mandated by the spec); JPEG raster values are only guaranteed stable
+    * within one JVM/decoder implementation — the JPEG spec leaves IDCT
+    * precision implementation-defined, so a different decoder may differ
+    * by ±1 per sample. Pin JPEG rasters (md5s) only against the same
+    * decoder that produced them. */
   final class ImageIODecoder extends Decoder {
     def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
       val n = if (payload == null) 0L else payload.length.toLong
@@ -154,7 +163,16 @@ object Multimodal {
     * error isolation, same stance as [[ImageIODecoder]]). The driver's
     * documents table holds text blobs, not images, so the oracle-checked
     * `x_mm_resize` keeps the synthetic [[resize]]; this path is spec'd
-    * on real PNG fixtures instead. */
+    * on real PNG and JPEG fixtures instead.
+    *
+    * Determinism contract (per [[ImageIODecoder]]): output dims and the
+    * resample/re-encode are deterministic for a FIXED decoded raster —
+    * the pixel loop is explicit and the PNG re-encode lossless — so with
+    * PNG inputs `out_md5` is bit-exact across JVMs (what lets
+    * `x_mm_decode_real` pin it in a DuckDB literal table), while with
+    * JPEG inputs the decoded raster itself, hence `out_md5`, is only
+    * stable per decoder implementation (IDCT precision is
+    * implementation-defined); dims remain portable. */
   def resizeImagesOf(s: SparkSession, media: DataFrame,
       factor: Int = 2): DataFrame = {
     import s.implicits._

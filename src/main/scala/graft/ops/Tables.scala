@@ -33,6 +33,20 @@ object Tables {
             col(f.name).cast(LongType).as(f.name)
           case (BinaryType, StringType) => col(f.name).cast(StringType).as(f.name)
           case (FloatType, DoubleType) => col(f.name).cast(DoubleType).as(f.name)
+          // Timestamp columns canonicalize to TIMESTAMP_NTZ (what today's
+          // parquet reads as, so the identity case is the common one; the
+          // oracle compares wall-clock strings, which NTZ preserves).
+          // A regeneration may ship tz-adjusted TIMESTAMP or raw int64
+          // nanos (the events-ts convention) — both are exact micro-level
+          // rewrites, but the tz/NTZ cast is session-zone-dependent, so
+          // they demand the UTC session the engine's entry points pin.
+          case (TimestampType, TimestampNTZType) =>
+            requireUtcSession(df.sparkSession)
+            col(f.name).cast(TimestampNTZType).as(f.name)
+          case (LongType, TimestampNTZType) => // int64 nanoseconds
+            requireUtcSession(df.sparkSession)
+            timestamp_micros(expr(s"`${f.name}` div 1000"))
+              .cast(TimestampNTZType).as(f.name)
           case (got, w) => throw new IllegalArgumentException(
             s"$tbl.${f.name} has unsupported type $got (expected $w or a " +
               "losslessly-widenable encoding of it)")
@@ -47,8 +61,19 @@ object Tables {
   def customer(s: SparkSession, d: String)  = table(s, d, "customer")
   def supplier(s: SparkSession, d: String)  = table(s, d, "supplier")
   def part(s: SparkSession, d: String)      = table(s, d, "part")
-  def orders(s: SparkSession, d: String)    = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String)  = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String)    =
+    normalized("orders", table(s, d, "orders"), Map(
+      "o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType))
+  def lineitem(s: SparkSession, d: String)  =
+    normalized("lineitem", table(s, d, "lineitem"), Map(
+      "l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> LongType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> TimestampNTZType))
   def events(s: SparkSession, d: String)    =
     normalized("events", table(s, d, "events"), Map(
       "event_id" -> LongType, "user_id" -> LongType,
@@ -93,7 +118,8 @@ object Tables {
     * NTZ is cast through TimestampType: under the engine's fixed UTC
     * session zone ([[graft.Verify]]/[[graft.Bench]]/SparkSpec) the cast is
     * the identity on the underlying micros, and `unix_micros` is exact. */
-  def eventMicros(df: DataFrame): Column = microsOf(df.schema("ts").dataType)
+  def eventMicros(df: DataFrame): Column =
+    microsOf(df.sparkSession, df.schema("ts").dataType)
 
   /** The NTZ↔timestamp casts below are the identity on the underlying
     * micros ONLY under a UTC session zone; any other zone would shift
@@ -101,19 +127,28 @@ object Tables {
     * engine's own entry points ([[graft.Verify]], [[graft.Bench]], the
     * test harness) all pin UTC, but an embedding caller may not — so the
     * NTZ branches fail loudly here, matching the unsupported-type
-    * branches, instead of silently corrupting event time. */
-  private def requireUtcSession(): Unit = {
-    val tz = SparkSession.active.conf.get("spark.sql.session.timeZone")
+    * branches, instead of silently corrupting event time. The zone is
+    * read from the OWNING session of the DataFrame being projected (the
+    * explicit `s` parameter threaded from every caller), never from
+    * `SparkSession.active` — a column built on a thread whose active
+    * session differs from the frame's would otherwise guard the wrong
+    * zone. Residual window (documented, not closed): the check runs at
+    * plan-construction time, so a caller who flips the session zone
+    * BETWEEN building the plan and executing it still shifts event time —
+    * Spark resolves the cast's zone at analysis from the same conf, and
+    * only a runtime re-assert inside the executed plan could catch it. */
+  private def requireUtcSession(s: SparkSession): Unit = {
+    val tz = s.conf.get("spark.sql.session.timeZone")
     require(java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
       s"events.ts is TIMESTAMP_NTZ and spark.sql.session.timeZone is '$tz': " +
         "the NTZ<->timestamp cast is session-zone-dependent and would " +
         "silently shift every event time; set the session time zone to UTC")
   }
 
-  private[graft] def microsOf(dt: DataType): Column = dt match {
+  private[graft] def microsOf(s: SparkSession, dt: DataType): Column = dt match {
     case LongType         => expr("ts div 1000") // int64 nanoseconds
     case TimestampNTZType =>
-      requireUtcSession(); unix_micros(col("ts").cast(TimestampType))
+      requireUtcSession(s); unix_micros(col("ts").cast(TimestampType))
     case TimestampType    => unix_micros(col("ts"))
     case other => throw new IllegalArgumentException(
       s"events.ts has unsupported type $other (expected int64 nanos or timestamp)")
@@ -122,9 +157,9 @@ object Tables {
   /** The streaming twin of [[eventMicros]]: project `ts` to a true
     * TimestampType column (what watermarks and `window()` operate on),
     * from either source encoding. */
-  private[graft] def timestampOf(dt: DataType): Column = dt match {
+  private[graft] def timestampOf(s: SparkSession, dt: DataType): Column = dt match {
     case LongType         => timestamp_micros(expr("ts div 1000"))
-    case TimestampNTZType => requireUtcSession(); col("ts").cast(TimestampType)
+    case TimestampNTZType => requireUtcSession(s); col("ts").cast(TimestampType)
     case TimestampType    => col("ts")
     case other => throw new IllegalArgumentException(
       s"events.ts has unsupported type $other (expected int64 nanos or timestamp)")
@@ -133,10 +168,10 @@ object Tables {
   /** A literal in the SOURCE's `ts` encoding for a given epoch-micros
     * instant — for drives that append synthetic rows (sentinels) to a
     * corpus whose schema they must match exactly. */
-  private[graft] def tsLiteralOf(us: Long, dt: DataType): Column = dt match {
+  private[graft] def tsLiteralOf(s: SparkSession, us: Long, dt: DataType): Column = dt match {
     case LongType         => lit(us * 1000L)
     case TimestampNTZType =>
-      requireUtcSession(); timestamp_micros(lit(us)).cast(TimestampNTZType)
+      requireUtcSession(s); timestamp_micros(lit(us)).cast(TimestampNTZType)
     case TimestampType    => timestamp_micros(lit(us))
     case other => throw new IllegalArgumentException(
       s"events.ts has unsupported type $other (expected int64 nanos or timestamp)")

@@ -199,7 +199,7 @@ object StreamDrive {
       s.read.parquet(s"$d/events.parquet"), "ts")
     s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .parquet(staged)
-      .select(graft.ops.Tables.timestampOf(schema("ts").dataType).as("ts"),
+      .select(graft.ops.Tables.timestampOf(s, schema("ts").dataType).as("ts"),
         col("user_id"), col("event_type"), col("value"))
   }
 
@@ -422,7 +422,7 @@ object StreamDrive {
         def sentinel(sentUs: Long): DataFrame = raw.limit(1).select(
           schema.fieldNames.toSeq.map {
             case "ts" => graft.ops.Tables
-              .tsLiteralOf(sentUs, schema("ts").dataType).as("ts")
+              .tsLiteralOf(s, sentUs, schema("ts").dataType).as("ts")
             case "event_type" => lit("graft_sentinel").as("event_type")
             case c => col(c)
           }: _*)
@@ -431,7 +431,7 @@ object StreamDrive {
       })
     val events = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .parquet(staged)
-      .select(graft.ops.Tables.timestampOf(schema("ts").dataType).as("ts"),
+      .select(graft.ops.Tables.timestampOf(s, schema("ts").dataType).as("ts"),
         col("user_id"), col("event_type"), col("value"))
     drain(s, EventStream.hourlyCounts(events), "graft_stream_hourly_late", "append")
       .filter(col("event_type") =!= "graft_sentinel")

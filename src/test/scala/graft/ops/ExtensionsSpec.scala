@@ -485,6 +485,80 @@ class ExtensionsSpec extends SparkSpec {
     assert(badRow.getAs[Array[Byte]]("payload_out") == null)
   }
 
+  test("multimodal REAL resize handles JPEG: dims pinned, raster stable within this JVM") {
+    // r13 VERDICT item 4: ImageIODecoder advertises PNG+JPEG but only PNG
+    // was ever driven through the real path. JPEG's IDCT raster is NOT
+    // guaranteed bit-identical across decoder implementations (only
+    // dims/format are), so this spec pins what IS portable — decoded
+    // dimensions and output shape — and demonstrates raster determinism
+    // with an explicit this-JVM scope: expected pixels are re-derived
+    // through the same JDK decoder the operator used, and a repeat decode
+    // must agree byte-for-byte. See the determinism contract note on
+    // Multimodal.resizeImagesOf / ImageIODecoder.
+    import graft.multimodal.Multimodal
+    def jpeg(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (seed * 2654435761L + x * 31 + y).toInt & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos), "no JPEG writer in JDK")
+      bos.toByteArray
+    }
+    val factor = 2
+    val fixtures = (0L until 8L).map { id =>
+      val (w, h) = (16 + (id % 3).toInt * 8, 12 + (id % 4).toInt * 4)
+      (id, jpeg(w, h, id.toInt + 3), w, h)
+    }
+    // metadata through the decode seam: dims are the cross-JVM-safe pin
+    val meta = Multimodal
+      .decodeMetaOf(spark, fixtures.map { case (id, b, _, _) => (id, b) }
+        .toDF("doc_id", "payload").repartition(3),
+        () => new Multimodal.ImageIODecoder)
+      .collect().map(m => m.doc_id -> m).toMap
+    fixtures.foreach { case (id, bytes, w, h) =>
+      val m = meta(id)
+      assert((m.width, m.height, m.n_frames, m.n_bytes) == ((w, h, 1, bytes.length.toLong)),
+        s"jpeg doc $id decoded to $m, expected ${w}x$h")
+    }
+    // full resize path: dims pinned; raster checked against a same-JVM
+    // re-derivation (decode with the same JDK ImageIO, same explicit
+    // nearest-neighbor loop) — the PNG re-encode of the resized raster is
+    // lossless, so payload_out must round-trip those pixels exactly
+    val out = Multimodal.resizeImagesOf(spark,
+      fixtures.map { case (id, b, _, _) => (id, b) }
+        .toDF("doc_id", "payload").repartition(3), factor)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    fixtures.foreach { case (id, bytes, w, h) =>
+      val r = out(id)
+      val (ow, oh) = ((w + factor - 1) / factor, (h + factor - 1) / factor)
+      assert((r.getAs[Int]("width"), r.getAs[Int]("height")) == ((w, h)))
+      assert((r.getAs[Int]("out_width"), r.getAs[Int]("out_height")) == ((ow, oh)))
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      // repeat decode must be self-consistent before we pin anything on it
+      val src2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      for (y <- 0 until h; x <- 0 until w)
+        assert(src.getRGB(x, y) == src2.getRGB(x, y),
+          s"jpeg doc $id decode is not even repeatable at ($x,$y)")
+      val dec = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload_out")))
+      assert((dec.getWidth, dec.getHeight) == ((ow, oh)))
+      val raster = new Array[Byte](ow * oh * 3)
+      for (y <- 0 until oh; x <- 0 until ow) {
+        val exp = src.getRGB(x * factor, y * factor) & 0xffffff
+        assert((dec.getRGB(x, y) & 0xffffff) == exp,
+          s"jpeg doc $id pixel ($x,$y) drifted through resize+reencode")
+        val base = (y * ow + x) * 3
+        raster(base) = ((exp >> 16) & 0xff).toByte
+        raster(base + 1) = ((exp >> 8) & 0xff).toByte
+        raster(base + 2) = (exp & 0xff).toByte
+      }
+      val md5 = java.security.MessageDigest.getInstance("MD5").digest(raster)
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("out_md5") == md5, s"jpeg doc $id raster md5 drift")
+    }
+  }
+
   test("multimodal resize pins the actual resampled bytes; features match the stub arithmetic") {
     val texts = Tables.documents(spark, sf)
       .select("doc_id", "text").as[(Long, String)].collect().toMap

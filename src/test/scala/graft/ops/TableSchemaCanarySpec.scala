@@ -147,4 +147,121 @@ class TableSchemaCanarySpec extends graft.SparkSpec {
     val b = Sessionize.hourlyWindows(spark, evAlternate).collect().toSeq
     assert(a.nonEmpty && a === b)
   }
+
+  // --------------------------------------------------- lineitem + orders
+  // (r13 VERDICT item 5): the relational reference-parity queries read
+  // these raw until now — a regeneration flipping keys to int32,
+  // measures to float32, or dates to tz-adjusted TIMESTAMP / int64 nanos
+  // would have surfaced as a round-level CORRECTNESS collapse, the exact
+  // failure class the documents/events canaries already absorb.
+
+  private def lineitemFixture(alternate: Boolean): String = {
+    import spark.implicits._
+    val dir = graft.Scaffold.cleanupOnExit(
+      Files.createTempDirectory("graft-li-canary").toString)
+    val base = Seq(
+      (1L, 10L, 5L, 1, 17.0, 100.5, 0.04, 0.02, "N", "O", 800000000L),
+      (1L, 11L, 6L, 2, 36.0, 200.25, 0.09, 0.06, "N", "O", 810000000L),
+      // keep disc_price off a round-half-to-even boundary: float32
+      // narrowing moves the 8th significand digit, which flips a .xx5
+      // half-case under round(…, 2) — a fixture artifact, not a loader
+      // defect (50.0 * 0.90 = 45.0, safely interior)
+      (2L, 12L, 7L, 1, 8.0, 50.0, 0.10, 0.02, "R", "F", 820000000L),
+      (3L, 13L, 8L, 1, 28.0, 75.0, 0.00, 0.04, "A", "F", 830000000L),
+      // past q1's shipdate cutoff — proves the filter ran on both encodings
+      (3L, 14L, 8L, 2, 99.0, 75.0, 0.00, 0.04, "A", "F", 999999999L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "sec")
+      .withColumn("l_shipdate",
+        timestamp_seconds(col("sec")).cast(TimestampNTZType)).drop("sec")
+    val df = if (!alternate) base
+    else base // keys narrow, measures narrow, date tz-adjusted
+      .withColumn("l_orderkey", col("l_orderkey").cast(IntegerType))
+      .withColumn("l_partkey", col("l_partkey").cast(IntegerType))
+      .withColumn("l_quantity", col("l_quantity").cast(FloatType))
+      .withColumn("l_discount", col("l_discount").cast(FloatType))
+      .withColumn("l_shipdate", col("l_shipdate").cast(TimestampType))
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  private def ordersFixture(alternate: Boolean): String = {
+    import spark.implicits._
+    val dir = graft.Scaffold.cleanupOnExit(
+      Files.createTempDirectory("graft-ord-canary").toString)
+    val base = Seq(
+      (1L, 7L, "O", 1000.5, 800000000L, "1-URGENT"),
+      (2L, 8L, "F", 2000.25, 810000000L, "3-MEDIUM"),
+      (3L, 7L, "O", 150.0, 820000000L, "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "sec", "o_orderpriority")
+      .withColumn("o_orderdate",
+        timestamp_seconds(col("sec")).cast(TimestampNTZType)).drop("sec")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val df = if (!alternate) base
+    else base // keys narrow, price narrow, date as int64 NANOS (events-ts style)
+      .withColumn("o_orderkey", col("o_orderkey").cast(IntegerType))
+      .withColumn("o_custkey", col("o_custkey").cast(IntegerType))
+      .withColumn("o_totalprice", col("o_totalprice").cast(FloatType))
+      .withColumn("o_orderdate", (unix_micros(col("o_orderdate")
+        .cast(TimestampType)) * 1000L).cast(LongType))
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  private lazy val liCanonical = lineitemFixture(alternate = false)
+  private lazy val liAlternate = lineitemFixture(alternate = true)
+  private lazy val ordCanonical = ordersFixture(alternate = false)
+  private lazy val ordAlternate = ordersFixture(alternate = true)
+
+  test("lineitem/orders fixtures carry distinct encodings; loaders normalize both") {
+    val rawLi = spark.read.parquet(s"$liAlternate/lineitem.parquet")
+    assert(rawLi.schema("l_orderkey").dataType === IntegerType)
+    assert(rawLi.schema("l_quantity").dataType === FloatType)
+    assert(rawLi.schema("l_shipdate").dataType === TimestampType)
+    val rawOrd = spark.read.parquet(s"$ordAlternate/orders.parquet")
+    assert(rawOrd.schema("o_orderdate").dataType === LongType)
+    for (d <- Seq(liCanonical, liAlternate)) {
+      val t = Tables.lineitem(spark, d)
+      assert(t.schema("l_orderkey").dataType === LongType, s"l_orderkey in $d")
+      assert(t.schema("l_linenumber").dataType === LongType, s"l_linenumber in $d")
+      assert(t.schema("l_quantity").dataType === DoubleType, s"l_quantity in $d")
+      assert(t.schema("l_shipdate").dataType === TimestampNTZType, s"l_shipdate in $d")
+    }
+    for (d <- Seq(ordCanonical, ordAlternate)) {
+      val t = Tables.orders(spark, d)
+      assert(t.schema("o_custkey").dataType === LongType, s"o_custkey in $d")
+      assert(t.schema("o_orderdate").dataType === TimestampNTZType, s"o_orderdate in $d")
+    }
+  }
+
+  test("q1 aggregate (agg family) is lineitem-encoding-invariant") {
+    // exercises string groups, double sums, AND the shipdate filter — the
+    // wall-clock comparison must survive the tz-adjusted alternate.
+    val a = Relational.q1Agg(spark, liCanonical).collect().toSeq
+    val b = Relational.q1Agg(spark, liAlternate).collect().toSeq
+    assert(a.nonEmpty && a === b)
+    assert(a.size === 3) // N/O, R/F, A/F groups — the agg really grouped
+  }
+
+  test("point lookup (lookup family) is orders-encoding-invariant") {
+    // date_format over o_orderdate pins the wall clock: an alternate
+    // encoding read back through a zone-shifting cast would change the
+    // formatted string, not just an internal representation.
+    val a = Relational.pointLookup(spark, ordCanonical).collect().toSeq
+    val b = Relational.pointLookup(spark, ordAlternate).collect().toSeq
+    assert(a.nonEmpty && a === b)
+  }
+
+  test("a genuinely unsupported orders encoding fails loudly, named") {
+    import spark.implicits._
+    val dir = graft.Scaffold.cleanupOnExit(
+      Files.createTempDirectory("graft-ord-bad").toString)
+    Seq((1L, "x")).toDF("o_orderkey", "o_orderdate") // date as STRING
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val e = intercept[IllegalArgumentException](Tables.orders(spark, dir))
+    assert(e.getMessage.contains("orders.o_orderdate"))
+  }
 }
