@@ -324,7 +324,12 @@ object RdfaExtractor {
             e.attr("content").map(plainLiteral(_, ctx))
               .orElse(e.attr("datetime").map(dtv =>
                 Term.typed(dtv, inferDatetimeDatatype(dtv))))
-              .orElse(resource.map(toTerm))
+              // Core §7.5 step 11: @resource/@href/@src become the
+              // property's object ONLY when @rel/@rev are absent — with
+              // links present the resource feeds the rel/rev triples and
+              // @property falls through to a literal (conformance bug
+              // found by the rel+property fixture, r14)
+              .orElse(resource.filter(_ => !hasLinks).map(toTerm))
               // typed object: typeof without about → the typed node
               .orElse(typedNode.filter(_ => about.isEmpty).map(toTerm))
               .getOrElse(plainLiteral(e.text, ctx))

@@ -32,7 +32,8 @@ class RdfaSuiteSpec extends AnyFunSuite {
     "src-attribute", "hanging-rev", "time-datetime",
     "lang-inherit", "lang-xmllang-precedence", "lang-reset-empty",
     "lang-content", "lang-datatype-override",
-    "xmlns-legacy-prefix", "xmlliteral-markup")
+    "xmlns-legacy-prefix", "xmlliteral-markup",
+    "rel-property-same-element")
 
   // The FIXTURES.md §3a ledger is the conformance contract; its literal
   // case count drifted once (r13 added 3 cases without touching the
