@@ -444,14 +444,52 @@ object RdfaExtractor {
       if (schemeEnd < 0) ref
       else {
         val authorityEnd = base.indexOf('/', schemeEnd + 3)
-        (if (authorityEnd < 0) base else base.substring(0, authorityEnd)) + ref
+        normalizeDots(
+          (if (authorityEnd < 0) base else base.substring(0, authorityEnd)) + ref)
       }
     } else {
       val noFrag = base.takeWhile(c => c != '#' && c != '?')
       val dir = noFrag.substring(0, math.max(noFrag.lastIndexOf('/') + 1,
         noFrag.indexOf("://") + 3))
-      dir + ref
+      normalizeDots(dir + ref)
     }
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments over the PATH component of a
+    * merged `scheme://authority/path?query#frag` string — `about="../x"`
+    * must resolve to the parent directory, not keep a literal `..`
+    * segment (query/fragment are untouched; a base without an authority,
+    * e.g. `urn:`, is returned unchanged). */
+  private def normalizeDots(merged: String): String = {
+    val schemeEnd = merged.indexOf("://")
+    if (schemeEnd < 0) return merged
+    val pathStart = merged.indexOf('/', schemeEnd + 3)
+    if (pathStart < 0) return merged
+    val cut = merged.indexWhere(c => c == '?' || c == '#', pathStart)
+    val pathEnd = if (cut < 0) merged.length else cut
+    val path = merged.substring(pathStart, pathEnd)
+    if (!path.contains("/.")) return merged // fast path: nothing to remove
+    val out = new StringBuilder
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../")) {
+        in = "/" + in.substring(4)
+        out.setLength(math.max(out.lastIndexOf("/"), 0))
+      } else if (in == "/..") {
+        in = "/"
+        out.setLength(math.max(out.lastIndexOf("/"), 0))
+      } else if (in == "." || in == "..") in = ""
+      else {
+        val next = in.indexOf('/', 1)
+        if (next < 0) { out.append(in); in = "" }
+        else { out.append(in.substring(0, next)); in = in.substring(next) }
+      }
+    }
+    merged.substring(0, pathStart) + out + merged.substring(pathEnd)
   }
 
   /** HTML5 `datetime` attribute datatype inference (RDFa + HTML spec). */
