@@ -54,7 +54,19 @@ object RdfaExtractor {
     "besluit" -> "http://data.vlaanderen.be/ns/besluit#",
     "mandaat" -> "http://data.vlaanderen.be/ns/mandaat#",
     "persoon" -> "http://data.vlaanderen.be/ns/persoon#",
-    "ext" -> "http://mu.semte.ch/vocabularies/ext/")
+    "ext" -> "http://mu.semte.ch/vocabularies/ext/",
+    // the RDFa 1.1 initial context's default prefix: a CURIE with an
+    // empty prefix (":next") resolves in the XHTML vocabulary
+    "" -> "http://www.w3.org/1999/xhtml/vocab#")
+
+  /** RDFa 1.1 initial-context TERM mappings (W3C rdfa-1.1 context doc):
+    * bare terms in predicate position resolve here when no `@vocab` is
+    * in scope; anything else bare is dropped per Core §7.4.3. Matching
+    * is case-insensitive per Core §10.1. */
+  val defaultTerms: Map[String, String] = Map(
+    "describedby" -> "http://www.w3.org/2007/05/powder-s#describedby",
+    "license" -> "http://www.w3.org/1999/xhtml/vocab#license",
+    "role" -> "http://www.w3.org/1999/xhtml/vocab#role")
 
   /** An incomplete triple (RDFa Core §7.5 step 10): a `rel`/`rev` without
     * an object on its own element; completed by every descendant that
@@ -186,7 +198,11 @@ object RdfaExtractor {
     // *object* (RDFa "typed object") — not the current subject.
     lazy val freshBlankNode: String = s"_:${counter.fresh()}"
     val typedNode: Option[String] = typeofs.map { _ =>
-      about.getOrElse(resource.getOrElse(freshBlankNode))
+      // HTML+RDFa §3.1 host rule: @typeof on <head>/<body> types the
+      // parent object (the document base), never a fresh blank node
+      about.getOrElse(resource.getOrElse(
+        if (e.tag == "head" || e.tag == "body") ctx.subject
+        else freshBlankNode))
     }
 
     val rels = e.attr("rel").toSeq
@@ -406,6 +422,7 @@ object RdfaExtractor {
         case None => None
       }
     } else ctx.vocab.map(_ + v)
+      .orElse(defaultTerms.get(v.toLowerCase(java.util.Locale.ROOT)))
   }
 
   /** Resolve in subject/object position (about, resource, href, src):

@@ -33,7 +33,8 @@ class RdfaSuiteSpec extends AnyFunSuite {
     "lang-inherit", "lang-xmllang-precedence", "lang-reset-empty",
     "lang-content", "lang-datatype-override",
     "xmlns-legacy-prefix", "xmlliteral-markup",
-    "rel-property-same-element", "relative-iri-dots")
+    "rel-property-same-element", "relative-iri-dots",
+    "typeof-on-body", "empty-prefix-curie", "default-terms")
 
   // The FIXTURES.md §3a ledger is the conformance contract; its literal
   // case count drifted once (r13 added 3 cases without touching the
