@@ -10,11 +10,15 @@ import scala.collection.mutable
   * Supported: nested elements, attributes (double/single/unquoted/bare),
   * comments, doctype/processing instructions, void elements, self-closing
   * syntax, raw-text elements (script/style), character references
-  * (named basics + decimal/hex), and mismatched end tags (closed by
+  * (named basics + decimal/hex), mismatched end tags (closed by
   * popping to the nearest matching open element, else ignored — the
-  * usual lenient behavior). Not a WHATWG-conformant tree builder: no
-  * implied end tags / foster parenting; harvested besluit pages are
-  * machine-generated markup that doesn't rely on those recovery paths.
+  * usual lenient behavior), and the common WHATWG implied-end-tag rules
+  * (a block start tag closes an open `p`; `li`/`dt`/`dd`/`tr`/`td`/`th`/
+  * `option` close their open siblings) applied when the closable element
+  * is the INNERMOST open one — the machine-generated-markup case. Not a
+  * full WHATWG tree builder: no scope-walking close, adoption agency, or
+  * foster parenting; harvested besluit pages don't rely on those
+  * recovery paths.
   */
 object HtmlParser {
 
@@ -50,6 +54,7 @@ object HtmlParser {
       case Tok.Text(t) =>
         if (t.nonEmpty) stack.top.children += TextNode(t)
       case Tok.Open(tag, attrs, selfClosing) =>
+        impliedEndTags(stack, tag)
         if (selfClosing || voidElements(tag)) {
           stack.top.children += Element(tag, attrs, Vector.empty)
         } else {
@@ -72,6 +77,35 @@ object HtmlParser {
   private def finish(stack: mutable.Stack[Builder]): Unit = {
     val done = stack.pop()
     stack.top.children(done.placeholderIndex) = done.build()
+  }
+
+  /** Start tags whose appearance closes an open `p` element (WHATWG
+    * "closes a p element in button scope" list — the flow-content
+    * subset). */
+  private val closesP = Set("address", "article", "aside", "blockquote",
+    "details", "div", "dl", "fieldset", "figcaption", "figure", "footer",
+    "form", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hgroup", "hr",
+    "main", "menu", "nav", "ol", "p", "pre", "section", "summary", "table",
+    "ul")
+
+  /** Implied end tags for `<p>a<p>b`-style machine markup: pop the
+    * innermost open element when the incoming start tag implies its
+    * close. Restricted to the innermost element (no scope walk) so
+    * well-nested documents are untouched. */
+  @annotation.tailrec
+  private def impliedEndTags(stack: mutable.Stack[Builder], tag: String): Unit = {
+    val top = stack.top.tag
+    val close = tag match {
+      case t if closesP(t) => top == "p"
+      case "li"            => top == "li"
+      case "dt" | "dd"     => top == "dt" || top == "dd"
+      case "tr"            => top == "tr" || top == "td" || top == "th"
+      case "td" | "th"     => top == "td" || top == "th"
+      case "option"        => top == "option"
+      case "optgroup"      => top == "option" || top == "optgroup"
+      case _               => false
+    }
+    if (close) { finish(stack); impliedEndTags(stack, tag) }
   }
 
   private final class Builder(val tag: String, val attrs: Map[String, String]) {

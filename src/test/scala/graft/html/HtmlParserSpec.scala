@@ -67,4 +67,31 @@ class HtmlParserSpec extends AnyFunSuite {
     val root = parse("<div><span>a<span>b")
     assert(root.text == "ab")
   }
+
+  test("implied end tags: p/li/td siblings, innermost only") {
+    // <p>a<p>b — the second p start tag closes the first (WHATWG)
+    val ps = parse("<div><p>a<p>b</div>").children.head.asInstanceOf[Element]
+    assert(ps.children.collect { case e: Element => (e.tag, e.text) } ==
+      Vector(("p", "a"), ("p", "b")))
+    // a block start tag (div/ul/h2) closes an open p; hr is void but closes too
+    val blk = parse("<body><p>x<hr><ul><li>1<li>2</ul></body>")
+      .children.head.asInstanceOf[Element]
+    assert(blk.children.collect { case e: Element => e.tag } ==
+      Vector("p", "hr", "ul"))
+    val ul = blk.children.collect { case e: Element if e.tag == "ul" => e }.head
+    assert(ul.children.collect { case e: Element => (e.tag, e.text) } ==
+      Vector(("li", "1"), ("li", "2")))
+    // table cells: <tr><td>a<td>b<tr><td>c
+    val tbl = parse("<table><tr><td>a<td>b<tr><td>c</table>")
+      .children.head.asInstanceOf[Element]
+    val trs = tbl.children.collect { case e: Element if e.tag == "tr" => e }
+    assert(trs.map(_.children.collect { case e: Element => e.text }) ==
+      Vector(Vector("a", "b"), Vector("c")))
+    // well-nested documents are untouched: p inside blockquote inside p-less div
+    val ok = parse("<div><blockquote><p>q</p></blockquote></div>")
+    assert(ok.text == "q")
+    // inline formatting does NOT close p (only the listed block tags do)
+    val inline = parse("<div><p>a<b>c</b>d</p></div>").children.head.asInstanceOf[Element]
+    assert(inline.children.collect { case e: Element => e.text } == Vector("acd"))
+  }
 }

@@ -34,7 +34,8 @@ class RdfaSuiteSpec extends AnyFunSuite {
     "lang-content", "lang-datatype-override",
     "xmlns-legacy-prefix", "xmlliteral-markup",
     "rel-property-same-element", "relative-iri-dots",
-    "typeof-on-body", "empty-prefix-curie", "default-terms")
+    "typeof-on-body", "empty-prefix-curie", "default-terms",
+    "implied-p-close")
 
   // The FIXTURES.md §3a ledger is the conformance contract; its literal
   // case count drifted once (r13 added 3 cases without touching the
