@@ -44,17 +44,39 @@ object Validation {
     * (validateTriple.js:77). */
   val wktCrsRegex: String = "<(https?://[^\\s>]+)>"
 
+  /** JS `new URL(crs)` parseability mirror (validateTriple.js:82-88: a
+    * constructor THROW lands in the catch and marks the literal invalid,
+    * regardless of scheme). For the special http(s) schemes the throw
+    * cases are (practically): a forbidden domain code point in the host
+    * (C0 control/space, `#%/:<>?@[\]^|` — `%` allowed only as a `%HH`
+    * escape), an empty host, a non-numeric port, or a port above 65535.
+    * Authority shape: `[userinfo@]host[:port]` with userinfo up to the
+    * LAST `@` (greedy, as the URL parser does), host either a bracketed
+    * IPv6 literal or 1+ allowed chars, port captured in group 1 for the
+    * ≤65535 check. Residual (documented): IDNA/Unicode domain mapping
+    * and IPv4-overflow rejections are not reproduced — harvested CRS
+    * URLs are plain opengis.net IRIs that never exercise them. */
+  val wktUrlParseRegex: String =
+    "^https?://(?:[^/?#]*@)?(?:\\[[0-9A-Fa-f:.]+\\]|" +
+      "(?:%[0-9A-Fa-f]{2}|[^\\x00-\\x20#%/:<>?@\\[\\\\\\]^|])+)" +
+      "(?::([0-9]{0,5}))?(?:[/?#\\\\].*)?$" // \ ends the authority like / (special-scheme rule)
+
   /** JS-`Number`-coercible check (see [[jsNumberRegex]]). Null-safe: null → false. */
   def isJsNumber(value: Column): Column =
     coalesce(value.rlike(jsNumberRegex), lit(false))
 
   /** WKT literal validity (validateTriple.js:71-90): non-empty, and if a
-    * `<scheme://…>` CRS URL is embedded, its scheme must be exactly `http`.
-    * `regexp_extract` returns "" when the pattern does not match, which maps
-    * to the reference's "no CRS ⇒ assume ok" branch. */
+    * `<scheme://…>` CRS URL is embedded, it must parse under JS `new
+    * URL` semantics ([[wktUrlParseRegex]] — a throw is the catch branch,
+    * invalid) AND use exactly the `http` scheme. `regexp_extract` returns
+    * "" when the pattern does not match, which maps to the reference's
+    * "no CRS ⇒ assume ok" branch. */
   def isValidWkt(value: Column): Column = {
     val crs = regexp_extract(value, wktCrsRegex, 1)
-    (length(value) > 0) && (crs === "" || crs.startsWith("http://"))
+    val port = regexp_extract(crs, wktUrlParseRegex, 1)
+    val parseable = crs.rlike(wktUrlParseRegex) &&
+      (port === "" || port.cast("long") <= 65535L)
+    (length(value) > 0) && (crs === "" || (parseable && crs.startsWith("http://")))
   }
 
   /** Validity of a single term struct column — the §1.2 truth table

@@ -89,6 +89,27 @@ class ValidationSpec extends SparkSpec {
     check(Term.typed("", Vocab.wktLiteral), expected = false, "empty")
   }
 
+  test("wktLiteral: an unparseable CRS URL is invalid — JS new URL() throw mirror (validateTriple.js:82-88)") {
+    // expectations derived by running each URL through node's `new URL`
+    // (v20) — a constructor throw is the reference's catch branch
+    def wkt(crs: String) = Term.typed(s"<$crs> POINT(1 2)", Vocab.wktLiteral)
+    check(wkt("http://a^b"), expected = false, "forbidden ^ in host (throws)")
+    check(wkt("http://a|b"), expected = false, "forbidden | in host (throws)")
+    check(wkt("http://a]b"), expected = false, "forbidden ] in host (throws)")
+    check(wkt("http://host:99999"), expected = false, "port > 65535 (throws)")
+    check(wkt("http://@"), expected = false, "empty host after userinfo (throws)")
+    check(wkt("http://a%zzb"), expected = false, "bad percent escape in host (throws)")
+    check(wkt("http://host:65535/x"), expected = true, "max port parses")
+    check(wkt("http://host:"), expected = true, "empty port parses")
+    check(wkt("http://u:p@h/x"), expected = true, "userinfo parses")
+    check(wkt("http://a@b@c/x"), expected = true, "userinfo up to last @ (host c)")
+    check(wkt("http://a%41b"), expected = true, "valid percent escape in host")
+    check(wkt("http://[::1]:80/x"), expected = true, "bracketed IPv6 host")
+    check(wkt("http://host:8080/a^b"), expected = true, "^ allowed in path")
+    check(wkt("http://a\\b"), expected = true, "backslash ends authority like / (host a)")
+    check(wkt("https://host:99999"), expected = false, "https AND unparseable both invalid")
+  }
+
   test("unknown datatypes are invalid (validateTriple.js:65-67)") {
     check(Term.typed("12", Vocab.xsdInt), expected = false, "xsd:int (not integer)")
     check(Term.typed("1.5", "http://www.w3.org/2001/XMLSchema#decimal"),
