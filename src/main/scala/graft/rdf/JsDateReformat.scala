@@ -1,7 +1,6 @@
 package graft.rdf
 
 import java.time._
-import java.time.format.DateTimeFormatter
 import java.util.Locale
 
 import org.apache.spark.sql.Column
@@ -65,39 +64,98 @@ object JsDateReformat {
   def date(c: Column): Column = toColumn(JsDateReformat(toExpr(c), withTime = false))
   def dateTime(c: Column): Column = toColumn(JsDateReformat(toExpr(c), withTime = true))
 
-  private val legacyFormats: Seq[DateTimeFormatter] = Seq(
-    // V8's fallback parser also takes unpadded dash dates ('2023-5-4')
-    "yyyy-M-d",
-    "yyyy/M/d", "M/d/yyyy",
-    "MMMM d, yyyy", "MMMM d yyyy", "MMM d, yyyy", "MMM d yyyy",
-    "d MMMM yyyy", "d MMM yyyy")
-    .map(p => DateTimeFormatter.ofPattern(p, Locale.ENGLISH))
+  // V8 `new Date(string)` numeric rules, established by differential
+  // probes against node v20 (JsDateReformatSpec pins the corpus):
+  //   - month is STRICT 1-12 (no rollover: "2023-13-01" → Invalid Date);
+  //   - day is syntactically 1-31, but overflow within that range ROLLS
+  //     into the next month ("2023-02-30" → Mar 2, "2023-11-31" → Dec 1,
+  //     "2023-1-40" → Invalid);
+  //   - hour 0-24 where 24 requires :00(:00) and rolls to the next day
+  //     ("2023-1-1 24:00" → Jan 2); minute/second are strict 0-59
+  //     ("23:60" → Invalid);
+  //   - year-only ("2023") and year-month ("2023-05") parse to Jan 1 /
+  //     the 1st; an English weekday prefix ("Sat May 4 2023") is
+  //     ignored; separators -, /, . are interchangeable in y-m-d forms.
+  private def build(y: Int, m: Int, d: Int, h: Int, mi: Int, sec: Int,
+      offset: Option[ZoneOffset]): Option[ZonedDateTime] = {
+    if (m < 1 || m > 12 || d < 1 || d > 31 || h < 0 || h > 24 ||
+        mi < 0 || mi > 59 || sec < 0 || sec > 59) None
+    else if (h == 24 && (mi != 0 || sec != 0)) None
+    else {
+      val local = LocalDate.of(y, m, 1).plusDays(d - 1L)
+        .atStartOfDay.plusHours(h).plusMinutes(mi).plusSeconds(sec)
+      val zoned = offset match {
+        case Some(off) => local.atOffset(off).atZoneSameInstant(ZoneOffset.UTC)
+        case None      => local.atZone(ZoneOffset.UTC)
+      }
+      // JS Date range: ±1e8 days (8.64e15 ms) from the epoch —
+      // "275761-01-01" is Invalid Date while 275760 still parses
+      if (math.abs(zoned.toInstant.toEpochMilli) > 8_640_000_000_000_000L) None
+      else Some(zoned)
+    }
+  }
 
-  private val legacyDateTimeFormats: Seq[DateTimeFormatter] = Seq(
-    // V8 accepts a space in place of the ISO 'T', with optional seconds
-    "yyyy-M-d H:m:s", "yyyy-M-d H:m", "yyyy-M-d'T'H:m:s", "yyyy-M-d'T'H:m",
-    "yyyy/M/d H:m:s", "M/d/yyyy H:m:s",
-    "MMMM d, yyyy H:m:s", "MMM d yyyy H:m:s")
-    .map(p => DateTimeFormatter.ofPattern(p, Locale.ENGLISH))
+  private def zoneOf(z: String): Option[ZoneOffset] =
+    Option(z).filter(_.nonEmpty).map {
+      case "Z" => ZoneOffset.UTC
+      case s   => ZoneOffset.of(if (s.contains(":")) s
+        else s.substring(0, 3) + ":" + s.substring(3))
+    }
+
+  private val monthNum: Map[String, Int] = {
+    val full = Seq("january", "february", "march", "april", "may", "june",
+      "july", "august", "september", "october", "november", "december")
+    (full.zipWithIndex.map { case (n, i) => n -> (i + 1) } ++
+      full.zipWithIndex.map { case (n, i) => n.take(3) -> (i + 1) } :+
+      ("sept" -> 9)).toMap
+  }
+
+  private val weekdayPrefix =
+    "(?i)^(?:sun|mon|tue|wed|thu|fri|sat)[a-z]*,?\\s+".r
+  // year-first forms take 3-6 year digits ("999-01-01" and
+  // "12023-01-01" both parse; 7 digits is Invalid) and tolerate
+  // leading-zero field padding ("2023-005-04"); 1-2 leading digits flip
+  // V8 into month-first parsing ("99-01-01" → 1999, "9-01-01" → Sep 1
+  // 2001) — out of scope, documented residual (never a harvested form)
+  private val ymdRe =
+    "^(\\d{3,6})(?:[-/.](\\d{1,3})(?:[-/.](\\d{1,3}))?)?$".r
+  private val ymdTimeRe =
+    ("^(\\d{3,6})[-/.](\\d{1,3})[-/.](\\d{1,3})[T ]" +
+      "(\\d{1,2}):(\\d{1,2})(?::(\\d{1,2})(?:\\.\\d+)?)?\\s*" +
+      "(Z|[+-]\\d{2}:?\\d{2})?$").r
+  private val mdyRe =
+    "^(\\d{1,2})/(\\d{1,2})/(\\d{4})(?:[ ](\\d{1,2}):(\\d{1,2})(?::(\\d{1,2}))?)?$".r
+  private val nameDayRe =
+    ("^([A-Za-z]+)\\.? (\\d{1,2}),? (\\d{4})" +
+      "(?: (\\d{1,2}):(\\d{1,2})(?::(\\d{1,2}))?)?$").r
+  private val dayNameRe =
+    ("^(\\d{1,2}) ([A-Za-z]+),? (\\d{4})" +
+      "(?: (\\d{1,2}):(\\d{1,2})(?::(\\d{1,2}))?)?$").r
+
+  private def num(s: String, default: Int = 0): Int =
+    if (s == null || s.isEmpty) default else s.toInt
 
   /** Emulates `new Date(value)` for the supported subset; fields are read
     * in UTC (see class doc). Returns None for JS "Invalid Date". */
   def parse(raw: String): Option[ZonedDateTime] = {
-    val s = raw.trim
+    val s = weekdayPrefix.replaceFirstIn(raw.trim, "")
     if (s.isEmpty) return None
-    def attempt[A](f: => ZonedDateTime): Option[ZonedDateTime] =
-      try Some(f) catch { case _: Exception => None }
-
-    // ISO date-only — JS treats as UTC midnight.
-    attempt(LocalDate.parse(s).atStartOfDay(ZoneOffset.UTC))
-      // ISO instant with zone/offset.
-      .orElse(attempt(OffsetDateTime.parse(s).atZoneSameInstant(ZoneOffset.UTC)))
-      .orElse(attempt(Instant.parse(s).atZone(ZoneOffset.UTC)))
-      // ISO local date-time, no zone.
-      .orElse(attempt(LocalDateTime.parse(s).atZone(ZoneOffset.UTC)))
-      .orElse(legacyDateTimeFormats.view.flatMap(f =>
-        attempt(LocalDateTime.parse(s, f).atZone(ZoneOffset.UTC))).headOption)
-      .orElse(legacyFormats.view.flatMap(f =>
-        attempt(LocalDate.parse(s, f).atStartOfDay(ZoneOffset.UTC))).headOption)
+    def month(name: String): Option[Int] =
+      monthNum.get(name.toLowerCase(Locale.ENGLISH))
+    try s match {
+      case ymdTimeRe(y, m, d, h, mi, sec, z) =>
+        build(num(y), num(m), num(d), num(h), num(mi), num(sec), zoneOf(z))
+      case ymdRe(y, m, d) =>
+        build(num(y), num(m, 1), num(d, 1), 0, 0, 0, None)
+      case mdyRe(m, d, y, h, mi, sec) =>
+        build(num(y), num(m), num(d), num(h), num(mi), num(sec), None)
+      case nameDayRe(name, d, y, h, mi, sec) =>
+        month(name).flatMap(m =>
+          build(num(y), m, num(d), num(h), num(mi), num(sec), None))
+      case dayNameRe(d, name, y, h, mi, sec) =>
+        month(name).flatMap(m =>
+          build(num(y), m, num(d), num(h), num(mi), num(sec), None))
+      case _ => None
+    } catch { case _: Exception => None } // out-of-range ZoneOffset etc.
   }
 }
