@@ -93,16 +93,36 @@ object Repair {
       .otherwise(lit(null).cast(Term.schema))
   }
 
+  /** n3 parse gate mirrored per term (fixTriple.js:11-15: the fixer
+    * re-parses the serialized line BEFORE any per-term fix, so a line
+    * that does not lex — malformed IRI term, malformed datatype IRI, or
+    * a malformed non-empty language tag — resolves undefined regardless
+    * of what the datatype switch could have fixed). The empty tag passes
+    * here: it serializes tagless, re-parses, and reaches `fixLiteral`. */
+  private def termParseable(t: Column): Column = {
+    val tt = t.getField("termType"); val v = t.getField("value")
+    val dt = t.getField("datatype"); val lang = t.getField("lang")
+    val badIri = tt === Term.NamedNode && !Validation.isParseableIri(v)
+    val badDt = tt === Term.Literal && dt.isNotNull && dt =!= "" &&
+      !Validation.isParseableIri(dt)
+    val badTag = tt === Term.Literal && lang.isNotNull && length(lang) > 0 &&
+      !lang.rlike(Validation.langTagRegex)
+    !(badIri || badDt || badTag)
+  }
+
   /** Repaired quad struct `(subject, predicate, obj, graph)`, or null if any
-    * term is a blank node (fixTriple.js:25-27) or unrepairable. */
+    * term is a blank node (fixTriple.js:25-27), the serialized line would
+    * not re-parse ([[termParseable]]), or a term is unrepairable. */
   def fixQuad(quad: Column): Column = {
     val s = quad.getField("subject"); val p = quad.getField("predicate")
     val o = quad.getField("obj")
     val anyBlank = s.getField("termType") === Term.BlankNode ||
       p.getField("termType") === Term.BlankNode ||
       o.getField("termType") === Term.BlankNode
+    val parseError =
+      !(termParseable(s) && termParseable(p) && termParseable(o))
     val fs = fixTerm(s); val fp = fixTerm(p); val fo = fixTerm(o)
-    when(anyBlank || fs.isNull || fp.isNull || fo.isNull,
+    when(anyBlank || parseError || fs.isNull || fp.isNull || fo.isNull,
       lit(null).cast(Quad.schema))
       .otherwise(struct(fs.as("subject"), fp.as("predicate"), fo.as("obj"),
         quad.getField("graph").as("graph")))
@@ -131,7 +151,10 @@ object Repair {
   /** Quad repairability: no blank nodes (fixTriple.js:25-27) and every
     * term individually fixable. */
   def isQuadFixable(quad: Column): Column =
-    isTermFixable(quad.getField("subject")) &&
+    termParseable(quad.getField("subject")) &&
+      termParseable(quad.getField("predicate")) &&
+      termParseable(quad.getField("obj")) &&
+      isTermFixable(quad.getField("subject")) &&
       isTermFixable(quad.getField("predicate")) &&
       isTermFixable(quad.getField("obj"))
 

@@ -79,19 +79,48 @@ object Validation {
     (length(value) > 0) && (crs === "" || (parseable && crs.startsWith("http://")))
   }
 
+  /** Characters the N-Triples/Turtle IRIREF production forbids inside
+    * `<...>` (n3's lexer enforces exactly this set for unescaped IRIs):
+    * C0 controls, space, `<>"{}|^` backtick, backslash. The reference
+    * re-parses every serialized triple with an n3 Parser BEFORE
+    * validating (validateTriple.js:11-16) and before fixing
+    * (fixTriple.js:11-15), so an IRI — term or datatype — carrying a
+    * forbidden char is a parse error on both paths: invalid AND
+    * unfixable. Literal VALUES never hit this (the serializer
+    * ECHAR-escapes them). */
+  val iriRefBadCharRegex: String = "[\\x00-\\x20<>\"{}|^`\\\\]"
+
+  /** True iff the IRI would survive `<...>` serialization + n3 re-parse. */
+  def isParseableIri(value: Column): Column =
+    coalesce(!value.rlike(iriRefBadCharRegex), lit(false))
+
+  /** n3's LANGTAG production: `@[a-zA-Z]+(-[a-zA-Z0-9]+)*`. A literal
+    * with a malformed NON-EMPTY tag ("en us", "123") serializes to a
+    * line neither the validate nor the fix parse accepts → invalid and
+    * unfixable. The EMPTY tag is different: it serializes tagless, so it
+    * re-parses fine, fails `validateLangString` on length
+    * (validateTriple.js:92-94), and `fixLiteral` re-types it → corrected. */
+  val langTagRegex: String = "^[a-zA-Z]+(-[a-zA-Z0-9]+)*$"
+
   /** Validity of a single term struct column — the §1.2 truth table
-    * (validateTriple.js:33-69). `term` must be a struct
-    * `(termType, value, datatype, lang)`. */
+    * (validateTriple.js:33-69) plus the n3 re-parse gate above. `term`
+    * must be a struct `(termType, value, datatype, lang)`. */
   def isValidTerm(term: Column): Column = {
     val tt = term.getField("termType")
     val v  = term.getField("value")
     val dt = term.getField("datatype")
     val lang = term.getField("lang")
     when(tt === Term.BlankNode, lit(false))
+      // n3 re-parse gate: a malformed IRI term or datatype IRI is a
+      // parse error before any datatype rule runs
+      .when(tt === Term.NamedNode && !isParseableIri(v), lit(false))
+      .when(tt === Term.Literal && dt.isNotNull && dt =!= "" &&
+        !isParseableIri(dt), lit(false))
       // "no datatype ⇒ valid on virtuoso" (validateTriple.js:36-38)
       .when(dt.isNull || dt === "", lit(true))
       .when(dt === Vocab.rdfsLiteral, lit(false))
-      .when(dt === Vocab.rdfLangString, coalesce(length(lang) > 0, lit(false)))
+      .when(dt === Vocab.rdfLangString,
+        coalesce(lang.rlike(langTagRegex), lit(false)))
       .when(dt === Vocab.xsdString, lit(true))
       .when(dt === Vocab.rdfHTML, lit(true))
       .when(dt === Vocab.rdfXMLLiteral, lit(false))

@@ -90,6 +90,36 @@ class RepairSpec extends SparkSpec {
     assert(out == Seq(true, false))
   }
 
+  test("n3 parse gate: malformed IRIs/tags make the quad unfixable (fixTriple.js:11-15)") {
+    // the fixer re-parses the serialized line before any per-term fix; a
+    // line that does not lex resolves undefined regardless of datatype
+    val quads = Seq(
+      // subject IRI with a space — IRIREF parse error → unfixable
+      Quad(Term.iri("http://x/a b"), Term.iri("http://p"),
+        Term.typed("TRUE", Vocab.xsdBoolean)),
+      // malformed non-empty language tag — LANGTAG parse error → unfixable
+      Quad(Term.iri("http://s"), Term.iri("http://p"),
+        Term.langLit("v", "en us")),
+      // datatype IRI with forbidden char — parse error → unfixable
+      Quad(Term.iri("http://s"), Term.iri("http://p"),
+        Term.typed("v", "http://dt/{bad}")),
+      // EMPTY tag serializes tagless → re-parses → fixLiteral re-types
+      Quad(Term.iri("http://s"), Term.iri("http://p"),
+        Term.langLit("v", "")),
+      // control: same shapes with clean IRIs/tags still fix
+      Quad(Term.iri("http://s"), Term.iri("http://p"),
+        Term.typed("TRUE", Vocab.xsdBoolean)))
+    val out = quads.toDS()
+      .withColumn("fixed", Repair.fixQuad(struct($"subject", $"predicate", $"obj", $"graph")))
+      .withColumn("fixable", Repair.isQuadFixable(struct($"subject", $"predicate", $"obj", $"graph")))
+      .select(col("fixed").isNull, col("fixable")).as[(Boolean, Boolean)]
+      .collect().toSeq
+    assert(out.map(_._1) == Seq(true, true, true, false, false))
+    assert(out.map(!_._2) == Seq(true, true, true, false, false))
+    // and the empty-tag fix is the xsd:string re-type
+    assert(fix(Term.langLit("v", "")).contains(Term.typed("v", Vocab.xsdString)))
+  }
+
   test("reference quirk: repaired dates FAIL re-validation (and are never re-validated)") {
     // fixDate emits "2023-05-4" (unpadded day) but validateDate requires
     // two digits — the reference pushes fixed triples to the corrected

@@ -110,6 +110,22 @@ class ValidationSpec extends SparkSpec {
     check(wkt("https://host:99999"), expected = false, "https AND unparseable both invalid")
   }
 
+  test("n3 re-parse gate: malformed IRIs and language tags are invalid (validateTriple.js:11-16)") {
+    // the reference N3-parses the serialized line before any term rule;
+    // chars the IRIREF production forbids, or a malformed LANGTAG, are
+    // parse errors → invalid
+    check(Term.iri("http://x/a b"), expected = false, "space in IRI")
+    check(Term.iri("http://x/{a}"), expected = false, "braces in IRI")
+    check(Term.iri("http://x/a\\b"), expected = false, "backslash in IRI")
+    check(Term.iri("http://x/a%20b"), expected = true, "escaped space is fine")
+    check(Term.typed("v", "http://dt/a b"), expected = false, "space in datatype IRI")
+    check(Term.langLit("v", "en us"), expected = false, "space in language tag")
+    check(Term.langLit("v", "123"), expected = false, "numeric-first language tag")
+    check(Term.langLit("v", "en-"), expected = false, "trailing hyphen tag")
+    check(Term.langLit("v", "en-US"), expected = true, "well-formed subtag")
+    check(Term.langLit("v", "nl"), expected = true, "plain tag")
+  }
+
   test("unknown datatypes are invalid (validateTriple.js:65-67)") {
     check(Term.typed("12", Vocab.xsdInt), expected = false, "xsd:int (not integer)")
     check(Term.typed("1.5", "http://www.w3.org/2001/XMLSchema#decimal"),
