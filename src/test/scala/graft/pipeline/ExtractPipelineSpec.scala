@@ -140,6 +140,20 @@ class ExtractPipelineSpec extends SparkSpec {
     assert(edge(1).getDecimal(0).longValueExact() == 1L)
     assert(edge(2).getDecimal(0).longValueExact() == 12L)
     assert(edge(3).getDecimal(0).toString == "9223372036854775808")
+    // parseInt radix inference (node-verified): a 0x/0X prefix flips to
+    // hex, with sign; bare "0x"/non-hex digits → NaN → null; no octal
+    val hex = graft.ops.Bindings.typed(
+      Seq("0x10", "-0X1f", "+0x10", "0x", "0xzz", "08", " 42 ", "1e3")
+        .toDF("count"),
+      Map("count" -> graft.rdf.Vocab.xsdInteger)).collect()
+    assert(hex(0).getDecimal(0).longValueExact() == 16L)
+    assert(hex(1).getDecimal(0).longValueExact() == -31L)
+    assert(hex(2).getDecimal(0).longValueExact() == 16L)
+    assert(hex(3).isNullAt(0))
+    assert(hex(4).isNullAt(0))
+    assert(hex(5).getDecimal(0).longValueExact() == 8L)
+    assert(hex(6).getDecimal(0).longValueExact() == 42L)
+    assert(hex(7).getDecimal(0).longValueExact() == 1L)
   }
 
   test("malformed page is isolated, not fatal (T4)") {
