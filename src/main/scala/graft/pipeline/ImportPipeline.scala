@@ -41,10 +41,17 @@ object ImportPipeline {
   final case class ImportResult(quads: DataFrame, status: String,
       nPages: Long, error: Option[String])
 
-  /** F3 basename (lib/file-helpers.js:16-18, `path.parse(path).name`):
-    * strip directories and the last extension. */
-  private def basename(uri: String): String =
-    uri.substring(uri.lastIndexOf('/') + 1).replaceAll("\\.[^.]*$", "")
+  /** F3 basename (lib/file-helpers.js:16-18, `path.parse(path).name`),
+    * node-verified on the edges: trailing slashes are ignored
+    * ("a/b/" → "b"), a leading-dot base keeps its dot (".env" → ".env" —
+    * the extension starts at the last dot only when it isn't char 0),
+    * and ".." is special-cased whole ("..." → ".."). */
+  private[pipeline] def basename(uri: String): String = {
+    val noSlash = uri.reverse.dropWhile(_ == '/').reverse
+    val base = noSlash.substring(noSlash.lastIndexOf('/') + 1)
+    val dot = base.lastIndexOf('.')
+    if (dot > 0 && base != "..") base.substring(0, dot) else base
+  }
 
   /** Per-page manifest for one verdict partition: file name
     * `<basename>-<part>.ttl` (reference: `${basename}-valid.ttl` etc.,

@@ -159,4 +159,16 @@ class ImportPipelineSpec extends SparkSpec {
     assert(reg(Vocab.taskHasFile) == 4) // 2 files × (file + import containers)
     assert(reg(Vocab.taskResultsContainer) == 3)
   }
+
+  test("F3 basename mirrors path.parse().name (node-verified edges)") {
+    val cases = Seq(
+      "a/b.tar.gz" -> "b.tar", "/share/x.html" -> "x", "a/b/" -> "b",
+      ".env" -> ".env", "noext" -> "noext", "a.b.c/d" -> "d", "x." -> "x",
+      "share://pages/F1.html" -> "F1", "" -> "", "a/.hidden.txt" -> ".hidden",
+      "..." -> "..", ".." -> "..", "a//b//" -> "b")
+    cases.foreach { case (in, want) =>
+      assert(ImportPipeline.basename(in) == want,
+        s"basename('$in') != node path.parse name '$want'")
+    }
+  }
 }
