@@ -56,11 +56,33 @@ object Tables {
     df.select(cols.toSeq: _*)
   }
 
-  def region(s: SparkSession, d: String)    = table(s, d, "region")
-  def nation(s: SparkSession, d: String)    = table(s, d, "nation")
-  def customer(s: SparkSession, d: String)  = table(s, d, "customer")
-  def supplier(s: SparkSession, d: String)  = table(s, d, "supplier")
-  def part(s: SparkSession, d: String)      = table(s, d, "part")
+  // Dimension keys canonicalize to BIGINT like the fact tables: the
+  // driver currently ships region/nation keys as int32 and the
+  // customer/supplier/part keys as int64 — under one contract a
+  // regeneration flipping either direction is a widening cast, not a
+  // correctness collapse. (Value-level oracle compares are width-blind:
+  // DuckDB stringifies 5 identically from int32 and int64.)
+  def region(s: SparkSession, d: String)    =
+    normalized("region", table(s, d, "region"), Map(
+      "r_regionkey" -> LongType, "r_name" -> StringType))
+  def nation(s: SparkSession, d: String)    =
+    normalized("nation", table(s, d, "nation"), Map(
+      "n_nationkey" -> LongType, "n_name" -> StringType,
+      "n_regionkey" -> LongType))
+  def customer(s: SparkSession, d: String)  =
+    normalized("customer", table(s, d, "customer"), Map(
+      "c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> LongType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType))
+  def supplier(s: SparkSession, d: String)  =
+    normalized("supplier", table(s, d, "supplier"), Map(
+      "s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> LongType, "s_acctbal" -> DoubleType))
+  def part(s: SparkSession, d: String)      =
+    normalized("part", table(s, d, "part"), Map(
+      "p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> LongType, "p_retailprice" -> DoubleType))
   def orders(s: SparkSession, d: String)    =
     normalized("orders", table(s, d, "orders"), Map(
       "o_orderkey" -> LongType, "o_custkey" -> LongType,

@@ -255,6 +255,35 @@ class TableSchemaCanarySpec extends graft.SparkSpec {
     assert(a.nonEmpty && a === b)
   }
 
+  test("dimension tables (customer/nation/region) are key-width-invariant through the star join") {
+    import spark.implicits._
+    def dims(alternate: Boolean): String = {
+      val dir = graft.Scaffold.cleanupOnExit(
+        Files.createTempDirectory("graft-dim-canary").toString)
+      def widen(df: DataFrame, cols: String*) =
+        if (!alternate) df
+        else cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(LongType)))
+      def narrow(df: DataFrame, cols: String*) =
+        if (!alternate) df
+        else cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(IntegerType)))
+      // canonical mirrors the driver: region/nation keys int32,
+      // customer keys int64; alternate flips BOTH directions
+      widen(Seq((0, "EU"), (1, "AM")).toDF("r_regionkey", "r_name"), "r_regionkey")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/region.parquet")
+      widen(Seq((0, "FRANCE", 0), (1, "PERU", 1), (2, "KENYA", 0))
+        .toDF("n_nationkey", "n_name", "n_regionkey"), "n_nationkey", "n_regionkey")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/nation.parquet")
+      narrow(Seq((10L, "alice", 0, 12.5, "BUILDING"), (11L, "bob", 2, 7.25, "AUTO"))
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        "c_custkey")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      dir
+    }
+    val a = Relational.starJoin(spark, dims(alternate = false)).collect().toSeq
+    val b = Relational.starJoin(spark, dims(alternate = true)).collect().toSeq
+    assert(a.nonEmpty && a === b)
+  }
+
   test("a genuinely unsupported orders encoding fails loudly, named") {
     import spark.implicits._
     val dir = graft.Scaffold.cleanupOnExit(
