@@ -91,16 +91,20 @@ object HtmlParser {
   /** Implied end tags for `<p>a<p>b`-style machine markup: pop the
     * innermost open element when the incoming start tag implies its
     * close. Restricted to the innermost element (no scope walk) so
-    * well-nested documents are untouched. */
+    * well-nested documents are untouched. The sibling-closing start
+    * tags (`li`/`dt`/`dd`/`td`/`th`/`tr`) also close an open `p` —
+    * they are all on the WHATWG "closes a p element in button scope"
+    * path too (`<ul><li><p>a<li>b`: the second `li` first closes the
+    * `p`, then the sibling `li`); the tailrec re-check pops both. */
   @annotation.tailrec
   private def impliedEndTags(stack: mutable.Stack[Builder], tag: String): Unit = {
     val top = stack.top.tag
     val close = tag match {
       case t if closesP(t) => top == "p"
-      case "li"            => top == "li"
-      case "dt" | "dd"     => top == "dt" || top == "dd"
-      case "tr"            => top == "tr" || top == "td" || top == "th"
-      case "td" | "th"     => top == "td" || top == "th"
+      case "li"            => top == "li" || top == "p"
+      case "dt" | "dd"     => top == "dt" || top == "dd" || top == "p"
+      case "tr"            => top == "tr" || top == "td" || top == "th" || top == "p"
+      case "td" | "th"     => top == "td" || top == "th" || top == "p"
       case "option"        => top == "option"
       case "optgroup"      => top == "option" || top == "optgroup"
       case _               => false

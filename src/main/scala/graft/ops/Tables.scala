@@ -43,6 +43,11 @@ object Tables {
           case (TimestampType, TimestampNTZType) =>
             requireUtcSession(df.sparkSession)
             col(f.name).cast(TimestampNTZType).as(f.name)
+          // Parquet DATE (the natural TPC-H date encoding) → NTZ
+          // midnight: a day number widening to a wall-clock instant,
+          // zone-independent on both sides, so no UTC guard needed.
+          case (DateType, TimestampNTZType) =>
+            col(f.name).cast(TimestampNTZType).as(f.name)
           case (LongType, TimestampNTZType) => // int64 nanoseconds
             requireUtcSession(df.sparkSession)
             timestamp_micros(expr(s"`${f.name}` div 1000"))

@@ -94,4 +94,21 @@ class HtmlParserSpec extends AnyFunSuite {
     val inline = parse("<div><p>a<b>c</b>d</p></div>").children.head.asInstanceOf[Element]
     assert(inline.children.collect { case e: Element => e.text } == Vector("acd"))
   }
+
+  test("sibling-closing tags also close an innermost open p") {
+    // <ul><li><p>a<li>b — WHATWG: the second li closes the p (button
+    // scope) AND the first li, so the lis are siblings
+    val ul = parse("<ul><li><p>a<li>b</ul>").children.head.asInstanceOf[Element]
+    assert(ul.children.collect { case e: Element => (e.tag, e.text) } ==
+      Vector(("li", "a"), ("li", "b")))
+    // same for dt/dd and table cells/rows
+    val dl = parse("<dl><dt><p>t<dd>d</dl>").children.head.asInstanceOf[Element]
+    assert(dl.children.collect { case e: Element => (e.tag, e.text) } ==
+      Vector(("dt", "t"), ("dd", "d")))
+    val tbl = parse("<table><tr><td><p>a<td>b<tr><td>c</table>")
+      .children.head.asInstanceOf[Element]
+    val trs = tbl.children.collect { case e: Element if e.tag == "tr" => e }
+    assert(trs.map(_.children.collect { case e: Element => e.text }) ==
+      Vector(Vector("a", "b"), Vector("c")))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import java.nio.file.Files
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -282,6 +282,39 @@ class TableSchemaCanarySpec extends graft.SparkSpec {
     val a = Relational.starJoin(spark, dims(alternate = false)).collect().toSeq
     val b = Relational.starJoin(spark, dims(alternate = true)).collect().toSeq
     assert(a.nonEmpty && a === b)
+  }
+
+  test("parquet DATE date columns (the natural TPC-H encoding) widen to NTZ midnight") {
+    import spark.implicits._
+    // midnight-aligned wall dates so the DATE narrowing is lossless and
+    // the date_format comparison below is exact in both encodings
+    def fixture(asDate: Boolean): String = {
+      val dir = graft.Scaffold.cleanupOnExit(
+        Files.createTempDirectory("graft-ord-date").toString)
+      val enc: Column => Column =
+        if (asDate) c => c else c => c.cast(TimestampNTZType)
+      Seq((1L, 7L, "O", 1000.5, "1995-05-09", "1-URGENT"),
+        (2L, 8L, "F", 2000.25, "1995-09-01", "3-MEDIUM"),
+        (3L, 7L, "O", 150.0, "1996-01-02", "5-LOW"))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "d", "o_orderpriority")
+        .withColumn("o_orderdate", enc(to_date(col("d")))).drop("d")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    val dateDir = fixture(asDate = true)
+    val ntzDir = fixture(asDate = false)
+    assert(spark.read.parquet(s"$dateDir/orders.parquet")
+      .schema("o_orderdate").dataType === DateType)
+    assert(Tables.orders(spark, dateDir)
+      .schema("o_orderdate").dataType === TimestampNTZType)
+    // date_format pins the wall clock: DATE must read back as midnight
+    val a = Relational.pointLookup(spark, ntzDir).collect().toSeq
+    val b = Relational.pointLookup(spark, dateDir).collect().toSeq
+    assert(a.nonEmpty && a === b)
+    assert(a.head.getAs[String]("o_date") === "1995-05-09 00:00:00")
   }
 
   test("a genuinely unsupported orders encoding fails loudly, named") {
