@@ -1,0 +1,165 @@
+#!/usr/bin/env node
+// Differential probe for the JS `new Date(string)` emulation behind the
+// repair stage (reference lib/fixTriple.js:148-162, 197-214).
+//
+// Replays every corpus input plus a fuzz band of separator / padding /
+// year-width / zone variants through this node's `new Date`, formats the
+// result with the reference's own field logic (month zero-padded iff
+// getMonth() < 9, nothing else padded; fixTriple.js:152-156, 201-208),
+// and prints one TSV row per input:
+//
+//     input<TAB>date<TAB>dateTime        (the literal \N for Invalid Date)
+//
+// Run under TZ=UTC (the emulation pins field extraction to UTC):
+//
+//     TZ=UTC node scripts/probe-jsdate.js > src/test/resources/jsdate/corpus.tsv
+//
+// JsDateReformatSpec consumes the committed TSV as ground truth and — when
+// node is on PATH — reruns this script and asserts the committed table is
+// current, so regenerating the corpus is one command and transcription
+// can't drift.
+'use strict';
+
+if (new Date(0).getHours() !== 0) {
+  console.error('probe must run with TZ=UTC');
+  process.exit(2);
+}
+
+// ---- corpus inputs (the long-standing hand-curated rows) ----
+const base = [
+  '2023-05-04', '2023-5-4', '2023/05/04', '2023.05.04',
+  'May 4 2023', 'May 4, 2023', 'may 4 2023', 'MAY 4 2023',
+  'Sept 4 2023', 'September 4 2023', '4 May 2023', '4 May, 2023',
+  'Sat May 4 2023', 'Saturday, May 4 2023',
+  '2023', '2023-05', '2023/05', '05/04/2023', '5/4/2023',
+  '2023-05-04T10:20:30', '2023-05-04 10:20:30', '2023-05-04T10:20:30.123',
+  '2023-05-04T10:20:30Z', '2023-05-04T10:20:30+02:00',
+  '2023-05-04T10:20:30+0200', '2023-05-04T10:20',
+  '2023-02-30', '2023-11-31', '2023-13-01', '2023-1-40', 'May 32 2023',
+  '2023-05-04T24:30', '2023-1-1 24:00', '2023-1-1 24:00:00',
+  'May 4 2023 10:20:30', '4 May 2023 10:20', '05/04/2023 10:20:30',
+  '999-01-01', '12023-01-01', '0000-01-01', '2023-005-04', '2023-123-04',
+  '275760-01-01', '275761-01-01', '  2023-05-04  ', 'junk', '',
+];
+
+// ---- fuzz band: T vs space separator x padding x year width x zone ----
+const fuzz = [];
+// the r14-verdict exposing forms: T only binds in strictly padded ISO
+fuzz.push(
+  '2023-5-4T3:7', '2023-05-04T3:20', '12023-01-01T10:20',
+  '2023.05.04T10:20', '2023/05/04T10:20', '999-01-01T10:20',
+  '2023-5-04T10:20', '2023-05-4T10:20', '2023-005-04T10:20',
+);
+// case + zone spacing around the T form
+fuzz.push(
+  '2023-05-04t10:20:30', '2023-05-04T10:20:30z', '2023-05-04t10:20:30z',
+  '2023-05-04T10:20:30 Z', '2023-05-04T10:20:30 +02:00',
+  '2023-05-04T10:20:30+02', '2023-05-04T10:20:30-02:30',
+  '2023-05-04T10:20:30+2:00', '2023-05-04T10:2', '2023-05-04T9:20',
+  '2023-05-04T10', '2023-05-04T10:20:3', '2023-05-04T10:20:30.1',
+  '2023-05-04T10:20:30.123456', '2023-05-04T25:00', '2023-05-04T23:60',
+);
+// lenient space-separated band
+fuzz.push(
+  '2023-5-4 3:7', '2023-5-4 3:7:9', '2023-5-4 3:7:9Z',
+  '2023-5-4  3:7', '2023-05-04 10:20:30 +02:00', '2023-05-04 10:20:30Z',
+  '2023-05-04 10:20:30z', '2023-05-04 10:20:30 z', '2023-05-04 9:20',
+  '2023.05.04 10:20', '2023/05/04 10:20', '2023-05-04 10:20:30.123',
+  '2023-05-04 10:20:30+0200', '2023-05-04 10:20:30 GMT',
+);
+// year widths through both separators
+fuzz.push(
+  '999-01-01 10:20', '12023-01-01 10:20', '0999-01-01T10:20',
+  '+012023-01-01T10:20', '99-01-01', '9-01-01',
+);
+// 2-digit years in the legacy month-first / name forms
+fuzz.push(
+  '5/4/23', '05/04/23', 'May 4 23', '4 May 23', 'May 4, 23',
+  '5/4/99', 'May 4 99', '5/4/0023', 'May 4 0023',
+  '5/4/23 10:20', 'May 4 23 10:20:30',
+);
+// pin the legacy small-year mapping rule (value-based vs digit-based)
+fuzz.push(
+  '5/4/49', '5/4/50', '5/4/100', '5/4/0100', 'May 4 100', '5/4/0',
+  '5/4/-1',
+);
+// T-form remaining edges: 24:00, fraction+zone, t in unpadded form,
+// signed years through the space form
+fuzz.push(
+  '2023-05-04T24:00', '2023-05-04T24:00:00', '2023-05-04T10:20:30.123Z',
+  '2023-05-04T10:20:30,123', '2023-5-4t3:7', '+012023-01-01 10:20',
+  '-012023-01-01T10:20', '+2023-05-04T10:20', '2023-05-04T10:20:30+02:60',
+  '2023-05-04T10:20Z', '2023-05-04T1020',
+);
+// space-form zone spellings
+fuzz.push(
+  '2023-05-04 10:20:30 +0200', '2023-05-04 10:20:30GMT',
+  '2023-05-04 10:20:30 UTC', '2023-05-04 10:20:30 UT',
+  '2023-05-04 10:20:30 EST', '2023-05-04 10:20:30 +02',
+  '2023-1-1 24:30', '2023-05-04 10:20:30 Z extra',
+);
+
+// zone tails on the name / month-first legacy forms, lowercase zone
+// names, date-only trailing zones, signed years through the space form
+fuzz.push(
+  '-012023-01-01 10:20', 'May 4 2023 10:20:30 Z', 'May 4 2023 10:20:30 GMT',
+  '5/4/2023 10:20 +02:00', '5/4/2023 10:20Z', '2023-05-04 Z',
+  '2023-05-04 GMT', '2023-05-04 10:20:30 gmt', '2023-05-04 10:20:30 est',
+  '2023-05-04 10:20:30.123 Z', '2023-05-04T10:20:30.', '2023-05-04 10:20:30.',
+  '2023-05-04T24:00:00.000', '4 May 2023 10:20 GMT', 'May 4 2023 Z',
+);
+
+// date-only zone tails, signed-year date-only, no-seconds military zone
+fuzz.push(
+  '+012023-01-01', '-012023-01-01', '2023-05-04 +02:00', '2023-05 Z',
+  '2023-05-04T10:20+0200', '5/4/2023 GMT', '2023-05-04+02:00',
+);
+// attached vs detached word zones, attached Z on bare dates
+fuzz.push(
+  '2023-05-04Z', '2023Z', '2023-05-04GMT', '4 May 2023Z',
+  '2023-05-04 10:20:30GMT', '2023-05-04 10:20:30UTC',
+  'May 4 2023 10:20:30 Z', 'May 4 2023 Z', 'May 4 2023 +02:00',
+  '5/4/2023 10:20Z', '4 May 2023 10:20 GMT',
+);
+// lenient legacy numeric offsets (hours unbounded, minutes <= 59)
+fuzz.push(
+  '2023-05-04 10:20:30 +2', '2023-05-04 10:20:30 -5',
+  '2023-05-04 10:20:30 +2:3', '2023-05-04 10:20:30 +02:0',
+  '2023-05-04 10:20:30 +020', '2023-05-04 10:20:30 +2459',
+  '2023-05-04 10:20:30 -99', '2023-05-04 10:20:30 +2:60',
+  '2023-05-04 10:20:30 +02000', '2023-05-04 10:20:30+2',
+  '2023-05-04 10:20:30 Z extra',
+);
+// ISO offset bounds (hour <= 23, minute <= 59)
+fuzz.push(
+  '2023-05-04T10:20:30+23:59', '2023-05-04T10:20:30+24:00',
+  '2023-05-04T10:20:30+02:60', '2023-05-04T24:00', '2023-05-04T24:30',
+  '2023-05-04T24:00:00.000', '2023-05-04T10:20Z',
+);
+// documented residuals — node ground truth pinned so the spec can assert
+// each residual is (a) still Invalid here and (b) still parsed by node
+fuzz.push(
+  '2023-05-04 10:20:30 EST', '2023-05-04 10:20:30 est',
+  '2023-05-04 10:20:30 PDT', 'May 4 10:20:30',
+);
+
+const inputs = [...base, ...fuzz];
+
+function fmt(d, withTime) {
+  if (isNaN(d.getTime())) return '\\N';
+  // fixTriple.js:152-156 / 201-208
+  const month = d.getMonth() < 9 ? `0${d.getMonth() + 1}` : `${d.getMonth() + 1}`;
+  const date = `${d.getFullYear()}-${month}-${d.getDate()}`;
+  if (!withTime) return date;
+  return `${date}T${d.getHours()}:${d.getMinutes()}:${d.getSeconds()}`;
+}
+
+const seen = new Set();
+for (const input of inputs) {
+  if (seen.has(input)) continue;
+  seen.add(input);
+  const d = new Date(input);
+  // TSV-encode the input (tabs/newlines never occur; escape just in case)
+  const key = input.replace(/\\/g, '\\\\').replace(/\t/g, '\\t');
+  process.stdout.write(`${key}\t${fmt(d, false)}\t${fmt(d, true)}\n`);
+}

@@ -21,11 +21,45 @@ import org.apache.spark.unsafe.types.UTF8String
   * fixTriple.js:153-154) while day/hour/minute/second are never padded —
   * so `2023-05-04` repairs to `2023-05-4`.
   *
-  * JS `Date` parsing is emulated for the formats that actually occur in
-  * harvested data: ISO 8601 (date-only, and date-time with optional zone)
-  * plus the common legacy forms (`yyyy/M/d`, `M/d/yyyy`, English month
-  * names). Deviation (documented): the reference renders fields in the
+  * JS `Date` parsing is emulated from differential probes against node
+  * v20 (`scripts/probe-jsdate.js` regenerates the expectation table;
+  * JsDateReformatSpec pins it). V8 has two parsers and the emulation
+  * mirrors both:
+  *
+  *   - the STRICT ISO parser handles the `T` separator: it requires a
+  *     padded 4-digit year (or a signed 6-digit expanded year), padded
+  *     2-digit month/day/hour/minute(/second), and a zone attached with
+  *     no intervening space ("2023-5-4T3:7", "2023-05-04T9:20",
+  *     "12023-01-01T10:20" and "2023-05-04T10:20:30 Z" are all Invalid
+  *     Date). Lowercase `t`/`z` are accepted; offsets are `±HH:MM` or
+  *     `±HHMM` with hour ≤ 23 and minute ≤ 59.
+  *   - the LEGACY parser handles everything else: space-separated times
+  *     with 1-2-digit fields and any run of whitespace between date and
+  *     time, `-`/`/`/`.` date separators, English month names, 1-4-digit
+  *     legacy years in month-first/name forms mapped by VALUE
+  *     (0-49 → 2000s, 50-99 → 1900s, ≥100 literal — "5/4/0023" → 2023),
+  *     and detached zone tails: `Z`/`z` (attachable), `GMT`/`UTC`/`UT`
+  *     (detached after a time, attachable after a bare date:
+  *     "...10:20:30GMT" is Invalid but "2023-05-04GMT" parses), and
+  *     lenient numeric offsets `±H[H][:M[M]]` / `±HMM` / `±HHMM` with
+  *     unbounded hours, minute ≤ 59, valid only when a time is present
+  *     ("2023-05-04 +02:00" is Invalid, "2023-05-04 Z" parses).
+  *
+  * Deviation (documented): the reference renders fields in the
   * container's local time zone; we pin to UTC for determinism.
+  *
+  * Residuals (probe-verified node behavior deliberately not mirrored;
+  * all are under-acceptance — the repo says Invalid, so the triple stays
+  * invalid, the safe direction — and none occurs in harvested data):
+  *   - US named zones: node parses "... 10:20:30 EST" as UTC-5 (and the
+  *     EDT/CST/CDT/MST/MDT/PST/PDT family); here Invalid.
+  *   - year-less name forms: node parses "May 4 10:20:30" (year from the
+  *     trailing number); here Invalid.
+  *   - 1-2-digit-leading year-first numeric forms flip V8 into
+  *     month-first parsing ("99-01-01" → 1999-01-1, "9-01-01" →
+  *     2001-09-1); here Invalid.
+  *   - RFC-1123 forms with weekday + "GMT" zone plus single-letter
+  *     military zones; here only the GMT/UT/UTC/Z spellings above.
   *
   * Not codegen'd (CodegenFallback) — this only runs on the small `invalid`
   * partition, never in the bulk path.
@@ -71,23 +105,23 @@ object JsDateReformat {
   //     into the next month ("2023-02-30" → Mar 2, "2023-11-31" → Dec 1,
   //     "2023-1-40" → Invalid);
   //   - hour 0-24 where 24 requires :00(:00) and rolls to the next day
-  //     ("2023-1-1 24:00" → Jan 2); minute/second are strict 0-59
-  //     ("23:60" → Invalid);
+  //     ("2023-1-1 24:00" → Jan 2, "2023-05-04T24:00" → May 5);
+  //     minute/second are strict 0-59 ("23:60" → Invalid);
   //   - year-only ("2023") and year-month ("2023-05") parse to Jan 1 /
   //     the 1st; an English weekday prefix ("Sat May 4 2023") is
   //     ignored; separators -, /, . are interchangeable in y-m-d forms.
   private def build(y: Int, m: Int, d: Int, h: Int, mi: Int, sec: Int,
-      offset: Option[ZoneOffset]): Option[ZonedDateTime] = {
+      offsetMin: Option[Int]): Option[ZonedDateTime] = {
     if (m < 1 || m > 12 || d < 1 || d > 31 || h < 0 || h > 24 ||
         mi < 0 || mi > 59 || sec < 0 || sec > 59) None
     else if (h == 24 && (mi != 0 || sec != 0)) None
     else {
       val local = LocalDate.of(y, m, 1).plusDays(d - 1L)
         .atStartOfDay.plusHours(h).plusMinutes(mi).plusSeconds(sec)
-      val zoned = offset match {
-        case Some(off) => local.atOffset(off).atZoneSameInstant(ZoneOffset.UTC)
-        case None      => local.atZone(ZoneOffset.UTC)
-      }
+      // an offset of +HH:MM means instant = local - offset; legacy offsets
+      // exceed ZoneOffset's ±18h range ("-99" parses), so shift directly
+      val zoned = local.minusMinutes(offsetMin.getOrElse(0).toLong)
+        .atZone(ZoneOffset.UTC)
       // JS Date range: ±1e8 days (8.64e15 ms) from the epoch —
       // "275761-01-01" is Invalid Date while 275760 still parses
       if (math.abs(zoned.toInstant.toEpochMilli) > 8_640_000_000_000_000L) None
@@ -95,12 +129,20 @@ object JsDateReformat {
     }
   }
 
-  private def zoneOf(z: String): Option[ZoneOffset] =
-    Option(z).filter(_.nonEmpty).map {
-      case "Z" => ZoneOffset.UTC
-      case s   => ZoneOffset.of(if (s.contains(":")) s
-        else s.substring(0, 3) + ":" + s.substring(3))
-    }
+  /** Legacy-parser numeric offset: `±H[H][:M[M]]` (hour unbounded,
+    * minute ≤ 59: "+2:3" → +02:03, "-99" parses) or colon-less `±HMM` /
+    * `±HHMM` ("+020" → +00:20, "+2459" → +24:59). None = Invalid Date. */
+  private def legacyOffset(tok: String): Option[Int] = {
+    val sign = if (tok.head == '-') -1 else 1
+    val body = tok.tail
+    val (h, m) =
+      if (body.contains(":")) {
+        val Array(a, b) = body.split(":")
+        (a.toInt, b.toInt)
+      } else if (body.length <= 2) (body.toInt, 0)
+      else (body.toInt / 100, body.toInt % 100)
+    if (m > 59) None else Some(sign * (h * 60 + m))
+  }
 
   private val monthNum: Map[String, Int] = {
     val full = Seq("january", "february", "march", "april", "may", "june",
@@ -110,30 +152,72 @@ object JsDateReformat {
       ("sept" -> 9)).toMap
   }
 
+  /** Month-first/name-form legacy years map by value: 0-49 → 2000s,
+    * 50-99 → 1900s, ≥100 literal ("5/4/23" → 2023, "5/4/0023" → 2023,
+    * "5/4/100" → 100). Year-first forms never map ("999-01-01" → 999). */
+  private def legacyYear(y: Int): Int =
+    if (y < 50) 2000 + y else if (y < 100) 1900 + y else y
+
   private val weekdayPrefix =
     "(?i)^(?:sun|mon|tue|wed|thu|fri|sat)[a-z]*,?\\s+".r
+
+  // --- strict ISO parser (the only branch that takes a T separator) ---
+  // padded fields, signed 6-digit expanded years, zone attached only
+  private val isoTimeRe =
+    ("^([+-]\\d{6}|\\d{4})-(\\d{2})-(\\d{2})[Tt](\\d{2}):(\\d{2})" +
+      "(?::(\\d{2})(?:\\.\\d+)?)?(?:([Zz])|([+-]\\d{2}):?(\\d{2}))?$").r
+
+  // --- legacy parser ---
   // year-first forms take 3-6 year digits ("999-01-01" and
-  // "12023-01-01" both parse; 7 digits is Invalid) and tolerate
-  // leading-zero field padding ("2023-005-04"); 1-2 leading digits flip
-  // V8 into month-first parsing ("99-01-01" → 1999, "9-01-01" → Sep 1
-  // 2001) — out of scope, documented residual (never a harvested form)
+  // "12023-01-01" both parse; 7 digits is Invalid) or a signed 6-digit
+  // expanded year, and tolerate leading-zero field padding
+  // ("2023-005-04"); 1-2 leading digits flip V8 into month-first parsing
+  // ("99-01-01" → 1999, "9-01-01" → Sep 1 2001) — documented residual.
+  private val yearPat = "([+-]\\d{6}|\\d{3,6})"
+  // a bare date takes only a NAMED zone, attached or detached
+  // ("2023-05-04 Z", "2023-05-04GMT", "2023Z" parse; "2023-05-04 +02:00"
+  // is Invalid) — named zones are all zero-offset here (EST family is a
+  // documented residual)
+  private val dateZonePat = "(?:\\s*(?i:Z|GMT|UTC|UT))?"
+  // after a time: Z/z attach freely, word zones need a space
+  // ("...10:20:30Z" parses, "...10:20:30GMT" is Invalid), numeric
+  // offsets attach freely and are lenient (see legacyOffset)
+  private val timeZonePat =
+    "(?:\\s*([Zz])|\\s+((?i:GMT|UTC|UT))|\\s*([+-]\\d{1,2}:\\d{1,2}|[+-]\\d{1,4}))?"
+  private val timePat =
+    "\\s+(\\d{1,2}):(\\d{1,2})(?::(\\d{1,2})(?:\\.\\d+)?)?"
+
   private val ymdRe =
-    "^(\\d{3,6})(?:[-/.](\\d{1,3})(?:[-/.](\\d{1,3}))?)?$".r
+    ("^" + yearPat + "(?:[-/.](\\d{1,3})(?:[-/.](\\d{1,3}))?)?" +
+      dateZonePat + "$").r
   private val ymdTimeRe =
-    ("^(\\d{3,6})[-/.](\\d{1,3})[-/.](\\d{1,3})[T ]" +
-      "(\\d{1,2}):(\\d{1,2})(?::(\\d{1,2})(?:\\.\\d+)?)?\\s*" +
-      "(Z|[+-]\\d{2}:?\\d{2})?$").r
+    ("^" + yearPat + "[-/.](\\d{1,3})[-/.](\\d{1,3})" +
+      timePat + timeZonePat + "$").r
   private val mdyRe =
-    "^(\\d{1,2})/(\\d{1,2})/(\\d{4})(?:[ ](\\d{1,2}):(\\d{1,2})(?::(\\d{1,2}))?)?$".r
+    ("^(\\d{1,2})/(\\d{1,2})/(\\d{1,4})(?:" + timePat + ")?" +
+      timeZonePat + "$").r
   private val nameDayRe =
-    ("^([A-Za-z]+)\\.? (\\d{1,2}),? (\\d{4})" +
-      "(?: (\\d{1,2}):(\\d{1,2})(?::(\\d{1,2}))?)?$").r
+    ("^([A-Za-z]+)\\.? (\\d{1,2}),? (\\d{1,4})(?:" + timePat + ")?" +
+      timeZonePat + "$").r
   private val dayNameRe =
-    ("^(\\d{1,2}) ([A-Za-z]+),? (\\d{4})" +
-      "(?: (\\d{1,2}):(\\d{1,2})(?::(\\d{1,2}))?)?$").r
+    ("^(\\d{1,2}) ([A-Za-z]+),? (\\d{1,4})(?:" + timePat + ")?" +
+      timeZonePat + "$").r
 
   private def num(s: String, default: Int = 0): Int =
     if (s == null || s.isEmpty) default else s.toInt
+
+  /** Resolve the three timeZonePat captures (z-letter, word zone, numeric
+    * offset) plus whether a time was present into Some(offset-minutes),
+    * None for no zone, or an Invalid-Date signal (Left). A numeric offset
+    * without a time is Invalid ("May 4 2023 +02:00"). */
+  private def legacyZone(zLetter: String, zWord: String, zNum: String,
+      hasTime: Boolean): Either[Unit, Option[Int]] =
+    if (zNum != null && zNum.nonEmpty) {
+      if (!hasTime) Left(())
+      else legacyOffset(zNum).toRight(()).map(Some(_))
+    } else if ((zLetter != null && zLetter.nonEmpty) ||
+        (zWord != null && zWord.nonEmpty)) Right(Some(0))
+    else Right(None)
 
   /** Emulates `new Date(value)` for the supported subset; fields are read
     * in UTC (see class doc). Returns None for JS "Invalid Date". */
@@ -142,20 +226,40 @@ object JsDateReformat {
     if (s.isEmpty) return None
     def month(name: String): Option[Int] =
       monthNum.get(name.toLowerCase(Locale.ENGLISH))
+    def legacy(y: Int, m: Int, d: Int, h: String, mi: String, sec: String,
+        zl: String, zw: String, zn: String): Option[ZonedDateTime] =
+      legacyZone(zl, zw, zn, hasTime = h != null && h.nonEmpty) match {
+        case Left(_)    => None
+        case Right(off) => build(y, m, d, num(h), num(mi), num(sec), off)
+      }
     try s match {
-      case ymdTimeRe(y, m, d, h, mi, sec, z) =>
-        build(num(y), num(m), num(d), num(h), num(mi), num(sec), zoneOf(z))
+      case isoTimeRe(y, m, d, h, mi, sec, zl, offH, offM) =>
+        // ISO offsets: hour ≤ 23, minute ≤ 59 ("+24:00" is Invalid)
+        val off: Either[Unit, Option[Int]] =
+          if (offH != null && offH.nonEmpty) {
+            val oh = num(offH.substring(1))
+            val om = num(offM)
+            if (oh > 23 || om > 59) Left(())
+            else Right(Some((if (offH.head == '-') -1 else 1) * (oh * 60 + om)))
+          } else if (zl != null && zl.nonEmpty) Right(Some(0))
+          else Right(None)
+        off match {
+          case Left(_)  => None
+          case Right(o) => build(num(y), num(m), num(d), num(h), num(mi), num(sec), o)
+        }
+      case ymdTimeRe(y, m, d, h, mi, sec, zl, zw, zn) =>
+        legacy(num(y), num(m), num(d), h, mi, sec, zl, zw, zn)
       case ymdRe(y, m, d) =>
         build(num(y), num(m, 1), num(d, 1), 0, 0, 0, None)
-      case mdyRe(m, d, y, h, mi, sec) =>
-        build(num(y), num(m), num(d), num(h), num(mi), num(sec), None)
-      case nameDayRe(name, d, y, h, mi, sec) =>
+      case mdyRe(m, d, y, h, mi, sec, zl, zw, zn) =>
+        legacy(legacyYear(num(y)), num(m), num(d), h, mi, sec, zl, zw, zn)
+      case nameDayRe(name, d, y, h, mi, sec, zl, zw, zn) =>
         month(name).flatMap(m =>
-          build(num(y), m, num(d), num(h), num(mi), num(sec), None))
-      case dayNameRe(d, name, y, h, mi, sec) =>
+          legacy(legacyYear(num(y)), m, num(d), h, mi, sec, zl, zw, zn))
+      case dayNameRe(d, name, y, h, mi, sec, zl, zw, zn) =>
         month(name).flatMap(m =>
-          build(num(y), m, num(d), num(h), num(mi), num(sec), None))
+          legacy(legacyYear(num(y)), m, num(d), h, mi, sec, zl, zw, zn))
       case _ => None
-    } catch { case _: Exception => None } // out-of-range ZoneOffset etc.
+    } catch { case _: Exception => None } // out-of-range fields etc.
   }
 }

@@ -1,88 +1,99 @@
 package graft.rdf
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.sys.process._
+
 import graft.SparkSpec
-import org.apache.spark.sql.functions._
 
 /** Differential conformance corpus for the JS `new Date` emulation behind
-  * the repair stage (fixTriple.js:148-162, 197-214). Every expectation
-  * below is GROUND TRUTH captured by running the input through node v20
-  * under TZ=UTC and formatting with the reference's own field logic
-  * (month padded iff getMonth() < 9, nothing else padded) — not derived
-  * from this implementation. A row is (input, fixDate output,
-  * fixDateTime output), null = Invalid Date.
+  * the repair stage (fixTriple.js:148-162, 197-214). The expectation
+  * table lives at src/test/resources/jsdate/corpus.tsv and is GENERATED —
+  * `TZ=UTC node scripts/probe-jsdate.js` replays every input through
+  * node's `new Date` and formats with the reference's own field logic
+  * (month padded iff getMonth() < 9, nothing else padded), so no row is
+  * hand-transcribed. Three gates:
   *
-  * Residuals the corpus deliberately leaves out (documented in
-  * JsDateReformat): 1-2-digit-leading numeric forms flip V8 into
-  * month-first parsing ("99-01-01" → 1999-01-1, "9-01-01" → 2001-09-1)
-  * and RFC-1123 "GMT" suffixes — neither appears in harvested data.
+  *   1. every non-residual row: the Spark expressions reproduce node;
+  *   2. every RESIDUAL row (deliberate divergence, documented in
+  *      JsDateReformat): the repo says Invalid (under-acceptance, the
+  *      safe direction) while node still parses it — so a residual that
+  *      silently becomes dead is flagged;
+  *   3. when node is on PATH, rerunning the probe script reproduces the
+  *      committed TSV byte-for-byte, so the corpus can't drift from the
+  *      script (skipped where node is absent).
   */
 class JsDateReformatSpec extends SparkSpec {
   import spark.implicits._
 
-  private val corpus: Seq[(String, String, String)] = Seq(
-    // (input, date, dateTime) — null = Invalid Date in node v20 @ TZ=UTC
-    ("2023-05-04", "2023-05-4", "2023-05-4T0:0:0"),
-    ("2023-5-4", "2023-05-4", "2023-05-4T0:0:0"),
-    ("2023/05/04", "2023-05-4", "2023-05-4T0:0:0"),
-    ("2023.05.04", "2023-05-4", "2023-05-4T0:0:0"),
-    ("May 4 2023", "2023-05-4", "2023-05-4T0:0:0"),
-    ("May 4, 2023", "2023-05-4", "2023-05-4T0:0:0"),
-    ("may 4 2023", "2023-05-4", "2023-05-4T0:0:0"),
-    ("MAY 4 2023", "2023-05-4", "2023-05-4T0:0:0"),
-    ("Sept 4 2023", "2023-09-4", "2023-09-4T0:0:0"),
-    ("September 4 2023", "2023-09-4", "2023-09-4T0:0:0"),
-    ("4 May 2023", "2023-05-4", "2023-05-4T0:0:0"),
-    ("4 May, 2023", "2023-05-4", "2023-05-4T0:0:0"),
-    ("Sat May 4 2023", "2023-05-4", "2023-05-4T0:0:0"),
-    ("Saturday, May 4 2023", "2023-05-4", "2023-05-4T0:0:0"),
-    ("2023", "2023-01-1", "2023-01-1T0:0:0"),
-    ("2023-05", "2023-05-1", "2023-05-1T0:0:0"),
-    ("2023/05", "2023-05-1", "2023-05-1T0:0:0"),
-    ("05/04/2023", "2023-05-4", "2023-05-4T0:0:0"),
-    ("5/4/2023", "2023-05-4", "2023-05-4T0:0:0"),
-    ("2023-05-04T10:20:30", "2023-05-4", "2023-05-4T10:20:30"),
-    ("2023-05-04 10:20:30", "2023-05-4", "2023-05-4T10:20:30"),
-    ("2023-05-04T10:20:30.123", "2023-05-4", "2023-05-4T10:20:30"),
-    ("2023-05-04T10:20:30Z", "2023-05-4", "2023-05-4T10:20:30"),
-    ("2023-05-04T10:20:30+02:00", "2023-05-4", "2023-05-4T8:20:30"),
-    ("2023-05-04T10:20:30+0200", "2023-05-4", "2023-05-4T8:20:30"),
-    ("2023-05-04T10:20", "2023-05-4", "2023-05-4T10:20:0"),
-    // day overflow ROLLS (within the syntactic 1-31 window)...
-    ("2023-02-30", "2023-03-2", "2023-03-2T0:0:0"),
-    ("2023-11-31", "2023-12-1", "2023-12-1T0:0:0"),
-    // ...but month 13+, day 32+, hour 25+ are Invalid Date
-    ("2023-13-01", null, null),
-    ("2023-1-40", null, null),
-    ("May 32 2023", null, null),
-    ("2023-05-04T24:30", null, null),
-    // hour 24 with :00 rolls to the next day
-    ("2023-1-1 24:00", "2023-01-2", "2023-01-2T0:0:0"),
-    ("2023-1-1 24:00:00", "2023-01-2", "2023-01-2T0:0:0"),
-    ("May 4 2023 10:20:30", "2023-05-4", "2023-05-4T10:20:30"),
-    ("4 May 2023 10:20", "2023-05-4", "2023-05-4T10:20:0"),
-    ("05/04/2023 10:20:30", "2023-05-4", "2023-05-4T10:20:30"),
-    // year widths: 3-6 digits year-first, zero-padded fields tolerated
-    ("999-01-01", "999-01-1", "999-01-1T0:0:0"),
-    ("12023-01-01", "12023-01-1", "12023-01-1T0:0:0"),
-    ("0000-01-01", "0-01-1", "0-01-1T0:0:0"),
-    ("2023-005-04", "2023-05-4", "2023-05-4T0:0:0"),
-    ("2023-123-04", null, null),
-    // the Date range boundary: ±1e8 days from the epoch
-    ("275760-01-01", "275760-01-1", "275760-01-1T0:0:0"),
-    ("275761-01-01", null, null),
-    ("  2023-05-04  ", "2023-05-4", "2023-05-4T0:0:0"),
-    ("junk", null, null),
-    ("", null, null))
+  /** Inputs where the emulation deliberately diverges from node — each is
+    * Invalid here but parses in node; see the residual list in the
+    * JsDateReformat scaladoc for the rationale. */
+  private val residuals: Set[String] = Set(
+    "99-01-01", "9-01-01",                // 1-2-digit-leading month-first flip
+    "2023-05-04 10:20:30 EST",            // US named zones
+    "2023-05-04 10:20:30 est",
+    "2023-05-04 10:20:30 PDT",
+    "May 4 10:20:30")                     // year-less name form
 
-  test("fixDate/fixDateTime agree with node v20 on the differential corpus") {
+  private def unescape(s: String): String =
+    s.replace("\\t", "\t").replace("\\\\", "\\")
+
+  private val corpusPath = Paths.get("src/test/resources/jsdate/corpus.tsv")
+
+  private lazy val corpus: Seq[(String, String, String)] = {
+    val lines = Files.readAllLines(corpusPath, StandardCharsets.UTF_8)
+    import scala.jdk.CollectionConverters._
+    lines.asScala.toSeq.filter(_.nonEmpty).map { line =>
+      val Array(in, d, dt) = line.split("\t", -1)
+      (unescape(in),
+        if (d == "\\N") null else d,
+        if (dt == "\\N") null else dt)
+    }
+  }
+
+  private lazy val got: Map[String, (String, String)] = {
     val df = corpus.map(_._1).toDF("v")
       .select($"v", JsDateReformat.date($"v").as("d"),
         JsDateReformat.dateTime($"v").as("dt"))
-    val got = df.collect().map(r =>
+    // trim keys: the probe writes inputs raw (incl. leading/trailing
+    // spaces) and the expression trims internally, so key by the raw value
+    df.collect().map(r =>
       r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
-    corpus.foreach { case (in, d, dt) =>
+  }
+
+  test("fixDate/fixDateTime agree with node v20 on the differential corpus") {
+    val checked = corpus.filterNot(r => residuals.contains(r._1))
+    assert(checked.size > 100)
+    checked.foreach { case (in, d, dt) =>
       assert(got(in) == ((d, dt)),
         s"input '$in': got ${got(in)}, node says ($d, $dt)")
     }
+  }
+
+  test("every documented residual is Invalid here but still parsed by node") {
+    residuals.foreach { in =>
+      val row = corpus.find(_._1 == in)
+      assert(row.isDefined, s"residual '$in' missing from corpus.tsv — add it to probe-jsdate.js")
+      assert(got(in) == ((null, null)),
+        s"residual '$in' now parses here — implement it for real or drop it from the ledger")
+      assert(row.get._2 != null,
+        s"residual '$in' is Invalid in node too — it is not a divergence; drop it from the ledger")
+    }
+  }
+
+  test("committed corpus is current against this machine's node") {
+    val script = Paths.get("scripts/probe-jsdate.js")
+    val nodeBin = "which node".! == 0
+    assume(nodeBin && Files.exists(script) && Files.exists(corpusPath),
+      "node not on PATH — corpus currency check skipped")
+    val out = new StringBuilder
+    val code = Process(Seq("node", script.toString), None, "TZ" -> "UTC")
+      .!(ProcessLogger(l => out.append(l).append('\n'), Console.err.println(_)))
+    assert(code == 0, "probe-jsdate.js failed")
+    val committed = new String(Files.readAllBytes(corpusPath), StandardCharsets.UTF_8)
+    assert(out.toString == committed,
+      "corpus.tsv is stale — regenerate: TZ=UTC node scripts/probe-jsdate.js > src/test/resources/jsdate/corpus.tsv")
   }
 }
