@@ -1,0 +1,77 @@
+#!/usr/bin/env node
+// Differential probe for the JS `new URL` throw mirror behind WKT CRS
+// validation (reference validateTriple.js:82-88: a constructor throw
+// lands in the catch branch and marks the literal invalid).
+//
+// Replays each candidate CRS URL through this node's `new URL` and prints
+// one TSV row per input:
+//
+//     url<TAB>ok|throw<TAB>href-or-empty
+//
+// Regenerate the committed table with:
+//
+//     node scripts/probe-jsurl.js > src/test/resources/jsurl/corpus.tsv
+//
+// ValidationSpec consumes the TSV as ground truth for the
+// wktUrlParseRegex mirror and — when node is on PATH — reruns this
+// script and asserts the committed table is current.
+'use strict';
+
+const urls = [
+  // plain forms (the shapes harvested CRS URLs actually take)
+  'http://www.opengis.net/def/crs/EPSG/0/31370',
+  'http://example.com', 'http://example.com/', 'http://example.com/a/b?q=1#f',
+  'https://example.com/x', 'http://example.com./', 'http://EXAMPLE.com/',
+  // ports: value rule is <= 65535 AFTER stripping leading zeros
+  'http://host:80/', 'http://host:65535/', 'http://host:65536/',
+  'http://host:000080/', 'http://host:00000000000000000080/',
+  'http://host:0000800000/', 'http://host:8a/', 'http://host:/',
+  'http://host:-1/', 'http://host:99999/',
+  // forbidden host code points
+  'http://exa mple.com/', 'http://exa<mple.com/', 'http://exa>mple.com/',
+  'http://exa#mple.com/', 'http://exa^mple.com/', 'http://exa|mple.com/',
+  'http://exa[mple.com/', 'http://exa]mple.com/',
+  // percent-escapes: %HH decoding to a forbidden domain char throws,
+  // others are fine; a bare % (not a valid escape) throws
+  'http://a%2Fb/', 'http://a%2fb/', 'http://a%5Cb/', 'http://a%3Ab/',
+  'http://a%40b/', 'http://a%23b/', 'http://a%25b/', 'http://a%00b/',
+  'http://a%20b/', 'http://a%41b/', 'http://a%61b/', 'http://a%2Db/',
+  'http://a%zzb/', 'http://a%b/', 'http://a%/',
+  // userinfo: everything up to the LAST @ is userinfo
+  'http://user@host/', 'http://a@b@c/', 'http://user:pw@host:81/p',
+  'http://@host/', 'http://user@/',
+  // backslash ends the authority like a slash (special-scheme rule)
+  'http://host\\path', 'http://host\\', 'http://\\path',
+  // bracketed IPv6
+  'http://[::1]/', 'http://[::1]:80/', 'http://[2001:db8::7]/x',
+  'http://[::1', 'http://[zz]/', 'http://[:::]/', 'http://[]/',
+  'http://[1.2.3.4]/',
+  // empty / missing host
+  'http://', 'http:///path', 'http://:80/', 'http://?q', 'http://#f',
+  // IPv4 parsing: a host whose last label is numeric goes through the
+  // IPv4 parser — overflow and part-count violations throw
+  'http://1.2.3.4/', 'http://300.1.1.1/', 'http://1.2.3.4.5/',
+  'http://999999999999/', 'http://0x7f.1/', 'http://1.2.3.04/',
+  'http://foo.12/', 'http://foo.0x1/',
+  // tabs/newlines are stripped pre-parse by WHATWG (control chars)
+  'http://exa\tmple.com/', 'http://exa\nmple.com/',
+  // escape-set boundary: %3B ; %7B { %7E ~ %5F _ %60 ` %7F DEL %1F C0
+  'http://a%3Bb/', 'http://a%7Bb/', 'http://a%7Eb/', 'http://a%5Fb/',
+  'http://a%60b/', 'http://a%7Fb/', 'http://a%1Fb/', 'http://a%C3%A9/',
+  // raw backtick and curly braces in the host
+  'http://a`b/', 'http://a{b}c/',
+  // backslash inside userinfo ends the authority first
+  'http://u\\v@host/', 'http://host:0/', 'http://host:00/',
+  // extra slash runs after the scheme are skipped for special schemes
+  'http:////host/path', 'http://\\/host/', 'http:/\\host/', 'http:\\\\host/',
+];
+
+for (const u of urls) {
+  const key = u.replace(/\\/g, '\\\\').replace(/\t/g, '\\t').replace(/\n/g, '\\n');
+  try {
+    const parsed = new URL(u);
+    process.stdout.write(`${key}\tok\t${parsed.href}\n`);
+  } catch (e) {
+    process.stdout.write(`${key}\tthrow\t\n`);
+  }
+}

@@ -46,20 +46,49 @@ object Validation {
 
   /** JS `new URL(crs)` parseability mirror (validateTriple.js:82-88: a
     * constructor THROW lands in the catch and marks the literal invalid,
-    * regardless of scheme). For the special http(s) schemes the throw
-    * cases are (practically): a forbidden domain code point in the host
-    * (C0 control/space, `#%/:<>?@[\]^|` — `%` allowed only as a `%HH`
-    * escape), an empty host, a non-numeric port, or a port above 65535.
-    * Authority shape: `[userinfo@]host[:port]` with userinfo up to the
-    * LAST `@` (greedy, as the URL parser does), host either a bracketed
-    * IPv6 literal or 1+ allowed chars, port captured in group 1 for the
-    * ≤65535 check. Residual (documented): IDNA/Unicode domain mapping
-    * and IPv4-overflow rejections are not reproduced — harvested CRS
-    * URLs are plain opengis.net IRIs that never exercise them. */
+    * regardless of scheme). Every rule below is pinned by differential
+    * probes against node v20 (`scripts/probe-jsurl.js` regenerates the
+    * expectation table; ValidationSpec consumes it). For the special
+    * http(s) schemes the throw cases are: a forbidden domain code point
+    * in the host (C0 control/space/DEL, `#%/:<>?@[\]^|`), a `%HH` escape
+    * DECODING to one of those ("http://a%2Fb" throws while "%41" is
+    * fine), a bare `%` that is not a two-hex-digit escape, an empty
+    * host, a non-numeric port, or a port whose VALUE exceeds 65535
+    * (leading zeros are stripped first: ":000080" parses as port 80).
+    * Slash/backslash runs after `//` are skipped ("http:///path" parses
+    * with host `path`), userinfo runs to the LAST `@` (greedy, as the
+    * URL parser does), the host is either a bracketed IPv6 literal or
+    * 1+ allowed chars, and `\` ends the authority like `/`
+    * (special-scheme rule). The port is captured in group 1 for the
+    * value check in [[isJsParseableUrl]].
+    *
+    * Residuals (probe-verified node behavior deliberately not mirrored;
+    * harvested CRS URLs are plain opengis.net IRIs that never exercise
+    * them — each is machine-checked in ValidationSpec against the
+    * committed probe table): the ends-in-number IPv4 host parser
+    * ("http://300.1.1.1", "http://1.2.3.4.5", "http://foo.12" all throw
+    * in node, parse here), IPv6 bracket CONTENT validation
+    * ("http://[:::]", "http://[1.2.3.4]" throw in node, parse here),
+    * and IDNA/Unicode domain mapping. */
   val wktUrlParseRegex: String =
-    "^https?://(?:[^/?#]*@)?(?:\\[[0-9A-Fa-f:.]+\\]|" +
-      "(?:%[0-9A-Fa-f]{2}|[^\\x00-\\x20#%/:<>?@\\[\\\\\\]^|])+)" +
-      "(?::([0-9]{0,5}))?(?:[/?#\\\\].*)?$" // \ ends the authority like / (special-scheme rule)
+    "^https?://[/\\\\]*(?:[^/?#]*@)?(?:\\[[0-9A-Fa-f:.]+\\]|" +
+      "(?:%(?![01][0-9a-fA-F]|20|23|25|2[fF]|3[aAcCeEfF]|40|5[bBcCdDeE]|7[cCfF])[0-9A-Fa-f]{2}|" +
+      "[^\\x00-\\x20#%/:<>?@\\[\\\\\\]^|\\x7F])+)" +
+      "(?::([0-9]*))?(?:[/?#\\\\].*)?$"
+
+  /** True iff JS `new URL(url)` would NOT throw, for the http(s) URLs
+    * the WKT CRS extraction can produce (see [[wktUrlParseRegex]] for
+    * the probe-pinned rules and residuals). WHATWG strips ASCII
+    * tab/newline before parsing, mirrored here — unreachable through
+    * [[wktCrsRegex]] (which can't extract whitespace) but it keeps the
+    * mirror honest for direct callers. */
+  def isJsParseableUrl(url: Column): Column = {
+    val cleaned = regexp_replace(url, "[\\t\\n\\r]", "")
+    val port = regexp_extract(cleaned, wktUrlParseRegex, 1)
+    val portVal = regexp_replace(port, "^0+", "") // "" = no port or port 0
+    cleaned.rlike(wktUrlParseRegex) &&
+      (portVal === "" || (length(portVal) <= 5 && portVal.cast("long") <= 65535L))
+  }
 
   /** JS-`Number`-coercible check (see [[jsNumberRegex]]). Null-safe: null → false. */
   def isJsNumber(value: Column): Column =
@@ -73,10 +102,8 @@ object Validation {
     * "no CRS ⇒ assume ok" branch. */
   def isValidWkt(value: Column): Column = {
     val crs = regexp_extract(value, wktCrsRegex, 1)
-    val port = regexp_extract(crs, wktUrlParseRegex, 1)
-    val parseable = crs.rlike(wktUrlParseRegex) &&
-      (port === "" || port.cast("long") <= 65535L)
-    (length(value) > 0) && (crs === "" || (parseable && crs.startsWith("http://")))
+    (length(value) > 0) &&
+      (crs === "" || (isJsParseableUrl(crs) && crs.startsWith("http://")))
   }
 
   /** Characters the N-Triples/Turtle IRIREF production forbids inside

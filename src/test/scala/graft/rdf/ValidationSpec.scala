@@ -131,4 +131,106 @@ class ValidationSpec extends SparkSpec {
     check(Term.typed("1.5", "http://www.w3.org/2001/XMLSchema#decimal"),
       expected = false, "xsd:decimal")
   }
+
+  // ---------------------------------------------------------------------
+  // node-probed `new URL` corpus for the throw mirror. The table at
+  // src/test/resources/jsurl/corpus.tsv is GENERATED by
+  // `node scripts/probe-jsurl.js` — no row is hand-transcribed. Gates:
+  // non-residual rows must match node; each documented residual must
+  // still diverge in the recorded direction; rerunning the script must
+  // reproduce the committed bytes when node is present.
+  // ---------------------------------------------------------------------
+
+  /** Rows where the mirror deliberately diverges from node — all parse
+    * here but THROW in node (see the residual list in the
+    * wktUrlParseRegex scaladoc): the ends-in-number IPv4 host parser
+    * and IPv6 bracket-content validation. Harvested CRS URLs are plain
+    * opengis.net IRIs that exercise neither. */
+  private val urlResiduals: Set[String] = Set(
+    "http://300.1.1.1/", "http://1.2.3.4.5/", "http://999999999999/",
+    "http://foo.12/", "http://foo.0x1/",       // IPv4 ends-in-number
+    "http://[:::]/", "http://[1.2.3.4]/")       // IPv6 bracket content
+
+  /** Rows the WKT extraction regex can never produce (no `//` after the
+    * scheme) — asserted unreachable instead of mirrored. */
+  private val urlUnreachable: Set[String] = Set(
+    "http:/\\host/", "http:\\\\host/")
+
+  private def tsvUnescape(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => b += '\t'
+          case 'n' => b += '\n'
+          case c   => b += c
+        }
+        i += 2
+      } else { b += s.charAt(i); i += 1 }
+    }
+    b.toString
+  }
+
+  private val urlCorpusPath =
+    java.nio.file.Paths.get("src/test/resources/jsurl/corpus.tsv")
+
+  private lazy val urlCorpus: Seq[(String, Boolean)] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(urlCorpusPath).asScala.toSeq
+      .filter(_.nonEmpty).map { line =>
+        val cols = line.split("\t", -1)
+        (tsvUnescape(cols(0)), cols(1) == "ok")
+      }
+  }
+
+  private lazy val urlGot: Map[String, Boolean] = {
+    val df = urlCorpus.map(_._1).toDF("u")
+      .select($"u", Validation.isJsParseableUrl($"u").as("ok"))
+    df.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+  }
+
+  test("new URL throw mirror matches node on the probe corpus") {
+    val checked = urlCorpus
+      .filterNot(r => urlResiduals.contains(r._1) || urlUnreachable.contains(r._1))
+    assert(checked.size > 60)
+    checked.foreach { case (u, nodeOk) =>
+      assert(urlGot(u) == nodeOk,
+        s"url '$u': mirror says ${urlGot(u)}, node says $nodeOk")
+    }
+  }
+
+  test("each documented URL residual still diverges: parses here, throws in node") {
+    urlResiduals.foreach { u =>
+      val row = urlCorpus.find(_._1 == u)
+      assert(row.isDefined, s"residual '$u' missing from corpus.tsv — add it to probe-jsurl.js")
+      assert(!row.get._2, s"residual '$u' now parses in node — it is not a divergence; drop it")
+      assert(urlGot(u), s"residual '$u' now throws here too — close the ledger entry")
+    }
+  }
+
+  test("the no-authority-slash rows cannot be extracted as a WKT CRS at all") {
+    urlUnreachable.foreach { u =>
+      val extracted = Seq(s"<$u> POINT(1 2)").toDF("v")
+        .select(regexp_extract($"v", Validation.wktCrsRegex, 1).as("crs"))
+        .collect().head.getString(0)
+      assert(extracted != u, s"'$u' is extractable — mirror it instead of exempting it")
+    }
+  }
+
+  test("committed URL corpus is current against this machine's node") {
+    import scala.sys.process._
+    val script = java.nio.file.Paths.get("scripts/probe-jsurl.js")
+    assume("which node".! == 0 && java.nio.file.Files.exists(script) &&
+      java.nio.file.Files.exists(urlCorpusPath),
+      "node not on PATH — corpus currency check skipped")
+    val out = new StringBuilder
+    val code = Process(Seq("node", script.toString))
+      .!(ProcessLogger(l => out.append(l).append('\n'), Console.err.println(_)))
+    assert(code == 0, "probe-jsurl.js failed")
+    val committed = new String(java.nio.file.Files.readAllBytes(urlCorpusPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(out.toString == committed,
+      "jsurl corpus.tsv is stale — regenerate: node scripts/probe-jsurl.js > src/test/resources/jsurl/corpus.tsv")
+  }
 }
