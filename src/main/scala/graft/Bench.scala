@@ -139,6 +139,30 @@ object Bench {
     // late/sliding were pass-1 contention artifacts, the case the retry
     // pass above now corrects.
     //
+    // Cross-round minima of drive/lifecycle queries carry a MACHINE
+    // component the cal anchor cannot see. The r13→r14 movement (five
+    // queries >1.3× their r13 min: sessionize 1.80→2.84, hourly
+    // 1.41→2.07, dedup 1.38→2.01, lifecycle_registry 0.91→1.40,
+    // lifecycle_state 0.76→1.11) was A/B-diagnosed in round 15 by
+    // checking out the r13 tree (f01ff98) beside HEAD and running the
+    // identical 8-query subset bench back-to-back, twice each, on one
+    // machine: the two trees were statistically indistinguishable (r13
+    // code best-of-2 mins: sessionize 2.12 / hourly 1.93 / dedup 1.62 /
+    // registry 0.58 / state 0.64; HEAD: 2.14 / 1.70 / 1.59 / 0.61 /
+    // 0.54), while BOTH trees ran the streaming drives 1.15-1.5× above
+    // round-13's recorded minima — the old code no longer reproduces its
+    // own old numbers. A per-micro-batch profile on the same day showed
+    // steady-state triggerExecution at 0.30-0.45 s, inside the 0.3-0.5 s
+    // band profiled in r13, with the same breakdown shape (addBatch +
+    // state-store commit + WAL dominated). Cause: these queries are
+    // commit-latency-bound, not throughput-bound — neighbor IO and
+    // scheduler jitter move checkpoint/WAL/state-commit latency without
+    // moving the all-cores CPU anchor (cal_sec was ~0.15 min in both
+    // rounds). Consequence for consumers: cross-round comparisons of
+    // drive/lifecycle minima must tolerate a machine band of roughly
+    // ±1.5× even when cal_sec agrees; the anchor normalizes compute
+    // contention only.
+    //
     // Drive-backedness is DETECTED, not only enumerated: a query whose
     // run-1 execution TOUCHED StreamDrive's drained cache (hit or miss —
     // StreamDrive.drainTouches, not cache size, so even a query sharing
