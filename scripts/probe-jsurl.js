@@ -62,6 +62,18 @@ const urls = [
   'http://a`b/', 'http://a{b}c/',
   // backslash inside userinfo ends the authority first
   'http://u\\v@host/', 'http://host:0/', 'http://host:00/',
+  // IPv4 fuzz band: a host whose LAST dot-label is a number (decimal,
+  // 0x-hex, 0-octal) runs the IPv4 parser over the whole host
+  'http://255.255.255.255/', 'http://255.255.255.256/',
+  'http://256.1.1.1/', 'http://1.2.3.4./', 'http://1.2.3.4../',
+  'http://1.2.3./', 'http://4294967295/', 'http://4294967296/',
+  'http://0x100000000/', 'http://0xff.0xff.0xff.0xff/',
+  'http://1.2.3.09/', 'http://1.2.3.0x/', 'http://1.2.3.0xg/',
+  'http://1.65536/', 'http://1.2.16777216/', 'http://1.2.3.4.0x5/',
+  'http://1.foo/', 'http://foo.1.2/', 'http://1.2.foo.3/',
+  'http://017700000001/', 'http://1.2.3.010/', 'http://1.2.3.08/',
+  'http://.1.2.3.4/', 'http://1..2.3/', 'http://0/', 'http://0.0.0.0/',
+  'http://%31.2.3.4/', 'http://1.2.3.%34/', 'http://1.2.3.4:80/x',
   // extra slash runs after the scheme are skipped for special schemes
   'http:////host/path', 'http://\\/host/', 'http:/\\host/', 'http:\\\\host/',
 ];

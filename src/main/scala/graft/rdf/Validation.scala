@@ -62,19 +62,56 @@ object Validation {
     * (special-scheme rule). The port is captured in group 1 for the
     * value check in [[isJsParseableUrl]].
     *
+    * A host whose LAST dot-label is a number (decimal, `0x` hex — even
+    * an empty `0x` — or `0`-octal) is parsed as IPv4 over the WHOLE
+    * host after percent-decoding and dropping one trailing dot, per
+    * WHATWG: >4 parts, a non-numeric part, an invalid digit for the
+    * radix ("1.2.3.08" is octal with an 8), or a value out of range
+    * (non-last ≥ 256; last ≥ 256^(5-count), so "http://4294967295"
+    * parses and "http://4294967296" throws) all throw; a last label
+    * that is NOT a number ("1.2.3.0xg", "1.foo") makes the host a plain
+    * domain again. See [[isJsParseableUrl]].
+    *
     * Residuals (probe-verified node behavior deliberately not mirrored;
     * harvested CRS URLs are plain opengis.net IRIs that never exercise
     * them — each is machine-checked in ValidationSpec against the
-    * committed probe table): the ends-in-number IPv4 host parser
-    * ("http://300.1.1.1", "http://1.2.3.4.5", "http://foo.12" all throw
-    * in node, parse here), IPv6 bracket CONTENT validation
+    * committed probe table): IPv6 bracket CONTENT validation
     * ("http://[:::]", "http://[1.2.3.4]" throw in node, parse here),
-    * and IDNA/Unicode domain mapping. */
+    * and IDNA/Unicode domain mapping. Group 1 captures the non-bracket
+    * host, group 2 the port. */
   val wktUrlParseRegex: String =
     "^https?://[/\\\\]*(?:[^/?#]*@)?(?:\\[[0-9A-Fa-f:.]+\\]|" +
-      "(?:%(?![01][0-9a-fA-F]|20|23|25|2[fF]|3[aAcCeEfF]|40|5[bBcCdDeE]|7[cCfF])[0-9A-Fa-f]{2}|" +
-      "[^\\x00-\\x20#%/:<>?@\\[\\\\\\]^|\\x7F])+)" +
+      "((?:%(?![01][0-9a-fA-F]|20|23|25|2[fF]|3[aAcCeEfF]|40|5[bBcCdDeE]|7[cCfF])[0-9A-Fa-f]{2}|" +
+      "[^\\x00-\\x20#%/:<>?@\\[\\\\\\]^|\\x7F])+))" +
       "(?::([0-9]*))?(?:[/?#\\\\].*)?$"
+
+  /** WHATWG ends-in-number / IPv4-host rule over the percent-decoded
+    * host (see [[wktUrlParseRegex]] doc). True when the host either is
+    * not subject to IPv4 parsing or parses as a valid IPv4. */
+  private def hostIpv4Ok(rawHost: Column): Column = {
+    // '+' is a legal domain char that url_decode would turn into a
+    // space (form-encoding rule) — re-escape it first
+    val decoded = url_decode(regexp_replace(rawHost, "\\+", "%2B"))
+    val trimmed = regexp_replace(decoded, "\\.$", "") // drop ONE trailing dot
+    val parts = split(trimmed, "[.]", -1)
+    val lastPart = element_at(parts, -1)
+    val endsInNumber = lastPart.rlike("^([0-9]+|0[xX][0-9a-fA-F]*)$")
+    // radix-valid part with a width cap so the long conversion can't
+    // overflow (anything wider is out of range regardless)
+    val partOk = (p: Column) =>
+      p.rlike("^(0[xX][0-9a-fA-F]{0,8}|0[0-7]{0,11}|[1-9][0-9]{0,9})$")
+    val partVal = (p: Column) =>
+      when(p.rlike("^0[xX]"),
+        conv(concat(lit("0"), regexp_replace(p, "^0[xX]", "")), 16, 10).cast("long"))
+        .when(p.rlike("^0"), conv(p, 8, 10).cast("long"))
+        .otherwise(p.cast("long"))
+    val count = size(parts)
+    val lastMax = pow(lit(256.0), (lit(5) - count).cast("double")).cast("long")
+    val ipv4Valid = (count <= 4) && forall(parts, partOk) &&
+      forall(slice(parts, lit(1), count - 1), p => partVal(p) < 256L) &&
+      (partVal(lastPart) < lastMax)
+    !endsInNumber || ipv4Valid
+  }
 
   /** True iff JS `new URL(url)` would NOT throw, for the http(s) URLs
     * the WKT CRS extraction can produce (see [[wktUrlParseRegex]] for
@@ -84,10 +121,12 @@ object Validation {
     * mirror honest for direct callers. */
   def isJsParseableUrl(url: Column): Column = {
     val cleaned = regexp_replace(url, "[\\t\\n\\r]", "")
-    val port = regexp_extract(cleaned, wktUrlParseRegex, 1)
+    val host = regexp_extract(cleaned, wktUrlParseRegex, 1) // "" for [IPv6]
+    val port = regexp_extract(cleaned, wktUrlParseRegex, 2)
     val portVal = regexp_replace(port, "^0+", "") // "" = no port or port 0
     cleaned.rlike(wktUrlParseRegex) &&
-      (portVal === "" || (length(portVal) <= 5 && portVal.cast("long") <= 65535L))
+      (portVal === "" || (length(portVal) <= 5 && portVal.cast("long") <= 65535L)) &&
+      (host === "" || hostIpv4Ok(host))
   }
 
   /** JS-`Number`-coercible check (see [[jsNumberRegex]]). Null-safe: null → false. */

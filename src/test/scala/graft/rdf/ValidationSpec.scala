@@ -143,12 +143,10 @@ class ValidationSpec extends SparkSpec {
 
   /** Rows where the mirror deliberately diverges from node — all parse
     * here but THROW in node (see the residual list in the
-    * wktUrlParseRegex scaladoc): the ends-in-number IPv4 host parser
-    * and IPv6 bracket-content validation. Harvested CRS URLs are plain
-    * opengis.net IRIs that exercise neither. */
+    * wktUrlParseRegex scaladoc): IPv6 bracket-content validation.
+    * Harvested CRS URLs are plain opengis.net IRIs that never carry a
+    * bracketed host. */
   private val urlResiduals: Set[String] = Set(
-    "http://300.1.1.1/", "http://1.2.3.4.5/", "http://999999999999/",
-    "http://foo.12/", "http://foo.0x1/",       // IPv4 ends-in-number
     "http://[:::]/", "http://[1.2.3.4]/")       // IPv6 bracket content
 
   /** Rows the WKT extraction regex can never produce (no `//` after the
