@@ -136,11 +136,63 @@ fuzz.push(
   '2023-05-04T10:20:30+02:60', '2023-05-04T24:00', '2023-05-04T24:30',
   '2023-05-04T24:00:00.000', '2023-05-04T10:20Z',
 );
-// documented residuals — node ground truth pinned so the spec can assert
-// each residual is (a) still Invalid here and (b) still parsed by node
+// US named zones: detached after a time, attachable after a bare date,
+// with their real offsets; single-letter military zones stay Invalid
 fuzz.push(
   '2023-05-04 10:20:30 EST', '2023-05-04 10:20:30 est',
-  '2023-05-04 10:20:30 PDT', 'May 4 10:20:30',
+  '2023-05-04 10:20:30 PDT', '2023-05-04 10:20:30 EDT',
+  '2023-05-04 10:20:30 CST', '2023-05-04 10:20:30 CDT',
+  '2023-05-04 10:20:30 MST', '2023-05-04 10:20:30 MDT',
+  '2023-05-04 10:20:30 PST', '2023-05-04 10:20:30PST',
+  '2023-05-04 PST', '2023-05-04PST', '2023-05-04UTC', '2023-05-04est',
+  'May 4 2023 EST', 'May 4 2023PST', '12-01-02 PST', '12-01-02 est',
+  '12-01 PST', '2023 PST', '12 PST', '0099-01-01 PST', '0013-01-02 PST',
+  '2023-05-04 10:20:30 A', '2023-05-04 10:20:30 M',
+);
+// year-less month-name forms (legacy default year 2001) and value
+// routing of the companion numbers (1-31 → day, else year)
+fuzz.push(
+  'May 4 10:20:30', 'May 4', '4 May', 'May 4 10:20', 'May 4, 10:20',
+  'May 4,10:20', 'May 410:20', 'May', 'May 0', 'May 32', 'May 2023',
+  'May 32 10:20', 'May 2023 10:20', 'May 0023', '0 May', '32 May',
+  '99 May', '32 May 2023', '1 May 10:20', '12345 May', 'May 4 123456',
+  'Sat May 4', 'May 2023 4', 'May 2023 04', 'May 32 4', 'May 4 01',
+  'May 4 2023, 10:20', 'May 4 2023 ,10:20', 'May,4 2023', '4 May,2023',
+  'May-4-2023', '12-May-2023', 'May/4/2023', '4-May-23', '12-May',
+  'May-2023', '2023-may-04', '0-May-4', 'May 4 - 2023',
+);
+// short-leading numeric forms: value routing of the first field
+// (1-12 month, 0/32+ year with the 1900/2000 mapping, 13-31 Invalid)
+fuzz.push(
+  '12-01-02', '13-01-02', '12-31-99', '5-6-07', '99-1-2', '0-01-01',
+  '31-12-2023', '12/31/99 10:20', '13-01-02 10:20', '99-01-01 10:20',
+  '12.01.02', '12-01-02 10:20', '2-30-99', '32-01-02', '50-01-02',
+  '31-01-02', '0-1-2', '00-01-02', '000-01-02', '012-01-02',
+  '013-01-02', '031-01-02', '099-01-01', '0000012-01-01', '12-0-5',
+  '0-0-0', '12-01-0', '13.5', '0x10-01-01', '1e2-01-01', '5-2023',
+);
+// ES5 date-only beats legacy for exact YYYY-MM[-DD]: literal years
+// there, legacy mapping everywhere else
+fuzz.push(
+  '0013-01-02', '0099-01-01', '0099-01-01Z', '0099-1', '0099-01',
+  '0013-1-2', '0013/01/02', '0013-01-02Z', '2023-01-0004',
+  '2023-0004-01', '2023-01-0000004', '2023-0000001-01',
+  '2023-0000000001-01', '5-004-99', '5/004/2023', '5/0000004/2023',
+  '2023-05/04', '5/4-23', '5/4/12345', '5/4/123456', '5/4/0099',
+);
+// 1- and 2-field numeric forms
+fuzz.push(
+  '2-30', '2-30 10:20', '12', '99', '31', '0', '999', '12345',
+  '1234567', '12-01', '12-01 10:20', '5-6', '5-6 10:20', '99-01',
+  '13-01', '0-1', '12/31', '1/2', '12-13', '12-32', '00-01', '12-99',
+  '12-01,10:20', '12,01', '2023,05,04', '12 01', '2023 05 04',
+  '5 4 2023', '99 01', '2023-05-04, 10:20',
+);
+// separator limits: single -/. junctions only, no dash before a time;
+// the leading-garbage tolerance ('- 2023-05-04') is a documented residual
+fuzz.push(
+  '2023-05-04-10:20', '2023-05-04-', '5--4--2023', '2023 -05-04',
+  '2023-05-04 10:20-30', '- 2023-05-04',
 );
 
 const inputs = [...base, ...fuzz];

@@ -23,43 +23,58 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * JS `Date` parsing is emulated from differential probes against node
   * v20 (`scripts/probe-jsdate.js` regenerates the expectation table;
-  * JsDateReformatSpec pins it). V8 has two parsers and the emulation
+  * JsDateReformatSpec pins it). V8 layers two parsers and the emulation
   * mirrors both:
   *
-  *   - the STRICT ISO parser handles the `T` separator: it requires a
-  *     padded 4-digit year (or a signed 6-digit expanded year), padded
-  *     2-digit month/day/hour/minute(/second), and a zone attached with
-  *     no intervening space ("2023-5-4T3:7", "2023-05-04T9:20",
-  *     "12023-01-01T10:20" and "2023-05-04T10:20:30 Z" are all Invalid
-  *     Date). Lowercase `t`/`z` are accepted; offsets are `±HH:MM` or
-  *     `±HHMM` with hour ≤ 23 and minute ≤ 59.
-  *   - the LEGACY parser handles everything else: space-separated times
-  *     with 1-2-digit fields and any run of whitespace between date and
-  *     time, `-`/`/`/`.` date separators, English month names, 1-4-digit
-  *     legacy years in month-first/name forms mapped by VALUE
-  *     (0-49 → 2000s, 50-99 → 1900s, ≥100 literal — "5/4/0023" → 2023),
-  *     and detached zone tails: `Z`/`z` (attachable), `GMT`/`UTC`/`UT`
-  *     (detached after a time, attachable after a bare date:
-  *     "...10:20:30GMT" is Invalid but "2023-05-04GMT" parses), and
-  *     lenient numeric offsets `±H[H][:M[M]]` / `±HMM` / `±HHMM` with
-  *     unbounded hours, minute ≤ 59, valid only when a time is present
+  *   - the STRICT ES5/ISO parser runs first and is the only one that
+  *     takes a `T` separator: padded 4-digit year (or signed 6-digit
+  *     expanded year), padded 2-digit fields, zone attached with no
+  *     intervening space ("2023-5-4T3:7", "2023-05-04T9:20",
+  *     "2023-05-04T10:20:30 Z" are Invalid Date), lowercase `t`/`z`
+  *     accepted, offsets `±HH:MM`/`±HHMM` with hour ≤ 23, minute ≤ 59.
+  *     Its DATE-ONLY form (`YYYY-MM[-DD]`, dashes, padded, no zone) also
+  *     wins over the legacy parser: years are literal there, which is
+  *     observable for zero-padded small years — "0099-01-01" is year 99
+  *     but "0099-1" or "0099-01-01Z" fall through to the legacy parser
+  *     and map to 1999, and "0013-01-02" is year 13 while any non-ES5
+  *     spelling of it ("0013-1-2", "0013/01/02", "0013-01-02Z") is
+  *     Invalid because legacy routes leading 13 to a month.
+  *   - the LEGACY parser handles everything else. A leading numeric
+  *     field routes by VALUE (leading zeros ignored — "0000012-01-01"
+  *     is Dec 1): 1-12 → month-first (day next, then an optional year,
+  *     default 2001 — "12-01" is Dec 1 2001, "12" alone is Dec 2001);
+  *     0 or ≥ 32 → year-first (month, day optional); 13-31 → Invalid
+  *     ("13-01-02", "31" alone). Years map by value ONLY here: 0-49 →
+  *     2000s, 50-99 → 1900s, ≥ 100 literal ("5/4/23" and "5/4/0023" →
+  *     2023, "99-01-01" → 1999, "999-01-01" → 999). Date fields join on
+  *     exactly one of `-`/`/`/`.` (mixing allowed) or any run of
+  *     space/comma ("2023 05 04", "12,01" parse; "5--4--2023" doesn't);
+  *     non-leading fields take unlimited leading zeros
+  *     ("5/0000004/2023"). English month names take the same value
+  *     routing for their companion numbers in first-wins order
+  *     ("May 4" → day 4 year 2001, "May 32" → May 2032 day 1,
+  *     "May 2023 4" → year 2023 day 4, "May 0023" → day 23, "32 May" →
+  *     2032, "12-May-2023" → May 12); a missing year defaults to 2001.
+  *     The time needs a whitespace/comma junction ("May 4,10:20",
+  *     "2023-05-04, 10:20" parse; "2023-05-04-10:20" is Invalid).
+  *     Times are 1-2-digit
+  *     fields with optional fraction. Zones: `Z`/`z` attach anywhere;
+  *     the zone WORDS (GMT/UT/UTC and the US abbreviations
+  *     EST/EDT/CST/CDT/MST/MDT/PST/PDT, any case, with their real
+  *     offsets) attach after a bare date ("2023-05-04PST") but need a
+  *     space after a time ("...10:20:30GMT" is Invalid); numeric
+  *     offsets `±H[H][:M[M]]` / `±HMM` / `±HHMM` (unbounded hours,
+  *     minute ≤ 59) attach freely but require a time to be present
   *     ("2023-05-04 +02:00" is Invalid, "2023-05-04 Z" parses).
   *
   * Deviation (documented): the reference renders fields in the
   * container's local time zone; we pin to UTC for determinism.
   *
-  * Residuals (probe-verified node behavior deliberately not mirrored;
-  * all are under-acceptance — the repo says Invalid, so the triple stays
-  * invalid, the safe direction — and none occurs in harvested data):
-  *   - US named zones: node parses "... 10:20:30 EST" as UTC-5 (and the
-  *     EDT/CST/CDT/MST/MDT/PST/PDT family); here Invalid.
-  *   - year-less name forms: node parses "May 4 10:20:30" (year from the
-  *     trailing number); here Invalid.
-  *   - 1-2-digit-leading year-first numeric forms flip V8 into
-  *     month-first parsing ("99-01-01" → 1999-01-1, "9-01-01" →
-  *     2001-09-1); here Invalid.
-  *   - RFC-1123 forms with weekday + "GMT" zone plus single-letter
-  *     military zones; here only the GMT/UT/UTC/Z spellings above.
+  * One documented residual (machine-checked in JsDateReformatSpec):
+  * node tolerates leading separator garbage ("- 2023-05-04" parses);
+  * here it is Invalid — under-acceptance, the safe direction. The fuzz
+  * band in scripts/probe-jsdate.js is the watchlist for forms outside
+  * the corpus.
   *
   * Not codegen'd (CodegenFallback) — this only runs on the small `invalid`
   * partition, never in the bulk path.
@@ -106,10 +121,7 @@ object JsDateReformat {
   //     "2023-1-40" → Invalid);
   //   - hour 0-24 where 24 requires :00(:00) and rolls to the next day
   //     ("2023-1-1 24:00" → Jan 2, "2023-05-04T24:00" → May 5);
-  //     minute/second are strict 0-59 ("23:60" → Invalid);
-  //   - year-only ("2023") and year-month ("2023-05") parse to Jan 1 /
-  //     the 1st; an English weekday prefix ("Sat May 4 2023") is
-  //     ignored; separators -, /, . are interchangeable in y-m-d forms.
+  //     minute/second are strict 0-59 ("23:60" → Invalid).
   private def build(y: Int, m: Int, d: Int, h: Int, mi: Int, sec: Int,
       offsetMin: Option[Int]): Option[ZonedDateTime] = {
     if (m < 1 || m > 12 || d < 1 || d > 31 || h < 0 || h > 24 ||
@@ -144,6 +156,13 @@ object JsDateReformat {
     if (m > 59) None else Some(sign * (h * 60 + m))
   }
 
+  /** Zone words the legacy parser resolves, with real offsets in
+    * minutes (probe-verified: "... 10:20:30 EST" lands at UTC-5). */
+  private val namedZoneMin: Map[String, Int] = Map(
+    "Z" -> 0, "GMT" -> 0, "UT" -> 0, "UTC" -> 0,
+    "EST" -> -300, "EDT" -> -240, "CST" -> -360, "CDT" -> -300,
+    "MST" -> -420, "MDT" -> -360, "PST" -> -480, "PDT" -> -420)
+
   private val monthNum: Map[String, Int] = {
     val full = Seq("january", "february", "march", "april", "may", "june",
       "july", "august", "september", "october", "november", "december")
@@ -152,72 +171,91 @@ object JsDateReformat {
       ("sept" -> 9)).toMap
   }
 
-  /** Month-first/name-form legacy years map by value: 0-49 → 2000s,
-    * 50-99 → 1900s, ≥100 literal ("5/4/23" → 2023, "5/4/0023" → 2023,
-    * "5/4/100" → 100). Year-first forms never map ("999-01-01" → 999). */
+  /** Legacy-parser year mapping, by value: 0-49 → 2000s, 50-99 → 1900s,
+    * ≥ 100 literal. Never applies inside the strict ES5 branch. */
   private def legacyYear(y: Int): Int =
     if (y < 50) 2000 + y else if (y < 100) 1900 + y else y
 
   private val weekdayPrefix =
     "(?i)^(?:sun|mon|tue|wed|thu|fri|sat)[a-z]*,?\\s+".r
 
-  // --- strict ISO parser (the only branch that takes a T separator) ---
-  // padded fields, signed 6-digit expanded years, zone attached only
+  // --- strict ES5/ISO parser (the only branch that takes a T separator;
+  //     its date-only form wins over legacy for exact YYYY-MM[-DD]) ---
   private val isoTimeRe =
     ("^([+-]\\d{6}|\\d{4})-(\\d{2})-(\\d{2})[Tt](\\d{2}):(\\d{2})" +
       "(?::(\\d{2})(?:\\.\\d+)?)?(?:([Zz])|([+-]\\d{2}):?(\\d{2}))?$").r
+  private val isoDateRe =
+    "^([+-]\\d{6}|\\d{4})(?:-(\\d{2})(?:-(\\d{2}))?)?$".r
 
   // --- legacy parser ---
-  // year-first forms take 3-6 year digits ("999-01-01" and
-  // "12023-01-01" both parse; 7 digits is Invalid) or a signed 6-digit
-  // expanded year, and tolerate leading-zero field padding
-  // ("2023-005-04"); 1-2 leading digits flip V8 into month-first parsing
-  // ("99-01-01" → 1999, "9-01-01" → Sep 1 2001) — documented residual.
-  private val yearPat = "([+-]\\d{6}|\\d{3,6})"
-  // a bare date takes only a NAMED zone, attached or detached
-  // ("2023-05-04 Z", "2023-05-04GMT", "2023Z" parse; "2023-05-04 +02:00"
-  // is Invalid) — named zones are all zero-offset here (EST family is a
-  // documented residual)
-  private val dateZonePat = "(?:\\s*(?i:Z|GMT|UTC|UT))?"
-  // after a time: Z/z attach freely, word zones need a space
-  // ("...10:20:30Z" parses, "...10:20:30GMT" is Invalid), numeric
-  // offsets attach freely and are lenient (see legacyOffset)
-  private val timeZonePat =
-    "(?:\\s*([Zz])|\\s+((?i:GMT|UTC|UT))|\\s*([+-]\\d{1,2}:\\d{1,2}|[+-]\\d{1,4}))?"
+  private val zoneWords = "GMT|UTC|UT|EST|EDT|CST|CDT|MST|MDT|PST|PDT"
+  // Z/z attach anywhere; zone words capture their leading whitespace so
+  // the attach-after-time rule can be enforced in code ("...30GMT" is
+  // Invalid, "2023-05-04GMT" parses); numeric offsets attach freely but
+  // require a time (enforced in code), lenient widths (see legacyOffset)
+  private val zoneTail =
+    s"(?:\\s*([Zz])|(\\s*(?i:$zoneWords))|\\s*([+-]\\d{1,2}:\\d{1,2}|[+-]\\d{1,4}))?"
+  // the time needs a whitespace/comma junction ("2023-05-04-10:20" is
+  // Invalid while "2023-05-04, 10:20" and "May 4,10:20" parse)
   private val timePat =
-    "\\s+(\\d{1,2}):(\\d{1,2})(?::(\\d{1,2})(?:\\.\\d+)?)?"
+    "[\\s,]+(\\d{1,2}):(\\d{1,2})(?::(\\d{1,2})(?:\\.\\d+)?)?"
+  // date fields join on exactly ONE of -/. or any RUN of space/comma
+  // ("2023 05 04", "12,01" and "May-4-2023" parse; "5--4--2023" and
+  // "May 4 - 2023" are Invalid)
+  private val junction = "(?:[-/.]|[\\s,]+)"
 
-  private val ymdRe =
-    ("^" + yearPat + "(?:[-/.](\\d{1,3})(?:[-/.](\\d{1,3}))?)?" +
-      dateZonePat + "$").r
-  private val ymdTimeRe =
-    ("^" + yearPat + "[-/.](\\d{1,3})[-/.](\\d{1,3})" +
-      timePat + timeZonePat + "$").r
-  private val mdyRe =
-    ("^(\\d{1,2})/(\\d{1,2})/(\\d{1,4})(?:" + timePat + ")?" +
-      timeZonePat + "$").r
+  // numeric date: 1-3 fields; the leading field routes by VALUE in code
+  // (month-first 1-12, year-first 0 / ≥32, Invalid 13-31), non-leading
+  // fields take unlimited leading zeros ("2023-0000000001-01" parses)
+  private val numRe =
+    ("^([+-]\\d{6}|\\d{1,10})(?:" + junction + "(\\d{1,10})(?:" + junction +
+      "(\\d{1,10}))?)?(?:" + timePat + ")?" + zoneTail + "$").r
+  // month-name forms: companion numbers route by value in code
+  // (1-31 → day, else a year); missing year defaults to 2001
   private val nameDayRe =
-    ("^([A-Za-z]+)\\.? (\\d{1,2}),? (\\d{1,4})(?:" + timePat + ")?" +
-      timeZonePat + "$").r
+    ("^([A-Za-z]+)\\.?" + junction + "(\\d{1,9})(?:" + junction +
+      "(\\d{1,9}))?(?:" + timePat + ")?" + zoneTail + "$").r
   private val dayNameRe =
-    ("^(\\d{1,2}) ([A-Za-z]+),? (\\d{1,4})(?:" + timePat + ")?" +
-      timeZonePat + "$").r
+    ("^(\\d{1,9})" + junction + "([A-Za-z]+)\\.?(?:" + junction +
+      "(\\d{1,9}))?(?:" + timePat + ")?" + zoneTail + "$").r
 
+  /** Parse a captured numeric field; values beyond Int range clamp high
+    * so the month/day/year bound checks reject them. */
   private def num(s: String, default: Int = 0): Int =
-    if (s == null || s.isEmpty) default else s.toInt
+    if (s == null || s.isEmpty) default
+    else {
+      val v = s.toLong
+      if (v > Int.MaxValue) Int.MaxValue else v.toInt
+    }
 
-  /** Resolve the three timeZonePat captures (z-letter, word zone, numeric
-    * offset) plus whether a time was present into Some(offset-minutes),
-    * None for no zone, or an Invalid-Date signal (Left). A numeric offset
-    * without a time is Invalid ("May 4 2023 +02:00"). */
-  private def legacyZone(zLetter: String, zWord: String, zNum: String,
+  /** Resolve the three zoneTail captures (Z/z, word with its leading
+    * whitespace, numeric offset) plus time-presence into
+    * Right(Some(offset-minutes)) / Right(None) (no zone), or Left(()) =
+    * Invalid Date: a numeric offset without a time, a zone WORD attached
+    * directly after a time, or an out-of-range offset. */
+  private def legacyZone(zl: String, zw: String, zn: String,
       hasTime: Boolean): Either[Unit, Option[Int]] =
-    if (zNum != null && zNum.nonEmpty) {
+    if (zn != null && zn.nonEmpty) {
       if (!hasTime) Left(())
-      else legacyOffset(zNum).toRight(()).map(Some(_))
-    } else if ((zLetter != null && zLetter.nonEmpty) ||
-        (zWord != null && zWord.nonEmpty)) Right(Some(0))
+      else legacyOffset(zn).toRight(()).map(Some(_))
+    } else if (zw != null && zw.nonEmpty) {
+      if (hasTime && !zw.head.isWhitespace) Left(())
+      else Right(Some(namedZoneMin(zw.trim.toUpperCase(Locale.ROOT))))
+    } else if (zl != null && zl.nonEmpty) Right(Some(0))
     else Right(None)
+
+  /** Resolve a month-name form's two companion numbers to (year, day) by
+    * value: with both present the 1-31 one is the day and the other the
+    * (mapped) year in first-wins order ("May 4 01" → day 4 year 2001,
+    * "May 2023 4" and "May 32 4" → year first, day second); with one, a
+    * 1-31 value is a day in 2001, anything else a year with day 1
+    * ("May 4" → 2001-05-04, "May 32" → 2032-05-01, "May 0" → 2000). */
+  private def nameFields(v2: Int, f3: String): (Int, Int) =
+    if (f3 != null) {
+      if (v2 >= 1 && v2 <= 31) (legacyYear(num(f3)), v2)
+      else (legacyYear(v2), num(f3))
+    } else if (v2 >= 1 && v2 <= 31) (2001, v2)
+    else (legacyYear(v2), 1)
 
   /** Emulates `new Date(value)` for the supported subset; fields are read
     * in UTC (see class doc). Returns None for JS "Invalid Date". */
@@ -234,7 +272,7 @@ object JsDateReformat {
       }
     try s match {
       case isoTimeRe(y, m, d, h, mi, sec, zl, offH, offM) =>
-        // ISO offsets: hour ≤ 23, minute ≤ 59 ("+24:00" is Invalid)
+        // ES5 offsets: hour ≤ 23, minute ≤ 59 ("+24:00" is Invalid)
         val off: Either[Unit, Option[Int]] =
           if (offH != null && offH.nonEmpty) {
             val oh = num(offH.substring(1))
@@ -247,18 +285,30 @@ object JsDateReformat {
           case Left(_)  => None
           case Right(o) => build(num(y), num(m), num(d), num(h), num(mi), num(sec), o)
         }
-      case ymdTimeRe(y, m, d, h, mi, sec, zl, zw, zn) =>
-        legacy(num(y), num(m), num(d), h, mi, sec, zl, zw, zn)
-      case ymdRe(y, m, d) =>
+      case isoDateRe(y, m, d) => // literal year — no legacy mapping
         build(num(y), num(m, 1), num(d, 1), 0, 0, 0, None)
-      case mdyRe(m, d, y, h, mi, sec, zl, zw, zn) =>
-        legacy(legacyYear(num(y)), num(m), num(d), h, mi, sec, zl, zw, zn)
-      case nameDayRe(name, d, y, h, mi, sec, zl, zw, zn) =>
-        month(name).flatMap(m =>
-          legacy(legacyYear(num(y)), m, num(d), h, mi, sec, zl, zw, zn))
-      case dayNameRe(d, name, y, h, mi, sec, zl, zw, zn) =>
-        month(name).flatMap(m =>
-          legacy(legacyYear(num(y)), m, num(d), h, mi, sec, zl, zw, zn))
+      case numRe(f1, f2, f3, h, mi, sec, zl, zw, zn) =>
+        if (f1.head == '+' || f1.head == '-') // signed expanded year
+          legacy(f1.toInt, num(f2, 1), num(f3, 1), h, mi, sec, zl, zw, zn)
+        else {
+          val v1 = num(f1)
+          if (v1 >= 1 && v1 <= 12) { // month-first: M[-d[-y]]
+            val y = if (f3 == null) 2001 else legacyYear(num(f3))
+            legacy(y, v1, num(f2, 1), h, mi, sec, zl, zw, zn)
+          } else if (v1 == 0 || v1 >= 32) // year-first: y[-m[-d]]
+            legacy(legacyYear(v1), num(f2, 1), num(f3, 1), h, mi, sec, zl, zw, zn)
+          else None // 13-31: a day with no month to attach to
+        }
+      case nameDayRe(name, f2, f3, h, mi, sec, zl, zw, zn) =>
+        month(name).flatMap { m =>
+          val (y, d) = nameFields(num(f2), f3)
+          legacy(y, m, d, h, mi, sec, zl, zw, zn)
+        }
+      case dayNameRe(f1, name, f3, h, mi, sec, zl, zw, zn) =>
+        month(name).flatMap { m =>
+          val (y, d) = nameFields(num(f1), f3)
+          legacy(y, m, d, h, mi, sec, zl, zw, zn)
+        }
       case _ => None
     } catch { case _: Exception => None } // out-of-range fields etc.
   }
