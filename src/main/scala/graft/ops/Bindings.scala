@@ -19,32 +19,38 @@ object Bindings {
   def typed(bindings: DataFrame, datatypes: Map[String, String]): DataFrame =
     datatypes.foldLeft(bindings) { case (df, (name, dt)) =>
       dt match {
-        // parseInt semantics (utils.js:16), node-verified: take the
-        // leading optional-sign digit prefix, ignore the rest ("1.5" →
-        // 1, "12abc" → 12, "1e3" → 1, "abc" → null) — EXCEPT a
-        // `[+-]?0[xX]` prefix flips radix-16 ("0x10" → 16, "-0X1f" →
-        // -31, "0x"/"0xzz" → null; no octal: "08" → 8). Hex is mirrored
-        // via conv(), exact through 64 bits — beyond that JS parseInt is
-        // double-precision-lossy anyway (documented residual).
+        // parseInt semantics (utils.js:16), pinned by the generated node
+        // corpus in JsNumberMirrorSpec: take the leading optional-sign
+        // digit prefix, ignore the rest ("1.5" → 1, "12abc" → 12,
+        // "1e3" → 1, "abc" → null) — EXCEPT a `[+-]?0[xX]` prefix flips
+        // radix-16 ("0x10" → 16, "-0X1f" → -31, "0x"/"0xzz" → null; no
+        // octal: "08" → 8). Documented residual (machine-checked): JS
+        // parseInt returns a double, so values beyond 2^53 round
+        // ("9007199254740993" → ...92, "0xffffffffffffffff" → 2^64)
+        // while this mirror keeps exact decimals — the exact value is
+        // strictly more faithful to the binding.
         // Extract-then-cast also avoids decimal HALF_UP rounding
         // fabricating values, and ANSI-safe try_cast nulls the no-match
         // empty string. decimal(38,0) because xsd:integer is unbounded.
         case Vocab.xsdInteger =>
           val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+          // JS trims the full ES whitespace set (NBSP/BOM/Zs — node
+          // probe: parseInt(" 12") is 12), not just Java \s
+          val ws = graft.rdf.Validation.jsWhitespace + "*"
           // the 0x prefix COMMITS parseInt to radix 16: "0x" with no hex
           // digits is NaN, never "0" from the decimal fallback
-          val hexPrefix = col(name).rlike("^\\s*[+-]?0[xX]")
+          val hexPrefix = col(name).rlike("^" + ws + "[+-]?0[xX]")
           val hexDigits = regexp_extract(col(name),
-            "^\\s*[+-]?0[xX]([0-9a-fA-F]+)", 1)
+            "^" + ws + "[+-]?0[xX]([0-9a-fA-F]+)", 1)
           val hexNeg = regexp_extract(col(name),
-            "^\\s*(-)0[xX]", 1) === "-"
+            "^" + ws + "(-)0[xX]", 1) === "-"
           val hexVal = conv(hexDigits, 16, 10).try_cast(dec38)
           df.withColumn(name,
             when(hexPrefix,
               when(hexDigits =!= "",
                 when(hexNeg, hexVal * -1).otherwise(hexVal))
                 .otherwise(lit(null).cast(dec38)))
-              .otherwise(regexp_extract(col(name), "^\\s*([+-]?\\d+)", 1)
+              .otherwise(regexp_extract(col(name), "^" + ws + "([+-]?\\d+)", 1)
                 .try_cast(dec38)))
         case Vocab.xsdDateTime =>
           df.withColumn(name, try_to_timestamp(col(name)))

@@ -34,11 +34,22 @@ object Validation {
   val dateTimeRegex: String =
     "^-?[0-9][0-9][0-9][0-9]+-[0-9][0-9]-[0-9][0-9]T[0-9][0-9]:[0-9][0-9]:[0-9][0-9](\\.[0-9]+)?(([-+][0-9][0-9]:[0-9][0-9])|Z)?$"
 
+  /** The exact character class JS trims around numeric strings (ES
+    * WhiteSpace + LineTerminator): Java's `\s` plus NBSP, BOM and the
+    * Zs spaces — and NOT U+180E, which left the set in Unicode 6.3
+    * (node-verified: `Number(" 12")` is 12, `"᠎12"` is NaN).
+    * Shared with the parseInt mirror in [[graft.ops.Bindings]]. */
+  val jsWhitespace: String =
+    "[\\s\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000\\uFEFF]"
+
   /** Lexical forms accepted by JS `Number(value)` (i.e. `!isNaN(Number(v))`,
     * validateTriple.js:136-139): optional-sign decimal/exponent/Infinity,
-    * or unsigned hex/binary/octal, or pure whitespace (coerces to 0). */
+    * or unsigned hex/binary/octal, or pure whitespace (coerces to 0).
+    * Pinned by the generated corpus in JsNumberMirrorSpec
+    * (scripts/probe-jsnumber.js). */
   val jsNumberRegex: String =
-    "^\\s*([+-]?((\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?|Infinity)|0[xX][0-9a-fA-F]+|0[bB][01]+|0[oO][0-7]+)?\\s*$"
+    "^" + jsWhitespace + "*([+-]?((\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?|Infinity)|" +
+      "0[xX][0-9a-fA-F]+|0[bB][01]+|0[oO][0-7]+)?" + jsWhitespace + "*$"
 
   /** First `<http(s)://…>` URL embedded in a WKT literal
     * (validateTriple.js:77). */
