@@ -205,10 +205,17 @@ object RdfaExtractor {
         else freshBlankNode))
     }
 
-    val rels = e.attr("rel").toSeq
-      .flatMap(_.trim.split("\\s+")).flatMap(resolveIri(_, ctx))
-    val revs = e.attr("rev").toSeq
-      .flatMap(_.trim.split("\\s+")).flatMap(resolveIri(_, ctx))
+    // HTML+RDFa 1.1 §3.1: with @property on the same element, @rel/@rev
+    // are processed CURIE/IRI-only — TERM values (HTML link types like
+    // "nofollow", and even initial-context terms like "license") are
+    // ignored, and a rel/rev left empty acts as absent, so @href can
+    // feed @property per Core §7.5 step 11.
+    val curieOnly = e.attr("property").isDefined
+    def linkTokens(name: String): Seq[String] =
+      e.attr(name).toSeq.flatMap(_.trim.split("\\s+"))
+        .filter(t => !curieOnly || t.contains(":"))
+    val rels = linkTokens("rel").flatMap(resolveIri(_, ctx))
+    val revs = linkTokens("rev").flatMap(resolveIri(_, ctx))
 
     // --- new subject determination (simplified RDFa 1.1 sequence).
     // With rel/rev present, a same-element resource is the *object*, not
@@ -427,20 +434,33 @@ object RdfaExtractor {
 
   /** Resolve in subject/object position (about, resource, href, src):
     * safe CURIEs `[p:l]`, CURIEs, blank nodes, and IRIs resolved against
-    * base. */
+    * base. A SAFE CURIE resolves only through the prefix map (RDFa Core
+    * §6: the brackets assert "this is a CURIE" — an undeclared prefix or
+    * empty content means the attribute MUST be ignored, never
+    * reinterpreted as an IRI), while an unbracketed value with an
+    * unresolvable prefix falls back to IRI interpretation per the
+    * CURIEorIRI grammar. */
   def resolveResource(raw: String, ctx: Ctx): Option[String] = {
     val v0 = raw.trim
     if (v0.isEmpty) return Some(ctx.base)
-    val v = if (v0.startsWith("[") && v0.endsWith("]")) v0.substring(1, v0.length - 1) else v0
-    if (v.startsWith("_:")) Some(v)
-    else if (v.contains(":")) {
-      val idx = v.indexOf(':')
-      ctx.prefixes.get(v.substring(0, idx).toLowerCase(java.util.Locale.ROOT)) match {
-        case Some(ns) => Some(ns + v.substring(idx + 1))
-        case None if isAbsoluteIri(v) => Some(v)
-        case None => Some(v) // scheme-looking value, keep verbatim
+    if (v0.startsWith("[") && v0.endsWith("]")) {
+      val v = v0.substring(1, v0.length - 1).trim
+      if (v.startsWith("_:")) Some(v)
+      else {
+        val idx = v.indexOf(':')
+        if (idx < 0) None // "[]" / "[term]" — ignored
+        else ctx.prefixes.get(v.substring(0, idx).toLowerCase(java.util.Locale.ROOT))
+          .map(_ + v.substring(idx + 1))
       }
-    } else Some(resolveAgainstBase(v, ctx.base))
+    } else if (v0.startsWith("_:")) Some(v0)
+    else if (v0.contains(":")) {
+      val idx = v0.indexOf(':')
+      ctx.prefixes.get(v0.substring(0, idx).toLowerCase(java.util.Locale.ROOT)) match {
+        case Some(ns) => Some(ns + v0.substring(idx + 1))
+        case None if isAbsoluteIri(v0) => Some(v0)
+        case None => Some(v0) // scheme-looking value, keep verbatim
+      }
+    } else Some(resolveAgainstBase(v0, ctx.base))
   }
 
   private def isAbsoluteIri(v: String): Boolean =
