@@ -15,7 +15,13 @@ object Bindings {
   /** Coerce string-valued binding columns to their declared datatypes.
     * `datatypes` maps column name → datatype IRI. Unknown datatypes stay
     * strings (utils.js:20-21); unparseable values become null (the
-    * reference's parseInt/Date would yield NaN/Invalid Date). */
+    * reference's parseInt/Date would yield NaN/Invalid Date). Mapping
+    * note: the reference's coercion guard (`&& row[key].value`,
+    * utils.js:16-19) is falsy for an EMPTY binding, which therefore
+    * skips parseInt/Date and stays the raw `""` string in its
+    * dynamically-typed row; a typed decimal/timestamp column cannot
+    * hold `""`, so the engine renders that same "not coerced" outcome
+    * as null — the one representable equivalent. */
   def typed(bindings: DataFrame, datatypes: Map[String, String]): DataFrame =
     datatypes.foldLeft(bindings) { case (df, (name, dt)) =>
       dt match {
