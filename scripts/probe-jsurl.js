@@ -55,6 +55,22 @@ const urls = [
   'http://foo.12/', 'http://foo.0x1/',
   // tabs/newlines are stripped pre-parse by WHATWG (control chars)
   'http://exa\tmple.com/', 'http://exa\nmple.com/',
+  // IPv6 bracket content (WHATWG IPv6 parser): 8 pieces exactly, or
+  // fewer with one ::, optional strict dotted-quad as the final 32 bits
+  'http://[1:2:3:4:5:6:7:8:9]/', 'http://[1:2:3:4:5:6:7]/',
+  'http://[12345::]/', 'http://[1::2::3]/', 'http://[::1:2:3:4:5:6:7]/',
+  'http://[::1:2:3:4:5:6:7:8]/', 'http://[1:2:3:4:5:6:7::]/',
+  'http://[::ffff:1.2.3.4]/', 'http://[1:2:3:4:5:6:1.2.3.4]/',
+  'http://[1:2:3:4:5:6:7:1.2.3.4]/', 'http://[1:2:3:4:5::1.2.3.4]/',
+  'http://[1:2:3:4:5:6::1.2.3.4]/', 'http://[::1.2.3.04]/',
+  'http://[::1.2.3.400]/', 'http://[::1.2.3]/', 'http://[::ffff:1.2.3.4.5]/',
+  'http://[1.2.3.4::]/', 'http://[ABCD::ef01]/', 'http://[abcd:EF01::]/',
+  'http://[:1:2]/', 'http://[1:2:]/', 'http://[0:0:0:0:0:0:0:0]/',
+  'http://[::0001]/', 'http://[0::00:000:0000]/', 'http://[00000::]/',
+  'http://[1::2:1.2.3.4]/', 'http://[::0:1.2.3.4]/', 'http://[::2]/',
+  'http://[2::]/', 'http://[fe80::1%25eth0]/',
+  // IDNA residual rows: invalid punycode throws in node, parses here
+  'http://xn--a/', 'http://xn---/',
   // escape-set boundary: %3B ; %7B { %7E ~ %5F _ %60 ` %7F DEL %1F C0
   'http://a%3Bb/', 'http://a%7Bb/', 'http://a%7Eb/', 'http://a%5Fb/',
   'http://a%60b/', 'http://a%7Fb/', 'http://a%1Fb/', 'http://a%C3%A9/',

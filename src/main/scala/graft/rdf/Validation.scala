@@ -83,18 +83,59 @@ object Validation {
     * that is NOT a number ("1.2.3.0xg", "1.foo") makes the host a plain
     * domain again. See [[isJsParseableUrl]].
     *
-    * Residuals (probe-verified node behavior deliberately not mirrored;
+    * A bracketed host runs the WHATWG IPv6 parser (see [[ipv6Ok]]):
+    * exactly 8 16-bit pieces, or fewer with exactly ONE `::`, an
+    * optional strict dotted-quad tail occupying the final two pieces,
+    * and no zone-id.
+    *
+    * Residual (probe-verified node behavior deliberately not mirrored;
     * harvested CRS URLs are plain opengis.net IRIs that never exercise
-    * them — each is machine-checked in ValidationSpec against the
-    * committed probe table): IPv6 bracket CONTENT validation
-    * ("http://[:::]", "http://[1.2.3.4]" throw in node, parse here),
-    * and IDNA/Unicode domain mapping. Group 1 captures the non-bracket
-    * host, group 2 the port. */
+    * it — machine-checked in ValidationSpec against the committed probe
+    * table): IDNA/Unicode domain mapping ("http://xn--a/" is invalid
+    * punycode and throws in node, parses here). Group 1 captures a
+    * bracketed host's content, group 2 the non-bracket host, group 3
+    * the port. */
   val wktUrlParseRegex: String =
-    "^https?://[/\\\\]*(?:[^/?#]*@)?(?:\\[[0-9A-Fa-f:.]+\\]|" +
+    "^https?://[/\\\\]*(?:[^/?#]*@)?(?:\\[([0-9A-Fa-f:.]+)\\]|" +
       "((?:%(?![01][0-9a-fA-F]|20|23|25|2[fF]|3[aAcCeEfF]|40|5[bBcCdDeE]|7[cCfF])[0-9A-Fa-f]{2}|" +
       "[^\\x00-\\x20#%/:<>?@\\[\\\\\\]^|\\x7F])+))" +
       "(?::([0-9]*))?(?:[/?#\\\\].*)?$"
+
+  /** WHATWG IPv6 host parser over the bracket content (probe-pinned):
+    * pieces are 1-4 hex digits; without `::` exactly 8 pieces are
+    * required ("[1:2:3:4:5:6:7]" throws), with one `::` at most 7
+    * ("[1:2:3:4:5:6:7::]" parses, a second `::` or a bare `:` edge
+    * throws); a strict dotted-quad may occupy the FINAL two pieces
+    * (4 decimal parts, 0-255, no leading zeros — "[::1.2.3.04]"
+    * throws) and only at the end ("[1.2.3.4::]" throws). */
+  private def ipv6Ok(content: Column): Column = {
+    val dc = split(content, "::", -1)
+    val nParts = size(dc)
+    def piecesOf(side: Column): Column =
+      when(side === "", array().cast("array<string>"))
+        .otherwise(split(side, ":", -1))
+    val left = piecesOf(element_at(dc, 1))
+    val right = when(nParts === 2, piecesOf(element_at(dc, 2)))
+      .otherwise(array().cast("array<string>"))
+    val all = concat(left, right)
+    val n = size(all)
+    val noEmpty = forall(all, p => p =!= "")
+    val lastP = element_at(all, -1)
+    val hexRe = "^[0-9A-Fa-f]{1,4}$"
+    val v4Re = "^(0|[1-9][0-9]{0,2})(\\.(0|[1-9][0-9]{0,2})){3}$"
+    // the dotted-quad must be the final 32 bits: last piece overall,
+    // and not immediately before a trailing "::"
+    val v4Allowed = nParts === 1 || size(right) > 0
+    val lastIsV4 = v4Allowed && coalesce(lastP.rlike(v4Re), lit(false)) &&
+      forall(split(lastP, "[.]", -1), x => x.cast("int") <= 255)
+    val headHex = forall(slice(all, lit(1), n - 1), p => p.rlike(hexRe))
+    val lastOk = lastIsV4 || coalesce(lastP.rlike(hexRe), lit(false))
+    val total = n + when(lastIsV4, 1).otherwise(0) // v4 counts as 2 pieces
+    val countOk = when(nParts === 1, total === 8).otherwise(total <= 7)
+    when(nParts > 2 || !noEmpty, lit(false))
+      .when(n === 0, nParts === 2) // "::" alone
+      .otherwise(headHex && lastOk && countOk)
+  }
 
   /** WHATWG ends-in-number / IPv4-host rule over the percent-decoded
     * host (see [[wktUrlParseRegex]] doc). True when the host either is
@@ -132,12 +173,14 @@ object Validation {
     * mirror honest for direct callers. */
   def isJsParseableUrl(url: Column): Column = {
     val cleaned = regexp_replace(url, "[\\t\\n\\r]", "")
-    val host = regexp_extract(cleaned, wktUrlParseRegex, 1) // "" for [IPv6]
-    val port = regexp_extract(cleaned, wktUrlParseRegex, 2)
+    val ipv6 = regexp_extract(cleaned, wktUrlParseRegex, 1) // bracket content
+    val host = regexp_extract(cleaned, wktUrlParseRegex, 2) // "" for [IPv6]
+    val port = regexp_extract(cleaned, wktUrlParseRegex, 3)
     val portVal = regexp_replace(port, "^0+", "") // "" = no port or port 0
     cleaned.rlike(wktUrlParseRegex) &&
       (portVal === "" || (length(portVal) <= 5 && portVal.cast("long") <= 65535L)) &&
-      (host === "" || hostIpv4Ok(host))
+      (host === "" || hostIpv4Ok(host)) &&
+      (ipv6 === "" || ipv6Ok(ipv6))
   }
 
   /** JS-`Number`-coercible check (see [[jsNumberRegex]]). Null-safe: null → false. */

@@ -143,11 +143,11 @@ class ValidationSpec extends SparkSpec {
 
   /** Rows where the mirror deliberately diverges from node — all parse
     * here but THROW in node (see the residual list in the
-    * wktUrlParseRegex scaladoc): IPv6 bracket-content validation.
-    * Harvested CRS URLs are plain opengis.net IRIs that never carry a
-    * bracketed host. */
+    * wktUrlParseRegex scaladoc): IDNA/Unicode domain mapping (invalid
+    * punycode labels). Harvested CRS URLs are plain opengis.net IRIs
+    * that never carry one. */
   private val urlResiduals: Set[String] = Set(
-    "http://[:::]/", "http://[1.2.3.4]/")       // IPv6 bracket content
+    "http://xn--a/", "http://xn---/")
 
   /** Rows the WKT extraction regex can never produce (no `//` after the
     * scheme) — asserted unreachable instead of mirrored. */
