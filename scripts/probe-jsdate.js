@@ -194,6 +194,12 @@ fuzz.push(
   '2023-05-04-10:20', '2023-05-04-', '5--4--2023', '2023 -05-04',
   '2023-05-04 10:20-30', '- 2023-05-04',
 );
+// numeric offsets and times on name / short-leading / single-field forms
+fuzz.push(
+  'May 4 2023 10:20 +02:00', '4 May 2023 10:20:30 -0500',
+  'May 4 10:20 +02:00', '12-01-02 10:20 +02', 'May 4 2023 10:20+0200',
+  '2-30-99 10:20 Z', '12 10:20', '99 10:20', 'May 4 2023 10:20:30.5',
+);
 
 const inputs = [...base, ...fuzz];
 

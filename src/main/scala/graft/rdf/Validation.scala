@@ -171,16 +171,33 @@ object Validation {
     * tab/newline before parsing, mirrored here — unreachable through
     * [[wktCrsRegex]] (which can't extract whitespace) but it keeps the
     * mirror honest for direct callers. */
+  /** Fast-accept shape for the overwhelmingly common CRS URL: plain
+    * alphabetic-start dot-labels (so the host can never end in a
+    * number, carry an escape, userinfo, bracket, or extra slashes),
+    * an optional port of at most 4 digits (≤ 9999 < 65535), and any
+    * `/?#` tail. Matching here GUARANTEES the full mirror would accept
+    * too, so [[isJsParseableUrl]] can skip the 4-regex + array-logic
+    * slow path for real-world rows (opengis.net CRS IRIs) — at 100 TB
+    * the mirror runs per extracted wkt literal, and this keeps the
+    * per-row cost to one anchored regex. Equivalence is pinned row-by-
+    * row by the probe corpus in ValidationSpec (every `ok` row must
+    * satisfy fast-or-slow, every `throw` row neither). */
+  private val simpleUrlRegex: String =
+    "^https?://[A-Za-z](?:[A-Za-z0-9-]*[A-Za-z0-9])?" +
+      "(?:\\.[A-Za-z](?:[A-Za-z0-9-]*[A-Za-z0-9])?)*" +
+      "(?::[0-9]{1,4})?(?:[/?#].*)?$"
+
   def isJsParseableUrl(url: Column): Column = {
     val cleaned = regexp_replace(url, "[\\t\\n\\r]", "")
     val ipv6 = regexp_extract(cleaned, wktUrlParseRegex, 1) // bracket content
     val host = regexp_extract(cleaned, wktUrlParseRegex, 2) // "" for [IPv6]
     val port = regexp_extract(cleaned, wktUrlParseRegex, 3)
     val portVal = regexp_replace(port, "^0+", "") // "" = no port or port 0
-    cleaned.rlike(wktUrlParseRegex) &&
-      (portVal === "" || (length(portVal) <= 5 && portVal.cast("long") <= 65535L)) &&
-      (host === "" || hostIpv4Ok(host)) &&
-      (ipv6 === "" || ipv6Ok(ipv6))
+    cleaned.rlike(simpleUrlRegex) || (
+      cleaned.rlike(wktUrlParseRegex) &&
+        (portVal === "" || (length(portVal) <= 5 && portVal.cast("long") <= 65535L)) &&
+        (host === "" || hostIpv4Ok(host)) &&
+        (ipv6 === "" || ipv6Ok(ipv6)))
   }
 
   /** JS-`Number`-coercible check (see [[jsNumberRegex]]). Null-safe: null → false. */
