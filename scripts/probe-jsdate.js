@@ -200,6 +200,13 @@ fuzz.push(
   'May 4 10:20 +02:00', '12-01-02 10:20 +02', 'May 4 2023 10:20+0200',
   '2-30-99 10:20 Z', '12 10:20', '99 10:20', 'May 4 2023 10:20:30.5',
 );
+// month words match on their first THREE letters alone; shorter never
+fuzz.push(
+  'Janu 4 2023', 'Septem 4 2023', 'Juneish 4 2023', 'Mayy 4 2023',
+  'Janz 4 2023', 'mayonnaise 4 2023', 'auguzt 4 2023', 'sepT 4 2023',
+  '4 Juneish 2023', 'Juneish 4', 'Ju 4 2023', 'Ma 4 2023', 'xyz 4 2023',
+  'Jan. 4 2023', 'Octob 4 2023', 'Decembrrr 4 2023',
+);
 
 const inputs = [...base, ...fuzz];
 

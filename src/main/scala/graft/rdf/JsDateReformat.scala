@@ -163,13 +163,14 @@ object JsDateReformat {
     "EST" -> -300, "EDT" -> -240, "CST" -> -360, "CDT" -> -300,
     "MST" -> -420, "MDT" -> -360, "PST" -> -480, "PDT" -> -420)
 
-  private val monthNum: Map[String, Int] = {
-    val full = Seq("january", "february", "march", "april", "may", "june",
-      "july", "august", "september", "october", "november", "december")
-    (full.zipWithIndex.map { case (n, i) => n -> (i + 1) } ++
-      full.zipWithIndex.map { case (n, i) => n.take(3) -> (i + 1) } :+
-      ("sept" -> 9)).toMap
-  }
+  /** V8's keyword table matches a month word by its FIRST THREE letters
+    * alone (probe-verified: "Juneish 4 2023", "mayonnaise 4 2023" and
+    * "Janz 4 2023" all parse — whatever follows the 3-letter prefix is
+    * ignored; 1-2-letter words never match: "Ma 4 2023" is Invalid). */
+  private val monthNum: Map[String, Int] =
+    Seq("jan", "feb", "mar", "apr", "may", "jun",
+      "jul", "aug", "sep", "oct", "nov", "dec")
+      .zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
 
   /** Legacy-parser year mapping, by value: 0-49 → 2000s, 50-99 → 1900s,
     * ≥ 100 literal. Never applies inside the strict ES5 branch. */
@@ -263,7 +264,8 @@ object JsDateReformat {
     val s = weekdayPrefix.replaceFirstIn(raw.trim, "")
     if (s.isEmpty) return None
     def month(name: String): Option[Int] =
-      monthNum.get(name.toLowerCase(Locale.ENGLISH))
+      if (name.length < 3) None
+      else monthNum.get(name.take(3).toLowerCase(Locale.ENGLISH))
     def legacy(y: Int, m: Int, d: Int, h: String, mi: String, sec: String,
         zl: String, zw: String, zn: String): Option[ZonedDateTime] =
       legacyZone(zl, zw, zn, hasTime = h != null && h.nonEmpty) match {
