@@ -200,6 +200,18 @@ fuzz.push(
   'May 4 10:20 +02:00', '12-01-02 10:20 +02', 'May 4 2023 10:20+0200',
   '2-30-99 10:20 Z', '12 10:20', '99 10:20', 'May 4 2023 10:20:30.5',
 );
+// am/pm: detached only, case-insensitive, hour 0-12 with pm=h%12+12
+// and am=h%12; the leading/duplicate-keyword tolerance is a residual
+fuzz.push(
+  'May 4 2023 10:20 pm', 'May 4 2023 10:20pm', 'May 4 2023 10:20 PM',
+  'May 4 2023 10:20 am', 'May 4 2023 12:20 am', 'May 4 2023 12:20 pm',
+  'May 4 2023 13:20 pm', 'May 4 2023 13:20 am', '2023-05-04 10:20 pm',
+  'May 4 2023 0:20 am', 'May 4 2023 0:20 pm', 'May 4 2023 10 pm',
+  'May 4 2023 10:20:30 pm Z', 'May 4 2023 10:20 pm +02:00',
+  'May 4 2023 10:20 p', 'May 4 2023 10:20 p.m.', 'May 4 2023 am',
+  'May 4 2023 24:00 am', '12-01-02 1:2 pm', 'pm May 4 2023',
+  'May 4 2023 10:20 pm pm',
+);
 // month words match on their first THREE letters alone; shorter never
 fuzz.push(
   'Janu 4 2023', 'Septem 4 2023', 'Juneish 4 2023', 'Mayy 4 2023',

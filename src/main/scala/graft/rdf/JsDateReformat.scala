@@ -56,8 +56,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     "May 2023 4" → year 2023 day 4, "May 0023" → day 23, "32 May" →
   *     2032, "12-May-2023" → May 12); a missing year defaults to 2001.
   *     The time needs a whitespace/comma junction ("May 4,10:20",
-  *     "2023-05-04, 10:20" parse; "2023-05-04-10:20" is Invalid).
-  *     Times are 1-2-digit
+  *     "2023-05-04, 10:20" parse; "2023-05-04-10:20" is Invalid) and
+  *     takes a detached case-insensitive am/pm suffix with hour 0-12
+  *     ("10:20 pm" is 22:20, "12:20 am" is 0:20, "0:20 pm" is 12:20;
+  *     "10:20pm" and "13:20 pm" are Invalid). Times are 1-2-digit
   *     fields with optional fraction. Zones: `Z`/`z` attach anywhere;
   *     the zone WORDS (GMT/UT/UTC and the US abbreviations
   *     EST/EDT/CST/CDT/MST/MDT/PST/PDT, any case, with their real
@@ -70,11 +72,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Deviation (documented): the reference renders fields in the
   * container's local time zone; we pin to UTC for determinism.
   *
-  * One documented residual (machine-checked in JsDateReformatSpec):
-  * node tolerates leading separator garbage ("- 2023-05-04" parses);
-  * here it is Invalid — under-acceptance, the safe direction. The fuzz
-  * band in scripts/probe-jsdate.js is the watchlist for forms outside
-  * the corpus.
+  * Documented residuals (machine-checked in JsDateReformatSpec): node
+  * tolerates leading separator garbage ("- 2023-05-04"), a LEADING
+  * am/pm keyword ("pm May 4 2023") and a duplicated one
+  * ("... 10:20 pm pm") — all Invalid here; under-acceptance, the safe
+  * direction. The fuzz band in scripts/probe-jsdate.js is the
+  * watchlist for forms outside the corpus.
   *
   * Not codegen'd (CodegenFallback) — this only runs on the small `invalid`
   * partition, never in the bulk path.
@@ -197,9 +200,12 @@ object JsDateReformat {
   private val zoneTail =
     s"(?:\\s*([Zz])|(\\s*(?i:$zoneWords))|\\s*([+-]\\d{1,2}:\\d{1,2}|[+-]\\d{1,4}))?"
   // the time needs a whitespace/comma junction ("2023-05-04-10:20" is
-  // Invalid while "2023-05-04, 10:20" and "May 4,10:20" parse)
+  // Invalid while "2023-05-04, 10:20" and "May 4,10:20" parse); an
+  // optional DETACHED am/pm suffix follows ("10:20 pm" parses,
+  // "10:20pm" and "10 pm" don't) — hour bound and mapping in legacy()
   private val timePat =
-    "[\\s,]+(\\d{1,2}):(\\d{1,2})(?::(\\d{1,2})(?:\\.\\d+)?)?"
+    "[\\s,]+(\\d{1,2}):(\\d{1,2})(?::(\\d{1,2})(?:\\.\\d+)?)?" +
+      "(?:\\s+([AaPp][Mm]))?"
   // date fields join on exactly ONE of -/. or any RUN of space/comma
   // ("2023 05 04", "12,01" and "May-4-2023" parse; "5--4--2023" and
   // "May 4 - 2023" are Invalid)
@@ -267,10 +273,20 @@ object JsDateReformat {
       if (name.length < 3) None
       else monthNum.get(name.take(3).toLowerCase(Locale.ENGLISH))
     def legacy(y: Int, m: Int, d: Int, h: String, mi: String, sec: String,
-        zl: String, zw: String, zn: String): Option[ZonedDateTime] =
+        ap: String, zl: String, zw: String, zn: String): Option[ZonedDateTime] =
       legacyZone(zl, zw, zn, hasTime = h != null && h.nonEmpty) match {
-        case Left(_)    => None
-        case Right(off) => build(y, m, d, num(h), num(mi), num(sec), off)
+        case Left(_) => None
+        case Right(off) =>
+          // am/pm (probe-pinned): hour must be 0-12 ("13:20 pm" and
+          // "24:00 am" are Invalid); pm maps h%12+12 ("0:20 pm" and
+          // "12:20 pm" are 12:20), am maps h%12 ("12:20 am" is 0:20)
+          val h0 = num(h)
+          val hAdj =
+            if (ap == null || ap.isEmpty) Some(h0)
+            else if (h0 > 12) None
+            else if (ap.charAt(0) == 'p' || ap.charAt(0) == 'P') Some(h0 % 12 + 12)
+            else Some(h0 % 12)
+          hAdj.flatMap(hv => build(y, m, d, hv, num(mi), num(sec), off))
       }
     try s match {
       case isoTimeRe(y, m, d, h, mi, sec, zl, offH, offM) =>
@@ -289,27 +305,27 @@ object JsDateReformat {
         }
       case isoDateRe(y, m, d) => // literal year — no legacy mapping
         build(num(y), num(m, 1), num(d, 1), 0, 0, 0, None)
-      case numRe(f1, f2, f3, h, mi, sec, zl, zw, zn) =>
+      case numRe(f1, f2, f3, h, mi, sec, ap, zl, zw, zn) =>
         if (f1.head == '+' || f1.head == '-') // signed expanded year
-          legacy(f1.toInt, num(f2, 1), num(f3, 1), h, mi, sec, zl, zw, zn)
+          legacy(f1.toInt, num(f2, 1), num(f3, 1), h, mi, sec, ap, zl, zw, zn)
         else {
           val v1 = num(f1)
           if (v1 >= 1 && v1 <= 12) { // month-first: M[-d[-y]]
             val y = if (f3 == null) 2001 else legacyYear(num(f3))
-            legacy(y, v1, num(f2, 1), h, mi, sec, zl, zw, zn)
+            legacy(y, v1, num(f2, 1), h, mi, sec, ap, zl, zw, zn)
           } else if (v1 == 0 || v1 >= 32) // year-first: y[-m[-d]]
-            legacy(legacyYear(v1), num(f2, 1), num(f3, 1), h, mi, sec, zl, zw, zn)
+            legacy(legacyYear(v1), num(f2, 1), num(f3, 1), h, mi, sec, ap, zl, zw, zn)
           else None // 13-31: a day with no month to attach to
         }
-      case nameDayRe(name, f2, f3, h, mi, sec, zl, zw, zn) =>
+      case nameDayRe(name, f2, f3, h, mi, sec, ap, zl, zw, zn) =>
         month(name).flatMap { m =>
           val (y, d) = nameFields(num(f2), f3)
-          legacy(y, m, d, h, mi, sec, zl, zw, zn)
+          legacy(y, m, d, h, mi, sec, ap, zl, zw, zn)
         }
-      case dayNameRe(f1, name, f3, h, mi, sec, zl, zw, zn) =>
+      case dayNameRe(f1, name, f3, h, mi, sec, ap, zl, zw, zn) =>
         month(name).flatMap { m =>
           val (y, d) = nameFields(num(f1), f3)
-          legacy(y, m, d, h, mi, sec, zl, zw, zn)
+          legacy(y, m, d, h, mi, sec, ap, zl, zw, zn)
         }
       case _ => None
     } catch { case _: Exception => None } // out-of-range fields etc.

@@ -31,7 +31,9 @@ class JsDateReformatSpec extends SparkSpec {
     * Invalid here but parses in node; see the residual note in the
     * JsDateReformat scaladoc. */
   private val residuals: Set[String] = Set(
-    "- 2023-05-04")                       // leading-garbage tolerance
+    "- 2023-05-04",                       // leading-garbage tolerance
+    "pm May 4 2023",                      // leading am/pm keyword tolerated
+    "May 4 2023 10:20 pm pm")             // duplicate am/pm tolerated
 
   private def unescape(s: String): String =
     s.replace("\\t", "\t").replace("\\\\", "\\")
