@@ -212,6 +212,13 @@ fuzz.push(
   'May 4 2023 24:00 am', '12-01-02 1:2 pm', 'pm May 4 2023',
   'May 4 2023 10:20 pm pm',
 );
+// weekday prefixes: separated by . , or whitespace in any mix, possibly
+// repeated; a missing separator or a trailing weekday stays Invalid
+fuzz.push(
+  'Sat,May 4 2023', 'Sat. May 4 2023', 'Sat.May 4 2023', 'Satx May 4 2023',
+  'SatMay 4 2023', 'Sat4 2023', 'Sat', 'sat,sun,May 4 2023',
+  'Sat,,May 4 2023', ',May 4 2023', 'May 4 2023 Sat', 'Sat Sun May 4 2023',
+);
 // month words match on their first THREE letters alone; shorter never
 fuzz.push(
   'Janu 4 2023', 'Septem 4 2023', 'Juneish 4 2023', 'Mayy 4 2023',

@@ -180,8 +180,14 @@ object JsDateReformat {
   private def legacyYear(y: Int): Int =
     if (y < 50) 2000 + y else if (y < 100) 1900 + y else y
 
+  /** Leading weekday tokens (probe-pinned): any word starting with a
+    * weekday abbreviation, separated by `.`/`,`/whitespace in any mix
+    * ("Sat,May", "Sat. May", "sat,sun,May" all strip; "SatMay"/"Sat4"
+    * have no separator and stay, parsing as Invalid like node). Bare
+    * leading commas are tolerated too (",May 4 2023" parses in node). */
   private val weekdayPrefix =
-    "(?i)^(?:sun|mon|tue|wed|thu|fri|sat)[a-z]*,?\\s+".r
+    ("(?i)^[\\s,]*(?:(?:sun|mon|tue|wed|thu|fri|sat)[a-z]*" +
+      "(?:[.,][\\s,]*|[\\s,]+))*").r
 
   // --- strict ES5/ISO parser (the only branch that takes a T separator;
   //     its date-only form wins over legacy for exact YYYY-MM[-DD]) ---
