@@ -212,6 +212,38 @@ fuzz.push(
   'May 4 2023 24:00 am', '12-01-02 1:2 pm', 'pm May 4 2023',
   'May 4 2023 10:20 pm pm',
 );
+// asctime / Date.toString round-trips: a post-time date component fills
+// the year slot ("Sat May 4 10:20:30 2023"); with the year already
+// present it is IGNORED (V8's 3-slot composer) — a 4th component fails;
+// am/pm may sit on either side of it; zone words take attached numeric
+// offsets that OVERRIDE the word; trailing parentheticals are skipped
+fuzz.push(
+  'Sat May 4 10:20:30 2023', 'Sat May  4 10:20:30 2023',
+  'May 4 10:20:30 2023', '4 May 10:20:30 2023', 'May 4 10:20 23',
+  'May 4 2023 10:20 2024', 'May 4 2023 10:20 2024 2025',
+  '2023-05 10:20 04', '05/04 10:20 2023', '12-01 10:20 2023',
+  '2023-05-04 10:20:30 2024', '05/04/2023 10:20 5', '05 10:20 04',
+  '2023 10:20 05', 'May 4 10:20 2023 +02', 'May 4 10:20 2023 Z',
+  '12-01 10:20 2023 pm', '2023-05 10:20 04 pm', 'May 4 10:20 pm 2023',
+  'May 4 10:20 2023 pm', '+012023-01-01 10:20 5', '2023-05-04 10:20,pm',
+  '2023-05-04 10:20:30 GMT+0200', '2023-05-04 10:20:30 GMT+02:00',
+  '2023-05-04 10:20:30 UTC+2', '2023-05-04 10:20:30 EST+2',
+  '2023-05-04 GMT+2:3', '2023-05-04GMT+2', '2023-05 10:20 04GMT',
+  'May 4 10:20 2023GMT', 'May 4 2023 10:20 pmGMT',
+  'Thu Jan 01 1970 00:00:00 GMT+0000 (Coordinated Universal Time)',
+  'Sat, 04 May 2023 10:20:30 GMT', 'Saturday, 04-May-23 10:20:30 GMT',
+  '2023-05-04 10:20:30 Z (hello)', '2023-05-04 (foo)', 'May 4 2023 (x)',
+  'May 4 2023 (x) (y', '2023-05-04 10:20:30 (x',
+  '2023-05-04 10:20:30 (foo) x', '2023-05-04 10:20:30 (a) (b)',
+  '2023-05-04 GMT (x)', '(2023-05-04)',
+);
+// V8's token stream lets date components interleave the time even more
+// freely — out-of-scope residuals, pinned so the ledger is checkable
+fuzz.push(
+  'May 4 10:20 23 24', '05 10:20 04 2023', '12 10:20 01 02',
+  '2023 10:20 05 04', 'May 10:20 4 2023', '10:20 May 4 2023',
+  'May 4 (x) 2023', 'GMT 2023-05-04',
+);
 // weekday prefixes: separated by . , or whitespace in any mix, possibly
 // repeated; a missing separator or a trailing weekday stays Invalid
 fuzz.push(

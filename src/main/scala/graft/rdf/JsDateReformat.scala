@@ -72,12 +72,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * Deviation (documented): the reference renders fields in the
   * container's local time zone; we pin to UTC for determinism.
   *
+  * The standard JS serialization round-trips are covered: asctime
+  * ("Sat May 4 10:20:30 2023" — ONE date component may follow the time
+  * and fills the year slot; when the year is already present it is
+  * ignored, mirroring V8's 3-slot composer, and a 4th component is
+  * Invalid), Date.toString ("Thu Jan 01 1970 00:00:00 GMT+0000
+  * (Coordinated Universal Time)" — zone words take an attached numeric
+  * offset that OVERRIDES the word, even date-only, and trailing
+  * parentheticals are skipped), and toUTCString/RFC-1123.
+  *
   * Documented residuals (machine-checked in JsDateReformatSpec): node
-  * tolerates leading separator garbage ("- 2023-05-04"), a LEADING
-  * am/pm keyword ("pm May 4 2023") and a duplicated one
-  * ("... 10:20 pm pm") — all Invalid here; under-acceptance, the safe
-  * direction. The fuzz band in scripts/probe-jsdate.js is the
-  * watchlist for forms outside the corpus.
+  * tolerates leading separator garbage ("- 2023-05-04"), LEADING
+  * keywords ("pm May 4 2023", "GMT 2023-05-04"), a duplicated am/pm
+  * ("... 10:20 pm pm"), mid-string parentheticals ("May 4 (x) 2023"),
+  * and lets date components interleave the time entirely freely
+  * ("05 10:20 04 2023", "10:20 May 4 2023") — all Invalid here;
+  * under-acceptance, the safe direction. The fuzz band in
+  * scripts/probe-jsdate.js is the watchlist for forms outside the
+  * corpus.
   *
   * Not codegen'd (CodegenFallback) — this only runs on the small `invalid`
   * partition, never in the bulk path.
@@ -199,38 +211,57 @@ object JsDateReformat {
 
   // --- legacy parser ---
   private val zoneWords = "GMT|UTC|UT|EST|EDT|CST|CDT|MST|MDT|PST|PDT"
-  // Z/z attach anywhere; zone words capture their leading whitespace so
-  // the attach-after-time rule can be enforced in code ("...30GMT" is
-  // Invalid, "2023-05-04GMT" parses); numeric offsets attach freely but
-  // require a time (enforced in code), lenient widths (see legacyOffset)
-  private val zoneTail =
-    s"(?:\\s*([Zz])|(\\s*(?i:$zoneWords))|\\s*([+-]\\d{1,2}:\\d{1,2}|[+-]\\d{1,4}))?"
-  // the time needs a whitespace/comma junction ("2023-05-04-10:20" is
-  // Invalid while "2023-05-04, 10:20" and "May 4,10:20" parse); an
-  // optional DETACHED am/pm suffix follows ("10:20 pm" parses,
-  // "10:20pm" and "10 pm" don't) — hour bound and mapping in legacy()
-  private val timePat =
-    "[\\s,]+(\\d{1,2}):(\\d{1,2})(?::(\\d{1,2})(?:\\.\\d+)?)?" +
-      "(?:\\s+([AaPp][Mm]))?"
   // date fields join on exactly ONE of -/. or any RUN of space/comma
   // ("2023 05 04", "12,01" and "May-4-2023" parse; "5--4--2023" and
   // "May 4 - 2023" are Invalid)
   private val junction = "(?:[-/.]|[\\s,]+)"
+  // the time needs a whitespace/comma junction ("2023-05-04-10:20" is
+  // Invalid while "2023-05-04, 10:20" and "May 4,10:20" parse)
+  private val timePat =
+    "(?:[\\s,]+(?<h>\\d{1,2}):(?<mi>\\d{1,2})(?::(?<sec>\\d{1,2})(?:\\.\\d+)?)?)?"
+  // post-time tokens: a DETACHED case-insensitive am/pm ("10:20 pm"
+  // parses, "10:20pm"/"10:20,pm" don't — hour bound + mapping in
+  // legacyTail) and ONE more date component, in either order — the year
+  // slot of asctime-style serializations ("Sat May 4 10:20:30 2023",
+  // "May 4 10:20 2023 pm", "12-01 10:20 2023" all parse; the component
+  // is IGNORED when the date already carried its year, mirroring V8's
+  // 3-slot composer: "May 4 2023 10:20 2024" parses as 2023)
+  private val postPat =
+    "(?:\\s+(?<apA>[AaPp][Mm]))?(?:[\\s,]+(?<py>\\d{1,9}))?(?:\\s+(?<apB>[AaPp][Mm]))?"
+  // Z/z attach anywhere; zone WORDS capture their leading whitespace so
+  // the attach-directly-after-a-time rule can be enforced in code
+  // ("...30GMT" is Invalid, "2023-05-04GMT" parses) and take an optional
+  // attached numeric offset that OVERRIDES the word's own
+  // ("GMT+0200"/"UTC+2"/"EST+2" are all +2h; "2023-05-04 GMT+2:3"
+  // parses even date-only, while a BARE numeric offset still needs a
+  // time); bare numeric offsets attach freely with lenient widths
+  private val zonePat =
+    s"(?:\\s*(?<zl>[Zz])|(?<zw>\\s*(?i:$zoneWords))" +
+      "(?<zo>[+-]\\d{1,2}:\\d{1,2}|[+-]\\d{1,4})?|" +
+      "\\s*(?<zn>[+-]\\d{1,2}:\\d{1,2}|[+-]\\d{1,4}))?"
+  // trailing parentheticals, as in Date.prototype.toString's
+  // "(Coordinated Universal Time)": any number at the END, last one may
+  // be unclosed; content never nests ("(a) (b)" and "(x" parse,
+  // "(foo) x" does not)
+  private val parenPat = "(?:[\\s,]*\\([^()]*\\)?)*"
+  private val tailPat = timePat + postPat + zonePat + parenPat + "$"
 
   // numeric date: 1-3 fields; the leading field routes by VALUE in code
-  // (month-first 1-12, year-first 0 / ≥32, Invalid 13-31), non-leading
-  // fields take unlimited leading zeros ("2023-0000000001-01" parses)
+  // (month-first 1-12, year-first 0 / >=32, Invalid 13-31), non-leading
+  // fields take unlimited leading zeros ("2023-0000000001-01" parses);
+  // the tail's post-time component is the third slot when only two
+  // fields precede the time ("2023-05 10:20 04" is 2023-05-04)
   private val numRe =
-    ("^([+-]\\d{6}|\\d{1,10})(?:" + junction + "(\\d{1,10})(?:" + junction +
-      "(\\d{1,10}))?)?(?:" + timePat + ")?" + zoneTail + "$").r
+    ("^(?<f1>[+-]\\d{6}|\\d{1,10})(?:" + junction + "(?<f2>\\d{1,10})(?:" +
+      junction + "(?<f3>\\d{1,10}))?)?" + tailPat).r
   // month-name forms: companion numbers route by value in code
-  // (1-31 → day, else a year); missing year defaults to 2001
+  // (1-31 -> day, else a year); missing year defaults to 2001
   private val nameDayRe =
-    ("^([A-Za-z]+)\\.?" + junction + "(\\d{1,9})(?:" + junction +
-      "(\\d{1,9}))?(?:" + timePat + ")?" + zoneTail + "$").r
+    ("^(?<nm>[A-Za-z]+)\\.?" + junction + "(?<f2>\\d{1,9})(?:" + junction +
+      "(?<f3>\\d{1,9}))?" + tailPat).r
   private val dayNameRe =
-    ("^(\\d{1,9})" + junction + "([A-Za-z]+)\\.?(?:" + junction +
-      "(\\d{1,9}))?(?:" + timePat + ")?" + zoneTail + "$").r
+    ("^(?<f2>\\d{1,9})" + junction + "(?<nm>[A-Za-z]+)\\.?(?:" + junction +
+      "(?<f3>\\d{1,9}))?" + tailPat).r
 
   /** Parse a captured numeric field; values beyond Int range clamp high
     * so the month/day/year bound checks reject them. */
@@ -241,28 +272,64 @@ object JsDateReformat {
       if (v > Int.MaxValue) Int.MaxValue else v.toInt
     }
 
-  /** Resolve the three zoneTail captures (Z/z, word with its leading
-    * whitespace, numeric offset) plus time-presence into
-    * Right(Some(offset-minutes)) / Right(None) (no zone), or Left(()) =
-    * Invalid Date: a numeric offset without a time, a zone WORD attached
-    * directly after a time, or an out-of-range offset. */
-  private def legacyZone(zl: String, zw: String, zn: String,
-      hasTime: Boolean): Either[Unit, Option[Int]] =
-    if (zn != null && zn.nonEmpty) {
-      if (!hasTime) Left(())
-      else legacyOffset(zn).toRight(()).map(Some(_))
-    } else if (zw != null && zw.nonEmpty) {
-      if (hasTime && !zw.head.isWhitespace) Left(())
-      else Right(Some(namedZoneMin(zw.trim.toUpperCase(Locale.ROOT))))
-    } else if (zl != null && zl.nonEmpty) Right(Some(0))
-    else Right(None)
+  /** Resolve the shared legacy tail of a match — time, am/pm tokens, the
+    * asctime post-time component, zone — to (hour, minute, second,
+    * post-component, offset-minutes), or None for Invalid Date: two
+    * am/pm tokens, am/pm without a time or with hour > 12, a zone word
+    * attached directly after a time, a bare numeric offset without a
+    * time, or an out-of-range offset. */
+  private def legacyTail(m: scala.util.matching.Regex.Match):
+      Option[(Int, Int, Int, Option[String], Option[Int])] = {
+    val h = m.group("h")
+    val hasTime = h != null
+    val py = Option(m.group("py"))
+    val apA = m.group("apA")
+    val apB = m.group("apB")
+    if (apA != null && apB != null) return None
+    val ap = if (apA != null) apA else apB
+    if (ap != null && !hasTime) return None
+    // am/pm (probe-pinned): hour must be 0-12 ("13:20 pm" and
+    // "24:00 am" are Invalid); pm maps h%12+12 ("0:20 pm" and
+    // "12:20 pm" are 12:20), am maps h%12 ("12:20 am" is 0:20)
+    val h0 = num(h)
+    val hAdj =
+      if (ap == null) h0
+      else if (h0 > 12) return None
+      else if (ap.charAt(0) == 'p' || ap.charAt(0) == 'P') h0 % 12 + 12
+      else h0 % 12
+    val zw = m.group("zw")
+    val zn = m.group("zn")
+    val off: Option[Int] =
+      if (m.group("zl") != null) Some(0)
+      else if (zw != null) {
+        // attached word zones are invalid directly after a time or am/pm
+        // token but fine after a date component ("...30GMT" and
+        // "10:20 pmGMT" are Invalid; "2023-05-04GMT" and
+        // "10:20 2023GMT" parse)
+        if (hasTime && py.isEmpty && !zw.charAt(0).isWhitespace)
+          return None
+        val zo = m.group("zo")
+        if (zo != null) legacyOffset(zo) match {
+          case Some(o) => Some(o)
+          case None    => return None
+        }
+        else Some(namedZoneMin(zw.trim.toUpperCase(Locale.ROOT)))
+      } else if (zn != null) {
+        if (!hasTime) return None
+        legacyOffset(zn) match {
+          case Some(o) => Some(o)
+          case None    => return None
+        }
+      } else None
+    Some((hAdj, num(m.group("mi")), num(m.group("sec")), py, off))
+  }
 
   /** Resolve a month-name form's two companion numbers to (year, day) by
     * value: with both present the 1-31 one is the day and the other the
-    * (mapped) year in first-wins order ("May 4 01" → day 4 year 2001,
-    * "May 2023 4" and "May 32 4" → year first, day second); with one, a
+    * (mapped) year in first-wins order ("May 4 01" -> day 4 year 2001,
+    * "May 2023 4" and "May 32 4" -> year first, day second); with one, a
     * 1-31 value is a day in 2001, anything else a year with day 1
-    * ("May 4" → 2001-05-04, "May 32" → 2032-05-01, "May 0" → 2000). */
+    * ("May 4" -> 2001-05-04, "May 32" -> 2032-05-01, "May 0" -> 2000). */
   private def nameFields(v2: Int, f3: String): (Int, Int) =
     if (f3 != null) {
       if (v2 >= 1 && v2 <= 31) (legacyYear(num(f3)), v2)
@@ -278,62 +345,69 @@ object JsDateReformat {
     def month(name: String): Option[Int] =
       if (name.length < 3) None
       else monthNum.get(name.take(3).toLowerCase(Locale.ENGLISH))
-    def legacy(y: Int, m: Int, d: Int, h: String, mi: String, sec: String,
-        ap: String, zl: String, zw: String, zn: String): Option[ZonedDateTime] =
-      legacyZone(zl, zw, zn, hasTime = h != null && h.nonEmpty) match {
-        case Left(_) => None
-        case Right(off) =>
-          // am/pm (probe-pinned): hour must be 0-12 ("13:20 pm" and
-          // "24:00 am" are Invalid); pm maps h%12+12 ("0:20 pm" and
-          // "12:20 pm" are 12:20), am maps h%12 ("12:20 am" is 0:20)
-          val h0 = num(h)
-          val hAdj =
-            if (ap == null || ap.isEmpty) Some(h0)
-            else if (h0 > 12) None
-            else if (ap.charAt(0) == 'p' || ap.charAt(0) == 'P') Some(h0 % 12 + 12)
-            else Some(h0 % 12)
-          hAdj.flatMap(hv => build(y, m, d, hv, num(mi), num(sec), off))
+    // a regex match commits to its branch: a semantic failure inside it
+    // is Invalid Date, never a fall-through to the next form
+    def numCase(m: scala.util.matching.Regex.Match): Option[ZonedDateTime] =
+      legacyTail(m).flatMap { case (h, mi, sec, py, off) =>
+        val f1 = m.group("f1")
+        if (f1.charAt(0) == '+' || f1.charAt(0) == '-') { // signed expanded year
+          if (py.isDefined) None
+          else build(f1.toInt, num(m.group("f2"), 1), num(m.group("f3"), 1),
+            h, mi, sec, off)
+        } else {
+          // positional components, the time transparent to them
+          // ("2023-05 10:20 04" === "2023-05-04 10:20"); 4 of them are
+          // one too many ("2023-05-04 10:20:30 2024" is Invalid)
+          val comps = Seq(f1) ++ Option(m.group("f2")) ++
+            Option(m.group("f3")) ++ py
+          if (comps.size > 3) None
+          else {
+            val v1 = num(comps.head)
+            val c2 = comps.lift(1)
+            val c3 = comps.lift(2)
+            if (v1 >= 1 && v1 <= 12) { // month-first: M[-d[-y]]
+              val y = c3.map(c => legacyYear(num(c))).getOrElse(2001)
+              build(y, v1, c2.map(num(_)).getOrElse(1), h, mi, sec, off)
+            } else if (v1 == 0 || v1 >= 32) // year-first: y[-m[-d]]
+              build(legacyYear(v1), c2.map(num(_)).getOrElse(1),
+                c3.map(num(_)).getOrElse(1), h, mi, sec, off)
+            else None // 13-31: a day with no month to attach to
+          }
+        }
+      }
+    def nameCase(m: scala.util.matching.Regex.Match): Option[ZonedDateTime] =
+      month(m.group("nm")).flatMap { mo =>
+        legacyTail(m).flatMap { case (h, mi, sec, py, off) =>
+          // companion numbers in order; with the name taking the month
+          // slot only two are used — a third is IGNORED, as V8's
+          // 3-slot composer does ("May 4 2023 10:20 2024" is 2023)
+          val f3 = Option(m.group("f3")).orElse(py).orNull
+          val (y, d) = nameFields(num(m.group("f2")), f3)
+          build(y, mo, d, h, mi, sec, off)
+        }
       }
     try s match {
       case isoTimeRe(y, m, d, h, mi, sec, zl, offH, offM) =>
-        // ES5 offsets: hour ≤ 23, minute ≤ 59 ("+24:00" is Invalid)
+        // ES5 offsets: hour <= 23, minute <= 59 ("+24:00" is Invalid)
         val off: Either[Unit, Option[Int]] =
           if (offH != null && offH.nonEmpty) {
             val oh = num(offH.substring(1))
             val om = num(offM)
             if (oh > 23 || om > 59) Left(())
-            else Right(Some((if (offH.head == '-') -1 else 1) * (oh * 60 + om)))
+            else Right(Some((if (offH.charAt(0) == '-') -1 else 1) * (oh * 60 + om)))
           } else if (zl != null && zl.nonEmpty) Right(Some(0))
           else Right(None)
         off match {
           case Left(_)  => None
           case Right(o) => build(num(y), num(m), num(d), num(h), num(mi), num(sec), o)
         }
-      case isoDateRe(y, m, d) => // literal year — no legacy mapping
+      case isoDateRe(y, m, d) => // literal year - no legacy mapping
         build(num(y), num(m, 1), num(d, 1), 0, 0, 0, None)
-      case numRe(f1, f2, f3, h, mi, sec, ap, zl, zw, zn) =>
-        if (f1.head == '+' || f1.head == '-') // signed expanded year
-          legacy(f1.toInt, num(f2, 1), num(f3, 1), h, mi, sec, ap, zl, zw, zn)
-        else {
-          val v1 = num(f1)
-          if (v1 >= 1 && v1 <= 12) { // month-first: M[-d[-y]]
-            val y = if (f3 == null) 2001 else legacyYear(num(f3))
-            legacy(y, v1, num(f2, 1), h, mi, sec, ap, zl, zw, zn)
-          } else if (v1 == 0 || v1 >= 32) // year-first: y[-m[-d]]
-            legacy(legacyYear(v1), num(f2, 1), num(f3, 1), h, mi, sec, ap, zl, zw, zn)
-          else None // 13-31: a day with no month to attach to
-        }
-      case nameDayRe(name, f2, f3, h, mi, sec, ap, zl, zw, zn) =>
-        month(name).flatMap { m =>
-          val (y, d) = nameFields(num(f2), f3)
-          legacy(y, m, d, h, mi, sec, ap, zl, zw, zn)
-        }
-      case dayNameRe(f1, name, f3, h, mi, sec, ap, zl, zw, zn) =>
-        month(name).flatMap { m =>
-          val (y, d) = nameFields(num(f1), f3)
-          legacy(y, m, d, h, mi, sec, ap, zl, zw, zn)
-        }
-      case _ => None
+      case _ =>
+        numRe.findFirstMatchIn(s).map(numCase)
+          .orElse(nameDayRe.findFirstMatchIn(s).map(nameCase))
+          .orElse(dayNameRe.findFirstMatchIn(s).map(nameCase))
+          .getOrElse(None)
     } catch { case _: Exception => None } // out-of-range fields etc.
   }
 }

@@ -33,7 +33,14 @@ class JsDateReformatSpec extends SparkSpec {
   private val residuals: Set[String] = Set(
     "- 2023-05-04",                       // leading-garbage tolerance
     "pm May 4 2023",                      // leading am/pm keyword tolerated
-    "May 4 2023 10:20 pm pm")             // duplicate am/pm tolerated
+    "GMT 2023-05-04",                     // leading zone word tolerated
+    "May 4 2023 10:20 pm pm",             // duplicate am/pm tolerated
+    // V8's token stream lets date components interleave the time
+    // arbitrarily; only one post-time component (the standard
+    // serialization shapes) is mirrored here
+    "May 4 10:20 23 24", "05 10:20 04 2023", "12 10:20 01 02",
+    "2023 10:20 05 04", "May 10:20 4 2023", "10:20 May 4 2023",
+    "May 4 (x) 2023")                     // mid-string parenthetical
 
   private def unescape(s: String): String =
     s.replace("\\t", "\t").replace("\\\\", "\\")
