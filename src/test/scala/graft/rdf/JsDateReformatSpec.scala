@@ -88,6 +88,21 @@ class JsDateReformatSpec extends SparkSpec {
     }
   }
 
+  test("parse is total and fast on adversarial inputs (no regex blowup)") {
+    val alphabet = "0123456789:+-., /TZGMTapmMay()".toCharArray
+    val rnd = new scala.util.Random(20260814)
+    val fuzz = Seq.fill(2000)(
+      (0 until (1 + rnd.nextInt(40)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString) ++ Seq(
+      "1," * 500, "1 " * 500, "(" * 200, ":" * 200, "-" * 200,
+      "9" * 200, "May " * 100, "pm " * 100, "2023-" * 100,
+      ("1," * 100) + "x", ("12345 " * 80) + ")")
+    val t0 = System.nanoTime()
+    fuzz.foreach(s => JsDateReformat.parse(s)) // must neither throw nor hang
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 10.0, f"fuzz band took $sec%.1f s — catastrophic backtracking?")
+  }
+
   test("committed corpus is current against this machine's node") {
     val script = Paths.get("scripts/probe-jsdate.js")
     val nodeBin = "which node".! == 0
