@@ -237,12 +237,40 @@ fuzz.push(
   '2023-05-04 10:20:30 (foo) x', '2023-05-04 10:20:30 (a) (b)',
   '2023-05-04 GMT (x)', '(2023-05-04)',
 );
+// everything before the first digit is skipped (last month word wins;
+// a signed 6-digit year is a number; a NON-month word attached to a
+// digit fails; an unclosed paren swallows the digits)
+fuzz.push(
+  'Xyz 1', 'xyz 1', 'Xyz, 1', 'Xyz 1 2023', 'Xyz 1 1 1', 'Xyz 13',
+  'Xyz May 4 2023', 'May Xyz 4 2023', 'hello world May 4 2023',
+  'x y z May 4', 'bonjour$ May 4 2023', 'Xyz 2023-05-04',
+  'Xyz 2023-05-04T10:20:30', 'hello, 2023-05-04', '$ 2023-05-04',
+  '## 2023-05-04', '+ 2023-05-04', '* 2023-05-04', '+2023-05-04',
+  '-2023-05-04', '--2023-05-04', 'Xyz-2023-05-04', '/2023-05-04',
+  '.2023-05-04', '%2023-05-04', ': 2023-05-04', 'EST 2023-05-04 10:20',
+  'GMT+0200 2023-05-04', 'May4', 'Jan4', 'Sept4 2023', 'Xyz4', 'Sat4',
+  'Xyz4 2023', 'x1y May 4 2023', 'a1 May 4', 'Maybe 4', 'May.4', 'May,4',
+  'Xyz. May 4', 'Xyz May4', '(x) May 4', '(x May 4', 'x(y May 4',
+  '1 Xyz', 'May 4 Xyz 2023', 'May 4 2023 Xyz', 'May--4', 'Sat Xyz May 4',
+);
 // V8's token stream lets date components interleave the time even more
-// freely — out-of-scope residuals, pinned so the ledger is checkable
+// freely, and month words REASSIGN mid-stream (last wins) — out-of-scope
+// residuals, pinned so the ledger is checkable
 fuzz.push(
   'May 4 10:20 23 24', '05 10:20 04 2023', '12 10:20 01 02',
   '2023 10:20 05 04', 'May 10:20 4 2023', '10:20 May 4 2023',
-  'May 4 (x) 2023', 'GMT 2023-05-04',
+  'May 4 (x) 2023', 'May 4 Jun 2023', '4 May Jun', 'Jun 4 May',
+);
+// attachment matrix: letter tokens attach to date components and
+// fractions but not to time fields or other words; Z also attaches to
+// time fields; sign tokens attach anywhere
+fuzz.push(
+  'May 4 10:20:30.5pm', 'May 4 10:20:30pm', 'May 4 10:20:30.5 pm',
+  'May 4 10:20:30.pm', 'May 4 10:20:30.5pmZ', 'May 4 10:20:30.5pm Z',
+  'May 4 10:20:30.5xyz', 'May 4 10:20:30.5GMT', 'May 4 10:20 2023pm',
+  'May 4 10:20 pm+02', 'May 4 10:20:30.5+02', 'May 4 10:20 2023Z',
+  'May 4 10:20 pmZ', 'May 4 10:20 pm Z', 'May 4 10:20:30.5Z',
+  'Sat, September 30 10:20:30.5pm Z',
 );
 // weekday prefixes: separated by . , or whitespace in any mix, possibly
 // repeated; a missing separator or a trailing weekday stays Invalid

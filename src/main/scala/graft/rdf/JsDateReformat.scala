@@ -192,14 +192,43 @@ object JsDateReformat {
   private def legacyYear(y: Int): Int =
     if (y < 50) 2000 + y else if (y < 100) 1900 + y else y
 
-  /** Leading weekday tokens (probe-pinned): any word starting with a
-    * weekday abbreviation, separated by `.`/`,`/whitespace in any mix
-    * ("Sat,May", "Sat. May", "sat,sun,May" all strip; "SatMay"/"Sat4"
-    * have no separator and stay, parsing as Invalid like node). Bare
-    * leading commas are tolerated too (",May 4 2023" parses in node). */
-  private val weekdayPrefix =
-    ("(?i)^[\\s,]*(?:(?:sun|mon|tue|wed|thu|fri|sat)[a-z]*" +
-      "(?:[.,][\\s,]*|[\\s,]+))*").r
+  /** V8's legacy parser skips EVERYTHING before the first digit —
+    * weekdays, unknown words, zone words (their offsets dropped:
+    * "EST 2023-05-04 10:20" parses at 10:20 plain), am/pm keywords,
+    * arbitrary symbols ("$ 2023-05-04", "-2023-05-04", "## ..." all
+    * parse) and parenthesized spans, which may swallow digits
+    * ("(x) May 4" parses, "(x May 4" and "(2023-05-04)" are Invalid) —
+    * while remembering the LAST month-name word seen ("Xyz May 4 2023"
+    * is May, "Jun 4" after a skipped "May" would be June). Exceptions:
+    * a signed SIX-digit expanded year ("+012023-01-01") is a number,
+    * not garbage, and a NON-month word attached directly to a digit is
+    * Invalid ("Xyz4"/"Sat4" fail while "Jan4"/"Sept4 2023" parse).
+    * Returns (rest-from-first-digit-or-signed-year, last month seen),
+    * or None for the attached-word failure. */
+  private def stripPrefix(s: String): Option[(String, Option[Int])] = {
+    var i = 0
+    var preMonth: Option[Int] = None
+    while (i < s.length && !s.charAt(i).isDigit) {
+      val c = s.charAt(i)
+      if (c == '(') {
+        val j = s.indexOf(')', i)
+        i = if (j < 0) s.length else j + 1
+      } else if (c.isLetter) {
+        val j0 = i
+        while (i < s.length && s.charAt(i).isLetter) i += 1
+        val w = s.substring(j0, i)
+        val m = if (w.length >= 3)
+          monthNum.get(w.take(3).toLowerCase(Locale.ENGLISH)) else None
+        if (m.isDefined) preMonth = m
+        else if (i < s.length && s.charAt(i).isDigit) return None
+      } else if ((c == '+' || c == '-') &&
+          i + 6 < s.length && (i + 1 to i + 6).forall(k => s.charAt(k).isDigit) &&
+          (i + 7 >= s.length || !s.charAt(i + 7).isDigit)) {
+        return Some((s.substring(i), preMonth)) // signed expanded year
+      } else i += 1
+    }
+    Some((s.substring(i), preMonth))
+  }
 
   // --- strict ES5/ISO parser (the only branch that takes a T separator;
   //     its date-only form wins over legacy for exact YYYY-MM[-DD]) ---
@@ -218,7 +247,7 @@ object JsDateReformat {
   // the time needs a whitespace/comma junction ("2023-05-04-10:20" is
   // Invalid while "2023-05-04, 10:20" and "May 4,10:20" parse)
   private val timePat =
-    "(?:[\\s,]+(?<h>\\d{1,2}):(?<mi>\\d{1,2})(?::(?<sec>\\d{1,2})(?:\\.\\d+)?)?)?"
+    "(?:[\\s,]+(?<h>\\d{1,2}):(?<mi>\\d{1,2})(?::(?<sec>\\d{1,2})(?<fr>\\.\\d+)?)?)?"
   // post-time tokens: a DETACHED case-insensitive am/pm ("10:20 pm"
   // parses, "10:20pm"/"10:20,pm" don't — hour bound + mapping in
   // legacyTail) and ONE more date component, in either order — the year
@@ -227,7 +256,7 @@ object JsDateReformat {
   // is IGNORED when the date already carried its year, mirroring V8's
   // 3-slot composer: "May 4 2023 10:20 2024" parses as 2023)
   private val postPat =
-    "(?:\\s+(?<apA>[AaPp][Mm]))?(?:[\\s,]+(?<py>\\d{1,9}))?(?:\\s+(?<apB>[AaPp][Mm]))?"
+    "(?<apA>\\s*[AaPp][Mm])?(?:[\\s,]+(?<py>\\d{1,9}))?(?<apB>\\s*[AaPp][Mm])?"
   // Z/z attach anywhere; zone WORDS capture their leading whitespace so
   // the attach-directly-after-a-time rule can be enforced in code
   // ("...30GMT" is Invalid, "2023-05-04GMT" parses) and take an optional
@@ -236,7 +265,7 @@ object JsDateReformat {
   // parses even date-only, while a BARE numeric offset still needs a
   // time); bare numeric offsets attach freely with lenient widths
   private val zonePat =
-    s"(?:\\s*(?<zl>[Zz])|(?<zw>\\s*(?i:$zoneWords))" +
+    s"(?:(?<zl>\\s*[Zz])|(?<zw>\\s*(?i:$zoneWords))" +
       "(?<zo>[+-]\\d{1,2}:\\d{1,2}|[+-]\\d{1,4})?|" +
       "\\s*(?<zn>[+-]\\d{1,2}:\\d{1,2}|[+-]\\d{1,4}))?"
   // trailing parentheticals, as in Date.prototype.toString's
@@ -254,14 +283,17 @@ object JsDateReformat {
   private val numRe =
     ("^(?<f1>[+-]\\d{6}|\\d{1,10})(?:" + junction + "(?<f2>\\d{1,10})(?:" +
       junction + "(?<f3>\\d{1,10}))?)?" + tailPat).r
-  // month-name forms: companion numbers route by value in code
-  // (1-31 -> day, else a year); missing year defaults to 2001
-  private val nameDayRe =
-    ("^(?<nm>[A-Za-z]+)\\.?" + junction + "(?<f2>\\d{1,9})(?:" + junction +
-      "(?<f3>\\d{1,9}))?" + tailPat).r
+  // day-first month-name form ("4 May 2023" — a month-led string is
+  // instead consumed by [[stripPrefix]] and lands in [[bareMonthRe]]);
+  // companion numbers route by value in code (1-31 -> day, else a
+  // year); a missing year defaults to 2001
   private val dayNameRe =
     ("^(?<f2>\\d{1,9})" + junction + "(?<nm>[A-Za-z]+)\\.?(?:" + junction +
       "(?<f3>\\d{1,9}))?" + tailPat).r
+  // the numeric remainder after a month name captured by [[stripPrefix]]
+  // ("May 4 2023", "Sept4 2023", "x y z May 4 10:20")
+  private val bareMonthRe =
+    ("^(?<f2>\\d{1,9})(?:" + junction + "(?<f3>\\d{1,9}))?" + tailPat).r
 
   /** Parse a captured numeric field; values beyond Int range clamp high
     * so the month/day/year bound checks reject them. */
@@ -272,42 +304,55 @@ object JsDateReformat {
       if (v > Int.MaxValue) Int.MaxValue else v.toInt
     }
 
-  /** Resolve the shared legacy tail of a match — time, am/pm tokens, the
-    * asctime post-time component, zone — to (hour, minute, second,
-    * post-component, offset-minutes), or None for Invalid Date: two
-    * am/pm tokens, am/pm without a time or with hour > 12, a zone word
-    * attached directly after a time, a bare numeric offset without a
-    * time, or an out-of-range offset. */
+  /** Resolve the shared legacy tail of a match — time (with fraction),
+    * am/pm tokens, the asctime post-time component, zone — to (hour,
+    * minute, second, post-component, offset-minutes), or None for
+    * Invalid Date: duplicate am/pm, am/pm without a time or with
+    * hour > 12, an illegal attachment (see the letter/sign token rules
+    * in the body), a bare numeric offset without a time, or an
+    * out-of-range offset. */
   private def legacyTail(m: scala.util.matching.Regex.Match):
       Option[(Int, Int, Int, Option[String], Option[Int])] = {
     val h = m.group("h")
     val hasTime = h != null
+    val frac = m.group("fr") != null
     val py = Option(m.group("py"))
     val apA = m.group("apA")
     val apB = m.group("apB")
-    if (apA != null && apB != null) return None
-    val ap = if (apA != null) apA else apB
-    if (ap != null && !hasTime) return None
+    if (apA != null && apB != null) return None // duplicate am/pm
+    val apRaw = if (apA != null) apA else apB
+    if (apRaw != null && !hasTime) return None
+    def attached(t: String) = t != null && !t.charAt(0).isWhitespace
+    // LETTER tokens attach to date components and fractions but not to
+    // time fields or other words; single-letter Z also attaches to time
+    // fields; SIGN tokens attach anywhere (probe-pinned:
+    // "10:20:30.5pm", "10:20 2023pm", "10:20:30Z", "pm+02" parse;
+    // "10:20pm", "10:20:30GMT", "pmZ", "pmGMT" are Invalid)
+    if (apA != null && attached(apA) && !frac) return None
     // am/pm (probe-pinned): hour must be 0-12 ("13:20 pm" and
     // "24:00 am" are Invalid); pm maps h%12+12 ("0:20 pm" and
     // "12:20 pm" are 12:20), am maps h%12 ("12:20 am" is 0:20)
     val h0 = num(h)
     val hAdj =
-      if (ap == null) h0
+      if (apRaw == null) h0
       else if (h0 > 12) return None
-      else if (ap.charAt(0) == 'p' || ap.charAt(0) == 'P') h0 % 12 + 12
-      else h0 % 12
+      else {
+        val c = apRaw.trim.charAt(0)
+        if (c == 'p' || c == 'P') h0 % 12 + 12 else h0 % 12
+      }
+    // what the zone token would attach to: a word (am/pm), a date
+    // component, or a bare time field
+    val lastIsWord = apB != null || (apA != null && py.isEmpty)
+    val lastIsTimeField = hasTime && apRaw == null && py.isEmpty && !frac
+    val zl = m.group("zl")
     val zw = m.group("zw")
     val zn = m.group("zn")
     val off: Option[Int] =
-      if (m.group("zl") != null) Some(0)
-      else if (zw != null) {
-        // attached word zones are invalid directly after a time or am/pm
-        // token but fine after a date component ("...30GMT" and
-        // "10:20 pmGMT" are Invalid; "2023-05-04GMT" and
-        // "10:20 2023GMT" parse)
-        if (hasTime && py.isEmpty && !zw.charAt(0).isWhitespace)
-          return None
+      if (zl != null) {
+        if (attached(zl) && lastIsWord) return None
+        Some(0)
+      } else if (zw != null) {
+        if (attached(zw) && (lastIsWord || lastIsTimeField)) return None
         val zo = m.group("zo")
         if (zo != null) legacyOffset(zo) match {
           case Some(o) => Some(o)
@@ -340,7 +385,7 @@ object JsDateReformat {
   /** Emulates `new Date(value)` for the supported subset; fields are read
     * in UTC (see class doc). Returns None for JS "Invalid Date". */
   def parse(raw: String): Option[ZonedDateTime] = {
-    val s = weekdayPrefix.replaceFirstIn(raw.trim, "")
+    val s = raw.trim
     if (s.isEmpty) return None
     def month(name: String): Option[Int] =
       if (name.length < 3) None
@@ -404,10 +449,26 @@ object JsDateReformat {
       case isoDateRe(y, m, d) => // literal year - no legacy mapping
         build(num(y), num(m, 1), num(d, 1), 0, 0, 0, None)
       case _ =>
-        numRe.findFirstMatchIn(s).map(numCase)
-          .orElse(nameDayRe.findFirstMatchIn(s).map(nameCase))
-          .orElse(dayNameRe.findFirstMatchIn(s).map(nameCase))
-          .getOrElse(None)
+        // the strict ES5 branches above see the ORIGINAL string (node:
+        // "Xyz 2023-05-04T10:20:30" is Invalid); only the legacy parser
+        // tolerates a garbage prefix
+        stripPrefix(s).flatMap { case (rest, preMonth) =>
+          if (rest.isEmpty) None
+          else preMonth match {
+            case Some(mo) =>
+              bareMonthRe.findFirstMatchIn(rest).map { m =>
+                legacyTail(m).flatMap { case (h, mi, sec, py, off) =>
+                  val f3 = Option(m.group("f3")).orElse(py).orNull
+                  val (y, d) = nameFields(num(m.group("f2")), f3)
+                  build(y, mo, d, h, mi, sec, off)
+                }
+              }.getOrElse(None)
+            case None =>
+              numRe.findFirstMatchIn(rest).map(numCase)
+                .orElse(dayNameRe.findFirstMatchIn(rest).map(nameCase))
+                .getOrElse(None)
+          }
+        }
     } catch { case _: Exception => None } // out-of-range fields etc.
   }
 }

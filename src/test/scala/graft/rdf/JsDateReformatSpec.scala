@@ -31,16 +31,16 @@ class JsDateReformatSpec extends SparkSpec {
     * Invalid here but parses in node; see the residual note in the
     * JsDateReformat scaladoc. */
   private val residuals: Set[String] = Set(
-    "- 2023-05-04",                       // leading-garbage tolerance
-    "pm May 4 2023",                      // leading am/pm keyword tolerated
-    "GMT 2023-05-04",                     // leading zone word tolerated
     "May 4 2023 10:20 pm pm",             // duplicate am/pm tolerated
     // V8's token stream lets date components interleave the time
     // arbitrarily; only one post-time component (the standard
     // serialization shapes) is mirrored here
     "May 4 10:20 23 24", "05 10:20 04 2023", "12 10:20 01 02",
     "2023 10:20 05 04", "May 10:20 4 2023", "10:20 May 4 2023",
-    "May 4 (x) 2023")                     // mid-string parenthetical
+    "May 4 (x) 2023",                     // mid-string parenthetical
+    // month words reassign mid-stream in node (last wins); a single
+    // month slot is mirrored here
+    "May 4 Jun 2023", "4 May Jun", "Jun 4 May")
 
   private def unescape(s: String): String =
     s.replace("\\t", "\t").replace("\\\\", "\\")
@@ -101,6 +101,73 @@ class JsDateReformatSpec extends SparkSpec {
     fuzz.foreach(s => JsDateReformat.parse(s)) // must neither throw nor hang
     val sec = (System.nanoTime() - t0) / 1e9
     assert(sec < 10.0, f"fuzz band took $sec%.1f s — catastrophic backtracking?")
+  }
+
+  test("live differential fuzz: 400 seeded date variants agree with node") {
+    assume("which node".! == 0, "node not on PATH — live fuzz skipped")
+    val rnd = new scala.util.Random(20260816)
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+    val years = Seq("2023", "0023", "99", "0", "13", "31", "32", "999",
+      "12345", "0000", "275761")
+    val months = Seq("1", "01", "5", "12", "13", "0", "005")
+    val days = Seq("1", "4", "04", "30", "31", "32", "0", "40")
+    val seps = Seq("-", "/", ".", " ", ", ")
+    val names = Seq("May", "may", "Sept", "September", "Juneish", "Ma", "Xyz", "Jan.")
+    val times = Seq("", " 10:20", " 3:7", " 10:20:30", " 24:00", " 23:60",
+      " 10:20:30.5", ",10:20")
+    val ampm = Seq("", " am", " pm", " PM", "pm")
+    val zones = Seq("", "Z", " Z", " GMT", "GMT", " EST", " +02:00", "+0200",
+      " +2", " -99", " +2:60", " GMT+0200", " UTC+2", " (x)", " Z (a) (b")
+    val wds = Seq("", "Sat ", "Sat, ", "sat.","Tue,")
+    def numeric() = {
+      val s1 = pick(seps); val s2 = pick(seps)
+      pick(Seq(
+        s"${pick(years)}$s1${pick(months)}$s2${pick(days)}",
+        s"${pick(months)}$s1${pick(days)}$s2${pick(years)}",
+        s"${pick(years)}$s1${pick(months)}",
+        s"${pick(months)}$s1${pick(days)}",
+        pick(years)))
+    }
+    def named() = pick(Seq(
+      s"${pick(names)} ${pick(days)} ${pick(years)}",
+      s"${pick(names)} ${pick(days)}",
+      s"${pick(days)} ${pick(names)} ${pick(years)}",
+      s"${pick(names)}${pick(seps)}${pick(days)}${pick(seps)}${pick(years)}"))
+    val fuzz = (0 until 400).map { i =>
+      val base = if (i % 3 == 0) named() else numeric()
+      s"${pick(wds)}$base${pick(times)}${pick(ampm)}${pick(zones)}"
+    }.distinct
+    // node oracle: same field logic as scripts/probe-jsdate.js
+    val js = "const us=JSON.parse(require('fs').readFileSync(0,'utf8'));" +
+      "const f=(d,t)=>{if(isNaN(d.getTime()))return'N';" +
+      "const m=d.getMonth()<9?`0${d.getMonth()+1}`:`${d.getMonth()+1}`;" +
+      "const dd=`${d.getFullYear()}-${m}-${d.getDate()}`;" +
+      "return t?`${dd}T${d.getHours()}:${d.getMinutes()}:${d.getSeconds()}`:dd};" +
+      "for(const u of us){const d=new Date(u);console.log(f(d,false)+'|'+f(d,true))}"
+    val in = new java.io.ByteArrayInputStream(
+      fuzz.map(u => "\"" + u.replace("\\", "\\\\") + "\"")
+        .mkString("[", ",", "]").getBytes("UTF-8"))
+    val out = new StringBuilder
+    // TZ pinned to UTC for the child: the emulation reads fields in UTC
+    val code = (Process(Seq("node", "-e", js), None, "TZ" -> "UTC") #< in)
+      .!(ProcessLogger(l => out.append(l).append('\n'), Console.err.println(_)))
+    assert(code == 0, "node fuzz oracle failed")
+    val nodeOut = out.toString.split("\n")
+    assert(nodeOut.length == fuzz.size)
+    fuzz.zip(nodeOut).foreach { case (input, expect) =>
+      val Array(ed, edt) = expect.split("\\|", -1)
+      val got = JsDateReformat.parse(input)
+      val gd = got.map { z =>
+        val m = if (z.getMonthValue <= 9) f"0${z.getMonthValue}%d" else z.getMonthValue.toString
+        s"${z.getYear}-$m-${z.getDayOfMonth}"
+      }.getOrElse("N")
+      val gdt = got.map { z =>
+        val m = if (z.getMonthValue <= 9) f"0${z.getMonthValue}%d" else z.getMonthValue.toString
+        s"${z.getYear}-$m-${z.getDayOfMonth}T${z.getHour}:${z.getMinute}:${z.getSecond}"
+      }.getOrElse("N")
+      assert(gd == ed && gdt == edt,
+        s"live fuzz: '$input' mirror ($gd, $gdt), node ($ed, $edt)")
+    }
   }
 
   test("committed corpus is current against this machine's node") {

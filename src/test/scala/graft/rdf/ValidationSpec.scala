@@ -216,6 +216,52 @@ class ValidationSpec extends SparkSpec {
     }
   }
 
+  test("live differential fuzz: 250 seeded URL variants agree with node") {
+    import scala.sys.process._
+    assume("which node".! == 0, "node not on PATH — live fuzz skipped")
+    val rnd = new scala.util.Random(20260815)
+    val labels = Seq("a", "ex", "www", "opengis", "a-b", "x9", "3d", "0x7f",
+      "255", "256", "1", "foo", "a%41b", "a%2Fb", "a%zz", "xn--a")
+    def label() = labels(rnd.nextInt(labels.size))
+    def host() = (0 until (1 + rnd.nextInt(3))).map(_ => label()).mkString(".")
+    val ports = Seq("", ":80", ":0", ":000080", ":65535", ":65536", ":99999",
+      ":8a", ":", ":0000800000")
+    val tails = Seq("", "/", "/a/b?q=1#f", "/x y", "#f", "?q", "\\p")
+    val brackets = Seq("[::1]", "[1:2:3:4:5:6:7:8]", "[::ffff:1.2.3.4]",
+      "[:::]", "[::1.2.3.04]", "[1:2:3:4:5:6:7]", "[12345::]")
+    val fuzz = (0 until 200).map { i =>
+      val h = if (i % 9 == 0) brackets(rnd.nextInt(brackets.size)) else host()
+      val u = if (i % 7 == 3) "user@" else if (i % 7 == 5) "a@b@" else ""
+      s"http://$u$h${ports(rnd.nextInt(ports.size))}${tails(rnd.nextInt(tails.size))}"
+    } ++ (0 until 50).map { _ => // pure label soup, no structure guarantees
+      "http://" + (0 until (1 + rnd.nextInt(4)))
+        .map(_ => label()).mkString(".") + tails(rnd.nextInt(tails.size))
+    }
+    val distinctFuzz = fuzz.distinct
+    // node verdicts in one process: read URLs as JSON, print ok/throw
+    val js = "const us=JSON.parse(require('fs').readFileSync(0,'utf8'));" +
+      "for(const u of us){let r='throw';try{new URL(u);r='ok'}catch(e){};console.log(r)}"
+    val in = new java.io.ByteArrayInputStream(
+      distinctFuzz.map(u => "\"" + u.replace("\\", "\\\\") + "\"")
+        .mkString("[", ",", "]").getBytes("UTF-8"))
+    val out = new StringBuilder
+    val code = (Process(Seq("node", "-e", js)) #< in)
+      .!(ProcessLogger(l => out.append(l).append('\n'), Console.err.println(_)))
+    assert(code == 0, "node fuzz oracle failed")
+    val nodeOk = out.toString.split("\n").map(_ == "ok")
+    assert(nodeOk.length == distinctFuzz.size)
+    val mirror = distinctFuzz.toDF("u")
+      .select($"u", Validation.isJsParseableUrl($"u").as("p"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val known = urlResiduals // documented divergences excluded
+    distinctFuzz.zip(nodeOk).filterNot { case (u, _) =>
+      known.contains(u) || known.contains(u + "/") ||
+        u.contains("xn--") // IDNA residual class
+    }.foreach { case (u, ok) =>
+      assert(mirror(u) == ok, s"live fuzz: '$u' mirror ${mirror(u)}, node $ok")
+    }
+  }
+
   test("committed URL corpus is current against this machine's node") {
     import scala.sys.process._
     val script = java.nio.file.Paths.get("scripts/probe-jsurl.js")
