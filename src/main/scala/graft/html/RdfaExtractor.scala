@@ -181,7 +181,11 @@ object RdfaExtractor {
       ctx = ctx.copy(prefixes = ctx.prefixes ++ xmlnsPrefixes)
     e.attr("prefix").foreach { p =>
       ctx = ctx.copy(prefixes = ctx.prefixes ++ parsePrefixAttr(p)) }
-    e.attr("vocab").foreach(v => ctx = ctx.copy(vocab = Some(v.trim)))
+    // Core §7.5 step 2: an EMPTY @vocab resets the in-scope vocabulary
+    // to the host default (none for HTML) — bare terms below it drop
+    // again instead of resolving against the inherited vocab
+    e.attr("vocab").foreach(v => ctx = ctx.copy(
+      vocab = if (v.trim.isEmpty) None else Some(v.trim)))
     e.attr("xml:lang").orElse(e.attr("lang"))
       .foreach(l => ctx = ctx.copy(lang = if (l.isEmpty) None else Some(l)))
 
