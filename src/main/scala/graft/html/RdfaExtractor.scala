@@ -190,8 +190,12 @@ object RdfaExtractor {
       .foreach(l => ctx = ctx.copy(lang = if (l.isEmpty) None else Some(l)))
 
     val about = e.attr("about").flatMap(resolveResource(_, ctx))
-    val resource = e.attr("resource").orElse(e.attr("href"))
-      .orElse(e.attr("src")).flatMap(resolveResource(_, ctx))
+    // Core §7.5 priority chain: @resource, else @href, else @src — an
+    // IGNORED @resource (unresolvable safe CURIE) falls through to
+    // @href rather than suppressing the object entirely
+    val resource = e.attr("resource").flatMap(resolveResource(_, ctx))
+      .orElse(e.attr("href").flatMap(resolveResource(_, ctx)))
+      .orElse(e.attr("src").flatMap(resolveResource(_, ctx)))
     val properties = e.attr("property").toSeq
       .flatMap(_.trim.split("\\s+")).flatMap(resolveIri(_, ctx))
     val typeofs = e.attr("typeof").map(_.trim.split("\\s+").toSeq
