@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   *   - `geosparql:wktLiteral` only requires an embedded `<http…>` CRS URL,
   *     if present, to use the `http:` scheme (validateTriple.js:71-90).
   *
-  * Everything here composes from built-ins (`when`/`rlike`/`isin`) so the
-  * whole cascade stays inside whole-stage codegen — no UDF boundary, which
-  * matters when this runs over 100 TB of extracted triples.
+  * Everything here composes from built-ins (`when`/`rlike`/`isin`) with
+  * no UDF boundary, which matters when this runs over 100 TB of
+  * extracted triples. The bulk path stays inside whole-stage codegen;
+  * the one exception is the URL mirror's IPv4/IPv6 branch, whose
+  * higher-order array functions are CodegenFallback — it sits behind
+  * the codegen'd fast-accept regex ([[Validation.isJsParseableUrl]])
+  * and short-circuits away for every real-world CRS row.
   */
 object Validation {
 
