@@ -65,7 +65,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         val a = arity("bloom_might_contain", 2)(args)
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(a(0), a(1))
-      }))
+      }),
+    (FunctionIdentifier("js_date_reformat"),
+      info("js_date_reformat",
+        "js_date_reformat(value) - reformat a date lexical form the way " +
+          "the reference repair stage's JS `new Date` round-trip does " +
+          "(node-corpus-pinned emulation); NULL for Invalid Date."),
+      (args: Seq[Expression]) =>
+        graft.rdf.JsDateReformat(arity("js_date_reformat", 1)(args).head,
+          withTime = false)),
+    (FunctionIdentifier("js_datetime_reformat"),
+      info("js_datetime_reformat",
+        "js_datetime_reformat(value) - dateTime twin of js_date_reformat " +
+          "(unpadded H:m:s tail, fixTriple.js:197-214)."),
+      (args: Seq[Expression]) =>
+        graft.rdf.JsDateReformat(arity("js_datetime_reformat", 1)(args).head,
+          withTime = true)))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     functions.foreach(ext.injectFunction)

@@ -57,6 +57,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
         bytes.map(b => f"$b%02x").mkString("X'", "", "'")}, xxhash64(t))")
       .as[String].collect()
     assert(hits.toSeq == Seq("seen text"), hits.toSeq)
+
+    val jsDate = s.sql("SELECT js_date_reformat('2023/05/04')").as[String].head()
+    assert(jsDate == "2023-05-4")
+    val jsDateTime = s.sql(
+      "SELECT js_datetime_reformat('Sat May 4 10:20:30 2023')").as[String].head()
+    assert(jsDateTime == "2023-05-4T10:20:30")
+    val jsInvalid = s.sql("SELECT js_date_reformat('13-01-02')").head()
+    assert(jsInvalid.isNullAt(0))
   }
 
   test("cosine_similarity keeps double-array precision (no float narrowing)") {
