@@ -346,14 +346,25 @@ object RdfaExtractor {
           case Some(dt) if dt == Vocab.rdfHTML || dt == Vocab.rdfXMLLiteral =>
             Term.typed(e.innerHtml, dt)
           case Some(dt) if dt.nonEmpty =>
-            val value = e.attr("content").orElse(e.attr("datetime"))
+            // @datetime substitutes for the text content only on TIME
+            // elements (HTML+RDFa §3.1)
+            val value = e.attr("content")
+              .orElse(e.attr("datetime").filter(_ => e.tag == "time"))
               .getOrElse(e.text)
             Term.typed(value, dt)
           case Some(_) => // datatype="" → plain literal
             plainLiteral(e.attr("content").getOrElse(e.text), ctx)
           case None =>
+            // HTML+RDFa §3.1: the datetime rule is scoped to TIME
+            // elements, and a <time> WITHOUT @datetime still
+            // datatype-infers its text content
+            // (<time property>2012-03-18</time> is an xsd:date literal)
+            val timeValue =
+              if (e.tag == "time")
+                e.attr("datetime").orElse(Some(e.text.trim))
+              else None
             e.attr("content").map(plainLiteral(_, ctx))
-              .orElse(e.attr("datetime").map(dtv =>
+              .orElse(timeValue.map(dtv =>
                 Term.typed(dtv, inferDatetimeDatatype(dtv))))
               // Core §7.5 step 11: @resource/@href/@src become the
               // property's object ONLY when @rel/@rev are absent — with
