@@ -248,13 +248,14 @@ object JsDateReformat {
   // Invalid while "2023-05-04, 10:20" and "May 4,10:20" parse)
   private val timePat =
     "(?:[\\s,]+(?<h>\\d{1,2}):(?<mi>\\d{1,2})(?::(?<sec>\\d{1,2})(?<fr>\\.\\d+)?)?)?"
-  // post-time tokens: a DETACHED case-insensitive am/pm ("10:20 pm"
-  // parses, "10:20pm"/"10:20,pm" don't — hour bound + mapping in
-  // legacyTail) and ONE more date component, in either order — the year
-  // slot of asctime-style serializations ("Sat May 4 10:20:30 2023",
-  // "May 4 10:20 2023 pm", "12-01 10:20 2023" all parse; the component
-  // is IGNORED when the date already carried its year, mirroring V8's
-  // 3-slot composer: "May 4 2023 10:20 2024" parses as 2023)
+  // post-time tokens: a case-insensitive am/pm (attachment and hour
+  // rules in legacyTail: "10:20 pm" and "10:20:30.5pm" parse,
+  // "10:20pm"/"10:20,pm" don't) and ONE more date component, in either
+  // order — the year slot of asctime-style serializations
+  // ("Sat May 4 10:20:30 2023", "May 4 10:20 2023 pm",
+  // "12-01 10:20 2023" all parse; the component is IGNORED when the
+  // date already carried its year, mirroring V8's 3-slot composer:
+  // "May 4 2023 10:20 2024" parses as 2023)
   private val postPat =
     "(?<apA>\\s*[AaPp][Mm])?(?:[\\s,]+(?<py>\\d{1,9}))?(?<apB>\\s*[AaPp][Mm])?"
   // Z/z attach anywhere; zone WORDS capture their leading whitespace so
