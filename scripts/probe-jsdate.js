@@ -272,6 +272,25 @@ fuzz.push(
   'May 4 10:20 pmZ', 'May 4 10:20 pm Z', 'May 4 10:20:30.5Z',
   'Sat, September 30 10:20:30.5pm Z',
 );
+// demotion: out-of-range / 3+-digit minutes, seconds and offset-minutes
+// fall back into the date-component stream; a dot-number after a demoted
+// field fills the next empty time slot; the hour never demotes
+fuzz.push(
+  'May 4 10:20:60', 'May 4 10:60', 'May 4 10:60:30', 'May 4 10:20:75',
+  'May 4 10:123', '12-01 10:20:60', 'May 4 10:20 +02:60',
+  'May 4 10:20:60 99', 'May 4 99 10:20:60', 'May 4 10:20:60.5',
+  '2023-05 10:20:60', 'May 4 10:60 pm', 'May 4 10:20:60 pm',
+  'May 4 60:20', 'May 4 10:20 +02:123', '2023-05-04 10:20 +02:60',
+  'May 4 10:60 +02', 'May 4 10:123.5', 'May 4 10:20:60.75',
+  'May 4 10:20:60.5.3',
+  // sign attached to a trailing component is a separator, not a zone
+  'Jan4 10:20:30.5 99-0500', '12-01 10:20:30 99-0500',
+  'May 4 10:20 99-0500', 'May 4 10:20 2023-12', 'May 4 10:20 99 -0500',
+  // letter tokens attach to demoted COMPONENTS but not to slot-fillers
+  'May 4 10:20:60pm', 'May 4 10:123pm', 'May 4 10:123.5 pm',
+  'May 4 10:20:60GMT', 'May 4 10:123.5GMT', 'May 4 10:20:60.5 pm',
+  'May 4 10:123.5pm', 'May 4 10:20:60.5pm',
+);
 // weekday prefixes: separated by . , or whitespace in any mix, possibly
 // repeated; a missing separator or a trailing weekday stays Invalid
 fuzz.push(

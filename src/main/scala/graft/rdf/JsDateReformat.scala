@@ -60,7 +60,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *     takes a detached case-insensitive am/pm suffix with hour 0-12
   *     ("10:20 pm" is 22:20, "12:20 am" is 0:20, "0:20 pm" is 12:20;
   *     "10:20pm" and "13:20 pm" are Invalid). Times are 1-2-digit
-  *     fields with optional fraction. Zones: `Z`/`z` attach anywhere;
+  *     fields with optional fraction; an out-of-range or 3+-digit
+  *     minute/second/offset-minute DEMOTES to a date component
+  *     ("May 4 10:20:60" is year 1960 at 10:20, "10:20 +02:60" is zone
+  *     +02 with component 60) and a dot-number after a demoted field
+  *     fills the next empty time slot ("10:123.5" is 10:05:00); a sign
+  *     ATTACHED to a trailing component is a separator, not a zone
+  *     ("Jan4 10:20 99-0500" has components 99/500). Zones: `Z`/`z`
+  *     attach anywhere;
   *     the zone WORDS (GMT/UT/UTC and the US abbreviations
   *     EST/EDT/CST/CDT/MST/MDT/PST/PDT, any case, with their real
   *     offsets) attach after a bare date ("2023-05-04PST") but need a
@@ -136,7 +143,11 @@ object JsDateReformat {
   //     "2023-1-40" → Invalid);
   //   - hour 0-24 where 24 requires :00(:00) and rolls to the next day
   //     ("2023-1-1 24:00" → Jan 2, "2023-05-04T24:00" → May 5);
-  //     minute/second are strict 0-59 ("23:60" → Invalid).
+  //     minute/second reaching build() are 0-59 — the legacy grammar
+  //     DEMOTES out-of-range values to date components before this
+  //     ("May 4 10:20:60" is year 1960; the strict T forms and
+  //     3-component dates still reject: "2023-05-04T23:60" and
+  //     "2023-05 10:20:60" are Invalid).
   private def build(y: Int, m: Int, d: Int, h: Int, mi: Int, sec: Int,
       offsetMin: Option[Int]): Option[ZonedDateTime] = {
     if (m < 1 || m > 12 || d < 1 || d > 31 || h < 0 || h > 24 ||
@@ -158,17 +169,25 @@ object JsDateReformat {
 
   /** Legacy-parser numeric offset: `±H[H][:M[M]]` (hour unbounded,
     * minute ≤ 59: "+2:3" → +02:03, "-99" parses) or colon-less `±HMM` /
-    * `±HHMM` ("+020" → +00:20, "+2459" → +24:59). None = Invalid Date. */
-  private def legacyOffset(tok: String): Option[Int] = {
+    * `±HHMM` ("+020" → +00:20, "+2459" → +24:59). An out-of-range or
+    * 3+-digit colon-minute DEMOTES to a date component with the hour
+    * part kept as the zone ("10:20 +02:60" is zone +02 with component
+    * 60 → year 1960; "+02:123" yields component 123). Colon-less
+    * minutes > 59 stay Invalid. Returns (offset-minutes, demoted
+    * component) or None for Invalid Date. */
+  private def parseOffset(tok: String): Option[(Int, Option[String])] = {
     val sign = if (tok.head == '-') -1 else 1
     val body = tok.tail
-    val (h, m) =
-      if (body.contains(":")) {
-        val Array(a, b) = body.split(":")
-        (a.toInt, b.toInt)
-      } else if (body.length <= 2) (body.toInt, 0)
-      else (body.toInt / 100, body.toInt % 100)
-    if (m > 59) None else Some(sign * (h * 60 + m))
+    if (body.contains(":")) {
+      val Array(a, b) = body.split(":")
+      if (b.length > 2 || b.toInt > 59) Some((sign * a.toInt * 60, Some(b)))
+      else Some((sign * (a.toInt * 60 + b.toInt), None))
+    } else {
+      val (h, m) =
+        if (body.length <= 2) (body.toInt, 0)
+        else (body.toInt / 100, body.toInt % 100)
+      if (m > 59) None else Some((sign * (h * 60 + m), None))
+    }
   }
 
   /** Zone words the legacy parser resolves, with real offsets in
@@ -245,9 +264,19 @@ object JsDateReformat {
   // "May 4 - 2023" are Invalid)
   private val junction = "(?:[-/.]|[\\s,]+)"
   // the time needs a whitespace/comma junction ("2023-05-04-10:20" is
-  // Invalid while "2023-05-04, 10:20" and "May 4,10:20" parse)
+  // Invalid while "2023-05-04, 10:20" and "May 4,10:20" parse). An
+  // out-of-range or 3+-digit minute/second DEMOTES to a date component
+  // instead of failing ("May 4 10:20:60" is year 1960 at 10:20,
+  // "May 4 10:60" is 1960 at 10:00, "May 4 10:123" year 123), and a
+  // dot-number after a demoted field fills the NEXT empty time slot
+  // ("10:123.5" is 10:05:00, "10:20:60.5" is 10:20:05); the hour never
+  // demotes ("May 4 60:20" is Invalid)
   private val timePat =
-    "(?:[\\s,]+(?<h>\\d{1,2}):(?<mi>\\d{1,2})(?::(?<sec>\\d{1,2})(?<fr>\\.\\d+)?)?)?"
+    "(?:[\\s,]+(?<h>\\d{1,2}):" +
+      "(?:(?<mi>[0-5]?\\d)(?!\\d)" +
+        "(?::(?:(?<sec>[0-5]?\\d)(?!\\d)(?<fr>\\.\\d+)?|" +
+          "(?<secd>\\d{1,9})(?:\\.(?:(?<fsec>[0-5]?\\d)(?!\\d)|(?<fsecd>\\d{1,9})))?))?" +
+      "|(?<mid>\\d{1,9})(?:\\.(?:(?<fmin>[0-5]?\\d)(?!\\d)|(?<fmind>\\d{1,9})))?))?"
   // post-time tokens: a case-insensitive am/pm (attachment and hour
   // rules in legacyTail: "10:20 pm" and "10:20:30.5pm" parse,
   // "10:20pm"/"10:20,pm" don't) and ONE more date component, in either
@@ -256,8 +285,13 @@ object JsDateReformat {
   // "12-01 10:20 2023" all parse; the component is IGNORED when the
   // date already carried its year, mirroring V8's 3-slot composer:
   // "May 4 2023 10:20 2024" parses as 2023)
+  // the post-time component may itself be a -/.-joined run: a sign
+  // ATTACHED to a trailing component is a separator, not a zone
+  // ("Jan4 10:20 99-0500" has components 99 and 500 — the named-month
+  // composer ignores the third — while a DETACHED "-0500" stays a zone)
   private val postPat =
-    "(?<apA>\\s*[AaPp][Mm])?(?:[\\s,]+(?<py>\\d{1,9}))?(?<apB>\\s*[AaPp][Mm])?"
+    "(?<apA>\\s*[AaPp][Mm])?" +
+      "(?:[\\s,]+(?<py>\\d{1,9}(?:[-/.]\\d{1,9}){0,2}))?(?<apB>\\s*[AaPp][Mm])?"
   // Z/z attach anywhere; zone WORDS capture their leading whitespace so
   // the attach-directly-after-a-time rule can be enforced in code
   // ("...30GMT" is Invalid, "2023-05-04GMT" parses) and take an optional
@@ -267,8 +301,8 @@ object JsDateReformat {
   // time); bare numeric offsets attach freely with lenient widths
   private val zonePat =
     s"(?:(?<zl>\\s*[Zz])|(?<zw>\\s*(?i:$zoneWords))" +
-      "(?<zo>[+-]\\d{1,2}:\\d{1,2}|[+-]\\d{1,4})?|" +
-      "\\s*(?<zn>[+-]\\d{1,2}:\\d{1,2}|[+-]\\d{1,4}))?"
+      "(?<zo>[+-]\\d{1,2}:\\d{1,9}|[+-]\\d{1,4})?|" +
+      "\\s*(?<zn>[+-]\\d{1,2}:\\d{1,9}|[+-]\\d{1,4}))?"
   // trailing parentheticals, as in Date.prototype.toString's
   // "(Coordinated Universal Time)": any number at the END, last one may
   // be unclosed; content never nests ("(a) (b)" and "(x" parse,
@@ -305,18 +339,32 @@ object JsDateReformat {
       if (v > Int.MaxValue) Int.MaxValue else v.toInt
     }
 
-  /** Resolve the shared legacy tail of a match — time (with fraction),
-    * am/pm tokens, the asctime post-time component, zone — to (hour,
-    * minute, second, post-component, offset-minutes), or None for
-    * Invalid Date: duplicate am/pm, am/pm without a time or with
-    * hour > 12, an illegal attachment (see the letter/sign token rules
-    * in the body), a bare numeric offset without a time, or an
-    * out-of-range offset. */
+  /** Resolve the shared legacy tail of a match — time (with fraction
+    * and demoted fields), am/pm tokens, trailing date components, zone
+    * — to (hour, minute, second, trailing-components-in-order,
+    * offset-minutes), or None for Invalid Date: duplicate am/pm, am/pm
+    * without a time or with hour > 12, an illegal attachment (see the
+    * letter/sign token rules in the body), a bare numeric offset
+    * without a time, or an out-of-range offset. */
   private def legacyTail(m: scala.util.matching.Regex.Match):
-      Option[(Int, Int, Int, Option[String], Option[Int])] = {
+      Option[(Int, Int, Int, Seq[String], Option[Int])] = {
     val h = m.group("h")
     val hasTime = h != null
-    val frac = m.group("fr") != null
+    // a demoted minute vacates the minute slot and its dot-number fills
+    // it ("10:123.5" is 10:05:00); a demoted second likewise
+    // ("10:20:60.5" is 10:20:05)
+    val mid = m.group("mid")
+    val secd = m.group("secd")
+    val mi = if (mid != null) num(m.group("fmin")) else num(m.group("mi"))
+    val sec = if (secd != null) num(m.group("fsec")) else num(m.group("sec"))
+    val fracTrue = m.group("fr") != null
+    // a dot-number that FILLS a time slot ("10:123.5" → minute 5) is a
+    // time field for attachment purposes, unlike a true fraction
+    val slotFill = m.group("fsec") != null || m.group("fmin") != null
+    // a demoted number with no slot-filler is a date COMPONENT — letter
+    // tokens attach to it ("10:20:60pm" and "10:20:60GMT" parse;
+    // "10:123.5pm" and "10:123.5GMT" are Invalid)
+    val demotedLast = (secd != null || mid != null) && !slotFill
     val py = Option(m.group("py"))
     val apA = m.group("apA")
     val apB = m.group("apB")
@@ -329,7 +377,8 @@ object JsDateReformat {
     // fields; SIGN tokens attach anywhere (probe-pinned:
     // "10:20:30.5pm", "10:20 2023pm", "10:20:30Z", "pm+02" parse;
     // "10:20pm", "10:20:30GMT", "pmZ", "pmGMT" are Invalid)
-    if (apA != null && attached(apA) && !frac) return None
+    if (apA != null && attached(apA) && !fracTrue && !demotedLast)
+      return None
     // am/pm (probe-pinned): hour must be 0-12 ("13:20 pm" and
     // "24:00 am" are Invalid); pm maps h%12+12 ("0:20 pm" and
     // "12:20 pm" are 12:20), am maps h%12 ("12:20 am" is 0:20)
@@ -344,10 +393,12 @@ object JsDateReformat {
     // what the zone token would attach to: a word (am/pm), a date
     // component, or a bare time field
     val lastIsWord = apB != null || (apA != null && py.isEmpty)
-    val lastIsTimeField = hasTime && apRaw == null && py.isEmpty && !frac
+    val lastIsTimeField = hasTime && apRaw == null && py.isEmpty &&
+      (slotFill || (!fracTrue && secd == null && mid == null))
     val zl = m.group("zl")
     val zw = m.group("zw")
     val zn = m.group("zn")
+    var zoneComp: Option[String] = None
     val off: Option[Int] =
       if (zl != null) {
         if (attached(zl) && lastIsWord) return None
@@ -355,19 +406,24 @@ object JsDateReformat {
       } else if (zw != null) {
         if (attached(zw) && (lastIsWord || lastIsTimeField)) return None
         val zo = m.group("zo")
-        if (zo != null) legacyOffset(zo) match {
-          case Some(o) => Some(o)
-          case None    => return None
+        if (zo != null) parseOffset(zo) match {
+          case Some((o, d)) => zoneComp = d; Some(o)
+          case None         => return None
         }
         else Some(namedZoneMin(zw.trim.toUpperCase(Locale.ROOT)))
       } else if (zn != null) {
         if (!hasTime) return None
-        legacyOffset(zn) match {
-          case Some(o) => Some(o)
-          case None    => return None
+        parseOffset(zn) match {
+          case Some((o, d)) => zoneComp = d; Some(o)
+          case None         => return None
         }
       } else None
-    Some((hAdj, num(m.group("mi")), num(m.group("sec")), py, off))
+    // trailing components in textual order: a demoted time field, then
+    // the -/.-joined post-time run, then a zone-demoted minute
+    val comps = Seq(Option(mid), Option(m.group("fmind")), Option(secd),
+      Option(m.group("fsecd"))).flatten ++
+      py.toSeq.flatMap(_.split("[-/.]").toSeq) ++ zoneComp.toSeq
+    Some((hAdj, mi, sec, comps, off))
   }
 
   /** Resolve a month-name form's two companion numbers to (year, day) by
@@ -394,10 +450,10 @@ object JsDateReformat {
     // a regex match commits to its branch: a semantic failure inside it
     // is Invalid Date, never a fall-through to the next form
     def numCase(m: scala.util.matching.Regex.Match): Option[ZonedDateTime] =
-      legacyTail(m).flatMap { case (h, mi, sec, py, off) =>
+      legacyTail(m).flatMap { case (h, mi, sec, tail, off) =>
         val f1 = m.group("f1")
         if (f1.charAt(0) == '+' || f1.charAt(0) == '-') { // signed expanded year
-          if (py.isDefined) None
+          if (tail.nonEmpty) None
           else build(f1.toInt, num(m.group("f2"), 1), num(m.group("f3"), 1),
             h, mi, sec, off)
         } else {
@@ -405,7 +461,7 @@ object JsDateReformat {
           // ("2023-05 10:20 04" === "2023-05-04 10:20"); 4 of them are
           // one too many ("2023-05-04 10:20:30 2024" is Invalid)
           val comps = Seq(f1) ++ Option(m.group("f2")) ++
-            Option(m.group("f3")) ++ py
+            Option(m.group("f3")) ++ tail
           if (comps.size > 3) None
           else {
             val v1 = num(comps.head)
@@ -423,13 +479,17 @@ object JsDateReformat {
       }
     def nameCase(m: scala.util.matching.Regex.Match): Option[ZonedDateTime] =
       month(m.group("nm")).flatMap { mo =>
-        legacyTail(m).flatMap { case (h, mi, sec, py, off) =>
+        legacyTail(m).flatMap { case (h, mi, sec, tail, off) =>
           // companion numbers in order; with the name taking the month
           // slot only two are used — a third is IGNORED, as V8's
-          // 3-slot composer does ("May 4 2023 10:20 2024" is 2023)
-          val f3 = Option(m.group("f3")).orElse(py).orNull
-          val (y, d) = nameFields(num(m.group("f2")), f3)
-          build(y, mo, d, h, mi, sec, off)
+          // 3-slot composer does ("May 4 2023 10:20 2024" is 2023) —
+          // and a FOURTH is one too many
+          val comps = Seq(m.group("f2")) ++ Option(m.group("f3")) ++ tail
+          if (comps.size > 3) None
+          else {
+            val (y, d) = nameFields(num(comps.head), comps.lift(1).orNull)
+            build(y, mo, d, h, mi, sec, off)
+          }
         }
       }
     try s match {
@@ -458,10 +518,13 @@ object JsDateReformat {
           else preMonth match {
             case Some(mo) =>
               bareMonthRe.findFirstMatchIn(rest).map { m =>
-                legacyTail(m).flatMap { case (h, mi, sec, py, off) =>
-                  val f3 = Option(m.group("f3")).orElse(py).orNull
-                  val (y, d) = nameFields(num(m.group("f2")), f3)
-                  build(y, mo, d, h, mi, sec, off)
+                legacyTail(m).flatMap { case (h, mi, sec, tail, off) =>
+                  val comps = Seq(m.group("f2")) ++ Option(m.group("f3")) ++ tail
+                  if (comps.size > 3) None
+                  else {
+                    val (y, d) = nameFields(num(comps.head), comps.lift(1).orNull)
+                    build(y, mo, d, h, mi, sec, off)
+                  }
                 }
               }.getOrElse(None)
             case None =>

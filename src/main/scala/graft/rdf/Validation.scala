@@ -169,12 +169,6 @@ object Validation {
     !endsInNumber || ipv4Valid
   }
 
-  /** True iff JS `new URL(url)` would NOT throw, for the http(s) URLs
-    * the WKT CRS extraction can produce (see [[wktUrlParseRegex]] for
-    * the probe-pinned rules and residuals). WHATWG strips ASCII
-    * tab/newline before parsing, mirrored here — unreachable through
-    * [[wktCrsRegex]] (which can't extract whitespace) but it keeps the
-    * mirror honest for direct callers. */
   /** Fast-accept shape for the overwhelmingly common CRS URL: plain
     * alphabetic-start dot-labels (so the host can never end in a
     * number, carry an escape, userinfo, bracket, or extra slashes),
@@ -191,6 +185,12 @@ object Validation {
       "(?:\\.[A-Za-z](?:[A-Za-z0-9-]*[A-Za-z0-9])?)*" +
       "(?::[0-9]{1,4})?(?:[/?#].*)?$"
 
+  /** True iff JS `new URL(url)` would NOT throw, for the http(s) URLs
+    * the WKT CRS extraction can produce (see [[wktUrlParseRegex]] for
+    * the probe-pinned rules and residuals). WHATWG strips ASCII
+    * tab/newline before parsing, mirrored here — unreachable through
+    * [[wktCrsRegex]] (which can't extract whitespace) but it keeps the
+    * mirror honest for direct callers. */
   def isJsParseableUrl(url: Column): Column = {
     val cleaned = regexp_replace(url, "[\\t\\n\\r]", "")
     val ipv6 = regexp_extract(cleaned, wktUrlParseRegex, 1) // bracket content

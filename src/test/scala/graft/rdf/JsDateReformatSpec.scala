@@ -40,7 +40,10 @@ class JsDateReformatSpec extends SparkSpec {
     "May 4 (x) 2023",                     // mid-string parenthetical
     // month words reassign mid-stream in node (last wins); a single
     // month slot is mirrored here
-    "May 4 Jun 2023", "4 May Jun", "Jun 4 May")
+    "May 4 Jun 2023", "4 May Jun", "Jun 4 May",
+    // dot-number CHAINS after a demoted second keep filling time slots
+    // in node; one dot-number is mirrored
+    "May 4 10:20:60.5.3")
 
   private def unescape(s: String): String =
     s.replace("\\t", "\t").replace("\\\\", "\\")
@@ -114,10 +117,12 @@ class JsDateReformatSpec extends SparkSpec {
     val seps = Seq("-", "/", ".", " ", ", ")
     val names = Seq("May", "may", "Sept", "September", "Juneish", "Ma", "Xyz", "Jan.")
     val times = Seq("", " 10:20", " 3:7", " 10:20:30", " 24:00", " 23:60",
-      " 10:20:30.5", ",10:20")
+      " 10:20:30.5", ",10:20", " 10:60", " 10:20:75", " 10:123",
+      " 10:20:60.5", " 10:123.5")
     val ampm = Seq("", " am", " pm", " PM", "pm")
     val zones = Seq("", "Z", " Z", " GMT", "GMT", " EST", " +02:00", "+0200",
-      " +2", " -99", " +2:60", " GMT+0200", " UTC+2", " (x)", " Z (a) (b")
+      " +2", " -99", " +2:60", " GMT+0200", " UTC+2", " (x)", " Z (a) (b",
+      " +02:123", " 99-0500", " 99", " 99 -0500")
     val wds = Seq("", "Sat ", "Sat, ", "sat.","Tue,")
     def numeric() = {
       val s1 = pick(seps); val s2 = pick(seps)
