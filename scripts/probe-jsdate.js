@@ -286,6 +286,13 @@ fuzz.push(
   // sign attached to a trailing component is a separator, not a zone
   'Jan4 10:20:30.5 99-0500', '12-01 10:20:30 99-0500',
   'May 4 10:20 99-0500', 'May 4 10:20 2023-12', 'May 4 10:20 99 -0500',
+  // a demoted component may be the ONLY one; bare times stay Invalid;
+  // backtracking must not demote an in-range minute; colon-less offsets
+  // roll minutes into hours; separator-edge shapes are residuals
+  'May 4 10:20.5', 'May 4 10:59.5', '12-01 10:20.5', 'May 4 10:20.60',
+  'May 10:20:60', '10:20:60', 'May 10:20', '10:20', '10:20 2023',
+  '12 10:20:60', 'May 4 10:20 +0160', 'May 4 10:20 +2465',
+  'May 4 10:20 99--0500', 'May 4 10:20 99-0500-', 'May 4 10:20 +02:00.5',
   // letter tokens attach to demoted COMPONENTS but not to slot-fillers
   'May 4 10:20:60pm', 'May 4 10:123pm', 'May 4 10:123.5 pm',
   'May 4 10:20:60GMT', 'May 4 10:123.5GMT', 'May 4 10:20:60.5 pm',

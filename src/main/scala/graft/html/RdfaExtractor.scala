@@ -358,14 +358,20 @@ object RdfaExtractor {
             // HTML+RDFa §3.1: the datetime rule is scoped to TIME
             // elements, and a <time> WITHOUT @datetime still
             // datatype-infers its text content
-            // (<time property>2012-03-18</time> is an xsd:date literal)
+            // (<time property>2012-03-18</time> is an xsd:date
+            // literal). A value matching NO datetime production stays a
+            // PLAIN literal, which keeps the in-scope language
+            // (<time>March 18</time> under lang="en" is "March 18"@en)
             val timeValue =
               if (e.tag == "time")
                 e.attr("datetime").orElse(Some(e.text.trim))
               else None
             e.attr("content").map(plainLiteral(_, ctx))
-              .orElse(timeValue.map(dtv =>
-                Term.typed(dtv, inferDatetimeDatatype(dtv))))
+              .orElse(timeValue.map { dtv =>
+                val inferred = inferDatetimeDatatype(dtv)
+                if (inferred == Vocab.xsdString) plainLiteral(dtv, ctx)
+                else Term.typed(dtv, inferred)
+              })
               // Core §7.5 step 11: @resource/@href/@src become the
               // property's object ONLY when @rel/@rev are absent — with
               // links present the resource feeds the rel/rev triples and

@@ -186,7 +186,9 @@ object JsDateReformat {
       val (h, m) =
         if (body.length <= 2) (body.toInt, 0)
         else (body.toInt / 100, body.toInt % 100)
-      if (m > 59) None else Some((sign * (h * 60 + m), None))
+      // colon-less minutes roll into hours ("+0160" is +120 minutes,
+      // "+2465" is 25h05m — node-verified), unlike the colon form
+      Some((sign * (h * 60 + m), None))
     }
   }
 
@@ -272,11 +274,11 @@ object JsDateReformat {
   // ("10:123.5" is 10:05:00, "10:20:60.5" is 10:20:05); the hour never
   // demotes ("May 4 60:20" is Invalid)
   private val timePat =
-    "(?:[\\s,]+(?<h>\\d{1,2}):" +
+    "(?:(?:[\\s,]+|^)(?<h>\\d{1,2}):" +
       "(?:(?<mi>[0-5]?\\d)(?!\\d)" +
         "(?::(?:(?<sec>[0-5]?\\d)(?!\\d)(?<fr>\\.\\d+)?|" +
-          "(?<secd>\\d{1,9})(?:\\.(?:(?<fsec>[0-5]?\\d)(?!\\d)|(?<fsecd>\\d{1,9})))?))?" +
-      "|(?<mid>\\d{1,9})(?:\\.(?:(?<fmin>[0-5]?\\d)(?!\\d)|(?<fmind>\\d{1,9})))?))?"
+          "(?<secd>[6-9]\\d|\\d{3,9})(?:\\.(?:(?<fsec>[0-5]?\\d)(?!\\d)|(?<fsecd>[6-9]\\d|\\d{3,9})))?))?" +
+      "|(?<mid>[6-9]\\d|\\d{3,9})(?:\\.(?:(?<fmin>[0-5]?\\d)(?!\\d)|(?<fmind>[6-9]\\d|\\d{3,9})))?))?"
   // post-time tokens: a case-insensitive am/pm (attachment and hour
   // rules in legacyTail: "10:20 pm" and "10:20:30.5pm" parse,
   // "10:20pm"/"10:20,pm" don't) and ONE more date component, in either
@@ -315,9 +317,12 @@ object JsDateReformat {
   // fields take unlimited leading zeros ("2023-0000000001-01" parses);
   // the tail's post-time component is the third slot when only two
   // fields precede the time ("2023-05 10:20 04" is 2023-05-04)
+  // the leading field is optional so a DEMOTED component can be the only
+  // one ("10:20:60" is 1960-01-01, "10:20 2023" is 2023-01-01; a bare
+  // "10:20" with no component at all stays Invalid — checked in code)
   private val numRe =
-    ("^(?<f1>[+-]\\d{6}|\\d{1,10})(?:" + junction + "(?<f2>\\d{1,10})(?:" +
-      junction + "(?<f3>\\d{1,10}))?)?" + tailPat).r
+    ("^(?:(?<f1>[+-]\\d{6}|\\d{1,10})(?:" + junction + "(?<f2>\\d{1,10})(?:" +
+      junction + "(?<f3>\\d{1,10}))?)?)?" + tailPat).r
   // day-first month-name form ("4 May 2023" — a month-led string is
   // instead consumed by [[stripPrefix]] and lands in [[bareMonthRe]]);
   // companion numbers route by value in code (1-31 -> day, else a
@@ -328,7 +333,7 @@ object JsDateReformat {
   // the numeric remainder after a month name captured by [[stripPrefix]]
   // ("May 4 2023", "Sept4 2023", "x y z May 4 10:20")
   private val bareMonthRe =
-    ("^(?<f2>\\d{1,9})(?:" + junction + "(?<f3>\\d{1,9}))?" + tailPat).r
+    ("^(?:(?<f2>\\d{1,9})(?:" + junction + "(?<f3>\\d{1,9}))?)?" + tailPat).r
 
   /** Parse a captured numeric field; values beyond Int range clamp high
     * so the month/day/year bound checks reject them. */
@@ -449,20 +454,36 @@ object JsDateReformat {
       else monthNum.get(name.take(3).toLowerCase(Locale.ENGLISH))
     // a regex match commits to its branch: a semantic failure inside it
     // is Invalid Date, never a fall-through to the next form
+    // shared month-name composition: companion numbers in order; the
+    // name takes the month slot so only two are used — a third is
+    // IGNORED, as V8's 3-slot composer does ("May 4 2023 10:20 2024"
+    // is 2023) — a FOURTH is one too many, and none at all is Invalid
+    def monthComps(mo: Int, m: scala.util.matching.Regex.Match,
+        h: Int, mi: Int, sec: Int, tail: Seq[String],
+        off: Option[Int]): Option[ZonedDateTime] = {
+      val comps = Option(m.group("f2")).toSeq ++ Option(m.group("f3")) ++ tail
+      if (comps.isEmpty || comps.size > 3) None
+      else {
+        val (y, d) = nameFields(num(comps.head), comps.lift(1).orNull)
+        build(y, mo, d, h, mi, sec, off)
+      }
+    }
     def numCase(m: scala.util.matching.Regex.Match): Option[ZonedDateTime] =
       legacyTail(m).flatMap { case (h, mi, sec, tail, off) =>
         val f1 = m.group("f1")
-        if (f1.charAt(0) == '+' || f1.charAt(0) == '-') { // signed expanded year
+        if (f1 != null && (f1.charAt(0) == '+' || f1.charAt(0) == '-')) {
+          // signed expanded year
           if (tail.nonEmpty) None
           else build(f1.toInt, num(m.group("f2"), 1), num(m.group("f3"), 1),
             h, mi, sec, off)
         } else {
           // positional components, the time transparent to them
           // ("2023-05 10:20 04" === "2023-05-04 10:20"); 4 of them are
-          // one too many ("2023-05-04 10:20:30 2024" is Invalid)
-          val comps = Seq(f1) ++ Option(m.group("f2")) ++
+          // one too many ("2023-05-04 10:20:30 2024" is Invalid) and
+          // none at all is Invalid ("10:20" alone)
+          val comps = Option(f1).toSeq ++ Option(m.group("f2")) ++
             Option(m.group("f3")) ++ tail
-          if (comps.size > 3) None
+          if (comps.isEmpty || comps.size > 3) None
           else {
             val v1 = num(comps.head)
             val c2 = comps.lift(1)
@@ -480,16 +501,7 @@ object JsDateReformat {
     def nameCase(m: scala.util.matching.Regex.Match): Option[ZonedDateTime] =
       month(m.group("nm")).flatMap { mo =>
         legacyTail(m).flatMap { case (h, mi, sec, tail, off) =>
-          // companion numbers in order; with the name taking the month
-          // slot only two are used — a third is IGNORED, as V8's
-          // 3-slot composer does ("May 4 2023 10:20 2024" is 2023) —
-          // and a FOURTH is one too many
-          val comps = Seq(m.group("f2")) ++ Option(m.group("f3")) ++ tail
-          if (comps.size > 3) None
-          else {
-            val (y, d) = nameFields(num(comps.head), comps.lift(1).orNull)
-            build(y, mo, d, h, mi, sec, off)
-          }
+          monthComps(mo, m, h, mi, sec, tail, off)
         }
       }
     try s match {
@@ -519,12 +531,7 @@ object JsDateReformat {
             case Some(mo) =>
               bareMonthRe.findFirstMatchIn(rest).map { m =>
                 legacyTail(m).flatMap { case (h, mi, sec, tail, off) =>
-                  val comps = Seq(m.group("f2")) ++ Option(m.group("f3")) ++ tail
-                  if (comps.size > 3) None
-                  else {
-                    val (y, d) = nameFields(num(comps.head), comps.lift(1).orNull)
-                    build(y, mo, d, h, mi, sec, off)
-                  }
+                  monthComps(mo, m, h, mi, sec, tail, off)
                 }
               }.getOrElse(None)
             case None =>

@@ -43,7 +43,13 @@ class JsDateReformatSpec extends SparkSpec {
     "May 4 Jun 2023", "4 May Jun", "Jun 4 May",
     // dot-number CHAINS after a demoted second keep filling time slots
     // in node; one dot-number is mirrored
-    "May 4 10:20:60.5.3")
+    "May 4 10:20:60.5.3",
+    // separator-edge tolerance around trailing components: node accepts
+    // a doubled dash before a detached zone, a trailing dash, and a
+    // dot-component after a zone; the mirrored grammar keeps single
+    // separators
+    "May 4 10:20 99--0500", "May 4 10:20 99-0500-",
+    "May 4 10:20 +02:00.5")
 
   private def unescape(s: String): String =
     s.replace("\\t", "\t").replace("\\\\", "\\")
