@@ -19,13 +19,13 @@ import org.apache.spark.sql.functions._
   *   - `geosparql:wktLiteral` only requires an embedded `<http…>` CRS URL,
   *     if present, to use the `http:` scheme (validateTriple.js:71-90).
   *
-  * Everything here composes from built-ins (`when`/`rlike`/`isin`) with
-  * no UDF boundary, which matters when this runs over 100 TB of
-  * extracted triples. The bulk path stays inside whole-stage codegen;
-  * the one exception is the URL mirror's IPv4/IPv6 branch, whose
-  * higher-order array functions are CodegenFallback — it sits behind
-  * the codegen'd fast-accept regex ([[Validation.isJsParseableUrl]])
-  * and short-circuits away for every real-world CRS row.
+  * Everything here composes from built-ins (`when`/`rlike`/`isin`) or
+  * native codegen'd expressions with no UDF boundary, which matters
+  * when this runs over 100 TB of extracted triples. The whole validator
+  * — URL mirror included, via the single-node [[JsUrlParseable]]
+  * expression — stays inside whole-stage codegen; the mirror's
+  * fast-accept regex still short-circuits the WHATWG machinery away
+  * for every real-world CRS row ([[JsUrlMirror.isParseable]]).
   */
 object Validation {
 
@@ -105,104 +105,16 @@ object Validation {
       "[^\\x00-\\x20#%/:<>?@\\[\\\\\\]^|\\x7F])+))" +
       "(?::([0-9]*))?(?:[/?#\\\\].*)?$"
 
-  /** WHATWG IPv6 host parser over the bracket content (probe-pinned):
-    * pieces are 1-4 hex digits; without `::` exactly 8 pieces are
-    * required ("[1:2:3:4:5:6:7]" throws), with one `::` at most 7
-    * ("[1:2:3:4:5:6:7::]" parses, a second `::` or a bare `:` edge
-    * throws); a strict dotted-quad may occupy the FINAL two pieces
-    * (4 decimal parts, 0-255, no leading zeros — "[::1.2.3.04]"
-    * throws) and only at the end ("[1.2.3.4::]" throws). */
-  private def ipv6Ok(content: Column): Column = {
-    val dc = split(content, "::", -1)
-    val nParts = size(dc)
-    def piecesOf(side: Column): Column =
-      when(side === "", array().cast("array<string>"))
-        .otherwise(split(side, ":", -1))
-    val left = piecesOf(element_at(dc, 1))
-    val right = when(nParts === 2, piecesOf(element_at(dc, 2)))
-      .otherwise(array().cast("array<string>"))
-    val all = concat(left, right)
-    val n = size(all)
-    val noEmpty = forall(all, p => p =!= "")
-    val lastP = element_at(all, -1)
-    val hexRe = "^[0-9A-Fa-f]{1,4}$"
-    val v4Re = "^(0|[1-9][0-9]{0,2})(\\.(0|[1-9][0-9]{0,2})){3}$"
-    // the dotted-quad must be the final 32 bits: last piece overall,
-    // and not immediately before a trailing "::"
-    val v4Allowed = nParts === 1 || size(right) > 0
-    val lastIsV4 = v4Allowed && coalesce(lastP.rlike(v4Re), lit(false)) &&
-      forall(split(lastP, "[.]", -1), x => x.cast("int") <= 255)
-    val headHex = forall(slice(all, lit(1), n - 1), p => p.rlike(hexRe))
-    val lastOk = lastIsV4 || coalesce(lastP.rlike(hexRe), lit(false))
-    val total = n + when(lastIsV4, 1).otherwise(0) // v4 counts as 2 pieces
-    val countOk = when(nParts === 1, total === 8).otherwise(total <= 7)
-    when(nParts > 2 || !noEmpty, lit(false))
-      .when(n === 0, nParts === 2) // "::" alone
-      .otherwise(headHex && lastOk && countOk)
-  }
-
-  /** WHATWG ends-in-number / IPv4-host rule over the percent-decoded
-    * host (see [[wktUrlParseRegex]] doc). True when the host either is
-    * not subject to IPv4 parsing or parses as a valid IPv4. */
-  private def hostIpv4Ok(rawHost: Column): Column = {
-    // '+' is a legal domain char that url_decode would turn into a
-    // space (form-encoding rule) — re-escape it first
-    val decoded = url_decode(regexp_replace(rawHost, "\\+", "%2B"))
-    val trimmed = regexp_replace(decoded, "\\.$", "") // drop ONE trailing dot
-    val parts = split(trimmed, "[.]", -1)
-    val lastPart = element_at(parts, -1)
-    val endsInNumber = lastPart.rlike("^([0-9]+|0[xX][0-9a-fA-F]*)$")
-    // radix-valid part with a width cap so the long conversion can't
-    // overflow (anything wider is out of range regardless)
-    val partOk = (p: Column) =>
-      p.rlike("^(0[xX][0-9a-fA-F]{0,8}|0[0-7]{0,11}|[1-9][0-9]{0,9})$")
-    val partVal = (p: Column) =>
-      when(p.rlike("^0[xX]"),
-        conv(concat(lit("0"), regexp_replace(p, "^0[xX]", "")), 16, 10).cast("long"))
-        .when(p.rlike("^0"), conv(p, 8, 10).cast("long"))
-        .otherwise(p.cast("long"))
-    val count = size(parts)
-    val lastMax = pow(lit(256.0), (lit(5) - count).cast("double")).cast("long")
-    val ipv4Valid = (count <= 4) && forall(parts, partOk) &&
-      forall(slice(parts, lit(1), count - 1), p => partVal(p) < 256L) &&
-      (partVal(lastPart) < lastMax)
-    !endsInNumber || ipv4Valid
-  }
-
-  /** Fast-accept shape for the overwhelmingly common CRS URL: plain
-    * alphabetic-start dot-labels (so the host can never end in a
-    * number, carry an escape, userinfo, bracket, or extra slashes),
-    * an optional port of at most 4 digits (≤ 9999 < 65535), and any
-    * `/?#` tail. Matching here GUARANTEES the full mirror would accept
-    * too, so [[isJsParseableUrl]] can skip the 4-regex + array-logic
-    * slow path for real-world rows (opengis.net CRS IRIs) — at 100 TB
-    * the mirror runs per extracted wkt literal, and this keeps the
-    * per-row cost to one anchored regex. Equivalence is pinned row-by-
-    * row by the probe corpus in ValidationSpec (every `ok` row must
-    * satisfy fast-or-slow, every `throw` row neither). */
-  private val simpleUrlRegex: String =
-    "^https?://[A-Za-z](?:[A-Za-z0-9-]*[A-Za-z0-9])?" +
-      "(?:\\.[A-Za-z](?:[A-Za-z0-9-]*[A-Za-z0-9])?)*" +
-      "(?::[0-9]{1,4})?(?:[/?#].*)?$"
-
   /** True iff JS `new URL(url)` would NOT throw, for the http(s) URLs
     * the WKT CRS extraction can produce (see [[wktUrlParseRegex]] for
-    * the probe-pinned rules and residuals). WHATWG strips ASCII
-    * tab/newline before parsing, mirrored here — unreachable through
-    * [[wktCrsRegex]] (which can't extract whitespace) but it keeps the
-    * mirror honest for direct callers. */
-  def isJsParseableUrl(url: Column): Column = {
-    val cleaned = regexp_replace(url, "[\\t\\n\\r]", "")
-    val ipv6 = regexp_extract(cleaned, wktUrlParseRegex, 1) // bracket content
-    val host = regexp_extract(cleaned, wktUrlParseRegex, 2) // "" for [IPv6]
-    val port = regexp_extract(cleaned, wktUrlParseRegex, 3)
-    val portVal = regexp_replace(port, "^0+", "") // "" = no port or port 0
-    cleaned.rlike(simpleUrlRegex) || (
-      cleaned.rlike(wktUrlParseRegex) &&
-        (portVal === "" || (length(portVal) <= 5 && portVal.cast("long") <= 65535L)) &&
-        (host === "" || hostIpv4Ok(host)) &&
-        (ipv6 === "" || ipv6Ok(ipv6)))
-  }
+    * the probe-pinned rules and residuals). One codegen'd expression
+    * node — [[JsUrlParseable]] — instead of the former 4-regex +
+    * array-logic Column tree: [[Repair.verdict]] inlines the validator
+    * six times per quad, and at that multiplicity the tree's size was
+    * pure per-query analysis/codegen tax (the per-row semantics,
+    * including the fast-accept shortcut, live unchanged in
+    * [[JsUrlMirror.isParseable]]). */
+  def isJsParseableUrl(url: Column): Column = JsUrlMirror(url)
 
   /** JS-`Number`-coercible check (see [[jsNumberRegex]]). Null-safe: null → false. */
   def isJsNumber(value: Column): Column =
