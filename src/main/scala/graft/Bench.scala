@@ -139,8 +139,10 @@ object Bench {
     // late/sliding were pass-1 contention artifacts, the case the retry
     // pass above now corrects.
     //
-    // Cross-round minima of drive/lifecycle queries carry a MACHINE
-    // component the cal anchor cannot see. The r13→r14 movement (five
+    // Cross-round minima of drive/lifecycle queries — and equally of
+    // stored-index/shuffle-read-heavy text queries (see the r15→r16
+    // A/B below) — carry a MACHINE component the cal anchor cannot
+    // see. The r13→r14 movement (five
     // queries >1.3× their r13 min: sessionize 1.80→2.84, hourly
     // 1.41→2.07, dedup 1.38→2.01, lifecycle_registry 0.91→1.40,
     // lifecycle_state 0.76→1.11) was A/B-diagnosed in round 15 by
@@ -163,6 +165,32 @@ object Bench {
     // ±1.5× even when cal_sec agrees; the anchor normalizes compute
     // contention only.
     //
+    // r15→r16 A/B, same method, on the four r15 text-path min
+    // regressions that had no named cause (x_decon_stored 0.97→2.48,
+    // x_decontaminate 0.95→1.63, x_dedup_minhash 0.86→1.35,
+    // x_dedup_jaccard 1.75→2.51): the r16 HEAD and the r14 tree
+    // (9a28187) ran the identical 4-query subset bench back-to-back,
+    // twice each, interleaved (head/r14/head/r14) on one machine. The
+    // trees are statistically indistinguishable — best-of-2 mins, HEAD
+    // vs r14 code: decon_stored 1.06 / 0.93, decontaminate 0.91 / 0.93
+    // (HEAD faster), minhash 0.77 / 0.93 (HEAD faster), jaccard
+    // 2.45 / 2.24 — with HEAD within 1.1× of r14's RECORDED minima on
+    // decon_stored/decontaminate/minhash despite the A/B machine's cal
+    // anchor reading 0.22-0.27 s vs r15's 0.14 (the diff between those
+    // rounds touched neither CorpusPrep nor Dedup, so indistinguishable
+    // is also the only physical possibility). Cause, named: the same
+    // machine IO/commit band as the drive/lifecycle note above, which
+    // the all-cores CPU anchor cannot normalize — these four queries
+    // are exactly the stored-index-read (decon_stored reads the at-rest
+    // postings index; decontaminate re-derives it) and
+    // candidate-shuffle (minhash LSH bands, jaccard inverted index)
+    // shapes whose cost is dominated by temp/shuffle IO latency, not
+    // compute. Consequence for consumers: the ±1.5× machine-band
+    // tolerance stated above for drive/lifecycle minima applies to
+    // index/shuffle-read-heavy queries too; within-round plan audits
+    // (ScaleDesignSpec) pin what those queries are allowed to read, so
+    // a plan-level regression cannot hide behind this note.
+    //
     // r14→r15 named cause #2: the four corpus-validate queries
     // (p4_validate +0.10 s, k9_partition_sizes +0.08, a3_verdict_counts
     // +0.42, rdfa_pipeline +0.7 vs their r14 minima) carry the r15 URL-
@@ -174,8 +202,12 @@ object Bench {
     // (p4 0.33 vs 0.25-0.34, a3 0.67 vs 0.92-0.97, rdfa_pipeline 1.69
     // vs 1.8-2.0), so the delta is driver-side plan overhead a 100 TB
     // job pays once, not a throughput change — the per-row fast path
-    // (Validation.simpleUrlRegex) keeps scan-side cost at one anchored
-    // regex for real-world CRS rows.
+    // (JsUrlMirror's fast-accept regex) keeps scan-side cost at one
+    // anchored regex for real-world CRS rows. CLOSED in r16: the URL
+    // mirror is now a single codegen'd expression node (JsUrlParseable)
+    // instead of a ~200-node Column tree inlined 6× per quad; the four
+    // queries' subset-bench minima came back at or below their r14
+    // values (a3 0.33, rdfa_pipeline 1.02, k9 0.19, p4 0.20).
     //
     // Drive-backedness is DETECTED, not only enumerated: a query whose
     // run-1 execution TOUCHED StreamDrive's drained cache (hit or miss —
@@ -221,11 +253,31 @@ object Bench {
         }
       }
     }
-    for (run <- 1 to nRuns) {
+    // Replacement passes: two consecutive rounds (r14 rejected passes
+    // {1,3}, r15 rejected {1,2}) ran with <2 cal-accepted regular
+    // passes, so the median/spread machinery was inert and every
+    // headline fell back to min_fallback. The fallback stays as the
+    // last line of defense, but the bench now fights back first: after
+    // the planned nRuns passes, while fewer than 2 passes would be
+    // accepted under the 1.5×-of-best rule, it schedules one
+    // replacement pass at a time, capped at maxRegularPasses total —
+    // a contention burst that ate a pass costs one extra pass, not the
+    // whole round's statistics. Only for multi-pass runs (nRuns >= 2):
+    // a dev run with SPARK_GRAFT_BENCH_RUNS=1 asked for exactly one.
+    val maxRegularPasses = math.max(nRuns, 5)
+    var regularPasses = 0
+    def provisionallyAccepted: Int = {
+      val best = calSamples.min
+      calSamples.count(_ <= 1.5 * best)
+    }
+    while (regularPasses < nRuns ||
+           (nRuns >= 2 && provisionallyAccepted < 2 &&
+             regularPasses < maxRegularPasses)) {
+      regularPasses += 1
       calSamples :+= calOnce()
       for (name <- names if !errs.contains(name)
-           && (run == 1 || !driveBacked(name)))
-        timeQuery(name, run)
+           && (regularPasses == 1 || !driveBacked(name)))
+        timeQuery(name, regularPasses)
     }
     // Drive retry pass: drive-backed queries are timed only in pass 1
     // (re-driving every pass would more than double the bench), so their
@@ -247,7 +299,7 @@ object Bench {
     // pass-1 sample. A query whose only sample measured a cached read
     // (cachedReads) is also retried, so the headline gets >=1 genuine
     // drive sample even when the anchors were clean.
-    val retryPass = nRuns + 1
+    val retryPass = regularPasses + 1
     val pass1Bracket = calSamples.take(2)
     if (driveBacked.nonEmpty && calSamples.nonEmpty &&
         (pass1Bracket.max > 1.25 * calSamples.min ||
@@ -325,7 +377,10 @@ object Bench {
     // reports its minimum over ALL genuine samples ("min_fallback" in
     // bench_detail.json). On a clean bench (>=2 accepted passes) the
     // branch is inert and "value" tracks "min" to normal variance.
-    val acceptedRegularPasses = (1 to nRuns).count(p => !rejectedPasses(p))
+    // With replacement passes (above) this should fire only when even
+    // maxRegularPasses attempts could not find 2 clean anchors.
+    val acceptedRegularPasses =
+      (1 to regularPasses).count(p => !rejectedPasses(p))
     val minFallback = acceptedRegularPasses < 2
     val spreadMin = scala.collection.mutable.ArrayBuffer[String]()
     def headline(n: String): Double =
@@ -359,7 +414,9 @@ object Bench {
     // "runs" keeps its plain per-query sample arrays (cross-round
     // min-of-N comparison is against it); "sample_passes" carries the
     // 1-based pass each sample ran in (a drive-backed query has [1] or
-    // [1, nRuns+1], everything else [1..nRuns]), "rejected_passes" the
+    // [1, regularPasses+1], everything else [1..regularPasses] —
+    // "regular_passes" > nRuns means replacement passes fired), and
+    // "rejected_passes" the
     // passes the cal anchor disqualified from medians, and
     // "single_sample" the queries whose median==min==one genuine
     // execution — so the consumer knows exactly which numbers carry
@@ -385,7 +442,7 @@ object Bench {
     val cachedJson = cachedReads.toSeq.sorted
       .map { case (n, p) => s"""["$n",$p]""" }.mkString("[", ",", "]")
     val spreadJson = spreadMin.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val detail = s"""{"metric":"total","value":$total,"min":$totalMin,"unit":"sec","cal_sec":$calSec,"cal_samples":$calJson,"rejected_passes":$rejectedJson,"min_fallback":$minFallback,"single_sample":$singleJson,"cached_read":$cachedJson,"spread_min":$spreadJson,"runs":$runsJson,"sample_passes":$passesJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"min":$totalMin,"unit":"sec","cal_sec":$calSec,"cal_samples":$calJson,"regular_passes":$regularPasses,"rejected_passes":$rejectedJson,"min_fallback":$minFallback,"single_sample":$singleJson,"cached_read":$cachedJson,"spread_min":$spreadJson,"runs":$runsJson,"sample_passes":$passesJson,"failed":$failedJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detail) finally w.close()
