@@ -466,6 +466,46 @@ class ScaleDesignSpec extends SparkSpec {
     assert(oneRows == mem.filter(_.head == qid), "pruned probe diverges")
   }
 
+  test("decon index at rest: probe re-tokenizes only the training side, reads only postings columns") {
+    // pins what x_decon_stored is ALLOWED to read, so a future bench
+    // slowdown in the stored-probe family is attributable by
+    // elimination: if these assertions hold, the plan did not regress
+    // to re-reading corpus text on the eval side or shipping unneeded
+    // index columns — leaving machine IO as the remaining cause.
+    val out = java.nio.file.Files.createTempDirectory("graft-decon-store").toString
+    graft.ops.CorpusPrep.writeDeconIndex(spark, sf, out)
+    val probed = graft.ops.CorpusPrep.deconProbeStored(spark, sf, out)
+    val scans = probed.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        (f.metadata.getOrElse("Location", ""), f.requiredSchema.fieldNames.toSeq)
+    }
+    // exactly ONE corpus scan — the training side; the eval side must
+    // come from the stored gram postings, never the documents table
+    val docScans = scans.filter(_._1.contains("documents"))
+    assert(docScans.size == 1,
+      s"expected exactly one documents scan (the train side), got: $scans")
+    assert(docScans.head._2.toSet == Set("doc_id", "text"),
+      s"train-side scan not pruned to (doc_id, text): ${docScans.head._2}")
+    // the index scan reads only the postings columns it joins on —
+    // `bucket` is a partition column and must not appear as data
+    val gramScans = scans.filter(_._1.contains("grams"))
+    assert(gramScans.nonEmpty, s"no scan over the stored gram postings: $scans")
+    assert(gramScans.forall(_._2.toSet == Set("eval_id", "gram")),
+      s"postings scan reads beyond (eval_id, gram): $gramScans")
+    // the broadcast hint must sit on the benchmark-sized index side
+    // (deconJoin's contract) — never on the corpus-sized train side
+    val hinted = probed.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.size == 1 && hinted.head.toString.contains("eval_id"),
+      s"exactly the stored eval side must carry the broadcast hint:\n$hinted")
+    // and the probe output equals the in-memory twin (same grams, same
+    // join) — the layout change cannot move rows
+    val mem = graft.ops.CorpusPrep.decontaminate(spark, sf).collect().map(_.toSeq).toSeq
+    assert(probed.collect().map(_.toSeq).toSeq == mem,
+      "stored decon probe diverges from the in-memory twin")
+  }
+
   test("bucketed quad tables join and pivot without an exchange") {
     val quads = graft.ops.QuadOps.geoQuads(spark, sf)
       .withColumn("graph", lit("g1"))
