@@ -201,7 +201,9 @@ fuzz.push(
   '2-30-99 10:20 Z', '12 10:20', '99 10:20', 'May 4 2023 10:20:30.5',
 );
 // am/pm: detached only, case-insensitive, hour 0-12 with pm=h%12+12
-// and am=h%12; the leading/duplicate-keyword tolerance is a residual
+// and am=h%12; tokens may REPEAT (space/comma-joined, never attached
+// to each other) and may straddle the post-time component — the LAST
+// token wins; a leading keyword is prefix garbage and is skipped
 fuzz.push(
   'May 4 2023 10:20 pm', 'May 4 2023 10:20pm', 'May 4 2023 10:20 PM',
   'May 4 2023 10:20 am', 'May 4 2023 12:20 am', 'May 4 2023 12:20 pm',
@@ -210,7 +212,18 @@ fuzz.push(
   'May 4 2023 10:20:30 pm Z', 'May 4 2023 10:20 pm +02:00',
   'May 4 2023 10:20 p', 'May 4 2023 10:20 p.m.', 'May 4 2023 am',
   'May 4 2023 24:00 am', '12-01-02 1:2 pm', 'pm May 4 2023',
-  'May 4 2023 10:20 pm pm',
+  'May 4 2023 10:20 pm pm', 'May 4 2023 10:20 pm am',
+  'May 4 2023 10:20 am pm', 'May 4 2023 10:20 am am am',
+  'May 4 2023 10:20 pm,pm', 'May 4 2023 10:20 pmpm',
+  'May 4 2023 10:20 pm pm Z', 'May 4 10:20 pm 2023 pm',
+  'May 4 10:20 pm 2023 am', 'May 4 10:20 am pm 2023',
+  'May 4 2023 13:20 pm pm', '10:20 pm pm', 'May 4 2023 10:20 PM aM',
+  // documented residuals: node accepts tokens AFTER the zone and a
+  // component attached directly to an am/pm token; the mirrored
+  // grammar keeps the zone last and requires a junction before a
+  // post-time component
+  'May 4 2023 10:20 pm Z pm', 'May 4 2023 10:20 pm +02:00 pm',
+  'May 4 10:20 pm2023',
 );
 // asctime / Date.toString round-trips: a post-time date component fills
 // the year slot ("Sat May 4 10:20:30 2023"); with the year already

@@ -88,15 +88,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * offset that OVERRIDES the word, even date-only, and trailing
   * parentheticals are skipped), and toUTCString/RFC-1123.
   *
-  * Documented residuals (machine-checked in JsDateReformatSpec): node
-  * tolerates leading separator garbage ("- 2023-05-04"), LEADING
-  * keywords ("pm May 4 2023", "GMT 2023-05-04"), a duplicated am/pm
-  * ("... 10:20 pm pm"), mid-string parentheticals ("May 4 (x) 2023"),
-  * and lets date components interleave the time entirely freely
-  * ("05 10:20 04 2023", "10:20 May 4 2023") — all Invalid here;
-  * under-acceptance, the safe direction. The fuzz band in
-  * scripts/probe-jsdate.js is the watchlist for forms outside the
-  * corpus.
+  * Documented residuals (machine-checked in JsDateReformatSpec — each
+  * listed form is Invalid here while node parses it; under-acceptance,
+  * the safe direction): node additionally tolerates mid-string
+  * parentheticals ("May 4 (x) 2023"), lets date components interleave
+  * the time entirely freely ("05 10:20 04 2023", "10:20 May 4 2023"),
+  * reassigns the month word mid-stream (last wins: "May 4 Jun 2023"),
+  * chains dot-numbers after a demoted second ("10:20:60.5.3"), and
+  * forgives separator edges around trailing components ("99--0500").
+  * Leading garbage/keywords ("- 2023-05-04", "pm May 4 2023") and
+  * repeated am/pm runs ("10:20 pm pm", last token wins) are
+  * IMPLEMENTED, not residuals. The fuzz band in scripts/probe-jsdate.js
+  * is the watchlist for forms outside the corpus.
   *
   * Not codegen'd (CodegenFallback) — this only runs on the small `invalid`
   * partition, never in the bulk path.
@@ -280,21 +283,28 @@ object JsDateReformat {
         "(?::(?:(?<sec>[0-5]?\\d)(?!\\d)(?<fr>\\.\\d+)?|" +
           "(?<secd>[6-9]\\d|\\d{3,9})(?:\\.(?:(?<fsec>[0-5]?\\d)(?!\\d)|(?<fsecd>[6-9]\\d|\\d{3,9})))?))?" +
       "|(?<mid>[6-9]\\d|\\d{3,9})(?:\\.(?:(?<fmin>[0-5]?\\d)(?!\\d)|(?<fmind>[6-9]\\d|\\d{3,9})))?))?"
-  // post-time tokens: a case-insensitive am/pm (attachment and hour
-  // rules in legacyTail: "10:20 pm" and "10:20:30.5pm" parse,
+  // post-time tokens: case-insensitive am/pm — possibly REPEATED, each
+  // repeat joined by a space/comma run, with the LAST token winning
+  // ("10:20 pm pm" is 22:20, "10:20 pm am" is 10:20, "10:20 pm,pm"
+  // parses, "10:20 pmpm" is Invalid — node-verified; attachment and
+  // hour rules in legacyTail: "10:20 pm" and "10:20:30.5pm" parse,
   // "10:20pm"/"10:20,pm" don't) and ONE more date component, in either
   // order — the year slot of asctime-style serializations
   // ("Sat May 4 10:20:30 2023", "May 4 10:20 2023 pm",
   // "12-01 10:20 2023" all parse; the component is IGNORED when the
   // date already carried its year, mirroring V8's 3-slot composer:
-  // "May 4 2023 10:20 2024" parses as 2023)
+  // "May 4 2023 10:20 2024" parses as 2023). am/pm runs may straddle
+  // the component ("10:20 am pm 2023" and "10:20 pm 2023 am" parse,
+  // last token winning across both runs).
   // the post-time component may itself be a -/.-joined run: a sign
   // ATTACHED to a trailing component is a separator, not a zone
   // ("Jan4 10:20 99-0500" has components 99 and 500 — the named-month
   // composer ignores the third — while a DETACHED "-0500" stays a zone)
+  private val apTok = "[AaPp][Mm]"
   private val postPat =
-    "(?<apA>\\s*[AaPp][Mm])?" +
-      "(?:[\\s,]+(?<py>\\d{1,9}(?:[-/.]\\d{1,9}){0,2}))?(?<apB>\\s*[AaPp][Mm])?"
+    s"(?<apA>\\s*$apTok(?:[\\s,]+$apTok)*)?" +
+      s"(?:[\\s,]+(?<py>\\d{1,9}(?:[-/.]\\d{1,9}){0,2}))?" +
+      s"(?<apB>\\s*$apTok(?:[\\s,]+$apTok)*)?"
   // Z/z attach anywhere; zone WORDS capture their leading whitespace so
   // the attach-directly-after-a-time rule can be enforced in code
   // ("...30GMT" is Invalid, "2023-05-04GMT" parses) and take an optional
@@ -374,8 +384,13 @@ object JsDateReformat {
     val py = Option(m.group("py"))
     val apA = m.group("apA")
     val apB = m.group("apB")
-    if (apA != null && apB != null) return None // duplicate am/pm
-    val apRaw = if (apA != null) apA else apB
+    // repeated am/pm tokens are tolerated and the LAST one (textually —
+    // an apB run follows an apA run) decides the meridiem; tokens of a
+    // run need a space/comma junction between them — with no component
+    // in between, an attached apB is really "pmpm", which node rejects
+    if (apA != null && py.isEmpty && apB != null && !apB.charAt(0).isWhitespace)
+      return None
+    val apRaw = if (apB != null) apB else apA
     if (apRaw != null && !hasTime) return None
     def attached(t: String) = t != null && !t.charAt(0).isWhitespace
     // LETTER tokens attach to date components and fractions but not to
@@ -393,7 +408,9 @@ object JsDateReformat {
       if (apRaw == null) h0
       else if (h0 > 12) return None
       else {
-        val c = apRaw.trim.charAt(0)
+        // each token is exactly two letters and a run ends with one, so
+        // the last token's a/p sits at length-2
+        val c = apRaw.charAt(apRaw.length - 2)
         if (c == 'p' || c == 'P') h0 % 12 + 12 else h0 % 12
       }
     // what the zone token would attach to: a word (am/pm), a date

@@ -31,7 +31,6 @@ class JsDateReformatSpec extends SparkSpec {
     * Invalid here but parses in node; see the residual note in the
     * JsDateReformat scaladoc. */
   private val residuals: Set[String] = Set(
-    "May 4 2023 10:20 pm pm",             // duplicate am/pm tolerated
     // V8's token stream lets date components interleave the time
     // arbitrarily; only one post-time component (the standard
     // serialization shapes) is mirrored here
@@ -49,7 +48,13 @@ class JsDateReformatSpec extends SparkSpec {
     // dot-component after a zone; the mirrored grammar keeps single
     // separators
     "May 4 10:20 99--0500", "May 4 10:20 99-0500-",
-    "May 4 10:20 +02:00.5")
+    "May 4 10:20 +02:00.5",
+    // node accepts tokens AFTER the zone (the free-interleaving family)
+    // and a component attached directly to an am/pm token; the mirrored
+    // grammar keeps the zone last and requires a junction before a
+    // post-time component
+    "May 4 2023 10:20 pm Z pm", "May 4 2023 10:20 pm +02:00 pm",
+    "May 4 10:20 pm2023")
 
   private def unescape(s: String): String =
     s.replace("\\t", "\t").replace("\\\\", "\\")
