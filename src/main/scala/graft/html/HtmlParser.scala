@@ -79,14 +79,26 @@ object HtmlParser {
     stack.top.children(done.placeholderIndex) = done.build()
   }
 
-  /** Start tags whose appearance closes an open `p` element (WHATWG
-    * "closes a p element in button scope" list — the flow-content
-    * subset). */
+  /** Start tags whose appearance closes an open `p` element — the
+    * COMPLETE WHATWG "close a p element in button scope" list from the
+    * in-body insertion mode (including the legacy/obsolete members
+    * `center`/`dir`/`listing`/`plaintext`/`xmp` and the newer
+    * `dialog`/`search`, so legacy government markup closes paragraphs
+    * the way a browser would). `li`/`dt`/`dd` run the same p-closing
+    * step on their own branch below. */
   private val closesP = Set("address", "article", "aside", "blockquote",
-    "details", "div", "dl", "fieldset", "figcaption", "figure", "footer",
-    "form", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hgroup", "hr",
-    "main", "menu", "nav", "ol", "p", "pre", "section", "summary", "table",
-    "ul")
+    "center", "details", "dialog", "dir", "div", "dl", "fieldset",
+    "figcaption", "figure", "footer", "form", "h1", "h2", "h3", "h4",
+    "h5", "h6", "header", "hgroup", "hr", "listing", "main", "menu",
+    "nav", "ol", "p", "plaintext", "pre", "search", "section", "summary",
+    "table", "ul", "xmp")
+
+  /** Table-structural start tags and what they clear: WHATWG's "clear
+    * the stack back to a table context" pops everything up to the
+    * `table` element, so a section/caption/colgroup start closes any
+    * open section, caption, colgroup, row or cell. */
+  private val tableSection = Set("caption", "colgroup", "thead", "tbody", "tfoot")
+  private val tableInner = tableSection ++ Set("tr", "td", "th")
 
   /** Implied end tags for `<p>a<p>b`-style machine markup: pop the
     * innermost open element when the incoming start tag implies its
@@ -95,19 +107,28 @@ object HtmlParser {
     * tags (`li`/`dt`/`dd`/`td`/`th`/`tr`) also close an open `p` —
     * they are all on the WHATWG "closes a p element in button scope"
     * path too (`<ul><li><p>a<li>b`: the second `li` first closes the
-    * `p`, then the sibling `li`); the tailrec re-check pops both. */
+    * `p`, then the sibling `li`); the tailrec re-check pops both.
+    * Table-structural tags (`thead`/`tbody`/`tfoot`/`caption`/
+    * `colgroup`) clear back to table context — an open chain of
+    * section→row→cell pops one frame per re-check; `rt`/`rp` and
+    * `option`/`optgroup` close their siblings per the spec's implied-
+    * end-tag set. */
   @annotation.tailrec
   private def impliedEndTags(stack: mutable.Stack[Builder], tag: String): Unit = {
     val top = stack.top.tag
     val close = tag match {
-      case t if closesP(t) => top == "p"
-      case "li"            => top == "li" || top == "p"
-      case "dt" | "dd"     => top == "dt" || top == "dd" || top == "p"
-      case "tr"            => top == "tr" || top == "td" || top == "th" || top == "p"
-      case "td" | "th"     => top == "td" || top == "th" || top == "p"
-      case "option"        => top == "option"
-      case "optgroup"      => top == "option" || top == "optgroup"
-      case _               => false
+      case t if closesP(t)     => top == "p"
+      case "li"                => top == "li" || top == "p"
+      case "dt" | "dd"         => top == "dt" || top == "dd" || top == "p"
+      case "tr"                => top == "tr" || top == "td" || top == "th" ||
+                                  top == "caption" || top == "colgroup" || top == "p"
+      case "td" | "th"         => top == "td" || top == "th" ||
+                                  top == "caption" || top == "colgroup" || top == "p"
+      case t if tableSection(t) => tableInner(top)
+      case "option"            => top == "option"
+      case "optgroup"          => top == "option" || top == "optgroup"
+      case "rt" | "rp"         => top == "rt" || top == "rp"
+      case _                   => false
     }
     if (close) { finish(stack); impliedEndTags(stack, tag) }
   }

@@ -111,4 +111,48 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(trs.map(_.children.collect { case e: Element => e.text }) ==
       Vector(Vector("a", "b"), Vector("c")))
   }
+
+  test("the complete WHATWG button-scope list closes p: legacy and new members") {
+    // center/dir are legacy government markup; dialog/search are the
+    // newest members; listing/plaintext/xmp are obsolete but still on
+    // the WHATWG "close a p element" path
+    for (t <- Seq("center", "dialog", "dir", "search", "listing",
+        "plaintext", "xmp")) {
+      val d = parse(s"<div><p>a<$t>b</$t></div>").children.head.asInstanceOf[Element]
+      assert(d.children.collect { case e: Element => (e.tag, e.text) } ==
+        Vector(("p", "a"), (t, "b")), s"<$t> must close an open p")
+    }
+  }
+
+  test("table-structural starts clear back to table context") {
+    // thead closes an open caption; tbody closes the open thead row
+    // chain (th -> tr -> thead, one frame per tailrec re-check)
+    val tbl = parse("<table><caption>cap<thead><tr><th>h1<tbody><tr><td>c1<td>c2</table>")
+      .children.head.asInstanceOf[Element]
+    val tops = tbl.children.collect { case e: Element => e.tag }
+    assert(tops == Vector("caption", "thead", "tbody"), tops.mkString(","))
+    val cap = tbl.children.collect { case e: Element if e.tag == "caption" => e }.head
+    assert(cap.text == "cap", s"caption swallowed following content: '${cap.text}'")
+    val thead = tbl.children.collect { case e: Element if e.tag == "thead" => e }.head
+    assert(thead.text == "h1")
+    val tbody = tbl.children.collect { case e: Element if e.tag == "tbody" => e }.head
+    assert(tbody.children.collect { case e: Element => e.text } == Vector("c1c2"))
+    // a sibling tfoot closes tbody; a second caption closes the first
+    val t2 = parse("<table><tbody><tr><td>a<tfoot><tr><td>f</table>")
+      .children.head.asInstanceOf[Element]
+    assert(t2.children.collect { case e: Element => e.tag } ==
+      Vector("tbody", "tfoot"))
+    // td/th starts also close an open caption ("in caption" mode exit)
+    val t3 = parse("<table><caption>c<tr><td>x</table>")
+      .children.head.asInstanceOf[Element]
+    assert(t3.children.collect { case e: Element => (e.tag, e.text) } ==
+      Vector(("caption", "c"), ("tr", "x")))
+  }
+
+  test("rt/rp close their open sibling inside ruby") {
+    val ruby = parse("<ruby>base<rt>read<rp>(<rt>again</ruby>")
+      .children.head.asInstanceOf[Element]
+    assert(ruby.children.collect { case e: Element => (e.tag, e.text) } ==
+      Vector(("rt", "read"), ("rp", "("), ("rt", "again")))
+  }
 }
