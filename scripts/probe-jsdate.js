@@ -325,6 +325,129 @@ fuzz.push(
   '4 Juneish 2023', 'Juneish 4', 'Ju 4 2023', 'Ma 4 2023', 'xyz 4 2023',
   'Jan. 4 2023', 'Octob 4 2023', 'Decembrrr 4 2023',
 );
+// ---- r17 token-scan families (the regex grammar's former residual
+// ---- classes, now implemented; each row pins a token-loop branch) ----
+// parenthesized spans skip at any token position, depth-tracked, an
+// unclosed '(' swallows the rest; a group may not directly follow a
+// closing time field or slot-filler (the same rule as letter tokens)
+fuzz.push(
+  'May 4 (x) 2023', 'May 4(x)2023', 'May 4 (x)(y) 2023', 'May (x) 4 2023',
+  '2023-(x)05-04', '2023(x)-05-04', '2023-05(x)-04', '2023-05-04 10:(x)20',
+  'May 4 (x123) 2023', 'May 4 (x', 'May 4 (x 2023', 'May 4 (x) 10:20',
+  '2023-05-04 10:20 (x) Z', '2023-05-04 (x) 10:20', 'May 4 (x) Jun 2023',
+  'May 4 ((x)) 2023', 'May(x) 4 2023', 'May (x)4 2023', '10:20 (x) 2023',
+  '2023-05-04 10:20:30 (x) +02:00', 'May 4 (x) pm 2023', 'May 4 10:20 (x) pm',
+  'May 4 2023 10:(x)20', '2023-05-04(x)', 'May 4 (x)2023', 'May 4 2023(x)',
+  'May 4 (x) (y', 'May 4 (x (y) 2023', 'May 4 2023 10:20(x)',
+  'May 4 2023 10:20 (x)', 'May 4 10:20:60(x)pm', 'May 4 10:20:30.5(x)',
+  'May 4 10:123.5(x)', 'May 4 10:20 pm(x)', 'May 4 10:20 pm(x)pm',
+  'May 4 10:20 pm(x)2023', 'May 4 2023 10:20 GMT(x)', 'May 4 2023 10:20 GMT(x)+2',
+  'May 4 2023 10:20 Z(x)', 'May 4 2023 10:20 +02:00(x)', 'May 4 2023 10:20 +02:(x)00',
+  'May 4 2023 10:20 +(x)02:00', '2023-05-04 10:20:30(x)Z', '2023-05-04 10:20:30 (x)Z',
+  'May 4 10:20 2023(x)pm', 'May 4 (Jun) 2023', 'Xyz(a) 1', 'Xyz(q)4 2023',
+  'Sat (x) May 4 2023', '2023-05-04(x)10:20', 'May 4 ()2023', 'May()4 2023',
+);
+// month words reassign anywhere, LAST wins; attachment to digits is
+// legal on both sides, but not directly after a closing time field
+fuzz.push(
+  'May 4 Jun 2023', '4 May Jun', 'Jun 4 May', 'May 4 Jun', 'May Jun 4 2023',
+  'May 4 2023 Jun', 'May Jun', 'Jun May 4', 'May 4 Jun 2023 Jul',
+  'May 4 10:20 Jun', 'May 4 Jun 10:20', 'Jun 4 2023 May', 'May-4-Jun-2023',
+  'May 4, Jun, 2023', '4 Jun May 2023', 'May 4 Juneish 2023', '12-01 Jun',
+  '12 Jun 01', '2023-05-04 Jun', 'May 4 Jun4', 'MayJun 4', '4 May 2023 Jun',
+  'May 4 Jun 2023 10:20', 'May 4 10:20 pm Jun', 'Jun 4 May 2023 12',
+  'May 4 Sat 2023', 'May 4 Mon 2023', 'May 4Jun 2023', '4Jun 2023', '4May',
+  '4May 2023', 'May 4 2023Jun', 'May 4 10:20Jun', 'May 4 10:20 Jun4',
+  'Jun10:20 4', 'May Jun4', 'May 4 10:20 GMT Jun', 'May 4 10:20 Z Jun',
+  'May 4 pm Jun', 'May 4 10:20:30.5Jun', '4 Jun 10:20', '4Jun2023',
+  'May 4 Jun-2023', 'May 4 Jun/2023', 'May 4 Jun.2023', '4 Jun-2023 10:20',
+  'May 4 10:Jun20', 'Jun.4 2023', 'May 4 10:20 60.5Jun', '2023-05-04 10:20:30 Z Jun',
+);
+// bare symbols below ASCII 'A' skip anywhere; chars >= 'A' are word
+// characters (so "~"/"["/"{" are garbage words, Invalid after a
+// number); ')' fails once a number was read; detached signs fail after
+// a number and skip before one
+fuzz.push(
+  'May 4 . 2023', 'May 4 / 2023', '2023//05//04', '2023..05..04',
+  '2023/., 05 ./ 04', '2023-.05-04', 'May 4 ; 2023', 'May 4 % 2023',
+  'May 4 ? 2023', 'May 4 : 2023', 'May 4 @ 2023', 'May 4 * 2023',
+  'May 4 # 2023', 'May 4 = 2023', 'May 4 & 2023', 'May 4 ~ 2023',
+  'May 4 ^ 2023', 'May 4 [ 2023', 'May 4 ] 2023', 'May 4 { 2023',
+  'May 4 + 2023', 'May + 4 2023', 'May 4 ) 2023', 'May 4 2023 )',
+  ') 2023-05-04', 'May ) 4', '2023-05-04 )', 'May 4 ,, 2023',
+  'May 4 2023 ; 10:20', ';May 4 2023', 'May ; 4 2023', '2023- 05-04',
+  '2023- 05- 04', '2023 - 05-04', 'May 4. 2023', 'May 4 .2023',
+  'May 4 2023 .', 'May .4 2023', 'May. 4 2023', '2023. 05. 04',
+  '2023 .05 .04', '.2023-05-04', '. 2023-05-04', 'May 4 .. 2023',
+);
+// garbage words: legal before the first number, never directly before
+// one; the composer then routes whatever followed ("Xyz.4 2023" dies
+// on day 2023, "Xyz.1" lives)
+fuzz.push(
+  'Xyz,1', 'Xyz.May4', 'Xyz,May 4', 'Xyz. 1', 'Xyz .1', 'Xyz . 1',
+  'Xyz.. 1', 'Xyz.1', 'Xyz: 1', 'Xyz:1 2023', 'Xyz- 1', 'Xyz - 1',
+  'Xyz(a)1', 'Xyz(a) May 4', 'Xyz-May 4', 'Xyz--1', 'Xyz.4 2023',
+  'Xyz-4 2023', 'Xyz;1', 'Xyz:1', 'Xyz/1', 'Xyz., 1', 'Xyz.;1',
+);
+// time-slot details: "n::" only while the time is empty; whitespace,
+// symbols and month words may sit after a time colon; a fraction
+// REQUIRES a directly-following number whose ms value lands on the
+// next slot (range-checked — "10:20.5" is Invalid, "10:123.5" is 10:05)
+fuzz.push(
+  'May 4 10::30', 'May 4 10:: 30', 'May 4 10::', 'May 4 10::30.5',
+  'May 4 10: (x) 20', 'May 4 10: Jun 20', 'May 4 10: 2023',
+  'May 4 10: 2023-05-04', 'May 4 10:20:30 .5', 'May 4 10:20:30 . 5',
+  'May 4 10:20:30.5 .3', 'May 4 10 :20', 'May 4 10:,20', 'May 4 10:. 20',
+  'May 4 2023 10: 20: 30', 'May 4 2023 10:20: 30', 'May 4 10:.5',
+  'May 4 10:20:30:40', 'May 4 10:20:30:40:50', '10:20:30:40 May 4',
+  'May 4 10::20:30', 'May 4 10:20::30', 'May 4 ::20', 'May 4 10:20:30.',
+  'May 4 10:20:30. 5', 'May 4 10:20:30.x', 'May 20:30 4 10:20',
+  'May 4 25:00', 'May 4 24:30', 'May 4 10:20,2023', 'May 4 10:20, 2023',
+  'May 4 10:20 ,2023', 'May 4 10:20:30 2023', '05 10:20 04 2023',
+  '12 10:20 01 02', '2023 10:20 05 04', 'May 10:20 4 2023', '10:20 May 4 2023',
+  'May 4 10:20:60.5.3', '12345678901 May', 'May 4 99999999999',
+);
+// zone details: words are exact-run matches taking effect only after a
+// number (a leading one is dropped), last zone token wins, offsets
+// route by an attached ':' first and then by digit count
+fuzz.push(
+  'May 4 2023 10:20 GMT EST', 'May 4 2023 10:20 EST GMT', 'May 4 10:20 +002:30',
+  'May 4 10:20 +002', 'May 4 10:20 +00230', 'May 4 2023 10:20 Z +02:00',
+  'May 4 2023 10:20 +02:00 Z', 'May 4 2023 10:20 +02:00 +03:00',
+  'May 4 2023 10:20 GMT +2', 'May 4 2023 10:20 GMT +2:3', 'May 4 2023 10:20 GMT (x)+2',
+  'May 4 2023 10:20 GMT xyz', 'May 4 2023 10:20 GMTx', 'May 4 2023 10:20 UTCish',
+  'May 4 2023 10:20 pmx', 'May 4 2023 10:20 amish', 'May 4 10:20 Zx',
+  'May 4 2023 10:20 +02: 00', 'May 4 10:20 +02 :00', 'May 4 10:20 +02:00 :30',
+  'May 4 10:20 +02:77 30', 'May 4 10:20 +02 30', 'May 4 10:20 -',
+  'May 4 10:20 +', 'May 4 10:20+02:00pm', 'Z 2023-05-04', 'UTC 2023-05-04',
+  'GMT 2023-05-04 10:20', 'EST2023-05-04', '2023-05-04 EST+2', '2023-05-04EST+2',
+  'May 4 2023 10:20 ut', 'May 4 10:20:30-0500', 'May 4 2023 10:20 , pm',
+);
+// ES5 commit boundary: "YYYY-MM" (exact widths) commits; a '-' after a
+// consumed 2-digit day is a hard failure, other breaks restart the
+// legacy parser from the top (so zero-padded small years remap)
+fuzz.push(
+  '2023-05-04-10:20', '2023-05-04-', '12-01-02-', '12-01-', '2023-',
+  'May 4 2023-', 'May 4 99-0500-', 'May 4 10:20 99-', '2023-05-04- 10:20',
+  '2023-05-04 -', '2023-05-04-10', '2023-05-04-Z', '12-01-02-10:20',
+  '12-01-02 -10:20', 'May-4-2023-', 'May-', '999-01-01-10:20',
+  '2023-5-04-10:20', '2023-05-004', '2023-05-004-01', '2023-05-04-05',
+  '2023-05T10:20', '2023-05t10:20', '0099-01T10:20', '2023-05-045',
+  '2023-054-04', '+012023-01-01-10:20', '12023-01-01-10:20',
+  '2023-05.04-10:20', '2023-05-04.10:20', '2023-05-', '2023-05- 04',
+  '2023-05-x', '2023-05-04T', '2023-05-04T10', '2023-05-04T10:2',
+  '0099-01-', '0099-01-01 10:20', '0013-01-02 10:20', '2023-05-04T10:20 2024',
+  '2023-05-04T10:20:30 +02:00', '2023-05-04T10:20:30 x', '2023-05-04T10:20:30Z 5',
+  '2023-05-04T10:20:30+02:0', '2023-05-04T10:20:30.', '2023-05-04T10:20.5',
+  '0099', '0001', 'May 4 2023 10:20 2024 2025 2026',
+);
+// signed six-digit years are literal in the legacy parser too, only
+// when directly attached at the front
+fuzz.push(
+  '-012023-01-01 10:20', '+012023-01-01 10:20', 'Jan +012023-01-01',
+  'May +012023-02-03', '+ 012023-01-01', 'May 4 10:20 +012023',
+  'Tue May 4 2023', 'Wed May 4 2023', 'May 4 T 2023', '2023-05-04 T 10:20',
+);
 
 const inputs = [...base, ...fuzz];
 

@@ -5,7 +5,7 @@ import java.util.Locale
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -26,95 +26,69 @@ import org.apache.spark.unsafe.types.UTF8String
   * JsDateReformatSpec pins it). V8 layers two parsers and the emulation
   * mirrors both:
   *
-  *   - the STRICT ES5/ISO parser runs first and is the only one that
-  *     takes a `T` separator: padded 4-digit year (or signed 6-digit
-  *     expanded year), padded 2-digit fields, zone attached with no
-  *     intervening space ("2023-5-4T3:7", "2023-05-04T9:20",
-  *     "2023-05-04T10:20:30 Z" are Invalid Date), lowercase `t`/`z`
-  *     accepted, offsets `±HH:MM`/`±HHMM` with hour ≤ 23, minute ≤ 59.
-  *     Its DATE-ONLY form (`YYYY-MM[-DD]`, dashes, padded, no zone) also
-  *     wins over the legacy parser: years are literal there, which is
-  *     observable for zero-padded small years — "0099-01-01" is year 99
-  *     but "0099-1" or "0099-01-01Z" fall through to the legacy parser
-  *     and map to 1999, and "0013-01-02" is year 13 while any non-ES5
-  *     spelling of it ("0013-1-2", "0013/01/02", "0013-01-02Z") is
-  *     Invalid because legacy routes leading 13 to a month.
-  *   - the LEGACY parser handles everything else. A leading numeric
-  *     field routes by VALUE (leading zeros ignored — "0000012-01-01"
-  *     is Dec 1): 1-12 → month-first (day next, then an optional year,
-  *     default 2001 — "12-01" is Dec 1 2001, "12" alone is Dec 2001);
-  *     0 or ≥ 32 → year-first (month, day optional); 13-31 → Invalid
-  *     ("13-01-02", "31" alone). Years map by value ONLY here: 0-49 →
-  *     2000s, 50-99 → 1900s, ≥ 100 literal ("5/4/23" and "5/4/0023" →
-  *     2023, "99-01-01" → 1999, "999-01-01" → 999). Date fields join on
-  *     exactly one of `-`/`/`/`.` (mixing allowed) or any run of
-  *     space/comma ("2023 05 04", "12,01" parse; "5--4--2023" doesn't);
-  *     non-leading fields take unlimited leading zeros
-  *     ("5/0000004/2023"). English month names take the same value
-  *     routing for their companion numbers in first-wins order
-  *     ("May 4" → day 4 year 2001, "May 32" → May 2032 day 1,
-  *     "May 2023 4" → year 2023 day 4, "May 0023" → day 23, "32 May" →
-  *     2032, "12-May-2023" → May 12); a missing year defaults to 2001.
-  *     The time needs a whitespace/comma junction ("May 4,10:20",
-  *     "2023-05-04, 10:20" parse; "2023-05-04-10:20" is Invalid) and
-  *     takes a detached case-insensitive am/pm suffix with hour 0-12
-  *     ("10:20 pm" is 22:20, "12:20 am" is 0:20, "0:20 pm" is 12:20;
-  *     "10:20pm" and "13:20 pm" are Invalid). Times are 1-2-digit
-  *     fields with optional fraction; an out-of-range or 3+-digit
-  *     minute/second/offset-minute DEMOTES to a date component
-  *     ("May 4 10:20:60" is year 1960 at 10:20, "10:20 +02:60" is zone
-  *     +02 with component 60) and a dot-number after a demoted field
-  *     fills the next empty time slot ("10:123.5" is 10:05:00); a sign
-  *     ATTACHED to a trailing component is a separator, not a zone
-  *     ("Jan4 10:20 99-0500" has components 99/500). Zones: `Z`/`z`
-  *     attach anywhere;
-  *     the zone WORDS (GMT/UT/UTC and the US abbreviations
-  *     EST/EDT/CST/CDT/MST/MDT/PST/PDT, any case, with their real
-  *     offsets) attach after a bare date ("2023-05-04PST") but need a
-  *     space after a time ("...10:20:30GMT" is Invalid); numeric
-  *     offsets `±H[H][:M[M]]` / `±HMM` / `±HHMM` (unbounded hours,
-  *     minute ≤ 59) attach freely but require a time to be present
-  *     ("2023-05-04 +02:00" is Invalid, "2023-05-04 Z" parses).
+  *   - the STRICT ES5/ISO parser runs first and must consume the WHOLE
+  *     string: padded 4-digit year (or signed 6-digit expanded year),
+  *     padded 2-digit fields, zone attached with no intervening space
+  *     ("2023-5-4T3:7", "2023-05-04T10:20:30 Z" are Invalid Date),
+  *     lowercase `t`/`z` accepted, offsets `±HH:MM`/`±HHMM` with hour
+  *     ≤ 23, minute ≤ 59. Its DATE-ONLY form (`YYYY-MM[-DD]`, dashes,
+  *     padded, no zone, end of input) also wins over the legacy parser:
+  *     years are literal there — "0099-01-01" is year 99 but
+  *     "0099-01-01 10:20" falls through to the legacy parser and maps
+  *     to 1999, and "0013-01-02 10:20" is Invalid because legacy routes
+  *     leading 13 to a day-without-month.
+  *   - the LEGACY parser is a token scan over the whole string,
+  *     reimplemented here decision-for-decision from differential
+  *     probes (see [[JsDateReformat.parseLegacy]] for the loop and the
+  *     probe-pinned rules on each branch).
   *
   * Deviation (documented): the reference renders fields in the
   * container's local time zone; we pin to UTC for determinism.
   *
   * The standard JS serialization round-trips are covered: asctime
-  * ("Sat May 4 10:20:30 2023" — ONE date component may follow the time
-  * and fills the year slot; when the year is already present it is
-  * ignored, mirroring V8's 3-slot composer, and a 4th component is
-  * Invalid), Date.toString ("Thu Jan 01 1970 00:00:00 GMT+0000
-  * (Coordinated Universal Time)" — zone words take an attached numeric
-  * offset that OVERRIDES the word, even date-only, and trailing
-  * parentheticals are skipped), and toUTCString/RFC-1123.
+  * ("Sat May 4 10:20:30 2023"), Date.toString ("Thu Jan 01 1970
+  * 00:00:00 GMT+0000 (Coordinated Universal Time)"), toUTCString /
+  * RFC-1123. The r17 token-scan rewrite retired the previous regex
+  * grammar's entire residual ledger: mid-string parentheticals, freely
+  * interleaved date/time components, month-word reassignment
+  * (last wins), chained dot-numbers after a demoted second, tokens
+  * after the zone, and separator-edge forms are all parsed the way
+  * node parses them, pinned by corpus rows.
   *
-  * Documented residuals (machine-checked in JsDateReformatSpec — each
-  * listed form is Invalid here while node parses it; under-acceptance,
-  * the safe direction): node additionally tolerates mid-string
-  * parentheticals ("May 4 (x) 2023"), lets date components interleave
-  * the time entirely freely ("05 10:20 04 2023", "10:20 May 4 2023"),
-  * reassigns the month word mid-stream (last wins: "May 4 Jun 2023"),
-  * chains dot-numbers after a demoted second ("10:20:60.5.3"), and
-  * forgives separator edges around trailing components ("99--0500").
-  * Leading garbage/keywords ("- 2023-05-04", "pm May 4 2023") and
-  * repeated am/pm runs ("10:20 pm pm", last token wins) are
-  * IMPLEMENTED, not residuals. The fuzz band in scripts/probe-jsdate.js
-  * is the watchlist for forms outside the corpus.
-  *
-  * Not codegen'd (CodegenFallback) — this only runs on the small `invalid`
-  * partition, never in the bulk path.
+  * Codegen: [[JsDateReformat.reformat]] is a pure static function, so
+  * `doGenCode` emits a one-line static call (same shape as
+  * [[JsUrlParseable]]) and the expression stays inside whole-stage
+  * codegen instead of falling back to interpreted eval.
   */
 case class JsDateReformat(child: Expression, withTime: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String =
     if (withTime) "js_datetime_reformat" else "js_date_reformat"
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    JsDateReformat.parse(s) match {
+  override def nullSafeEval(input: Any): Any =
+    JsDateReformat.reformat(input.asInstanceOf[UTF8String], withTime)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.rdf.JsDateReformat.reformat($c, $withTime);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): JsDateReformat =
+    copy(child = newChild)
+}
+
+object JsDateReformat {
+  def date(c: Column): Column = toColumn(JsDateReformat(toExpr(c), withTime = false))
+  def dateTime(c: Column): Column = toColumn(JsDateReformat(toExpr(c), withTime = true))
+
+  /** Static entry for both interpreted eval and generated code: parse as
+    * JS `new Date` would, format with the reference's field logic, null
+    * for Invalid Date. */
+  def reformat(input: UTF8String, withTime: Boolean): UTF8String =
+    parse(input.toString) match {
       case Some(zdt) =>
         // fixTriple.js:152-156 / 201-208 — month padded iff getMonth() < 9.
         val month =
@@ -128,15 +102,6 @@ case class JsDateReformat(child: Expression, withTime: Boolean)
         UTF8String.fromString(out)
       case None => null
     }
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): JsDateReformat =
-    copy(child = newChild)
-}
-
-object JsDateReformat {
-  def date(c: Column): Column = toColumn(JsDateReformat(toExpr(c), withTime = false))
-  def dateTime(c: Column): Column = toColumn(JsDateReformat(toExpr(c), withTime = true))
 
   // V8 `new Date(string)` numeric rules, established by differential
   // probes against node v20 (JsDateReformatSpec pins the corpus):
@@ -145,12 +110,7 @@ object JsDateReformat {
   //     into the next month ("2023-02-30" → Mar 2, "2023-11-31" → Dec 1,
   //     "2023-1-40" → Invalid);
   //   - hour 0-24 where 24 requires :00(:00) and rolls to the next day
-  //     ("2023-1-1 24:00" → Jan 2, "2023-05-04T24:00" → May 5);
-  //     minute/second reaching build() are 0-59 — the legacy grammar
-  //     DEMOTES out-of-range values to date components before this
-  //     ("May 4 10:20:60" is year 1960; the strict T forms and
-  //     3-component dates still reject: "2023-05-04T23:60" and
-  //     "2023-05 10:20:60" are Invalid).
+  //     ("2023-1-1 24:00" → Jan 2, "2023-05-04T24:00" → May 5).
   private def build(y: Int, m: Int, d: Int, h: Int, mi: Int, sec: Int,
       offsetMin: Option[Int]): Option[ZonedDateTime] = {
     if (m < 1 || m > 12 || d < 1 || d > 31 || h < 0 || h > 24 ||
@@ -170,38 +130,14 @@ object JsDateReformat {
     }
   }
 
-  /** Legacy-parser numeric offset: `±H[H][:M[M]]` (hour unbounded,
-    * minute ≤ 59: "+2:3" → +02:03, "-99" parses) or colon-less `±HMM` /
-    * `±HHMM` ("+020" → +00:20, "+2459" → +24:59). An out-of-range or
-    * 3+-digit colon-minute DEMOTES to a date component with the hour
-    * part kept as the zone ("10:20 +02:60" is zone +02 with component
-    * 60 → year 1960; "+02:123" yields component 123). Colon-less
-    * minutes ROLL INTO HOURS instead ("+0160" is +120 minutes, "+2465"
-    * is 25h05m — node-verified by the corpus rows). Total: every token
-    * the zone regex admits resolves to (offset-minutes, demoted
-    * component) — no input is Invalid at this stage. */
-  private def parseOffset(tok: String): (Int, Option[String]) = {
-    val sign = if (tok.head == '-') -1 else 1
-    val body = tok.tail
-    if (body.contains(":")) {
-      val Array(a, b) = body.split(":")
-      if (b.length > 2 || b.toInt > 59) (sign * a.toInt * 60, Some(b))
-      else (sign * (a.toInt * 60 + b.toInt), None)
-    } else {
-      val (h, m) =
-        if (body.length <= 2) (body.toInt, 0)
-        else (body.toInt / 100, body.toInt % 100)
-      // colon-less minutes roll into hours, unlike the colon form
-      (sign * (h * 60 + m), None)
-    }
-  }
-
   /** Zone words the legacy parser resolves, with real offsets in
-    * minutes (probe-verified: "... 10:20:30 EST" lands at UTC-5). */
+    * minutes (probe-verified: "... 10:20:30 EST" lands at UTC-5).
+    * Matched against the WHOLE lowercased letter run — "GMTx"/"UTCish"
+    * are garbage words, unlike month names' 3-letter-prefix rule. */
   private val namedZoneMin: Map[String, Int] = Map(
-    "Z" -> 0, "GMT" -> 0, "UT" -> 0, "UTC" -> 0,
-    "EST" -> -300, "EDT" -> -240, "CST" -> -360, "CDT" -> -300,
-    "MST" -> -420, "MDT" -> -360, "PST" -> -480, "PDT" -> -420)
+    "z" -> 0, "gmt" -> 0, "ut" -> 0, "utc" -> 0,
+    "est" -> -300, "edt" -> -240, "cst" -> -360, "cdt" -> -300,
+    "mst" -> -420, "mdt" -> -360, "pst" -> -480, "pdt" -> -420)
 
   /** V8's keyword table matches a month word by its FIRST THREE letters
     * alone (probe-verified: "Juneish 4 2023", "mayonnaise 4 2023" and
@@ -213,346 +149,411 @@ object JsDateReformat {
       .zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
 
   /** Legacy-parser year mapping, by value: 0-49 → 2000s, 50-99 → 1900s,
-    * ≥ 100 literal. Never applies inside the strict ES5 branch. */
+    * ≥ 100 literal. Never applies inside the strict ES5 branch or to a
+    * signed expanded year. */
   private def legacyYear(y: Int): Int =
     if (y < 50) 2000 + y else if (y < 100) 1900 + y else y
 
-  /** V8's legacy parser skips EVERYTHING before the first digit —
-    * weekdays, unknown words, zone words (their offsets dropped:
-    * "EST 2023-05-04 10:20" parses at 10:20 plain), am/pm keywords,
-    * arbitrary symbols ("$ 2023-05-04", "-2023-05-04", "## ..." all
-    * parse) and parenthesized spans, which may swallow digits
-    * ("(x) May 4" parses, "(x May 4" and "(2023-05-04)" are Invalid) —
-    * while remembering the LAST month-name word seen ("Xyz May 4 2023"
-    * is May, "Jun 4" after a skipped "May" would be June). Exceptions:
-    * a signed SIX-digit expanded year ("+012023-01-01") is a number,
-    * not garbage, and a NON-month word attached directly to a digit is
-    * Invalid ("Xyz4"/"Sat4" fail while "Jan4"/"Sept4 2023" parse).
-    * Returns (rest-from-first-digit-or-signed-year, last month seen),
-    * or None for the attached-word failure. */
-  private def stripPrefix(s: String): Option[(String, Option[Int])] = {
-    var i = 0
-    var preMonth: Option[Int] = None
-    while (i < s.length && !s.charAt(i).isDigit) {
-      val c = s.charAt(i)
-      if (c == '(') {
-        val j = s.indexOf(')', i)
-        i = if (j < 0) s.length else j + 1
-      } else if (c.isLetter) {
-        val j0 = i
-        while (i < s.length && s.charAt(i).isLetter) i += 1
-        val w = s.substring(j0, i)
-        val m = if (w.length >= 3)
-          monthNum.get(w.take(3).toLowerCase(Locale.ENGLISH)) else None
-        if (m.isDefined) preMonth = m
-        else if (i < s.length && s.charAt(i).isDigit) return None
-      } else if ((c == '+' || c == '-') &&
-          i + 6 < s.length && (i + 1 to i + 6).forall(k => s.charAt(k).isDigit) &&
-          (i + 7 >= s.length || !s.charAt(i + 7).isDigit)) {
-        return Some((s.substring(i), preMonth)) // signed expanded year
-      } else i += 1
-    }
-    Some((s.substring(i), preMonth))
-  }
-
-  // --- strict ES5/ISO parser (the only branch that takes a T separator;
-  //     its date-only form wins over legacy for exact YYYY-MM[-DD]) ---
-  private val isoTimeRe =
-    ("^([+-]\\d{6}|\\d{4})-(\\d{2})-(\\d{2})[Tt](\\d{2}):(\\d{2})" +
+  // --- strict ES5/ISO parser with COMMIT semantics (probe-pinned):
+  //     a 4-digit (or signed 6-digit) year followed by "-MM" (exactly
+  //     two digits) COMMITS the string to the ES5 parser. A committed
+  //     parse either matches fully (optional "-DD", optional strict
+  //     [Tt]HH:MM[:SS[.fff]][Z|±HH:MM|±HHMM] time — legal at the month
+  //     level too: "2023-05T10:20" — to end-of-input; years literal, no
+  //     1900/2000 mapping) or, on most breaks, RESTARTS the legacy
+  //     parser from the top of the string — which is why "0099-01-01"
+  //     is year 99 but "0099-01-01 10:20" is 1999. The one hard
+  //     failure: a '-' directly after a consumed 2-digit DAY is Invalid
+  //     with no restart ("2023-05-04-10:20", "2023-05-04-" are Invalid
+  //     while "12-01-02-10:20", "999-01-01-10:20" and the 3-digit-day
+  //     "2023-05-004" parse via legacy). ---
+  private val es5HeadRe = "^(\\d{4}|[+-]\\d{6})-(\\d{2})(?!\\d)".r
+  private val es5DayRe = "^-(\\d{2})(?!\\d)".r
+  private val es5TimeRe =
+    ("^[Tt](\\d{2}):(\\d{2})" +
       "(?::(\\d{2})(?:\\.\\d+)?)?(?:([Zz])|([+-]\\d{2}):?(\\d{2}))?$").r
-  private val isoDateRe =
-    "^([+-]\\d{6}|\\d{4})(?:-(\\d{2})(?:-(\\d{2}))?)?$".r
+  private val es5YearOnlyRe = "^(\\d{4}|[+-]\\d{6})$".r
 
-  // --- legacy parser ---
-  private val zoneWords = "GMT|UTC|UT|EST|EDT|CST|CDT|MST|MDT|PST|PDT"
-  // date fields join on exactly ONE of -/. or any RUN of space/comma
-  // ("2023 05 04", "12,01" and "May-4-2023" parse; "5--4--2023" and
-  // "May 4 - 2023" are Invalid)
-  private val junction = "(?:[-/.]|[\\s,]+)"
-  // the time needs a whitespace/comma junction ("2023-05-04-10:20" is
-  // Invalid while "2023-05-04, 10:20" and "May 4,10:20" parse). An
-  // out-of-range or 3+-digit minute/second DEMOTES to a date component
-  // instead of failing ("May 4 10:20:60" is year 1960 at 10:20,
-  // "May 4 10:60" is 1960 at 10:00, "May 4 10:123" year 123), and a
-  // dot-number after a demoted field fills the NEXT empty time slot
-  // ("10:123.5" is 10:05:00, "10:20:60.5" is 10:20:05); the hour never
-  // demotes ("May 4 60:20" is Invalid)
-  private val timePat =
-    "(?:(?:[\\s,]+|^)(?<h>\\d{1,2}):" +
-      "(?:(?<mi>[0-5]?\\d)(?!\\d)" +
-        "(?::(?:(?<sec>[0-5]?\\d)(?!\\d)(?<fr>\\.\\d+)?|" +
-          "(?<secd>[6-9]\\d|\\d{3,9})(?:\\.(?:(?<fsec>[0-5]?\\d)(?!\\d)|(?<fsecd>[6-9]\\d|\\d{3,9})))?))?" +
-      "|(?<mid>[6-9]\\d|\\d{3,9})(?:\\.(?:(?<fmin>[0-5]?\\d)(?!\\d)|(?<fmind>[6-9]\\d|\\d{3,9})))?))?"
-  // post-time tokens: case-insensitive am/pm — possibly REPEATED, each
-  // repeat joined by a space/comma run, with the LAST token winning
-  // ("10:20 pm pm" is 22:20, "10:20 pm am" is 10:20, "10:20 pm,pm"
-  // parses, "10:20 pmpm" is Invalid — node-verified; attachment and
-  // hour rules in legacyTail: "10:20 pm" and "10:20:30.5pm" parse,
-  // "10:20pm"/"10:20,pm" don't) and ONE more date component, in either
-  // order — the year slot of asctime-style serializations
-  // ("Sat May 4 10:20:30 2023", "May 4 10:20 2023 pm",
-  // "12-01 10:20 2023" all parse; the component is IGNORED when the
-  // date already carried its year, mirroring V8's 3-slot composer:
-  // "May 4 2023 10:20 2024" parses as 2023). am/pm runs may straddle
-  // the component ("10:20 am pm 2023" and "10:20 pm 2023 am" parse,
-  // last token winning across both runs).
-  // the post-time component may itself be a -/.-joined run: a sign
-  // ATTACHED to a trailing component is a separator, not a zone
-  // ("Jan4 10:20 99-0500" has components 99 and 500 — the named-month
-  // composer ignores the third — while a DETACHED "-0500" stays a zone)
-  private val apTok = "[AaPp][Mm]"
-  private val postPat =
-    s"(?<apA>\\s*$apTok(?:[\\s,]+$apTok)*)?" +
-      s"(?:[\\s,]+(?<py>\\d{1,9}(?:[-/.]\\d{1,9}){0,2}))?" +
-      s"(?<apB>\\s*$apTok(?:[\\s,]+$apTok)*)?"
-  // Z/z attach anywhere; zone WORDS capture their leading whitespace so
-  // the attach-directly-after-a-time rule can be enforced in code
-  // ("...30GMT" is Invalid, "2023-05-04GMT" parses) and take an optional
-  // attached numeric offset that OVERRIDES the word's own
-  // ("GMT+0200"/"UTC+2"/"EST+2" are all +2h; "2023-05-04 GMT+2:3"
-  // parses even date-only, while a BARE numeric offset still needs a
-  // time); bare numeric offsets attach freely with lenient widths
-  private val zonePat =
-    s"(?:(?<zl>\\s*[Zz])|(?<zw>\\s*(?i:$zoneWords))" +
-      "(?<zo>[+-]\\d{1,2}:\\d{1,9}|[+-]\\d{1,4})?|" +
-      "\\s*(?<zn>[+-]\\d{1,2}:\\d{1,9}|[+-]\\d{1,4}))?"
-  // trailing parentheticals, as in Date.prototype.toString's
-  // "(Coordinated Universal Time)": any number at the END, last one may
-  // be unclosed; content never nests ("(a) (b)" and "(x" parse,
-  // "(foo) x" does not)
-  private val parenPat = "(?:[\\s,]*\\([^()]*\\)?)*"
-  private val tailPat = timePat + postPat + zonePat + parenPat + "$"
-
-  // numeric date: 1-3 fields; the leading field routes by VALUE in code
-  // (month-first 1-12, year-first 0 / >=32, Invalid 13-31), non-leading
-  // fields take unlimited leading zeros ("2023-0000000001-01" parses);
-  // the tail's post-time component is the third slot when only two
-  // fields precede the time ("2023-05 10:20 04" is 2023-05-04)
-  // the leading field is optional so a DEMOTED component can be the only
-  // one ("10:20:60" is 1960-01-01, "10:20 2023" is 2023-01-01; a bare
-  // "10:20" with no component at all stays Invalid — checked in code)
-  private val numRe =
-    ("^(?:(?<f1>[+-]\\d{6}|\\d{1,10})(?:" + junction + "(?<f2>\\d{1,10})(?:" +
-      junction + "(?<f3>\\d{1,10}))?)?)?" + tailPat).r
-  // day-first month-name form ("4 May 2023" — a month-led string is
-  // instead consumed by [[stripPrefix]] and lands in [[bareMonthRe]]);
-  // companion numbers route by value in code (1-31 -> day, else a
-  // year); a missing year defaults to 2001
-  private val dayNameRe =
-    ("^(?<f2>\\d{1,9})" + junction + "(?<nm>[A-Za-z]+)\\.?(?:" + junction +
-      "(?<f3>\\d{1,9}))?" + tailPat).r
-  // the numeric remainder after a month name captured by [[stripPrefix]]
-  // ("May 4 2023", "Sept4 2023", "x y z May 4 10:20")
-  private val bareMonthRe =
-    ("^(?:(?<f2>\\d{1,9})(?:" + junction + "(?<f3>\\d{1,9}))?)?" + tailPat).r
-
-  /** Parse a captured numeric field; values beyond Int range clamp high
-    * so the month/day/year bound checks reject them. */
+  /** Parse a captured ES5 numeric field; fields are ≤ 6 digits so Int
+    * conversion cannot overflow. */
   private def num(s: String, default: Int = 0): Int =
-    if (s == null || s.isEmpty) default
-    else {
-      val v = s.toLong
-      if (v > Int.MaxValue) Int.MaxValue else v.toInt
-    }
+    if (s == null || s.isEmpty) default else s.toInt
 
-  /** Resolve the shared legacy tail of a match — time (with fraction
-    * and demoted fields), am/pm tokens, trailing date components, zone
-    * — to (hour, minute, second, trailing-components-in-order,
-    * offset-minutes), or None for Invalid Date: duplicate am/pm, am/pm
-    * without a time or with hour > 12, an illegal attachment (see the
-    * letter/sign token rules in the body), a bare numeric offset
-    * without a time, or an out-of-range offset. */
-  private def legacyTail(m: scala.util.matching.Regex.Match):
-      Option[(Int, Int, Int, Seq[String], Option[Int])] = {
-    val h = m.group("h")
-    val hasTime = h != null
-    // a demoted minute vacates the minute slot and its dot-number fills
-    // it ("10:123.5" is 10:05:00); a demoted second likewise
-    // ("10:20:60.5" is 10:20:05)
-    val mid = m.group("mid")
-    val secd = m.group("secd")
-    val mi = if (mid != null) num(m.group("fmin")) else num(m.group("mi"))
-    val sec = if (secd != null) num(m.group("fsec")) else num(m.group("sec"))
-    val fracTrue = m.group("fr") != null
-    // a dot-number that FILLS a time slot ("10:123.5" → minute 5) is a
-    // time field for attachment purposes, unlike a true fraction
-    val slotFill = m.group("fsec") != null || m.group("fmin") != null
-    // a demoted number with no slot-filler is a date COMPONENT — letter
-    // tokens attach to it ("10:20:60pm" and "10:20:60GMT" parse;
-    // "10:123.5pm" and "10:123.5GMT" are Invalid)
-    val demotedLast = (secd != null || mid != null) && !slotFill
-    val py = Option(m.group("py"))
-    val apA = m.group("apA")
-    val apB = m.group("apB")
-    // repeated am/pm tokens are tolerated and the LAST one (textually —
-    // an apB run follows an apA run) decides the meridiem; tokens of a
-    // run need a space/comma junction between them — with no component
-    // in between, an attached apB is really "pmpm", which node rejects
-    if (apA != null && py.isEmpty && apB != null && !apB.charAt(0).isWhitespace)
-      return None
-    val apRaw = if (apB != null) apB else apA
-    if (apRaw != null && !hasTime) return None
-    def attached(t: String) = t != null && !t.charAt(0).isWhitespace
-    // LETTER tokens attach to date components and fractions but not to
-    // time fields or other words; single-letter Z also attaches to time
-    // fields; SIGN tokens attach anywhere (probe-pinned:
-    // "10:20:30.5pm", "10:20 2023pm", "10:20:30Z", "pm+02" parse;
-    // "10:20pm", "10:20:30GMT", "pmZ", "pmGMT" are Invalid)
-    if (apA != null && attached(apA) && !fracTrue && !demotedLast)
-      return None
-    // am/pm (probe-pinned): hour must be 0-12 ("13:20 pm" and
-    // "24:00 am" are Invalid); pm maps h%12+12 ("0:20 pm" and
-    // "12:20 pm" are 12:20), am maps h%12 ("12:20 am" is 0:20)
-    val h0 = num(h)
-    val hAdj =
-      if (apRaw == null) h0
-      else if (h0 > 12) return None
-      else {
-        // each token is exactly two letters and a run ends with one, so
-        // the last token's a/p sits at length-2
-        val c = apRaw.charAt(apRaw.length - 2)
-        if (c == 'p' || c == 'P') h0 % 12 + 12 else h0 % 12
-      }
-    // what the zone token would attach to: a word (am/pm), a date
-    // component, or a bare time field
-    val lastIsWord = apB != null || (apA != null && py.isEmpty)
-    val lastIsTimeField = hasTime && apRaw == null && py.isEmpty &&
-      (slotFill || (!fracTrue && secd == null && mid == null))
-    val zl = m.group("zl")
-    val zw = m.group("zw")
-    val zn = m.group("zn")
-    var zoneComp: Option[String] = None
-    val off: Option[Int] =
-      if (zl != null) {
-        if (attached(zl) && lastIsWord) return None
-        Some(0)
-      } else if (zw != null) {
-        if (attached(zw) && (lastIsWord || lastIsTimeField)) return None
-        val zo = m.group("zo")
-        if (zo != null) {
-          val (o, d) = parseOffset(zo); zoneComp = d; Some(o)
-        } else Some(namedZoneMin(zw.trim.toUpperCase(Locale.ROOT)))
-      } else if (zn != null) {
-        if (!hasTime) return None
-        val (o, d) = parseOffset(zn); zoneComp = d; Some(o)
-      } else None
-    // trailing components in textual order: a demoted time field, then
-    // the -/.-joined post-time run, then a zone-demoted minute
-    val comps = Seq(Option(mid), Option(m.group("fmind")), Option(secd),
-      Option(m.group("fsecd"))).flatten ++
-      py.toSeq.flatMap(_.split("[-/.]").toSeq) ++ zoneComp.toSeq
-    Some((hAdj, mi, sec, comps, off))
+  // ===================================================================
+  // Legacy parser: a faithful token scan.
+  //
+  // V8's legacy `new Date` parser is a single pass over a token stream
+  // (numbers, letter-runs, signs, parens, skippable symbols) feeding
+  // three small composers (date components, time slots, zone). Every
+  // rule below is pinned by rows in src/test/resources/jsdate/corpus.tsv
+  // generated from node v20; the comments state the exposing inputs.
+  // ===================================================================
+
+  // token kinds
+  private final val TEnd = 0
+  private final val TWs = 1      // whitespace run
+  private final val TNum = 2     // digit run (value clamped, raw length kept)
+  private final val TWord = 3    // run of chars >= 'A' ("[","~","_" are
+                                 // word chars: "May 4 ~ 2023" is Invalid
+                                 // via the garbage-word rule while
+                                 // "May 4 @ 2023" parses — '@' < 'A')
+  private final val TSign = 4    // '+' or '-'
+  private final val TColon = 5
+  private final val TDot = 6
+  private final val TRParen = 7  // unmatched ')' — fails once a number was read
+  private final val TParen = 8   // '('-group, depth-tracked, swallowed
+  private final val TSkip = 9    // every other char < 'A': , / ; % @ # ...
+
+  private final class Tok(val kind: Int, val value: Int, val rawLen: Int,
+      val sign: Int, val word: String)
+  private val tokEnd = new Tok(TEnd, 0, 0, 0, null)
+
+  /** Tokenizer with one-token lookahead. Whitespace runs are tokens, so
+    * "directly follows" is expressible as token adjacency: `skipColon`
+    * after "10" consumes the colon of "10:20" but not of "10 :20". */
+  private final class Scanner(s: String) {
+    private var pos = 0
+    private var ahead: Tok = null
+
+    def peek(): Tok = { if (ahead == null) ahead = scan(); ahead }
+    def next(): Tok = { val t = peek(); ahead = null; t }
+    def skipSym(kind: Int): Boolean =
+      if (peek().kind == kind) { ahead = null; true } else false
+
+    private def scan(): Tok = {
+      if (pos >= s.length) return tokEnd
+      val c = s.charAt(pos)
+      if (c >= '0' && c <= '9') {
+        val start = pos
+        var v = 0L
+        while (pos < s.length && s.charAt(pos) >= '0' && s.charAt(pos) <= '9') {
+          v = math.min(v * 10 + (s.charAt(pos) - '0'), Int.MaxValue.toLong)
+          pos += 1
+        }
+        new Tok(TNum, v.toInt, pos - start, 0, null)
+      } else if (c >= 'A') { // V8 scans any char >= 'A' as a word char
+        val start = pos
+        while (pos < s.length && s.charAt(pos) >= 'A') pos += 1
+        new Tok(TWord, 0, pos - start, 0, s.substring(start, pos))
+      } else if (Character.isWhitespace(c)) {
+        while (pos < s.length && Character.isWhitespace(s.charAt(pos))) pos += 1
+        new Tok(TWs, 0, 0, 0, null)
+      } else if (c == '+' || c == '-') {
+        pos += 1
+        new Tok(TSign, 0, 0, if (c == '-') -1 else 1, null)
+      } else if (c == ':') { pos += 1; new Tok(TColon, 0, 0, 0, null) }
+      else if (c == '.') { pos += 1; new Tok(TDot, 0, 0, 0, null) }
+      else if (c == ')') { pos += 1; new Tok(TRParen, 0, 0, 0, null) }
+      else if (c == '(') {
+        // a parenthesized span is swallowed whole, nesting tracked; an
+        // unclosed '(' swallows the rest ("May 4 (x 2023" is May 4 2001,
+        // "May 4 ((x)) 2023" is 2023, "(2023-05-04)" is Invalid)
+        var depth = 1
+        pos += 1
+        while (pos < s.length && depth > 0) {
+          val ch = s.charAt(pos)
+          if (ch == '(') depth += 1 else if (ch == ')') depth -= 1
+          pos += 1
+        }
+        new Tok(TParen, 0, 0, 0, null)
+      } else { pos += 1; new Tok(TSkip, 0, 0, 0, null) }
+    }
   }
 
-  /** Resolve a month-name form's two companion numbers to (year, day) by
-    * value: with both present the 1-31 one is the day and the other the
-    * (mapped) year in first-wins order ("May 4 01" -> day 4 year 2001,
-    * "May 2023 4" and "May 32 4" -> year first, day second); with one, a
-    * 1-31 value is a day in 2001, anything else a year with day 1
-    * ("May 4" -> 2001-05-04, "May 32" -> 2032-05-01, "May 0" -> 2000). */
-  private def nameFields(v2: Int, f3: String): (Int, Int) =
-    if (f3 != null) {
-      if (v2 >= 1 && v2 <= 31) (legacyYear(num(f3)), v2)
-      else (legacyYear(v2), num(f3))
-    } else if (v2 >= 1 && v2 <= 31) (2001, v2)
-    else (legacyYear(v2), 1)
+  /** Time slots h/m/s/ms in fill order. `add` is the "n:" path (more
+    * fields announced), `addFinal` closes the time; out-of-range and
+    * post-finalized adds fail the parse where V8's composer does:
+    * "May 4 10:60:30" and "May 4 25:00" are Invalid, while a
+    * NON-announced out-of-range number falls through to the date
+    * components instead ("May 4 10:60" is year 1960). */
+  private final class TimeAcc {
+    val slot = Array(0, 0, 0, 0)
+    var count = 0
+    var finalized = false
+    var hourOffset: Int = -1 // -1 none, 0 am, 12 pm
+
+    private def max(i: Int): Int = i match {
+      case 0 => 24
+      case 3 => 999
+      case _ => 59
+    }
+    def add(n: Int): Boolean =
+      if (finalized || count >= 4 || n > max(count)) false
+      else { slot(count) = n; count += 1; true }
+    def isExpecting(n: Int): Boolean =
+      count > 0 && !finalized && count < 4 && n <= max(count)
+    def addFinal(n: Int): Boolean = { val ok = add(n); finalized = true; ok }
+  }
+
+  /** Date components (max 3) + the named month (last word wins:
+    * "May 4 Jun 2023" is June) + the literal-year flag set by a signed
+    * six-digit leading year ("-012023-01-01 10:20" is year −12023,
+    * exempt from the 1900/2000 mapping and from value routing). */
+  private final class DayAcc {
+    val comp = new Array[Int](3)
+    var count = 0
+    var named: Int = 0
+    var literalYear = false
+    def add(n: Int): Boolean =
+      if (count >= 3) false else { comp(count) = n; count += 1; true }
+  }
+
+  /** Milliseconds from a fraction's digit run: first three digits,
+    * right-padded ("*.5" is 500 ms, "*.60" is 600, "*.123456" is 123).
+    * The VALUE matters only through the ms slot's 0-999 bound — which
+    * is how "10:20.5" turns Invalid: the 500 lands on the SECOND slot. */
+  private def readMs(t: Tok): Int =
+    if (t.rawLen <= 3) t.value * math.pow(10, 3 - t.rawLen).toInt
+    else (t.value / math.pow(10, math.min(t.rawLen, 10) - 3)).toInt
+
+  /** The legacy token loop. Each branch carries its probe-pinned rule:
+    *
+    *   - NUMBER directly followed by ':' announces a time field ("10:20";
+    *     "10::30" is 10:00:30 and only legal while the time is empty);
+    *     directly followed by '.' while a slot expects it, a fraction
+    *     ("10:20:30.5"; the fraction MUST be a number: "10:20:30." and
+    *     "10:20:30.(x)5" are Invalid). Otherwise the number fills, in
+    *     order of priority: a pending zone minute ("+02:30", minute ≤ 59,
+    *     pending survives an overflow: "+02:77 30" takes 30), an open
+    *     time slot ("10: 20" — separators and even month words may
+    *     intervene: "10:(x)20", "10:Jun20"), closing the time with the
+    *     peek rule — only end, whitespace, Z or a sign may directly
+    *     follow a closing time field ("10:20pm", "10:20(x)", "10:20,pm"
+    *     are Invalid) — or else a date component, eating one directly
+    *     trailing dash ("2023-05-04"; "2023(x)-05-04" is Invalid
+    *     because the paren blocks the dash-eat and a bare '-' then
+    *     fails). A 4th component fails ("May 4 2023 10:20 2024 2025").
+    *   - WORD: months by 3-letter prefix (any trailing letters ignored),
+    *     am/pm/zones/Z by whole-run match; anything else is a garbage
+    *     word — legal only before the first number and never directly
+    *     before one ("Xyz 1" parses, "May 4 Xyz" and "Xyz4" are
+    *     Invalid). am/pm needs an open time ("May 4 pm 2023" Invalid,
+    *     leading "pm May 4 2023" is garbage-skipped); last token wins.
+    *   - SIGN with a time read or UTC zone set: numeric offset — value
+    *     routing by ':' first ("+002:30" is +2:30), else by raw digit
+    *     count (1-2 → hours; 3-4 → HMM with minutes rolling into hours:
+    *     "+0160" is +120 min; 5+ Invalid). A sign elsewhere: legal
+    *     garbage before the first number ("- 2023-05-04",
+    *     "--2023-05-04"), Invalid after ("May 4 - 2023", "2023 -05-04")
+    *     — except a directly-attached six-digit year at the front
+    *     ("+012023-01-01 10:20").
+    *   - ')' fails once a number was read; '(' swallows its group; every
+    *     other sub-'A' char is skipped ("May 4 ; 2023", "2023/., 05 ./
+    *     04", "May 4 10:. 20" all parse).
+    */
+  private def parseLegacy(s: String): Option[ZonedDateTime] = {
+    val sc = new Scanner(s)
+    val time = new TimeAcc
+    val day = new DayAcc
+    // zone state: named word offset vs sign-built offset; last set wins
+    // ("Z +02:00" is +2, "+02:00 Z" is UTC)
+    var tzNamed = Int.MinValue // minutes, MinValue = unset
+    var tzSign = 0
+    var tzHour = 0
+    var tzMinute = 0
+    var tzMinutePending = false
+    var hasNum = false
+
+    // V8's SkipSymbol('-') after a date component or month word: eats
+    // ONE directly-trailing dash ("2023-05-04", "Jan-4", trailing
+    // "...99-0500-"); a dash it can't reach is a sign token and fails
+    // once a number was read ("2023 -05-04", "2023(x)-05-04" Invalid)
+    def eatDash(): Unit = {
+      val p = sc.peek()
+      if (p.kind == TSign && p.sign == -1) { sc.next(); () }
+    }
+    // a number that isn't announcing a time field: pending zone minute
+    // first, then an open time slot (with the closing peek rule), else
+    // a date component
+    def handleNonTime(n: Int): Boolean =
+      if (tzMinutePending && n <= 59) { tzMinute = n; tzMinutePending = false; true }
+      else if (time.isExpecting(n)) {
+        time.addFinal(n) && (sc.peek().kind match {
+          // V8: only end-of-input, whitespace, Z or a sign may directly
+          // follow the token that closes the time ("10:20pm", "10:20(x)",
+          // "10:20,pm", "10:20:30GMT" are Invalid; "10:20Z", "10:20+02" parse)
+          case TEnd | TWs | TSign => true
+          case TWord => sc.peek().word.equalsIgnoreCase("z")
+          case _ => false
+        })
+      } else day.add(n) && { eatDash(); true }
+    // garbage words are legal only before the first number and never
+    // directly before one ("Xyz 1" parses; "May 4 Xyz", "Xyz4" Invalid)
+    def garbageWord(): Boolean = !hasNum && sc.peek().kind != TNum
+
+    var ok = true
+    var done = false
+    while (ok && !done) {
+      val t = sc.next()
+      t.kind match {
+        case TEnd => done = true
+        case TWs | TSkip | TColon | TDot | TParen => ()
+        case TRParen => if (hasNum) ok = false
+        case TNum =>
+          hasNum = true
+          val n = t.value
+          if (sc.skipSym(TColon)) {
+            if (sc.skipSym(TColon)) {
+              // "n::" — only while the time is empty ("10::30" is
+              // 10:00:30, "10:20::30" Invalid)
+              if (time.count > 0 || !time.add(n) || !time.add(0)) ok = false
+            } else if (!time.add(n)) ok = false
+          } else if (sc.skipSym(TDot)) {
+            if (time.isExpecting(n)) {
+              // fraction: fills the slot, then REQUIRES a number whose
+              // millisecond value lands on the following slot, range-
+              // checked — which is exactly why "10:20.5" is Invalid
+              // (500 on the second slot) while "10:20:30.5" parses
+              if (!time.add(n)) ok = false
+              else if (sc.peek().kind != TNum) ok = false
+              else if (!time.addFinal(readMs(sc.next()))) ok = false
+            } else ok = handleNonTime(n) // '.' consumed, n demotes
+          } else ok = handleNonTime(n)
+        case TWord =>
+          val lw = t.word.toLowerCase(Locale.ENGLISH)
+          val mo = if (lw.length >= 3) monthNum.get(lw.substring(0, 3)) else None
+          if (mo.isDefined) { day.named = mo.get; eatDash() }
+          else if (lw == "am" || lw == "pm") {
+            // needs an open time; a leading token is garbage-skipped
+            // ("pm May 4 2023" parses, "May 4 pm 2023" Invalid); the
+            // LAST token wins ("10:20 pm am" is 10:20)
+            if (time.count > 0) time.hourOffset = if (lw == "pm") 12 else 0
+            else ok = garbageWord()
+          } else if (namedZoneMin.contains(lw)) {
+            // zone words take effect only after a number; a LEADING one
+            // is garbage-skipped with its offset dropped
+            // ("EST 2023-05-04 10:20" is 10:20 plain, "GMT+0200
+            // 2023-05-04" is Invalid via the stranded offset digits)
+            if (hasNum) { tzNamed = namedZoneMin(lw); tzSign = 0; tzMinutePending = false }
+            else ok = garbageWord()
+          } else ok = garbageWord()
+        case TSign =>
+          if (tzNamed == 0 || time.count > 0) {
+            // numeric zone offset, enabled by a read time or a UTC word
+            // ("2023-05-04 GMT+2:3" parses, "2023-05-04 +02:00" and
+            // "2023-05-04 EST+2" don't); the sign must be directly
+            // followed by a number ("May 4 10:20 -" is Invalid)
+            val p = sc.peek()
+            if (p.kind != TNum) ok = false
+            else {
+              sc.next()
+              tzSign = t.sign; tzNamed = Int.MinValue; tzMinutePending = false
+              if (sc.skipSym(TColon)) {
+                // "+H[H]:" — minute pending, by value ("+002:30" is
+                // +2:30); an out-of-range candidate demotes to a date
+                // component and the wait continues ("+02:77 30" is
+                // +2:30 with component 77)
+                tzHour = p.value; tzMinute = 0; tzMinutePending = true
+              } else if (p.rawLen <= 2) { tzHour = p.value; tzMinute = 0 }
+              else if (p.rawLen <= 4) {
+                // colon-less HMM/HHMM: minutes roll into hours
+                // ("+0160" is +120 min); 5+ digits Invalid ("+02000")
+                tzHour = p.value / 100; tzMinute = p.value % 100
+              } else ok = false
+            }
+          } else if (hasNum) ok = false
+          else {
+            // a directly-attached six-digit number at the front is a
+            // LITERAL signed year ("-012023-01-01 10:20" is −12023);
+            // any other pre-number sign is skipped garbage
+            // ("- 2023-05-04", "--2023-05-04" parse)
+            val p = sc.peek()
+            if (p.kind == TNum && p.rawLen == 6) {
+              sc.next(); hasNum = true; day.literalYear = true
+              if (!day.add(t.sign * p.value)) ok = false else eatDash()
+            }
+          }
+      }
+    }
+    if (!ok) None
+    else compose(day, time, tzNamed, tzSign, tzHour, tzMinute)
+  }
+
+  private def compose(day: DayAcc, time: TimeAcc, tzNamed: Int,
+      tzSign: Int, tzHour: Int, tzMinute: Int): Option[ZonedDateTime] = {
+    if (day.count == 0) return None
+    // time write: am/pm requires hour ≤ 12; pm is h%12+12, am h%12
+    var h = time.slot(0)
+    if (time.hourOffset >= 0) {
+      if (h > 12) return None
+      h = h % 12 + time.hourOffset
+    }
+    val off: Option[Int] =
+      if (tzSign != 0) Some(tzSign * (tzHour * 60 + tzMinute))
+      else if (tzNamed != Int.MinValue) Some(tzNamed)
+      else None
+    val (y, m, d) =
+      if (day.literalYear) {
+        if (day.named > 0)
+          (day.comp(0), day.named, if (day.count >= 2) day.comp(1) else 1)
+        else
+          (day.comp(0), if (day.count >= 2) day.comp(1) else 1,
+            if (day.count >= 3) day.comp(2) else 1)
+      } else if (day.named > 0) {
+        val c0 = day.comp(0)
+        if (day.count >= 2) {
+          if (c0 >= 1 && c0 <= 31) (legacyYear(day.comp(1)), day.named, c0)
+          else (legacyYear(c0), day.named, day.comp(1))
+        } else if (c0 >= 1 && c0 <= 31) (2001, day.named, c0)
+        else (legacyYear(c0), day.named, 1)
+      } else {
+        val v1 = day.comp(0)
+        if (v1 >= 1 && v1 <= 12) // month-first: M[-d[-y]]
+          (if (day.count >= 3) legacyYear(day.comp(2)) else 2001, v1,
+            if (day.count >= 2) day.comp(1) else 1)
+        else if (v1 == 0 || v1 >= 32) // year-first: y[-m[-d]]
+          (legacyYear(v1), if (day.count >= 2) day.comp(1) else 1,
+            if (day.count >= 3) day.comp(2) else 1)
+        else return None // 13-31: a day with no month to attach to
+      }
+    build(y, m, d, h, time.slot(1), time.slot(2), off)
+  }
+
+  /** The committed ES5 time part: strict padded fields, offset hour
+    * ≤ 23 and minute ≤ 59 ("+24:00" is Invalid), whole-rest match. */
+  private def es5Time(y: Int, mo: Int, d: Int, rest: String): Option[ZonedDateTime] =
+    es5TimeRe.findFirstMatchIn(rest).flatMap { t =>
+      val offH = t.group(5)
+      val off: Either[Unit, Option[Int]] =
+        if (offH != null && offH.nonEmpty) {
+          val oh = num(offH.substring(1))
+          val om = num(t.group(6))
+          if (oh > 23 || om > 59) Left(())
+          else Right(Some((if (offH.charAt(0) == '-') -1 else 1) * (oh * 60 + om)))
+        } else if (t.group(4) != null) Right(Some(0))
+        else Right(None)
+      off match {
+        case Left(_)  => None
+        case Right(o) =>
+          build(y, mo, d, num(t.group(1)), num(t.group(2)), num(t.group(3)), o)
+      }
+    }
 
   /** Emulates `new Date(value)` for the supported subset; fields are read
     * in UTC (see class doc). Returns None for JS "Invalid Date". */
   def parse(raw: String): Option[ZonedDateTime] = {
     val s = raw.trim
     if (s.isEmpty) return None
-    def month(name: String): Option[Int] =
-      if (name.length < 3) None
-      else monthNum.get(name.take(3).toLowerCase(Locale.ENGLISH))
-    // a regex match commits to its branch: a semantic failure inside it
-    // is Invalid Date, never a fall-through to the next form
-    // shared month-name composition: companion numbers in order; the
-    // name takes the month slot so only two are used — a third is
-    // IGNORED, as V8's 3-slot composer does ("May 4 2023 10:20 2024"
-    // is 2023) — a FOURTH is one too many, and none at all is Invalid
-    def monthComps(mo: Int, m: scala.util.matching.Regex.Match,
-        h: Int, mi: Int, sec: Int, tail: Seq[String],
-        off: Option[Int]): Option[ZonedDateTime] = {
-      val comps = Option(m.group("f2")).toSeq ++ Option(m.group("f3")) ++ tail
-      if (comps.isEmpty || comps.size > 3) None
-      else {
-        val (y, d) = nameFields(num(comps.head), comps.lift(1).orNull)
-        build(y, mo, d, h, mi, sec, off)
+    try {
+      es5YearOnlyRe.findFirstMatchIn(s) match {
+        case Some(m) => return build(m.group(1).toInt, 1, 1, 0, 0, 0, None)
+        case None => ()
       }
-    }
-    def numCase(m: scala.util.matching.Regex.Match): Option[ZonedDateTime] =
-      legacyTail(m).flatMap { case (h, mi, sec, tail, off) =>
-        val f1 = m.group("f1")
-        if (f1 != null && (f1.charAt(0) == '+' || f1.charAt(0) == '-')) {
-          // signed expanded year
-          if (tail.nonEmpty) None
-          else build(f1.toInt, num(m.group("f2"), 1), num(m.group("f3"), 1),
-            h, mi, sec, off)
-        } else {
-          // positional components, the time transparent to them
-          // ("2023-05 10:20 04" === "2023-05-04 10:20"); 4 of them are
-          // one too many ("2023-05-04 10:20:30 2024" is Invalid) and
-          // none at all is Invalid ("10:20" alone)
-          val comps = Option(f1).toSeq ++ Option(m.group("f2")) ++
-            Option(m.group("f3")) ++ tail
-          if (comps.isEmpty || comps.size > 3) None
-          else {
-            val v1 = num(comps.head)
-            val c2 = comps.lift(1)
-            val c3 = comps.lift(2)
-            if (v1 >= 1 && v1 <= 12) { // month-first: M[-d[-y]]
-              val y = c3.map(c => legacyYear(num(c))).getOrElse(2001)
-              build(y, v1, c2.map(num(_)).getOrElse(1), h, mi, sec, off)
-            } else if (v1 == 0 || v1 >= 32) // year-first: y[-m[-d]]
-              build(legacyYear(v1), c2.map(num(_)).getOrElse(1),
-                c3.map(num(_)).getOrElse(1), h, mi, sec, off)
-            else None // 13-31: a day with no month to attach to
-          }
-        }
+      es5HeadRe.findFirstMatchIn(s) match {
+        case Some(m) =>
+          val y = m.group(1).toInt
+          val mo = m.group(2).toInt
+          var rest = s.substring(m.end)
+          val dayM = es5DayRe.findFirstMatchIn(rest)
+          val d = dayM.map(_.group(1).toInt)
+          dayM.foreach(dm => rest = rest.substring(dm.end))
+          if (rest.isEmpty) build(y, mo, d.getOrElse(1), 0, 0, 0, None)
+          else if (rest.charAt(0) == 'T' || rest.charAt(0) == 't')
+            es5Time(y, mo, d.getOrElse(1), rest)
+          else if (d.isDefined && rest.charAt(0) == '-') None // the dash rule
+          else parseLegacy(s)
+        case None => parseLegacy(s)
       }
-    def nameCase(m: scala.util.matching.Regex.Match): Option[ZonedDateTime] =
-      month(m.group("nm")).flatMap { mo =>
-        legacyTail(m).flatMap { case (h, mi, sec, tail, off) =>
-          monthComps(mo, m, h, mi, sec, tail, off)
-        }
-      }
-    try s match {
-      case isoTimeRe(y, m, d, h, mi, sec, zl, offH, offM) =>
-        // ES5 offsets: hour <= 23, minute <= 59 ("+24:00" is Invalid)
-        val off: Either[Unit, Option[Int]] =
-          if (offH != null && offH.nonEmpty) {
-            val oh = num(offH.substring(1))
-            val om = num(offM)
-            if (oh > 23 || om > 59) Left(())
-            else Right(Some((if (offH.charAt(0) == '-') -1 else 1) * (oh * 60 + om)))
-          } else if (zl != null && zl.nonEmpty) Right(Some(0))
-          else Right(None)
-        off match {
-          case Left(_)  => None
-          case Right(o) => build(num(y), num(m), num(d), num(h), num(mi), num(sec), o)
-        }
-      case isoDateRe(y, m, d) => // literal year - no legacy mapping
-        build(num(y), num(m, 1), num(d, 1), 0, 0, 0, None)
-      case _ =>
-        // the strict ES5 branches above see the ORIGINAL string (node:
-        // "Xyz 2023-05-04T10:20:30" is Invalid); only the legacy parser
-        // tolerates a garbage prefix
-        stripPrefix(s).flatMap { case (rest, preMonth) =>
-          if (rest.isEmpty) None
-          else preMonth match {
-            case Some(mo) =>
-              bareMonthRe.findFirstMatchIn(rest).map { m =>
-                legacyTail(m).flatMap { case (h, mi, sec, tail, off) =>
-                  monthComps(mo, m, h, mi, sec, tail, off)
-                }
-              }.getOrElse(None)
-            case None =>
-              numRe.findFirstMatchIn(rest).map(numCase)
-                .orElse(dayNameRe.findFirstMatchIn(rest).map(nameCase))
-                .getOrElse(None)
-          }
-        }
     } catch { case _: Exception => None } // out-of-range fields etc.
   }
 }

@@ -27,34 +27,14 @@ import graft.SparkSpec
 class JsDateReformatSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Inputs where the emulation deliberately diverges from node — each is
-    * Invalid here but parses in node; see the residual note in the
-    * JsDateReformat scaladoc. */
-  private val residuals: Set[String] = Set(
-    // V8's token stream lets date components interleave the time
-    // arbitrarily; only one post-time component (the standard
-    // serialization shapes) is mirrored here
-    "May 4 10:20 23 24", "05 10:20 04 2023", "12 10:20 01 02",
-    "2023 10:20 05 04", "May 10:20 4 2023", "10:20 May 4 2023",
-    "May 4 (x) 2023",                     // mid-string parenthetical
-    // month words reassign mid-stream in node (last wins); a single
-    // month slot is mirrored here
-    "May 4 Jun 2023", "4 May Jun", "Jun 4 May",
-    // dot-number CHAINS after a demoted second keep filling time slots
-    // in node; one dot-number is mirrored
-    "May 4 10:20:60.5.3",
-    // separator-edge tolerance around trailing components: node accepts
-    // a doubled dash before a detached zone, a trailing dash, and a
-    // dot-component after a zone; the mirrored grammar keeps single
-    // separators
-    "May 4 10:20 99--0500", "May 4 10:20 99-0500-",
-    "May 4 10:20 +02:00.5",
-    // node accepts tokens AFTER the zone (the free-interleaving family)
-    // and a component attached directly to an am/pm token; the mirrored
-    // grammar keeps the zone last and requires a junction before a
-    // post-time component
-    "May 4 2023 10:20 pm Z pm", "May 4 2023 10:20 pm +02:00 pm",
-    "May 4 10:20 pm2023")
+  /** Inputs where the emulation deliberately diverges from node — each
+    * would be Invalid here while node parses it. EMPTY since the r17
+    * token-scan rewrite: the former regex grammar's 17-entry ledger
+    * (free interleaving, mid-string parentheticals, month reassignment,
+    * dot-number chains, separator edges, tokens after the zone) is all
+    * implemented and corpus-pinned now. The mechanism stays so a future
+    * divergence can be ledgered instead of silently shipped. */
+  private val residuals: Set[String] = Set()
 
   private def unescape(s: String): String =
     s.replace("\\t", "\t").replace("\\\\", "\\")
@@ -102,6 +82,33 @@ class JsDateReformatSpec extends SparkSpec {
     }
   }
 
+  test("the expression is codegen'd — no interpreted fallback") {
+    // CODEGEN_ONLY turns a broken doGenCode into a loud failure instead
+    // of a silent CodegenFallback; fallback=false does the same for the
+    // whole-stage path. The r16 verdict flagged JsDateReformat as the
+    // repo's last interpreted expression — this pins the r17 port.
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = corpus.take(50).map(_._1).toDF("v")
+        .select(JsDateReformat.date($"v").as("d"),
+          JsDateReformat.dateTime($"v").as("dt"))
+        .collect()
+      val expect = corpus.take(50)
+      rows.zip(expect).foreach { case (r, (in, d, dt)) =>
+        assert(r.getString(0) == d && r.getString(1) == dt,
+          s"codegen-only eval of '$in' diverged from node")
+      }
+    } finally {
+      prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+      prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
+
   test("parse is total and fast on adversarial inputs (no regex blowup)") {
     val alphabet = "0123456789:+-., /TZGMTapmMay()".toCharArray
     val rnd = new scala.util.Random(20260814)
@@ -133,16 +140,19 @@ class JsDateReformatSpec extends SparkSpec {
       "12345", "0000", "275761")
     val months = Seq("1", "01", "5", "12", "13", "0", "005")
     val days = Seq("1", "4", "04", "30", "31", "32", "0", "40")
-    val seps = Seq("-", "/", ".", " ", ", ")
-    val names = Seq("May", "may", "Sept", "September", "Juneish", "Ma", "Xyz", "Jan.")
+    val seps = Seq("-", "/", ".", " ", ", ", " (x) ", "(x)", " ; ", " . ")
+    val names = Seq("May", "may", "Sept", "September", "Juneish", "Ma", "Xyz",
+      "Jan.", "Jun", "(x) May", "May Jun")
     val times = Seq("", " 10:20", " 3:7", " 10:20:30", " 24:00", " 23:60",
       " 10:20:30.5", ",10:20", " 10:60", " 10:20:75", " 10:123",
-      " 10:20:60.5", " 10:123.5")
-    val ampm = Seq("", " am", " pm", " PM", "pm")
+      " 10:20:60.5", " 10:123.5", " 10::20", " 10: 20", " 10:(x)20",
+      " 10:20:30:40", " 10:20.5")
+    val ampm = Seq("", " am", " pm", " PM", "pm", " pm pm", "(x)pm", " (x) pm")
     val zones = Seq("", "Z", " Z", " GMT", "GMT", " EST", " +02:00", "+0200",
       " +2", " -99", " +2:60", " GMT+0200", " UTC+2", " (x)", " Z (a) (b",
-      " +02:123", " 99-0500", " 99", " 99 -0500")
-    val wds = Seq("", "Sat ", "Sat, ", "sat.","Tue,")
+      " +02:123", " 99-0500", " 99", " 99 -0500", " +002:30", " +02: 00",
+      " Z pm", " Jun", " 99-0500-", "-", " -")
+    val wds = Seq("", "Sat ", "Sat, ", "sat.","Tue,", "EST ", ") ", "; ")
     def numeric() = {
       val s1 = pick(seps); val s2 = pick(seps)
       pick(Seq(
