@@ -12,12 +12,17 @@ import scala.collection.mutable
   * syntax, raw-text elements (script/style), character references
   * (named basics + decimal/hex), mismatched end tags (closed by
   * popping to the nearest matching open element, else ignored — the
-  * usual lenient behavior), and the common WHATWG implied-end-tag rules
+  * usual lenient behavior), the common WHATWG implied-end-tag rules
   * (a block start tag closes an open `p`; `li`/`dt`/`dd`/`tr`/`td`/`th`/
   * `option` close their open siblings) applied when the closable element
-  * is the INNERMOST open one — the machine-generated-markup case. Not a
-  * full WHATWG tree builder: no scope-walking close, adoption agency, or
-  * foster parenting; harvested besluit pages don't rely on those
+  * is the INNERMOST open one — the machine-generated-markup case — plus,
+  * inside tables, the two WHATWG recovery paths that move RDFa-visible
+  * content: "clear the stack back to a table(/body/row) context" for
+  * structural start tags, and FOSTER PARENTING (non-whitespace text and
+  * non-table elements at a structural insertion point are hoisted before
+  * the table, like jsdom — which changes a `<table property=…>`'s
+  * extracted literal). Not a full WHATWG tree builder: no scope-walking
+  * close or adoption agency; harvested besluit pages don't rely on those
   * recovery paths.
   */
 object HtmlParser {
@@ -45,23 +50,81 @@ object HtmlParser {
     "img", "input", "link", "meta", "param", "source", "track", "wbr")
   private val rawTextElements = Set("script", "style")
 
+  /** Insertion points where character data and non-table elements cannot
+    * legally live — WHATWG foster-parents them BEFORE the table. `caption`
+    * and the cells are excluded: they hold flow content normally. */
+  private val fosterContext = Set("table", "tbody", "thead", "tfoot", "tr")
+
+  /** Start tags that belong to the table structure (inserted in place,
+    * never foster-parented). */
+  private val tableLegal = Set("caption", "col", "colgroup", "tbody", "td",
+    "tfoot", "th", "thead", "tr", "style", "script", "template", "form")
+
   /** Parse a full document; returns a synthetic root element. */
   def parse(html: String): Element = {
     val tokens = tokenize(html)
     val root = new Builder("#root", Map.empty)
+    root.owner = root
     val stack = mutable.Stack[Builder](root)
+
+    // Foster parenting (WHATWG "appropriate place for inserting a node"
+    // with foster parenting enabled): while the insertion point is a
+    // table-structural element, non-whitespace text and non-table start
+    // tags are inserted into the NEAREST table's parent, immediately
+    // before the table — jsdom does this, and it moves stray text OUT of
+    // a <table property=…> element's extracted literal. The insert goes
+    // at the table's placeholder index in its owner; every sibling
+    // placeholder at-or-after that index (the table itself, and any
+    // still-open fostered sibling) shifts one right.
+    def fosterSpot(): Option[(Builder, Int)] =
+      stack.find(_.tag == "table").map { t =>
+        val owner = t.owner
+        val at = t.placeholderIndex
+        owner.children.insert(at, null)
+        owner.childBuilders.foreach { cb =>
+          if (cb.placeholderIndex >= at) cb.placeholderIndex += 1
+        }
+        (owner, at)
+      }
+
     tokens.foreach {
       case Tok.Text(t) =>
-        if (t.nonEmpty) stack.top.children += TextNode(t)
+        if (t.nonEmpty) {
+          if (fosterContext(stack.top.tag) && t.trim.nonEmpty) {
+            fosterSpot() match {
+              case Some((owner, at)) => owner.children(at) = TextNode(t)
+              case None => stack.top.children += TextNode(t)
+            }
+          } else stack.top.children += TextNode(t)
+        }
       case Tok.Open(tag, attrs, selfClosing) =>
         impliedEndTags(stack, tag)
+        // a nested <table> start at a structural point stays in place
+        // (WHATWG would close the outer table; the common nested-table
+        // case — a table inside a CELL — is not a foster context at all)
+        val fostered =
+          if (fosterContext(stack.top.tag) && !tableLegal(tag) && tag != "table")
+            fosterSpot()
+          else None
         if (selfClosing || voidElements(tag)) {
-          stack.top.children += Element(tag, attrs, Vector.empty)
+          val el = Element(tag, attrs, Vector.empty)
+          fostered match {
+            case Some((owner, at)) => owner.children(at) = el
+            case None => stack.top.children += el
+          }
         } else {
           val b = new Builder(tag, attrs)
-          stack.top.childBuilders += b
-          stack.top.children += null // placeholder, patched on close
-          b.placeholderIndex = stack.top.children.length - 1
+          fostered match {
+            case Some((owner, at)) =>
+              owner.childBuilders += b
+              b.owner = owner
+              b.placeholderIndex = at
+            case None =>
+              stack.top.childBuilders += b
+              stack.top.children += null // placeholder, patched on close
+              b.owner = stack.top
+              b.placeholderIndex = stack.top.children.length - 1
+          }
           stack.push(b)
         }
       case Tok.Close(tag) =>
@@ -76,7 +139,7 @@ object HtmlParser {
 
   private def finish(stack: mutable.Stack[Builder]): Unit = {
     val done = stack.pop()
-    stack.top.children(done.placeholderIndex) = done.build()
+    done.owner.children(done.placeholderIndex) = done.build()
   }
 
   /** Start tags whose appearance closes an open `p` element — the
@@ -113,18 +176,33 @@ object HtmlParser {
     * section→row→cell pops one frame per re-check; `rt`/`rp` and
     * `option`/`optgroup` close their siblings per the spec's implied-
     * end-tag set. */
+  /** "Clear the stack back to a table (/body/row) context": with a table
+    * open, a structural start tag pops EVERY element down to its context
+    * frame — not just tableInner tops — so `<table><tr><td><p>a<tbody>`
+    * closes p, td and tr before the tbody opens (WHATWG; a fostered
+    * element left open is closed the same way). Outside a table the old
+    * innermost-only rules apply: there is no table to clear back to. */
+  private val tableBodyCtx = Set("table", "tbody", "thead", "tfoot", "#root")
+  private val tableRowCtx = tableBodyCtx + "tr"
+
   @annotation.tailrec
   private def impliedEndTags(stack: mutable.Stack[Builder], tag: String): Unit = {
     val top = stack.top.tag
+    def inTable = stack.exists(_.tag == "table")
     val close = tag match {
       case t if closesP(t)     => top == "p"
       case "li"                => top == "li" || top == "p"
       case "dt" | "dd"         => top == "dt" || top == "dd" || top == "p"
-      case "tr"                => top == "tr" || top == "td" || top == "th" ||
-                                  top == "caption" || top == "colgroup" || top == "p"
-      case "td" | "th"         => top == "td" || top == "th" ||
-                                  top == "caption" || top == "colgroup" || top == "p"
-      case t if tableSection(t) => tableInner(top)
+      case "tr"                =>
+        if (inTable) !tableBodyCtx(top)
+        else top == "tr" || top == "td" || top == "th" ||
+          top == "caption" || top == "colgroup" || top == "p"
+      case "td" | "th"         =>
+        if (inTable) !tableRowCtx(top)
+        else top == "td" || top == "th" ||
+          top == "caption" || top == "colgroup" || top == "p"
+      case t if tableSection(t) =>
+        if (inTable) top != "table" && top != "#root" else tableInner(top)
       case "option"            => top == "option"
       case "optgroup"          => top == "option" || top == "optgroup"
       case "rt" | "rp"         => top == "rt" || top == "rp"
@@ -136,6 +214,9 @@ object HtmlParser {
   private final class Builder(val tag: String, val attrs: Map[String, String]) {
     val children = mutable.ArrayBuffer[Node]()
     val childBuilders = mutable.ArrayBuffer[Builder]()
+    /** The builder whose `children` hold this builder's placeholder —
+      * the stack parent normally, the table's parent when fostered. */
+    var owner: Builder = null
     var placeholderIndex: Int = -1
     def build(): Element = {
       // any still-null placeholders are unclosed children finished bottom-up

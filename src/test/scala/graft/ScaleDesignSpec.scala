@@ -390,7 +390,8 @@ class ScaleDesignSpec extends SparkSpec {
   }
 
   test("IVF index at rest: stored probes prune to their cell directories and match in-memory") {
-    val out = java.nio.file.Files.createTempDirectory("graft-ivf-store").toString
+    val out = graft.Scaffold.cleanupOnExit(
+      java.nio.file.Files.createTempDirectory("graft-ivf-store").toString)
     Similarity.writeIvfPartitioned(spark, sf, out)
     val probed = Similarity.ivfProbeStored(spark, sf, out)
     // the stored-corpus scan must be partition-pruned: only the probed
@@ -410,7 +411,8 @@ class ScaleDesignSpec extends SparkSpec {
   }
 
   test("LSH index at rest: stored probes prune to their signature directories and match in-memory") {
-    val out = java.nio.file.Files.createTempDirectory("graft-lsh-store").toString
+    val out = graft.Scaffold.cleanupOnExit(
+      java.nio.file.Files.createTempDirectory("graft-lsh-store").toString)
     Similarity.writeLshPartitioned(spark, sf, out)
     val probed = Similarity.lshProbeStored(spark, sf, out)
     val nStored = new java.io.File(s"$out/corpus").listFiles()
@@ -431,7 +433,8 @@ class ScaleDesignSpec extends SparkSpec {
   }
 
   test("BM25 index at rest: probe scans no documents, prunes term buckets, matches in-memory") {
-    val out = java.nio.file.Files.createTempDirectory("graft-bm25-store").toString
+    val out = graft.Scaffold.cleanupOnExit(
+      java.nio.file.Files.createTempDirectory("graft-bm25-store").toString)
     graft.ops.Retrieval.writeBm25Index(spark, sf, out)
     val probed = graft.ops.Retrieval.bm25ProbeStored(spark, out)
     // the probe must never re-tokenize the corpus: every scan in its plan
@@ -472,7 +475,8 @@ class ScaleDesignSpec extends SparkSpec {
     // elimination: if these assertions hold, the plan did not regress
     // to re-reading corpus text on the eval side or shipping unneeded
     // index columns — leaving machine IO as the remaining cause.
-    val out = java.nio.file.Files.createTempDirectory("graft-decon-store").toString
+    val out = graft.Scaffold.cleanupOnExit(
+      java.nio.file.Files.createTempDirectory("graft-decon-store").toString)
     graft.ops.CorpusPrep.writeDeconIndex(spark, sf, out)
     val probed = graft.ops.CorpusPrep.deconProbeStored(spark, sf, out)
     val scans = probed.queryExecution.sparkPlan.collect {
@@ -504,6 +508,42 @@ class ScaleDesignSpec extends SparkSpec {
     val mem = graft.ops.CorpusPrep.decontaminate(spark, sf).collect().map(_.toSeq).toSeq
     assert(probed.collect().map(_.toSeq).toSeq == mem,
       "stored decon probe diverges from the in-memory twin")
+  }
+
+  test("incremental-dedup index at rest: probe reads only index fingerprints plus bounded text fetches") {
+    // pins what x_dedup_incr_stored is ALLOWED to read (the r16-verdict
+    // gap in the *_stored read-set pins): the batch probe must take
+    // prior fingerprints from the at-rest index — never re-hash the
+    // prior corpus — and may touch corpus text only for (a) the
+    // synthesized new batch and (b) the post-candidate exact verify.
+    // the query manages its own per-JVM cached index dir (cachedStore),
+    // exactly as the bench runs it — probe that, not a side copy
+    val probed = graft.ops.Dedup.incrDedupStoredQuery(spark, sf)
+    val scans = probed.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        (f.metadata.getOrElse("Location", ""), f.requiredSchema.fieldNames.toSeq)
+    }
+    // the fingerprint side comes from the stored index, pruned to its
+    // data columns (`bucket` is a partition column, never data)
+    val fpScans = scans.filter(_._1.contains("/fp"))
+    assert(fpScans.nonEmpty, s"no scan over the stored fp index: $scans")
+    assert(fpScans.forall(_._2.toSet == Set("doc_id", "fp")),
+      s"fp-index scan reads beyond (doc_id, fp): $fpScans")
+    // exactly THREE documents scans, all BATCH-bounded or candidate-
+    // bounded: the synthesized new batch twice (candidate generation +
+    // its own text for the verify join) and the prior-corpus exact-
+    // verify fetch once — a FOURTH would mean the probe re-derived
+    // prior fingerprints from corpus text, the regression this test
+    // exists to catch (the index would then be decorative)
+    val docScans = scans.filter(_._1.contains("documents"))
+    assert(docScans.size == 3,
+      s"expected exactly three documents scans (2x new batch + verify), got: $scans")
+    assert(docScans.forall(_._2.toSet == Set("doc_id", "text")),
+      s"documents scans not pruned to (doc_id, text): $docScans")
+    // and the stored probe equals the in-memory twin row-for-row
+    val mem = graft.ops.Dedup.incrementalDedup(spark, sf).collect().map(_.toSeq).toSeq
+    assert(probed.collect().map(_.toSeq).toSeq == mem,
+      "stored incremental-dedup probe diverges from the in-memory twin")
   }
 
   test("bucketed quad tables join and pivot without an exchange") {

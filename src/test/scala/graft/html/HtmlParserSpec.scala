@@ -155,4 +155,61 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(ruby.children.collect { case e: Element => (e.tag, e.text) } ==
       Vector(("rt", "read"), ("rp", "("), ("rt", "again")))
   }
+
+  test("foster parenting: stray text in a table is hoisted before it") {
+    // WHATWG: non-whitespace character tokens at a table-structural
+    // insertion point go BEFORE the table — so the table's own text
+    // (what a <table property=…> literal extracts) excludes them
+    val root = parse("<div><table>stray<tr><td>cell</table></div>")
+    val div = root.children.head.asInstanceOf[Element]
+    val kinds = div.children.map {
+      case TextNode(t) => s"text:$t"
+      case e: Element => s"el:${e.tag}"
+    }
+    assert(kinds == Vector("text:stray", "el:table"), kinds.mkString(","))
+    val table = div.children.collect { case e: Element => e }.head
+    assert(table.text == "cell", s"table text: '${table.text}'")
+    // whitespace-only text stays inside the table (spec: "in table text")
+    val ws = parse("<div><table> <tr><td>c</table></div>")
+      .children.head.asInstanceOf[Element]
+    assert(ws.children.collect { case e: Element => e }.head.tag == "table")
+    assert(!ws.children.headOption.exists(_.isInstanceOf[Element] == false) ||
+      ws.children.head.text.trim.isEmpty)
+  }
+
+  test("foster parenting: a non-table element is hoisted before the table") {
+    val root = parse("<div><table><span>me</span><tr><td>cell</table></div>")
+    val div = root.children.head.asInstanceOf[Element]
+    assert(div.children.collect { case e: Element => e.tag } ==
+      Vector("span", "table"))
+    val table = div.children.collect { case e: Element => e }.last
+    assert(table.text == "cell")
+    // an UNCLOSED fostered element is closed by the next structural tag
+    // and still lands before the table
+    val root2 = parse("<div><table><b>x<tr><td>y</table></div>")
+    val div2 = root2.children.head.asInstanceOf[Element]
+    assert(div2.children.collect { case e: Element => (e.tag, e.text) } ==
+      Vector(("b", "x"), ("table", "y")))
+    // text inside a CELL is not a foster context
+    val cellTable = parse("<table><tr><td>keep</table>")
+      .children.head.asInstanceOf[Element]
+    assert(cellTable.text == "keep")
+  }
+
+  test("table-structural starts clear back through non-structural tops") {
+    // WHATWG "clear the stack back to a table context" pops EVERY
+    // element down to the table — <tbody> arriving with a p open inside
+    // a cell closes p, td and tr rather than nesting inside the p
+    val tbl = parse("<table><tr><td><p>a<tbody><tr><td>b</table>")
+      .children.head.asInstanceOf[Element]
+    val tops = tbl.children.collect { case e: Element => e.tag }
+    assert(tops == Vector("tr", "tbody"), tops.mkString(","))
+    val tbody = tbl.children.collect { case e: Element if e.tag == "tbody" => e }.head
+    assert(tbody.text == "b")
+    // a td with a span open deep in the previous cell closes the chain
+    val t2 = parse("<table><tr><td><span><b>x<td>y</table>")
+      .children.head.asInstanceOf[Element]
+    val tr = t2.children.collect { case e: Element => e }.head
+    assert(tr.children.collect { case e: Element => e.tag } == Vector("td", "td"))
+  }
 }
