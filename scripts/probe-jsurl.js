@@ -69,8 +69,32 @@ const urls = [
   'http://[::0001]/', 'http://[0::00:000:0000]/', 'http://[00000::]/',
   'http://[1::2:1.2.3.4]/', 'http://[::0:1.2.3.4]/', 'http://[::2]/',
   'http://[2::]/', 'http://[fe80::1%25eth0]/',
-  // IDNA residual rows: invalid punycode throws in node, parses here
-  'http://xn--a/', 'http://xn---/',
+  // IDNA / punycode (r17: implemented — formerly the residual ledger).
+  // ACE labels: RFC 3492 decode failures throw (incomplete sequence,
+  // overflow, empty output), a decoded label must already be canonical
+  // (lowercase, NFC, no disallowed/context-breaking code points), and
+  // the hyphen/length checks are OFF per the URL Standard's UTS46
+  // options — so a decoded trailing hyphen is fine
+  'http://xn--a/', 'http://xn---/', 'http://xn--/', 'http://xn----/',
+  'http://xn--a-/', 'http://xn--as-/', 'http://xn--ab-c/', 'http://xn---a/',
+  'http://xn--nxasmq6b/', 'http://xn--caf-dma.fr/', 'http://xn--caf-dma-/',
+  'http://xn----dma.fr/', 'http://xn--80ak6aa92e.com/', 'http://xn--0.com/',
+  'http://xn--a-ecp.ru/', 'http://xn--a.com/', 'http://xn--ls8h.la/',
+  'http://xn--n3h.net/', 'http://xn--fiqs8s/', 'http://xn--wgbh1c/',
+  'http://xn--kgbechtv/', 'http://xn--e1afmkfd.xn--p1ai/', 'http://xn--zzz/',
+  'http://xn--123/', 'http://xn--a-9b/', 'http://xn--b-gga/',
+  'http://xn--1ug/', 'http://xn--3e0b707e/', 'http://xn--what-ever/',
+  'http://xn--abcdefghijklmnop/', 'http://xn--a-zz9z/', 'http://xn--aa--bb/',
+  'http://xn--9999999/', 'http://xn--aaa999/', 'http://xn--pokxncvks/',
+  'http://xn--vermgensberatung-pwb/', 'http://XN--NXASMQ6B/',
+  'http://Xn--caf-dma.fr/', 'http://a.xn--a.b/', 'http://xn--tda/',
+  'http://xn--0ca/', 'http://xn--99999999999/', 'http://xn--a-0aaaaaaaaaa/',
+  'http://xn--4db.com/', 'http://xn--caf-dma%2e.fr/',
+  // non-ASCII hosts: UTS46 mapping/validity (nontransitional; STD3 off)
+  'http://café.fr/', 'http://bücher.de/', 'http://ß.de/',
+  'http://͸.com/', 'http://a‍b/', 'http://ドメイン.jp/',
+  'http://%C3%A9.fr/', 'http://a.é.b/', 'http://אב.com/',
+  'http://123א.com/', 'http://a．b/', 'http://。/',
   // escape-set boundary: %3B ; %7B { %7E ~ %5F _ %60 ` %7F DEL %1F C0
   'http://a%3Bb/', 'http://a%7Bb/', 'http://a%7Eb/', 'http://a%5Fb/',
   'http://a%60b/', 'http://a%7Fb/', 'http://a%1Fb/', 'http://a%C3%A9/',

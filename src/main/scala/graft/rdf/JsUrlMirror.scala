@@ -54,9 +54,13 @@ case class JsUrlParseable(child: Expression)
   * Column tree it replaced (r15 `Validation.isJsParseableUrl` and its
   * `hostIpv4Ok`/`ipv6Ok` helpers) — same regex STRINGS compiled by the
   * same `java.util.regex` engine Spark's `rlike`/`regexp_extract` use,
-  * same group numbering, same check order — so the probe corpus, the
-  * residual ledger, and the live node fuzz in ValidationSpec carry over
-  * unchanged. Rule provenance lives on [[Validation.wktUrlParseRegex]].
+  * same group numbering, same check order — so the probe corpus and the
+  * live node fuzz in ValidationSpec carry over unchanged. Rule
+  * provenance lives on [[Validation.wktUrlParseRegex]]. r17 adds the
+  * one arm the tree never had: the UTS #46 / punycode host validation
+  * (below), which closed the mirror's residual ledger — it runs only
+  * for hosts that are non-ASCII or carry an `xn--` label, so the plain
+  * hosts the parity contract covers take exactly the old decisions.
   */
 object JsUrlMirror {
 
@@ -64,14 +68,15 @@ object JsUrlMirror {
     * alphabetic-start dot-labels (so the host can never end in a
     * number, carry an escape, userinfo, bracket, or extra slashes),
     * an optional port of at most 4 digits (≤ 9999 < 65535), and any
-    * `/?#` tail. Matching here GUARANTEES the full mirror would accept
-    * too — real-world rows (opengis.net CRS IRIs) pay one anchored
-    * regex and never reach the WHATWG machinery. Equivalence is pinned
-    * row-by-row by the probe corpus in ValidationSpec (every `ok` row
-    * must satisfy fast-or-slow, every `throw` row neither). */
+    * `/?#` tail. Labels starting `xn--` are excluded (they take the
+    * IDNA path below). Matching here GUARANTEES the full mirror would
+    * accept too — real-world rows (opengis.net CRS IRIs) pay one
+    * anchored regex and never reach the WHATWG machinery. Equivalence
+    * is pinned row-by-row by the probe corpus in ValidationSpec (every
+    * `ok` row must satisfy fast-or-slow, every `throw` row neither). */
   private val simpleUrl: Pattern = Pattern.compile(
-    "^https?://[A-Za-z](?:[A-Za-z0-9-]*[A-Za-z0-9])?" +
-      "(?:\\.[A-Za-z](?:[A-Za-z0-9-]*[A-Za-z0-9])?)*" +
+    "^https?://(?![xX][nN]--)[A-Za-z](?:[A-Za-z0-9-]*[A-Za-z0-9])?" +
+      "(?:\\.(?![xX][nN]--)[A-Za-z](?:[A-Za-z0-9-]*[A-Za-z0-9])?)*" +
       "(?::[0-9]{1,4})?(?:[/?#].*)?$")
 
   /** Structural parse — groups: 1 = bracketed IPv6 content, 2 = plain
@@ -115,8 +120,179 @@ object JsUrlMirror {
     val portVal = leadingZeros.matcher(port).replaceAll("")
     val portOk = portVal.isEmpty ||
       (portVal.length <= 5 && portVal.toLong <= 65535L)
-    portOk && (host.isEmpty || hostIpv4Ok(host)) &&
+    portOk && (host.isEmpty || (hostIdnaOk(host) && hostIpv4Ok(host))) &&
       (ipv6.isEmpty || ipv6Ok(ipv6))
+  }
+
+  // ------------------------------------------------------------------
+  // WHATWG domain_to_ascii (UTS #46) over the percent-decoded host —
+  // the IDNA arm of `new URL`'s throw behavior, formerly the mirror's
+  // only residual ledger entries. The URL Standard runs UTS46 with
+  // UseSTD3ASCIIRules=false, CheckHyphens=false, VerifyDnsLength=false,
+  // CheckBidi/CheckJoiners=true, nontransitional. icu4j (shipped with
+  // Spark for collations) provides the mapping/validity tables; its
+  // UTS46 instance has hyphen and length checks hard-ON, so those
+  // errors are masked. `xn--` (ACE) labels need one step ICU cannot
+  // express with CheckHyphens pinned on — a decoded label whose only
+  // sin is a lopped hyphen reports INVALID_ACE_LABEL — so ACE labels
+  // are punycode-decoded here (RFC 3492) and the DECODED text is
+  // validity-checked instead: it must survive ICU's processing
+  // unchanged (already lowercase/NFC, no disallowed or context-breaking
+  // code points), which is exactly UTS46 §4.1 with the hyphen rules
+  // removed. Probe-pinned: "xn--a"/"xn---"/"xn--123" throw,
+  // "xn--a-"/"xn----"/"xn--caf-dma-" parse, "XN--TDA" lowercases first,
+  // "bücher.de" maps, U+0378 and a bare ZWJ throw.
+  // ------------------------------------------------------------------
+
+  private lazy val uts46 = com.ibm.icu.text.IDNA.getUTS46Instance(
+    com.ibm.icu.text.IDNA.NONTRANSITIONAL_TO_UNICODE |
+      com.ibm.icu.text.IDNA.CHECK_CONTEXTJ)
+
+  /** ICU errors the URL Standard's option set disables: CheckHyphens
+    * and VerifyDnsLength are false there, and empty labels are legal. */
+  private val maskedIdnaErrors: java.util.Set[com.ibm.icu.text.IDNA.Error] =
+    java.util.EnumSet.of(
+      com.ibm.icu.text.IDNA.Error.LEADING_HYPHEN,
+      com.ibm.icu.text.IDNA.Error.TRAILING_HYPHEN,
+      com.ibm.icu.text.IDNA.Error.HYPHEN_3_4,
+      com.ibm.icu.text.IDNA.Error.EMPTY_LABEL,
+      com.ibm.icu.text.IDNA.Error.LABEL_TOO_LONG,
+      com.ibm.icu.text.IDNA.Error.DOMAIN_NAME_TOO_LONG)
+
+  /** Label-level UTS46 mapping+validity: the mapped/normalized text if
+    * no unmasked error fired, None otherwise. */
+  private def uts46Label(label: String): Option[String] = {
+    val info = new com.ibm.icu.text.IDNA.Info
+    val out = new java.lang.StringBuilder
+    uts46.nameToUnicode(label, out, info)
+    val errs = new java.util.HashSet[com.ibm.icu.text.IDNA.Error](info.getErrors)
+    errs.removeAll(maskedIdnaErrors)
+    if (errs.isEmpty) Some(out.toString) else None
+  }
+
+  /** node's Bidi criterion, reconstructed from ~50 differential probes —
+    * it is NOT RFC 5893 verbatim (ICU's CheckBidi rejects "123א.com"
+    * and accepts "aب.com" the other way around, both against node).
+    * Per label containing any R/AL/AN code point, with trailing
+    * non-spacing marks stripped for the end test:
+    *
+    *   - first code point strong-L ("aא", "βא", "a1٠"): R/AL/AN are
+    *     legal only as the FINAL core character ("aא", "a٠", "a-א"
+    *     parse; "aאb", "aא1", "aاا", "aا1", "a٠b" throw);
+    *   - anything else first ("123א", "-٠", "׳"): no strong-L anywhere
+    *     ("אa", "١٢٣a" throw), the core must END in R/AL/EN/AN
+    *     ("א-", "٠-" throw; "א-1" parses), and EN and AN never mix
+    *     ("1א١", "٠1" throw; "ا۱" parses — U+06F1 is EN). */
+  private def bidiOk(label: String): Boolean = {
+    import java.lang.Character._
+    val cps = label.codePoints().toArray
+    def cls(cp: Int): Byte = Character.getDirectionality(cp)
+    def rtlish(cp: Int): Boolean = {
+      val d = cls(cp)
+      d == DIRECTIONALITY_RIGHT_TO_LEFT ||
+        d == DIRECTIONALITY_RIGHT_TO_LEFT_ARABIC ||
+        d == DIRECTIONALITY_ARABIC_NUMBER
+    }
+    if (cps.isEmpty || !cps.exists(rtlish)) return true
+    var end = cps.length
+    while (end > 0 && cls(cps(end - 1)) == DIRECTIONALITY_NONSPACING_MARK) end -= 1
+    if (cls(cps(0)) == DIRECTIONALITY_LEFT_TO_RIGHT)
+      cps.slice(0, math.max(end - 1, 0)).forall(cp => !rtlish(cp))
+    else {
+      val hasL = cps.exists(cp => cls(cp) == DIRECTIONALITY_LEFT_TO_RIGHT)
+      val lastD = if (end > 0) cls(cps(end - 1)) else DIRECTIONALITY_NONSPACING_MARK
+      val endOk = lastD == DIRECTIONALITY_RIGHT_TO_LEFT ||
+        lastD == DIRECTIONALITY_RIGHT_TO_LEFT_ARABIC ||
+        lastD == DIRECTIONALITY_EUROPEAN_NUMBER ||
+        lastD == DIRECTIONALITY_ARABIC_NUMBER
+      val hasEN = cps.exists(cp => cls(cp) == DIRECTIONALITY_EUROPEAN_NUMBER)
+      val hasAN = cps.exists(cp => cls(cp) == DIRECTIONALITY_ARABIC_NUMBER)
+      !hasL && endOk && !(hasEN && hasAN)
+    }
+  }
+
+  /** RFC 3492 §6.2 decode. None on any malformation the spec fails on:
+    * a non-digit, an incomplete digit sequence ("xn--ab-c"), overflow
+    * ("xn--99999999999"), a code point beyond U+10FFFF or a surrogate.
+    * An empty OUTPUT is also None — node throws on "xn--" and "xn---"
+    * — while an empty ENCODED part with basic text is fine ("xn--a-"
+    * decodes to "a", which node accepts). */
+  private def punycodeDecode(in: String): Option[String] = {
+    val base = 36; val tmin = 1; val tmax = 26; val skew = 38; val damp = 700
+    def adapt(delta0: Int, numPoints: Int, first: Boolean): Int = {
+      var delta = if (first) delta0 / damp else delta0 / 2
+      delta += delta / numPoints
+      var k = 0
+      while (delta > ((base - tmin) * tmax) / 2) { delta /= base - tmin; k += base }
+      k + (base - tmin + 1) * delta / (delta + skew)
+    }
+    val out = scala.collection.mutable.ArrayBuffer[Int]()
+    val d = in.lastIndexOf('-')
+    val basic = if (d >= 0) in.substring(0, d) else ""
+    if (basic.exists(_ >= 0x80)) return None
+    basic.foreach(c => out += c.toInt)
+    var pos = if (d >= 0) d + 1 else 0
+    var n = 128; var i = 0; var bias = 72
+    while (pos < in.length) {
+      val oldi = i
+      var w = 1
+      var k = base
+      var done = false
+      while (!done) {
+        if (pos >= in.length) return None
+        val c = in.charAt(pos); pos += 1
+        val digit =
+          if (c >= 'a' && c <= 'z') c - 'a'
+          else if (c >= 'A' && c <= 'Z') c - 'A'
+          else if (c >= '0' && c <= '9') c - '0' + 26
+          else return None
+        if (w != 0 && digit > (Int.MaxValue - i) / w) return None
+        i += digit * w
+        val t = if (k <= bias + tmin) tmin else if (k >= bias + tmax) tmax else k - bias
+        if (digit < t) done = true
+        else {
+          if (w > Int.MaxValue / (base - t)) return None
+          w *= base - t
+          k += base
+        }
+      }
+      val len = out.length + 1
+      bias = adapt(i - oldi, len, oldi == 0)
+      if (i / len > Int.MaxValue - n) return None
+      n += i / len
+      i %= len
+      if (n > 0x10FFFF || (n >= 0xD800 && n <= 0xDFFF)) return None
+      out.insert(i, n)
+      i += 1
+    }
+    if (out.isEmpty) None
+    else Some(out.iterator.map(cp => new String(Character.toChars(cp))).mkString)
+  }
+
+  /** The IDNA gate over the percent-decoded host. Pure-ASCII hosts with
+    * no ACE label skip everything (the forbidden-char set is already
+    * enforced structurally, and with the hyphen/length checks off,
+    * nothing else in UTS46 can reject plain ASCII). ASCII lowercasing
+    * happens first — UTS46's mapping step runs before the `xn--`
+    * dispatch, so "XN--TDA" decodes like "xn--tda". */
+  private def hostIdnaOk(rawHost: String): Boolean = {
+    val decoded = java.net.URLDecoder.decode(
+      rawHost.replace("+", "%2B"), java.nio.charset.StandardCharsets.UTF_8)
+    val lower = decoded.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+    val labels = lower.split("\\.", -1)
+    if (lower.forall(_ < 0x80) && !labels.exists(_.startsWith("xn--"))) true
+    else labels.forall { label =>
+      if (label.startsWith("xn--")) {
+        label.forall(_ < 0x80) && (punycodeDecode(label.substring(4)) match {
+          case Some(dec) => uts46Label(dec).contains(dec) && bidiOk(dec)
+          case None => false
+        })
+      } else if (label.forall(_ < 0x80)) true
+      else uts46Label(label).exists(m =>
+        // the mapping can MINT label separators (fullwidth dot → '.');
+        // node re-splits after mapping, so each piece is checked alone
+        m.split("\\.", -1).forall(bidiOk))
+    }
   }
 
   /** Hex/octal/decimal part value; caller has already regex-gated the

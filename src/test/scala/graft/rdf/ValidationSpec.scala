@@ -141,13 +141,13 @@ class ValidationSpec extends SparkSpec {
   // reproduce the committed bytes when node is present.
   // ---------------------------------------------------------------------
 
-  /** Rows where the mirror deliberately diverges from node — all parse
-    * here but THROW in node (see the residual list in the
-    * wktUrlParseRegex scaladoc): IDNA/Unicode domain mapping (invalid
-    * punycode labels). Harvested CRS URLs are plain opengis.net IRIs
-    * that never carry one. */
-  private val urlResiduals: Set[String] = Set(
-    "http://xn--a/", "http://xn---/")
+  /** Rows where the mirror deliberately diverges from node — EMPTY
+    * since r17: the IDNA/punycode class (the last entries) is
+    * implemented via RFC 3492 decode + icu4j's UTS46 tables with the
+    * URL Standard's option set (JsUrlMirror.hostIdnaOk). The mechanism
+    * stays so a future divergence can be ledgered instead of silently
+    * shipped. */
+  private val urlResiduals: Set[String] = Set()
 
   /** Rows the WKT extraction regex can never produce (no `//` after the
     * scheme) — asserted unreachable instead of mirrored. */
@@ -221,7 +221,12 @@ class ValidationSpec extends SparkSpec {
     assume("which node".! == 0, "node not on PATH — live fuzz skipped")
     val rnd = new scala.util.Random(20260815)
     val labels = Seq("a", "ex", "www", "opengis", "a-b", "x9", "3d", "0x7f",
-      "255", "256", "1", "foo", "a%41b", "a%2Fb", "a%zz", "xn--a")
+      "255", "256", "1", "foo", "a%41b", "a%2Fb", "a%zz", "xn--a",
+      // the r17 IDNA arm: valid/invalid ACE, decoded-hyphen forms,
+      // case variants, raw and escaped non-ASCII
+      "xn--tda", "xn--caf-dma", "xn--caf-dma-", "xn--123", "xn--zzz",
+      "xn--ab-c", "xn----", "xn--a-", "XN--TDA", "xn--1ug", "xn--b-gga",
+      "caf\u00e9", "b\u00fccher", "%C3%A9", "\u30c9x")
     def label() = labels(rnd.nextInt(labels.size))
     def host() = (0 until (1 + rnd.nextInt(3))).map(_ => label()).mkString(".")
     val ports = Seq("", ":80", ":0", ":000080", ":65535", ":65536", ":99999",
@@ -255,8 +260,7 @@ class ValidationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     val known = urlResiduals // documented divergences excluded
     distinctFuzz.zip(nodeOk).filterNot { case (u, _) =>
-      known.contains(u) || known.contains(u + "/") ||
-        u.contains("xn--") // IDNA residual class
+      known.contains(u) || known.contains(u + "/")
     }.foreach { case (u, ok) =>
       assert(mirror(u) == ok, s"live fuzz: '$u' mirror ${mirror(u)}, node $ok")
     }
@@ -268,13 +272,19 @@ class ValidationSpec extends SparkSpec {
     assume("which node".! == 0 && java.nio.file.Files.exists(script) &&
       java.nio.file.Files.exists(urlCorpusPath),
       "node not on PATH — corpus currency check skipped")
-    val out = new StringBuilder
-    val code = Process(Seq("node", script.toString))
-      .!(ProcessLogger(l => out.append(l).append('\n'), Console.err.println(_)))
+    // byte-level comparison via a temp file: ProcessLogger decodes the
+    // child's stdout with the JVM's locale charset, which mangles the
+    // corpus's non-ASCII IDNA rows under a POSIX locale
+    val tmp = java.nio.file.Files.createTempFile("jsurl-probe", ".tsv")
+    val code = try (Process(Seq("node", script.toString)) #> tmp.toFile).!
+      catch { case e: Exception => fail(s"probe-jsurl.js failed: $e") }
     assert(code == 0, "probe-jsurl.js failed")
+    val out = new String(java.nio.file.Files.readAllBytes(tmp),
+      java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.deleteIfExists(tmp)
     val committed = new String(java.nio.file.Files.readAllBytes(urlCorpusPath),
       java.nio.charset.StandardCharsets.UTF_8)
-    assert(out.toString == committed,
+    assert(out == committed,
       "jsurl corpus.tsv is stale — regenerate: node scripts/probe-jsurl.js > src/test/resources/jsurl/corpus.tsv")
   }
 }
