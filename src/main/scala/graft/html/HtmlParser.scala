@@ -12,18 +12,23 @@ import scala.collection.mutable
   * syntax, raw-text elements (script/style), character references
   * (named basics + decimal/hex), mismatched end tags (closed by
   * popping to the nearest matching open element, else ignored — the
-  * usual lenient behavior), the common WHATWG implied-end-tag rules
-  * (a block start tag closes an open `p`; `li`/`dt`/`dd`/`tr`/`td`/`th`/
-  * `option` close their open siblings) applied when the closable element
-  * is the INNERMOST open one — the machine-generated-markup case — plus,
+  * usual lenient behavior), the WHATWG implied-end-tag rules
+  * with their real scope walks (a block start tag closes an open `p` in
+  * BUTTON SCOPE, popping intervening inline elements: `<p>a<b>c<p>d`
+  * ends the first paragraph at "ac"; `li`/`dt`/`dd` close their open
+  * siblings through phrasing content, stopping at special-category
+  * blocks; `option`/`rt`/`rp` close their innermost siblings) — plus,
   * inside tables, the two WHATWG recovery paths that move RDFa-visible
   * content: "clear the stack back to a table(/body/row) context" for
   * structural start tags, and FOSTER PARENTING (non-whitespace text and
   * non-table elements at a structural insertion point are hoisted before
   * the table, like jsdom — which changes a `<table property=…>`'s
-  * extracted literal). Not a full WHATWG tree builder: no scope-walking
-  * close or adoption agency; harvested besluit pages don't rely on those
-  * recovery paths.
+  * extracted literal). Not a full WHATWG tree builder: no adoption
+  * agency / active-formatting reconstruction — a formatting element
+  * closed by a scope walk is NOT re-cloned into the next block, so a
+  * property-carrying `<b>` spanning paragraphs yields one triple, not
+  * jsdom's two; harvested besluit pages don't carry RDFa on formatting
+  * elements.
   */
 object HtmlParser {
 
@@ -185,30 +190,92 @@ object HtmlParser {
   private val tableBodyCtx = Set("table", "tbody", "thead", "tfoot", "#root")
   private val tableRowCtx = tableBodyCtx + "tr"
 
-  @annotation.tailrec
+  /** WHATWG "has a `p` element in button scope": the search for the open
+    * `p` walks DOWN the stack through inline/formatting elements and
+    * stops at these barriers — so `<p>a<b>c<p>` closes the first p
+    * (popping the b with it) while a p outside a table cell or button
+    * is never closed from inside one. */
+  private val buttonScopeBarrier = Set("applet", "caption", "html", "table",
+    "td", "th", "marquee", "object", "template", "button", "#root")
+
+  /** The spec's "special" category members relevant to the li/dd/dt
+    * sibling walk: the walk from the stack top stops at any of these
+    * (except address/div/p, which it walks through). */
+  private val liWalkBarrier = Set("applet", "article", "aside", "blockquote",
+    "body", "button", "caption", "center", "col", "colgroup", "dl",
+    "details", "dialog", "dir", "fieldset", "figcaption", "figure",
+    "footer", "form", "h1", "h2", "h3", "h4", "h5", "h6", "head", "header",
+    "hgroup", "html", "listing", "main", "marquee", "menu", "nav",
+    "object", "ol", "plaintext", "pre", "search", "section", "select",
+    "summary", "table", "tbody", "td", "template", "tfoot", "th", "thead",
+    "tr", "ul", "xmp", "#root")
+
+  /** Pop until the builder at stack index `idx` (inclusive) is closed. */
+  private def popThrough(stack: mutable.Stack[Builder], idx: Int): Unit = {
+    var i = idx
+    while (i >= 0) { finish(stack); i -= 1 }
+  }
+
+  /** WHATWG "close a p element in button scope", the scope-walking form:
+    * pop everything down to and including the nearest open `p`, unless a
+    * scope barrier intervenes. `<p>a<b>c<p>d`: the second p start closes
+    * the first p AND the b — matching jsdom's literal extents for a
+    * `<p property=…>` (the reconstruction of active formatting elements
+    * around "d" is NOT mirrored; see the class doc). */
+  private def closePInButtonScope(stack: mutable.Stack[Builder]): Unit = {
+    val idx = stack.indexWhere(b => b.tag == "p" || buttonScopeBarrier(b.tag))
+    if (idx >= 0 && stack(idx).tag == "p") popThrough(stack, idx)
+  }
+
+  /** The li (and dd/dt) sibling walk: from the stack top, close an open
+    * sibling through phrasing content (`<li><b>x<li>` pops b and li) but
+    * stop at special-category blocks other than address/div/p. */
+  private def closeSibling(stack: mutable.Stack[Builder], targets: Set[String]): Unit = {
+    val idx = stack.indexWhere(b => targets(b.tag) || liWalkBarrier(b.tag))
+    if (idx >= 0 && targets(stack(idx).tag)) popThrough(stack, idx)
+  }
+
   private def impliedEndTags(stack: mutable.Stack[Builder], tag: String): Unit = {
-    val top = stack.top.tag
     def inTable = stack.exists(_.tag == "table")
-    val close = tag match {
-      case t if closesP(t)     => top == "p"
-      case "li"                => top == "li" || top == "p"
-      case "dt" | "dd"         => top == "dt" || top == "dd" || top == "p"
-      case "tr"                =>
-        if (inTable) !tableBodyCtx(top)
-        else top == "tr" || top == "td" || top == "th" ||
-          top == "caption" || top == "colgroup" || top == "p"
-      case "td" | "th"         =>
-        if (inTable) !tableRowCtx(top)
-        else top == "td" || top == "th" ||
-          top == "caption" || top == "colgroup" || top == "p"
+    tag match {
+      case t if closesP(t) => closePInButtonScope(stack)
+      case "li" =>
+        closeSibling(stack, Set("li")); closePInButtonScope(stack)
+      case "dt" | "dd" =>
+        closeSibling(stack, Set("dt", "dd")); closePInButtonScope(stack)
+      case "tr" =>
+        if (inTable) while (!tableBodyCtx(stack.top.tag)) finish(stack)
+        else innermostLegacy(stack, tag)
+      case "td" | "th" =>
+        if (inTable) while (!tableRowCtx(stack.top.tag)) finish(stack)
+        else innermostLegacy(stack, tag)
       case t if tableSection(t) =>
-        if (inTable) top != "table" && top != "#root" else tableInner(top)
+        if (inTable)
+          while (stack.top.tag != "table" && stack.top.tag != "#root") finish(stack)
+        else innermostLegacy(stack, tag)
+      case "option" | "optgroup" | "rt" | "rp" => innermostLegacy(stack, tag)
+      case _ => ()
+    }
+  }
+
+  /** The pre-scope-walk innermost-only sibling rules, kept for the
+    * table-structural tags OUTSIDE any table (nothing to clear back to)
+    * and the option/ruby families. */
+  @annotation.tailrec
+  private def innermostLegacy(stack: mutable.Stack[Builder], tag: String): Unit = {
+    val top = stack.top.tag
+    val close = tag match {
+      case "tr"                => top == "tr" || top == "td" || top == "th" ||
+                                  top == "caption" || top == "colgroup" || top == "p"
+      case "td" | "th"         => top == "td" || top == "th" ||
+                                  top == "caption" || top == "colgroup" || top == "p"
+      case t if tableSection(t) => tableInner(top)
       case "option"            => top == "option"
       case "optgroup"          => top == "option" || top == "optgroup"
       case "rt" | "rp"         => top == "rt" || top == "rp"
       case _                   => false
     }
-    if (close) { finish(stack); impliedEndTags(stack, tag) }
+    if (close) { finish(stack); innermostLegacy(stack, tag) }
   }
 
   private final class Builder(val tag: String, val attrs: Map[String, String]) {

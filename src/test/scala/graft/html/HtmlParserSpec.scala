@@ -196,6 +196,28 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(cellTable.text == "keep")
   }
 
+  test("a block start closes an open p in button scope, through inline elements") {
+    // WHATWG close-a-p walks the stack: the second <p> pops the open <b>
+    // and the first <p>, so "three" is NOT part of the first paragraph
+    val root = parse("<div><p>one<b>two<p>three</div>")
+    val div = root.children.head.asInstanceOf[Element]
+    val ps = div.children.collect { case e: Element if e.tag == "p" => e.text }
+    assert(ps == Vector("onetwo", "three"), ps.mkString("|"))
+    // the walk stops at button-scope barriers: a div inside a <button>
+    // must not close the paragraph the button sits in
+    val t = parse("<p>a<button><div>x</div></button>b</p>")
+      .children.collect { case e: Element if e.tag == "p" => e }.head
+    assert(t.text == "axb", s"p closed across a button barrier: '${t.text}'")
+    // li sibling walk crosses formatting but stops at special blocks
+    val ul = parse("<ul><li>a<b>c<li>d</ul>")
+      .children.head.asInstanceOf[Element]
+    assert(ul.children.collect { case e: Element => e.text } == Vector("ac", "d"))
+    val nested = parse("<ul><li>a<ol><li>b</ol>c</ul>")
+      .children.head.asInstanceOf[Element]
+    // the inner ol's li must not close the outer li (ol is a barrier)
+    assert(nested.children.collect { case e: Element => e.text } == Vector("abc"))
+  }
+
   test("table-structural starts clear back through non-structural tops") {
     // WHATWG "clear the stack back to a table context" pops EVERY
     // element down to the table — <tbody> arriving with a p open inside

@@ -111,6 +111,13 @@ class StreamingSpec extends SparkSpec {
     // a single-batch batch-in-disguise run
     assert(StreamDrive.lastDriveBatches.length >= 3,
       s"expected >=3 non-empty micro-batches, got ${StreamDrive.lastDriveBatches}")
+    // the per-batch trigger durations Bench ships as drive_trigger_ms
+    // must track the same batches — one positive duration per non-empty
+    // micro-batch, or the steady-state metric silently reports nothing
+    assert(StreamDrive.lastDriveTriggerMs.length == StreamDrive.lastDriveBatches.length,
+      s"trigger durations ${StreamDrive.lastDriveTriggerMs} out of step with " +
+        s"batches ${StreamDrive.lastDriveBatches}")
+    assert(StreamDrive.lastDriveTriggerMs.forall(_ > 0))
     val batch = graft.ops.Sessionize.slidingWindows(spark, sf).collect().toSeq
     assert(batch.nonEmpty)
     assert(streamed == batch)
