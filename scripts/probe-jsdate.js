@@ -448,6 +448,61 @@ fuzz.push(
   'May +012023-02-03', '+ 012023-01-01', 'May 4 10:20 +012023',
   'Tue May 4 2023', 'Wed May 4 2023', 'May 4 T 2023', '2023-05-04 T 10:20',
 );
+// a sign with the time open (even unfinalized) starts an offset; it
+// must be DIRECTLY followed by a number or a colon — "±:" is a
+// zero-hour offset with the minute pending (found by the token-soup
+// fuzz: '%05:-:1123pm' parses as year 1123, 5pm, offset −0:00)
+fuzz.push(
+  '%05:-:1123pm', '05:-:1123pm', 'May 4 10:-2023', 'May 4 10: - 1123',
+  'May 4 10:- 1123', 'May 4 10:20 - 2023', 'May 4 10:20- 2023',
+  'May 4 10:20-2023', 'May 4 10:20:-30', 'May 4 10:20: -30',
+  'May 4 10:20 -', 'May 4 10: -', 'May 4 10:- pm', 'May 4 10:-',
+  'May 4 10:20 -:30', 'May 4 10:20 +:30', 'May 4 10:-:20',
+  'May 4 10:-:61', 'May 4 10:-:20:30', 'May 4 10:-.20', 'May 4 10:-(x)20',
+  'May 4 10:20 -:', 'May 4 10:20 -Z', 'May 4 10:20 -pm', 'May 4 10:20 -GMT',
+  'May 4 10:-Jun', 'May 4 10:20:30 -.5', 'May 4 10:--2023', 'May 4 10:-+2023',
+  'May 4 10:20 --2023', 'May 4 10:20:60- 99', 'May 4 2023 10:20:30.5- pm',
+  'May 4 - 10:20',
+);
+// the ES5 layer is a token-PREFIX parser sharing the scanner with the
+// legacy loop: a partial prefix COMMITS its numbers as legacy date
+// components and the legacy loop continues at the first unusable token
+// (with that token's own symbol adjacency intact); a break after a
+// consumed T is a hard Invalid; a complete match is literal ISO
+fuzz.push(
+  '2023-05:30', '2023:', '2023:05', '0500:', '0500:30', '123:30',
+  '2023-05 Jun', '2023-05Xyz', '2023+05', '2023-05-04 1 2',
+  '2023-13:30', '2023-05-13:30', '2023-5:30', '2023-May', '2023-May-04',
+  '2023-10.5', '2023-13.5', '2023- 05', '2023-+05', '2023-',
+  '0049', '0049 10:20', '0500:01:02', '2023:05:06', '1230:05',
+  '2023-05:30:40', '2023-05-04:30', '2023-05-04 :30', '2023-05T24:00',
+  '2023-05t10:20', '2023T10:20', '0000-01-01', '0000', '0001-01-01 10:20',
+  '2023-05-04T10:20+2:30', '2023-05-04T24:00:00.5', '2023-05-04T10:20:30.',
+  '2023-05-04T10:20+023000', '2023-05-04TT10:20', '2023-05-04Tz',
+  '2023-05-04T10:20:30Z pm', '2023-05-04T 10:20', '2023-05-04T10 :20',
+  '2023-05-04t 10:20', '2023-05-04 t10:20', '2023-05-04 t 10:20',
+  't2023-05-04', 'ts ts May 4 2023', 'May t 4 2023', 'May 4 t 2023',
+);
+// signed expanded years belong to the ES5 PREFIX alone (legacy has no
+// signed years); the six-digit year is consumed before the minus-zero
+// check rejects
+fuzz.push(
+  '-012023-01-01 10:20', 'Xyz -012023', '- 012023', 'Xyz +012023',
+  '(x) -012023-01-01', '-12023', '-012023', '+012023', '-000000',
+  '+000000', '-000099-01-01 10:20', '-000099', 'May 4 -012023',
+  '10:20 -012023', '+012023-05:30', '-012023:30', '+012023T10:20',
+  '+012023-05-04T10:20',
+);
+// V8 never pre-trims: the ES5 prefix engages only at the very first
+// token, so leading garbage/whitespace demotes to legacy (year mapping
+// returns) and trailing whitespace breaks ES5 completeness
+fuzz.push(
+  ' 0099-01-01', '0099-01-01 ', '0099-01-01\t', ' 2023-05-04T10:20',
+  '2023-05-04T10:20 ', '\t0099-01-01', ' -012023', ' +012023-01-01',
+  '  2023', '2023 ', ' 1210:', '1210:', ' 2023-05-04', '(x)0099-01-01',
+  '%0099-01-01', ', 0099-01-01', '0099-01-01\n', '2023-05-04T10:20Z ',
+  ' T10:20', ' 6010:EST', '  -012023/(Z0500/',
+);
 
 const inputs = [...base, ...fuzz];
 
@@ -466,6 +521,6 @@ for (const input of inputs) {
   seen.add(input);
   const d = new Date(input);
   // TSV-encode the input (tabs/newlines never occur; escape just in case)
-  const key = input.replace(/\\/g, '\\\\').replace(/\t/g, '\\t');
+  const key = input.replace(/\\/g, '\\\\').replace(/\t/g, '\\t').replace(/\n/g, '\\n');
   process.stdout.write(`${key}\t${fmt(d, false)}\t${fmt(d, true)}\n`);
 }

@@ -26,21 +26,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * JsDateReformatSpec pins it). V8 layers two parsers and the emulation
   * mirrors both:
   *
-  *   - the STRICT ES5/ISO parser runs first and must consume the WHOLE
-  *     string: padded 4-digit year (or signed 6-digit expanded year),
-  *     padded 2-digit fields, zone attached with no intervening space
-  *     ("2023-5-4T3:7", "2023-05-04T10:20:30 Z" are Invalid Date),
-  *     lowercase `t`/`z` accepted, offsets `±HH:MM`/`±HHMM` with hour
-  *     ≤ 23, minute ≤ 59. Its DATE-ONLY form (`YYYY-MM[-DD]`, dashes,
-  *     padded, no zone, end of input) also wins over the legacy parser:
-  *     years are literal there — "0099-01-01" is year 99 but
-  *     "0099-01-01 10:20" falls through to the legacy parser and maps
-  *     to 1999, and "0013-01-02 10:20" is Invalid because legacy routes
-  *     leading 13 to a day-without-month.
-  *   - the LEGACY parser is a token scan over the whole string,
-  *     reimplemented here decision-for-decision from differential
-  *     probes (see [[JsDateReformat.parseLegacy]] for the loop and the
-  *     probe-pinned rules on each branch).
+  *   - the STRICT ES5/ISO parser runs first as a TOKEN-PREFIX parser
+  *     over the same scanner the legacy loop uses: padded 4-digit year
+  *     (or signed 6-digit expanded year), padded 2-digit fields, zone
+  *     attached with no intervening space ("2023-5-4T3:7",
+  *     "2023-05-04T10:20:30 Z" are Invalid Date), lowercase `t`/`z`
+  *     accepted, offsets `±HH:MM`/`±HHMM` with hour ≤ 23, minute ≤ 59.
+  *     A COMPLETE match is literal ISO ("0099-01-01" is year 99); a
+  *     PARTIAL prefix does NOT restart — its numbers stay committed as
+  *     legacy date components and the legacy loop continues at the
+  *     first unusable token ("0099-01-01 10:20" maps to 1999,
+  *     "2023-05:30" is May 30 2023, "0013-01-02 10:20" is Invalid
+  *     because committed 13 routes to a day-without-month); any break
+  *     AFTER a consumed `T` is a hard Invalid (see
+  *     [[JsDateReformat.es5Prefix]]).
+  *   - the LEGACY parser is a token scan, reimplemented
+  *     decision-for-decision from differential probes (see
+  *     [[JsDateReformat.runLegacy]] for the loop and the probe-pinned
+  *     rules on each branch).
   *
   * Deviation (documented): the reference renders fields in the
   * container's local time zone; we pin to UTC for determinism.
@@ -149,35 +152,12 @@ object JsDateReformat {
       .zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
 
   /** Legacy-parser year mapping, by value: 0-49 → 2000s, 50-99 → 1900s,
-    * ≥ 100 literal. Never applies inside the strict ES5 branch or to a
-    * signed expanded year. */
+    * everything else (≥ 100 and the NEGATIVE years an ES5 expanded-year
+    * prefix can commit: "-012023-01-01 10:20" is literally −12023)
+    * literal. Never applies to a COMPLETE ES5 match ("0049" is year 49
+    * while "0049 10:20" is 2049). */
   private def legacyYear(y: Int): Int =
-    if (y < 50) 2000 + y else if (y < 100) 1900 + y else y
-
-  // --- strict ES5/ISO parser with COMMIT semantics (probe-pinned):
-  //     a 4-digit (or signed 6-digit) year followed by "-MM" (exactly
-  //     two digits) COMMITS the string to the ES5 parser. A committed
-  //     parse either matches fully (optional "-DD", optional strict
-  //     [Tt]HH:MM[:SS[.fff]][Z|±HH:MM|±HHMM] time — legal at the month
-  //     level too: "2023-05T10:20" — to end-of-input; years literal, no
-  //     1900/2000 mapping) or, on most breaks, RESTARTS the legacy
-  //     parser from the top of the string — which is why "0099-01-01"
-  //     is year 99 but "0099-01-01 10:20" is 1999. The one hard
-  //     failure: a '-' directly after a consumed 2-digit DAY is Invalid
-  //     with no restart ("2023-05-04-10:20", "2023-05-04-" are Invalid
-  //     while "12-01-02-10:20", "999-01-01-10:20" and the 3-digit-day
-  //     "2023-05-004" parse via legacy). ---
-  private val es5HeadRe = "^(\\d{4}|[+-]\\d{6})-(\\d{2})(?!\\d)".r
-  private val es5DayRe = "^-(\\d{2})(?!\\d)".r
-  private val es5TimeRe =
-    ("^[Tt](\\d{2}):(\\d{2})" +
-      "(?::(\\d{2})(?:\\.\\d+)?)?(?:([Zz])|([+-]\\d{2}):?(\\d{2}))?$").r
-  private val es5YearOnlyRe = "^(\\d{4}|[+-]\\d{6})$".r
-
-  /** Parse a captured ES5 numeric field; fields are ≤ 6 digits so Int
-    * conversion cannot overflow. */
-  private def num(s: String, default: Int = 0): Int =
-    if (s == null || s.isEmpty) default else s.toInt
+    if (y >= 0 && y < 50) 2000 + y else if (y >= 50 && y < 100) 1900 + y else y
 
   // ===================================================================
   // Legacy parser: a faithful token scan.
@@ -286,16 +266,31 @@ object JsDateReformat {
   }
 
   /** Date components (max 3) + the named month (last word wins:
-    * "May 4 Jun 2023" is June) + the literal-year flag set by a signed
-    * six-digit leading year ("-012023-01-01 10:20" is year −12023,
-    * exempt from the 1900/2000 mapping and from value routing). */
+    * "May 4 Jun 2023" is June) + the iso flag, set ONLY by a COMPLETE
+    * ES5 match: components are then fixed Y-M-D and the year is literal
+    * ("0099-01-01" is 99). A PARTIAL ES5 prefix commits its components
+    * withOUT the flag — "0099-01-01 10:20" maps to 1999. */
   private final class DayAcc {
     val comp = new Array[Int](3)
     var count = 0
     var named: Int = 0
-    var literalYear = false
+    var iso = false
     def add(n: Int): Boolean =
       if (count >= 3) false else { comp(count) = n; count += 1; true }
+  }
+
+  /** Zone state: a named word's offset vs a sign-built numeric offset;
+    * the last one set wins ("Z +02:00" is +2, "+02:00 Z" is UTC). */
+  private final class TzAcc {
+    var named: Int = Int.MinValue // minutes, MinValue = unset
+    var sign = 0
+    var hour = 0
+    var minute = 0
+    var minutePending = false
+    def offset: Option[Int] =
+      if (sign != 0) Some(sign * (hour * 60 + minute))
+      else if (named != Int.MinValue) Some(named)
+      else None
   }
 
   /** Milliseconds from a fraction's digit run: first three digits,
@@ -340,19 +335,18 @@ object JsDateReformat {
     *   - ')' fails once a number was read; '(' swallows its group; every
     *     other sub-'A' char is skipped ("May 4 ; 2023", "2023/., 05 ./
     *     04", "May 4 10:. 20" all parse).
+    *
+    * The loop starts at `firstTok` — the token [[es5Prefix]] could not
+    * use — with `day` possibly pre-filled ("has read number" then starts
+    * true, and a committed number's symbol adjacency is gone while the
+    * RETURNED token keeps its own: "2023-13:30" is 13:30 on Jan 1 2023
+    * because the rejected month 13 still announces a time field, while
+    * "2023-05-13:30" is Invalid — 13 was committed as the DAY, the
+    * returned ':' is a skipped stray, and 30 is a fourth component).
     */
-  private def parseLegacy(s: String): Option[ZonedDateTime] = {
-    val sc = new Scanner(s)
-    val time = new TimeAcc
-    val day = new DayAcc
-    // zone state: named word offset vs sign-built offset; last set wins
-    // ("Z +02:00" is +2, "+02:00 Z" is UTC)
-    var tzNamed = Int.MinValue // minutes, MinValue = unset
-    var tzSign = 0
-    var tzHour = 0
-    var tzMinute = 0
-    var tzMinutePending = false
-    var hasNum = false
+  private def runLegacy(sc: Scanner, firstTok: Tok, day: DayAcc,
+      time: TimeAcc, tz: TzAcc): Boolean = {
+    var hasNum = day.count > 0
 
     // V8's SkipSymbol('-') after a date component or month word: eats
     // ONE directly-trailing dash ("2023-05-04", "Jan-4", trailing
@@ -366,7 +360,7 @@ object JsDateReformat {
     // first, then an open time slot (with the closing peek rule), else
     // a date component
     def handleNonTime(n: Int): Boolean =
-      if (tzMinutePending && n <= 59) { tzMinute = n; tzMinutePending = false; true }
+      if (tz.minutePending && n <= 59) { tz.minute = n; tz.minutePending = false; true }
       else if (time.isExpecting(n)) {
         time.addFinal(n) && (sc.peek().kind match {
           // V8: only end-of-input, whitespace, Z or a sign may directly
@@ -383,8 +377,8 @@ object JsDateReformat {
 
     var ok = true
     var done = false
+    var t = firstTok
     while (ok && !done) {
-      val t = sc.next()
       t.kind match {
         case TEnd => done = true
         case TWs | TSkip | TColon | TDot | TParen => ()
@@ -424,53 +418,51 @@ object JsDateReformat {
             // is garbage-skipped with its offset dropped
             // ("EST 2023-05-04 10:20" is 10:20 plain, "GMT+0200
             // 2023-05-04" is Invalid via the stranded offset digits)
-            if (hasNum) { tzNamed = namedZoneMin(lw); tzSign = 0; tzMinutePending = false }
+            if (hasNum) { tz.named = namedZoneMin(lw); tz.sign = 0; tz.minutePending = false }
             else ok = garbageWord()
           } else ok = garbageWord()
         case TSign =>
-          if (tzNamed == 0 || time.count > 0) {
+          if (tz.named == 0 || time.count > 0) {
             // numeric zone offset, enabled by a read time or a UTC word
             // ("2023-05-04 GMT+2:3" parses, "2023-05-04 +02:00" and
-            // "2023-05-04 EST+2" don't); the sign must be directly
-            // followed by a number ("May 4 10:20 -" is Invalid)
+            // "2023-05-04 EST+2" don't); the sign must be DIRECTLY
+            // followed by a number or a colon — anything else is
+            // Invalid ("May 4 10:20 -", "10:20 -.30", "10:20 --2023")
             val p = sc.peek()
-            if (p.kind != TNum) ok = false
-            else {
+            if (p.kind == TNum) {
               sc.next()
-              tzSign = t.sign; tzNamed = Int.MinValue; tzMinutePending = false
+              tz.sign = t.sign; tz.named = Int.MinValue; tz.minutePending = false
               if (sc.skipSym(TColon)) {
                 // "+H[H]:" — minute pending, by value ("+002:30" is
                 // +2:30); an out-of-range candidate demotes to a date
                 // component and the wait continues ("+02:77 30" is
                 // +2:30 with component 77)
-                tzHour = p.value; tzMinute = 0; tzMinutePending = true
-              } else if (p.rawLen <= 2) { tzHour = p.value; tzMinute = 0 }
+                tz.hour = p.value; tz.minute = 0; tz.minutePending = true
+              } else if (p.rawLen <= 2) { tz.hour = p.value; tz.minute = 0 }
               else if (p.rawLen <= 4) {
                 // colon-less HMM/HHMM: minutes roll into hours
                 // ("+0160" is +120 min); 5+ digits Invalid ("+02000")
-                tzHour = p.value / 100; tzMinute = p.value % 100
+                tz.hour = p.value / 100; tz.minute = p.value % 100
               } else ok = false
-            }
+            } else if (sc.skipSym(TColon)) {
+              // bare "±:" — a ZERO-hour offset with the minute pending
+              // ("10:20 -:30" is −0:30 → 10:50, "10:-:20" is 10:20,
+              // "10:-:61" demotes 61 and leaves −0:00)
+              tz.sign = t.sign; tz.named = Int.MinValue
+              tz.hour = 0; tz.minute = 0; tz.minutePending = true
+            } else ok = false
           } else if (hasNum) ok = false
-          else {
-            // a directly-attached six-digit number at the front is a
-            // LITERAL signed year ("-012023-01-01 10:20" is −12023);
-            // any other pre-number sign is skipped garbage
-            // ("- 2023-05-04", "--2023-05-04" parse)
-            val p = sc.peek()
-            if (p.kind == TNum && p.rawLen == 6) {
-              sc.next(); hasNum = true; day.literalYear = true
-              if (!day.add(t.sign * p.value)) ok = false else eatDash()
-            }
-          }
+          // a pre-number sign is skipped garbage ("- 2023-05-04",
+          // "--2023-05-04" parse). Legacy has NO signed years: the
+          // six-digit expanded year belongs to the ES5 PREFIX alone —
+          // "Xyz -012023" is +12023 while "-012023-..." is −12023.
       }
+      if (ok && !done) t = sc.next()
     }
-    if (!ok) None
-    else compose(day, time, tzNamed, tzSign, tzHour, tzMinute)
+    ok
   }
 
-  private def compose(day: DayAcc, time: TimeAcc, tzNamed: Int,
-      tzSign: Int, tzHour: Int, tzMinute: Int): Option[ZonedDateTime] = {
+  private def compose(day: DayAcc, time: TimeAcc, tz: TzAcc): Option[ZonedDateTime] = {
     if (day.count == 0) return None
     // time write: am/pm requires hour ≤ 12; pm is h%12+12, am h%12
     var h = time.slot(0)
@@ -478,17 +470,12 @@ object JsDateReformat {
       if (h > 12) return None
       h = h % 12 + time.hourOffset
     }
-    val off: Option[Int] =
-      if (tzSign != 0) Some(tzSign * (tzHour * 60 + tzMinute))
-      else if (tzNamed != Int.MinValue) Some(tzNamed)
-      else None
+    val off: Option[Int] = tz.offset
     val (y, m, d) =
-      if (day.literalYear) {
-        if (day.named > 0)
-          (day.comp(0), day.named, if (day.count >= 2) day.comp(1) else 1)
-        else
-          (day.comp(0), if (day.count >= 2) day.comp(1) else 1,
-            if (day.count >= 3) day.comp(2) else 1)
+      if (day.iso) {
+        // complete ES5 match: fixed Y-M-D order, literal year
+        (day.comp(0), if (day.count >= 2) day.comp(1) else 1,
+          if (day.count >= 3) day.comp(2) else 1)
       } else if (day.named > 0) {
         val c0 = day.comp(0)
         if (day.count >= 2) {
@@ -501,7 +488,9 @@ object JsDateReformat {
         if (v1 >= 1 && v1 <= 12) // month-first: M[-d[-y]]
           (if (day.count >= 3) legacyYear(day.comp(2)) else 2001, v1,
             if (day.count >= 2) day.comp(1) else 1)
-        else if (v1 == 0 || v1 >= 32) // year-first: y[-m[-d]]
+        else if (v1 <= 0 || v1 >= 32) // year-first: y[-m[-d]] — a NEGATIVE
+          // leading component (ES5 expanded-year commit) routes here too:
+          // "-012023:30" is year −12023 month 30 → Invalid, not a reparse
           (legacyYear(v1), if (day.count >= 2) day.comp(1) else 1,
             if (day.count >= 3) day.comp(2) else 1)
         else return None // 13-31: a day with no month to attach to
@@ -509,50 +498,142 @@ object JsDateReformat {
     build(y, m, d, h, time.slot(1), time.slot(2), off)
   }
 
-  /** The committed ES5 time part: strict padded fields, offset hour
-    * ≤ 23 and minute ≤ 59 ("+24:00" is Invalid), whole-rest match. */
-  private def es5Time(y: Int, mo: Int, d: Int, rest: String): Option[ZonedDateTime] =
-    es5TimeRe.findFirstMatchIn(rest).flatMap { t =>
-      val offH = t.group(5)
-      val off: Either[Unit, Option[Int]] =
-        if (offH != null && offH.nonEmpty) {
-          val oh = num(offH.substring(1))
-          val om = num(t.group(6))
-          if (oh > 23 || om > 59) Left(())
-          else Right(Some((if (offH.charAt(0) == '-') -1 else 1) * (oh * 60 + om)))
-        } else if (t.group(4) != null) Right(Some(0))
-        else Right(None)
-      off match {
-        case Left(_)  => None
-        case Right(o) =>
-          build(y, mo, d, num(t.group(1)), num(t.group(2)), num(t.group(3)), o)
+  // es5Prefix result codes; the unhandled token rides in a var slot
+  private final val EsComplete = 0
+  private final val EsInvalid = 1
+  private final val EsContinue = 2
+
+  /** The strict ES5/ISO parser, mirrored as V8 layers it: a TOKEN PREFIX
+    * parser sharing the scanner and the composers with the legacy loop.
+    * Grammar: `[±YYYYYY|YYYY][-MM[-DD]][T HH:MM[:SS[.f*]][Z|±HH:MM|±HHMM]]`,
+    * all fields fixed-width. Three outcomes, probe-pinned:
+    *
+    *   - COMPLETE (whole input consumed): components are literal ISO —
+    *     "0099-01-01" is year 99, "+000000" is year 0.
+    *   - CONTINUE: the prefix's numbers stay COMMITTED as date
+    *     components (no iso flag — "0099-01-01 10:20" maps to 1999) and
+    *     the legacy loop picks up at the first token the prefix could
+    *     not use, with that token's own symbol adjacency intact
+    *     ("2023-05:30" is May 30; "2023-13:30" is 13:30 on Jan 1).
+    *   - INVALID (hard, no fallback): any break after a consumed
+    *     [Tt] time separator — "2023-05-04T10", "2023-05-04T 10:20",
+    *     "...T10:20 Z", "...T10:20+2:30" — because the T would be a
+    *     garbage word in legacy anyway.
+    *
+    * Subtlety pinned by "-000000" (Invalid) vs "+000000" (year 0) vs
+    * "- 012023" (+12023): the six-digit year is consumed BEFORE the
+    * minus-zero check rejects, so the returned sign token is followed
+    * by end-of-input in the legacy continuation. */
+  private def es5Prefix(sc: Scanner, day: DayAcc, time: TimeAcc,
+      tz: TzAcc): (Int, Tok) = {
+    val p0 = sc.peek()
+    if (p0.kind == TSign) {
+      val signTok = sc.next()
+      val p = sc.peek()
+      if (p.kind != TNum || p.rawLen != 6) return (EsContinue, signTok)
+      sc.next() // the year is consumed even when minus-zero rejects
+      if (signTok.sign < 0 && p.value == 0) return (EsContinue, signTok)
+      day.add(signTok.sign * p.value)
+    } else if (p0.kind == TNum && p0.rawLen == 4) {
+      day.add(sc.next().value)
+    } else return (EsContinue, sc.next())
+    // a consumed '-' that fails its field check is NOT given back — the
+    // NEXT token is returned ("2023- 05" continues at the whitespace,
+    // "2023-" continues at end-of-input and composes year 2023)
+    if ({ val p = sc.peek(); p.kind == TSign && p.sign == -1 }) {
+      sc.next()
+      val p = sc.peek()
+      if (p.kind != TNum || p.rawLen != 2 || p.value < 1 || p.value > 12)
+        return (EsContinue, sc.next())
+      day.add(sc.next().value)
+      if ({ val p2 = sc.peek(); p2.kind == TSign && p2.sign == -1 }) {
+        sc.next()
+        val p2 = sc.peek()
+        if (p2.kind != TNum || p2.rawLen != 2 || p2.value < 1 || p2.value > 31)
+          return (EsContinue, sc.next())
+        day.add(sc.next().value)
       }
     }
+    val pt = sc.peek()
+    val isT = pt.kind == TWord && pt.word.equalsIgnoreCase("t")
+    if (!isT) {
+      if (pt.kind != TEnd) return (EsContinue, sc.next())
+      day.iso = true
+      return (EsComplete, tokEnd)
+    }
+    sc.next()
+    // mandatory HH:MM, fixed-2, hour ≤ 24 (24 only with all-zero rest)
+    val h = sc.peek()
+    if (h.kind != TNum || h.rawLen != 2 || h.value > 24) return (EsInvalid, tokEnd)
+    val hour24 = h.value == 24
+    time.add(sc.next().value)
+    if (!sc.skipSym(TColon)) return (EsInvalid, tokEnd)
+    val mi = sc.peek()
+    if (mi.kind != TNum || mi.rawLen != 2 || mi.value > 59 ||
+        (hour24 && mi.value > 0)) return (EsInvalid, tokEnd)
+    time.add(sc.next().value)
+    if (sc.skipSym(TColon)) {
+      val se = sc.peek()
+      if (se.kind != TNum || se.rawLen != 2 || se.value > 59 ||
+          (hour24 && se.value > 0)) return (EsInvalid, tokEnd)
+      time.add(sc.next().value)
+      if (sc.skipSym(TDot)) {
+        // fraction: any digit run, first three digits as milliseconds
+        val f = sc.peek()
+        if (f.kind != TNum || (hour24 && f.value > 0)) return (EsInvalid, tokEnd)
+        time.add(readMs(sc.next()))
+      }
+    }
+    // optional zone, directly attached: Z / ±HH:MM / ±HHMM (hour ≤ 23)
+    val z = sc.peek()
+    if (z.kind == TWord && z.word.equalsIgnoreCase("z")) {
+      sc.next(); tz.named = 0
+    } else if (z.kind == TSign) {
+      val st = sc.next()
+      val n = sc.peek()
+      if (n.kind != TNum) return (EsInvalid, tokEnd)
+      if (n.rawLen == 4) {
+        sc.next()
+        val oh = n.value / 100
+        val om = n.value % 100
+        if (oh > 23 || om > 59) return (EsInvalid, tokEnd)
+        tz.sign = st.sign; tz.hour = oh; tz.minute = om
+      } else if (n.rawLen == 2 && n.value <= 23) {
+        sc.next()
+        if (!sc.skipSym(TColon)) return (EsInvalid, tokEnd)
+        val m2 = sc.peek()
+        if (m2.kind != TNum || m2.rawLen != 2 || m2.value > 59)
+          return (EsInvalid, tokEnd)
+        sc.next()
+        tz.sign = st.sign; tz.hour = n.value; tz.minute = m2.value
+      } else return (EsInvalid, tokEnd)
+    }
+    if (sc.peek().kind != TEnd) return (EsInvalid, tokEnd)
+    day.iso = true
+    (EsComplete, tokEnd)
+  }
 
   /** Emulates `new Date(value)` for the supported subset; fields are read
-    * in UTC (see class doc). Returns None for JS "Invalid Date". */
+    * in UTC (see class doc). Returns None for JS "Invalid Date".
+    *
+    * The input is deliberately NOT trimmed: V8 never pre-trims, and the
+    * ES5 prefix only engages at the very first token — " 0099-01-01"
+    * is legacy-parsed to 1999 while "0099-01-01" is literal 99, and
+    * " 1210:" is Invalid (hour 1210) while "1210:" is year 1210 with a
+    * stray colon (probe-pinned). */
   def parse(raw: String): Option[ZonedDateTime] = {
-    val s = raw.trim
-    if (s.isEmpty) return None
     try {
-      es5YearOnlyRe.findFirstMatchIn(s) match {
-        case Some(m) => return build(m.group(1).toInt, 1, 1, 0, 0, 0, None)
-        case None => ()
-      }
-      es5HeadRe.findFirstMatchIn(s) match {
-        case Some(m) =>
-          val y = m.group(1).toInt
-          val mo = m.group(2).toInt
-          var rest = s.substring(m.end)
-          val dayM = es5DayRe.findFirstMatchIn(rest)
-          val d = dayM.map(_.group(1).toInt)
-          dayM.foreach(dm => rest = rest.substring(dm.end))
-          if (rest.isEmpty) build(y, mo, d.getOrElse(1), 0, 0, 0, None)
-          else if (rest.charAt(0) == 'T' || rest.charAt(0) == 't')
-            es5Time(y, mo, d.getOrElse(1), rest)
-          else if (d.isDefined && rest.charAt(0) == '-') None // the dash rule
-          else parseLegacy(s)
-        case None => parseLegacy(s)
+      val sc = new Scanner(raw)
+      val day = new DayAcc
+      val time = new TimeAcc
+      val tz = new TzAcc
+      val (code, first) = es5Prefix(sc, day, time, tz)
+      code match {
+        case EsComplete => compose(day, time, tz)
+        case EsInvalid => None
+        case _ =>
+          if (runLegacy(sc, first, day, time, tz)) compose(day, time, tz)
+          else None
       }
     } catch { case _: Exception => None } // out-of-range fields etc.
   }

@@ -37,7 +37,7 @@ class JsDateReformatSpec extends SparkSpec {
   private val residuals: Set[String] = Set()
 
   private def unescape(s: String): String =
-    s.replace("\\t", "\t").replace("\\\\", "\\")
+    s.replace("\\t", "\t").replace("\\n", "\n").replace("\\\\", "\\")
 
   private val corpusPath = Paths.get("src/test/resources/jsdate/corpus.tsv")
 
@@ -132,7 +132,7 @@ class JsDateReformatSpec extends SparkSpec {
     assert(sec < 60.0, f"fuzz band took $sec%.1f s — catastrophic backtracking?")
   }
 
-  test("live differential fuzz: 400 seeded date variants agree with node") {
+  test("live differential fuzz: 400 date variants + 400 token soups agree with node") {
     assume("which node".! == 0, "node not on PATH — live fuzz skipped")
     val rnd = new scala.util.Random(20260816)
     def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
@@ -167,10 +167,24 @@ class JsDateReformatSpec extends SparkSpec {
       s"${pick(names)} ${pick(days)}",
       s"${pick(days)} ${pick(names)} ${pick(years)}",
       s"${pick(names)}${pick(seps)}${pick(days)}${pick(seps)}${pick(years)}"))
-    val fuzz = (0 until 400).map { i =>
+    // token soup: the structured generators above walk realistic date
+    // shapes; this walks the TOKEN GRAMMAR itself — random sequences of
+    // the scanner's token classes (numbers of every width, month/zone/
+    // am-pm words, signs, colons, dots, parens, skippable symbols) so
+    // the r17 token-scan loop's branch interactions (demotion, slot
+    // fill, tz minute pending, garbage rules, paren skipping) get
+    // adversarial coverage no hand-curated family provides
+    val soupTokens = Seq("2023", "05", "4", "99", "0500", "123", "60", "12",
+      "1", "012023", "10:20", "10:", "::", ":", ".", ".5", "-", "+", "/",
+      ",", " ", "  ", "May", "Jun", "pm", "am", "GMT", "EST", "Z", "Xyz",
+      "(x)", "(", ")", ";", "%", "T", "Sat", "+02:00", "-0500", "99999999999")
+    def soup() = (0 until (2 + rnd.nextInt(7)))
+      .map(_ => soupTokens(rnd.nextInt(soupTokens.size)))
+      .mkString(if (rnd.nextBoolean()) " " else "")
+    val fuzz = ((0 until 400).map { i =>
       val base = if (i % 3 == 0) named() else numeric()
       s"${pick(wds)}$base${pick(times)}${pick(ampm)}${pick(zones)}"
-    }.distinct
+    } ++ (0 until 400).map(_ => soup())).distinct
     // node oracle: same field logic as scripts/probe-jsdate.js
     val js = "const us=JSON.parse(require('fs').readFileSync(0,'utf8'));" +
       "const f=(d,t)=>{if(isNaN(d.getTime()))return'N';" +
