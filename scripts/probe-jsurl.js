@@ -116,6 +116,41 @@ const urls = [
   'http://%31.2.3.4/', 'http://1.2.3.%34/', 'http://1.2.3.4:80/x',
   // extra slash runs after the scheme are skipped for special schemes
   'http:////host/path', 'http://\\/host/', 'http:/\\host/', 'http:\\\\host/',
+  // mapping-first order (r17 sweep findings): UTS46 runs over the WHOLE
+  // host BEFORE label split / ACE dispatch / the IPv4 re-route.
+  // Ignored code points vanish (soft hyphen around xn--), separator
+  // equivalents mint label dots (U+3002/FF0E/FF61), fullwidth forms
+  // become ASCII — including digits, which can turn the last label
+  // numeric and re-route the whole host to the IPv4 parser
+  'http://xn--tda­a/', 'http://­xn--tda/', 'http://xn--tda­/',
+  'http://xn----­/', 'http://a。ex。0x10/', 'http://a。/',
+  'http://。a/', 'http://１２３/', 'http://a.１０/',
+  'http://０x10/', 'http://a｡b/', 'http://Ａ.de/',
+  'http://ＸN--TDA/', 'http://xn--tda.0x10/', 'http://0x10.xn--tda/',
+  // a host that maps to EMPTY throws; lone separators survive
+  'http://%C2%AD/', 'http://.a./',
+  // forbidden host code points MINTED by the mapping ('％'→'%', U+3000
+  // → space, '：'→':') reject after domainToAscii
+  'http://a％b/', 'http://a　b/', 'http://a：80/',
+  'http://％41/',
+  // validity criterion 5: no leading combining mark (Mn/Mc/Me)
+  'http://́a/', 'http://a.́b/', 'http://--́/',
+  'http://ाb/',
+  // CONTEXTJ: ZWJ needs a preceding virama; ZWNJ takes virama OR the
+  // RFC 5892 joining-type bridge (L|D)(T)* ZWNJ (T)*(R|D)
+  'http://ل‌ل/', 'http://ل‍ل/',
+  'http://ष्‍x/', 'http://x्‌/',
+  'http://a‌b/', 'http://ب‌1/', 'http://‌/',
+  // decoded ACE text may itself start "xn--" (CheckHyphens is off) and
+  // re-encoding is NOT re-checked
+  'http://xn--xn--a-ecp/', 'http://xn--0x10/', 'http://xn--a.xn--tda/',
+  // U+1E9E: node's table (Unicode 15.0) maps capital sharp S to "ss" —
+  // ASCII — where ICU 77 (15.1+) keeps a deviation ß; pinned so the
+  // mirror follows node ("xn--tdaẞ" IS "xn--tdass")
+  'http://ẞ/', 'http://aẞb/', 'http://xn--tdaẞ/',
+  'http://ẞ.de/', 'http://aς/', 'http://ßẞ.de/',
+  // mapped input to the ends-in-number check, pre-split forms
+  'http://ａ．ａ１/', 'http://a。０x10/',
 ];
 
 for (const u of urls) {

@@ -58,9 +58,11 @@ case class JsUrlParseable(child: Expression)
   * live node fuzz in ValidationSpec carry over unchanged. Rule
   * provenance lives on [[Validation.wktUrlParseRegex]]. r17 adds the
   * one arm the tree never had: the UTS #46 / punycode host validation
-  * (below), which closed the mirror's residual ledger — it runs only
-  * for hosts that are non-ASCII or carry an `xn--` label, so the plain
-  * hosts the parity contract covers take exactly the old decisions.
+  * ([[domainToAscii]] below), which closed the mirror's residual
+  * ledger. For the plain ASCII hosts the parity contract covers, the
+  * mapping pass only lowercases — every old decision carries over
+  * (row-by-row via the probe corpus) — and the common-case CRS rows
+  * never reach it at all (fast path above).
   */
 object JsUrlMirror {
 
@@ -120,7 +122,7 @@ object JsUrlMirror {
     val portVal = leadingZeros.matcher(port).replaceAll("")
     val portOk = portVal.isEmpty ||
       (portVal.length <= 5 && portVal.toLong <= 65535L)
-    portOk && (host.isEmpty || (hostIdnaOk(host) && hostIpv4Ok(host))) &&
+    portOk && (host.isEmpty || domainToAscii(host).exists(hostIpv4Ok)) &&
       (ipv6.isEmpty || ipv6Ok(ipv6))
   }
 
@@ -129,45 +131,142 @@ object JsUrlMirror {
   // the IDNA arm of `new URL`'s throw behavior, formerly the mirror's
   // only residual ledger entries. The URL Standard runs UTS46 with
   // UseSTD3ASCIIRules=false, CheckHyphens=false, VerifyDnsLength=false,
-  // CheckBidi/CheckJoiners=true, nontransitional. icu4j (shipped with
-  // Spark for collations) provides the mapping/validity tables; its
-  // UTS46 instance has hyphen and length checks hard-ON, so those
-  // errors are masked. `xn--` (ACE) labels need one step ICU cannot
-  // express with CheckHyphens pinned on — a decoded label whose only
-  // sin is a lopped hyphen reports INVALID_ACE_LABEL — so ACE labels
-  // are punycode-decoded here (RFC 3492) and the DECODED text is
-  // validity-checked instead: it must survive ICU's processing
-  // unchanged (already lowercase/NFC, no disallowed or context-breaking
-  // code points), which is exactly UTS46 §4.1 with the hyphen rules
-  // removed. Probe-pinned: "xn--a"/"xn---"/"xn--123" throw,
-  // "xn--a-"/"xn----"/"xn--caf-dma-" parse, "XN--TDA" lowercases first,
-  // "bücher.de" maps, U+0378 and a bare ZWJ throw.
+  // CheckBidi/CheckJoiners=true, nontransitional. The ORDER matters and
+  // is probe-pinned: the MAPPING pass runs over the WHOLE host first —
+  // ignored code points drop out (soft hyphen around an `xn--` prefix,
+  // "xn--tda­" parses as "xn--tda"), separators are minted
+  // (U+3002/FF0E/FF61 → '.', so "a。ex。0x10" IPv4-fails like
+  // "a.ex.0x10"), fullwidth forms become ASCII ("１２３" parses as IPv4
+  // 0.0.0.123, "ＸN--TDA" decodes like "xn--tda") — and only THEN is
+  // the result split into labels, ACE labels punycode-decoded
+  // (RFC 3492) and each label validity-checked. The ends-in-number /
+  // IPv4 re-route runs on the post-IDNA ASCII form, and forbidden host
+  // code points minted BY the mapping ("％" → '%', ideographic space →
+  // space) reject the whole host afterwards, exactly node's sequence.
+  //
+  // icu4j (shipped with Spark for collations) provides the mapping
+  // table as the "uts46" Normalizer2 instance — one normalize() call
+  // does mapping + NFC with deviation characters kept (nontransitional)
+  // and disallowed ones turned into U+FFFD. Validity per label is then:
+  // mapping-stable text (already lowercase/NFC, nothing ignored/mapped/
+  // disallowed — exactly UTS46 §4.1 criteria 1+6 with hyphen rules
+  // removed), no leading combining mark (criterion 5), CONTEXTJ for
+  // ZWJ/ZWNJ (criterion 7, probe-pinned: ZWJ needs a preceding virama,
+  // "ل‍ل" throws; ZWNJ also takes RFC 5892's joining-type bridge,
+  // "ل‌ل" parses), and the reconstructed bidi criterion below.
+  // Probe-pinned shapes: "xn--a"/"xn---"/"xn--123" throw,
+  // "xn--a-"/"xn----"/"xn--caf-dma-"/"xn--xn--a-ecp" parse,
+  // "bücher.de" maps, U+0378 and a bare ZWJ throw, a host that maps to
+  // EMPTY ("%C2%AD") throws while lone separators ("。") parse.
   // ------------------------------------------------------------------
 
-  private lazy val uts46 = com.ibm.icu.text.IDNA.getUTS46Instance(
-    com.ibm.icu.text.IDNA.NONTRANSITIONAL_TO_UNICODE |
-      com.ibm.icu.text.IDNA.CHECK_CONTEXTJ)
+  /** UTS46 mapping + NFC, nontransitional: the table ICU's own UTS46
+    * implementation runs before its per-label checks. */
+  private lazy val uts46Map = com.ibm.icu.text.Normalizer2.getInstance(
+    null, "uts46", com.ibm.icu.text.Normalizer2.Mode.COMPOSE)
 
-  /** ICU errors the URL Standard's option set disables: CheckHyphens
-    * and VerifyDnsLength are false there, and empty labels are legal. */
-  private val maskedIdnaErrors: java.util.Set[com.ibm.icu.text.IDNA.Error] =
-    java.util.EnumSet.of(
-      com.ibm.icu.text.IDNA.Error.LEADING_HYPHEN,
-      com.ibm.icu.text.IDNA.Error.TRAILING_HYPHEN,
-      com.ibm.icu.text.IDNA.Error.HYPHEN_3_4,
-      com.ibm.icu.text.IDNA.Error.EMPTY_LABEL,
-      com.ibm.icu.text.IDNA.Error.LABEL_TOO_LONG,
-      com.ibm.icu.text.IDNA.Error.DOMAIN_NAME_TOO_LONG)
+  /** node's mapping table, which is one Unicode revision behind ICU 77's
+    * on exactly one probe-reachable row: U+1E9E (capital sharp S) maps
+    * to "ss" in Unicode ≤15.0 (node v20) but to U+00DF from 15.1 (ICU).
+    * The difference is verdict-visible only inside ACE labels —
+    * "xn--tdaẞ" is the all-ASCII "xn--tdass" to node but keeps a
+    * non-ASCII ß under ICU's table — so node's row is pre-applied
+    * (40-seed sweep: the only divergent code point). */
+  private def uts46MapNode(s: String): String =
+    uts46Map.normalize(if (s.indexOf('ẞ') >= 0) s.replace("ẞ", "ss") else s)
 
-  /** Label-level UTS46 mapping+validity: the mapped/normalized text if
-    * no unmasked error fired, None otherwise. */
-  private def uts46Label(label: String): Option[String] = {
-    val info = new com.ibm.icu.text.IDNA.Info
-    val out = new java.lang.StringBuilder
-    uts46.nameToUnicode(label, out, info)
-    val errs = new java.util.HashSet[com.ibm.icu.text.IDNA.Error](info.getErrors)
-    errs.removeAll(maskedIdnaErrors)
-    if (errs.isEmpty) Some(out.toString) else None
+  /** URL Standard "forbidden domain code point" over the mapped host:
+    * C0 controls, space, DEL, and the structural/escape set. The raw
+    * host was regex-gated already — this catches characters the UTS46
+    * mapping MINTS (fullwidth '％' → '%', U+3000 → space), which node
+    * rejects after domainToAscii. */
+  private def forbiddenAscii(c: Char): Boolean =
+    c <= 0x20 || c == 0x7f || (c < 0x80 && "#%/:<>?@[\\]^|".indexOf(c) >= 0)
+
+  /** WHATWG domain_to_ascii over the percent-decoded host: the post-IDNA
+    * ASCII host if node's `new URL` would accept it, None where it
+    * throws. Non-ASCII labels that pass validity are stood in by a
+    * fixed ACE placeholder — only their non-numeric shape matters to
+    * the IPv4 re-route downstream, and a real punycode encoding is
+    * never numeric either (it starts "xn--"). */
+  private def domainToAscii(rawHost: String): Option[String] = {
+    val decoded = java.net.URLDecoder.decode(
+      rawHost.replace("+", "%2B"), java.nio.charset.StandardCharsets.UTF_8)
+    val mapped = uts46MapNode(decoded)
+    if (mapped.isEmpty) return None // maps-to-empty host throws
+    var i = 0
+    while (i < mapped.length) {
+      val c = mapped.charAt(i)
+      if (c == '�' || forbiddenAscii(c)) return None
+      i += 1
+    }
+    val labels = mapped.split("\\.", -1)
+    val ascii = new Array[String](labels.length)
+    var li = 0
+    while (li < labels.length) {
+      val label = labels(li)
+      if (label.startsWith("xn--")) {
+        if (!label.forall(_ < 0x80)) return None
+        punycodeDecode(label.substring(4)) match {
+          case Some(dec) if labelValid(dec) => ascii(li) = label
+          case _ => return None
+        }
+      } else if (label.forall(_ < 0x80)) ascii(li) = label
+      else if (labelValid(label)) ascii(li) = "xn--x"
+      else return None
+      li += 1
+    }
+    Some(ascii.mkString("."))
+  }
+
+  /** UTS46 §4.1 validity with the URL Standard's options (hyphen rules
+    * off, nontransitional): mapping-stable, no leading combining mark,
+    * CONTEXTJ, bidi. Both ACE-decoded text and directly-mapped labels
+    * take the same gate — for the latter the stability check is a
+    * no-op (normalize is idempotent), for the former it IS criteria
+    * 1+6, and doing it here instead of via ICU's nameToUnicode avoids
+    * re-ACE-decoding a decoded label that itself starts "xn--"
+    * (node parses "xn--xn--a-ecp"; CheckHyphens would reject it). */
+  private def labelValid(label: String): Boolean = {
+    if (label.isEmpty) return true
+    if (uts46MapNode(label) != label) return false
+    val cps = label.codePoints().toArray
+    val t0 = Character.getType(cps(0))
+    if (t0 == Character.NON_SPACING_MARK || t0 == Character.COMBINING_SPACING_MARK ||
+        t0 == Character.ENCLOSING_MARK) return false
+    contextJOk(cps) && bidiOk(label)
+  }
+
+  /** RFC 5892 Appendix A CONTEXTJ, as node enforces it (probe-pinned):
+    * ZWJ only after a virama (ccc 9); ZWNJ after a virama OR inside the
+    * joining-type bridge (L|D)(T)* ZWNJ (T)*(R|D). */
+  private def contextJOk(cps: Array[Int]): Boolean = {
+    import com.ibm.icu.lang.{UCharacter, UProperty}
+    import com.ibm.icu.lang.UCharacter.JoiningType._
+    def jt(cp: Int): Int = UCharacter.getIntPropertyValue(cp, UProperty.JOINING_TYPE)
+    var i = 0
+    while (i < cps.length) {
+      val cp = cps(i)
+      if (cp == 0x200C || cp == 0x200D) {
+        if (i == 0) return false
+        val viramaBefore = UCharacter.getCombiningClass(cps(i - 1)) == 9
+        if (cp == 0x200D) {
+          if (!viramaBefore) return false
+        } else if (!viramaBefore) {
+          var a = i - 1
+          while (a >= 0 && jt(cps(a)) == TRANSPARENT) a -= 1
+          val leftOk = a >= 0 &&
+            { val j = jt(cps(a)); j == LEFT_JOINING || j == DUAL_JOINING }
+          var b = i + 1
+          while (b < cps.length && jt(cps(b)) == TRANSPARENT) b += 1
+          val rightOk = b < cps.length &&
+            { val j = jt(cps(b)); j == RIGHT_JOINING || j == DUAL_JOINING }
+          if (!leftOk || !rightOk) return false
+        }
+      }
+      i += 1
+    }
+    true
   }
 
   /** node's Bidi criterion, reconstructed from ~50 differential probes —
@@ -269,32 +368,6 @@ object JsUrlMirror {
     else Some(out.iterator.map(cp => new String(Character.toChars(cp))).mkString)
   }
 
-  /** The IDNA gate over the percent-decoded host. Pure-ASCII hosts with
-    * no ACE label skip everything (the forbidden-char set is already
-    * enforced structurally, and with the hyphen/length checks off,
-    * nothing else in UTS46 can reject plain ASCII). ASCII lowercasing
-    * happens first — UTS46's mapping step runs before the `xn--`
-    * dispatch, so "XN--TDA" decodes like "xn--tda". */
-  private def hostIdnaOk(rawHost: String): Boolean = {
-    val decoded = java.net.URLDecoder.decode(
-      rawHost.replace("+", "%2B"), java.nio.charset.StandardCharsets.UTF_8)
-    val lower = decoded.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
-    val labels = lower.split("\\.", -1)
-    if (lower.forall(_ < 0x80) && !labels.exists(_.startsWith("xn--"))) true
-    else labels.forall { label =>
-      if (label.startsWith("xn--")) {
-        label.forall(_ < 0x80) && (punycodeDecode(label.substring(4)) match {
-          case Some(dec) => uts46Label(dec).contains(dec) && bidiOk(dec)
-          case None => false
-        })
-      } else if (label.forall(_ < 0x80)) true
-      else uts46Label(label).exists(m =>
-        // the mapping can MINT label separators (fullwidth dot → '.');
-        // node re-splits after mapping, so each piece is checked alone
-        m.split("\\.", -1).forall(bidiOk))
-    }
-  }
-
   /** Hex/octal/decimal part value; caller has already regex-gated the
     * lexical form ([[ipv4PartOk]]), so parsing cannot fail or overflow.
     * Branch order matches the Column tree: `0x` before `0`-octal. */
@@ -304,19 +377,15 @@ object JsUrlMirror {
     else if (p.charAt(0) == '0') java.lang.Long.parseLong(p, 8)
     else java.lang.Long.parseLong(p)
 
-  /** WHATWG ends-in-number / IPv4-host rule over the percent-decoded
-    * host: >4 parts, a non-numeric part, an invalid digit for the radix
-    * ("1.2.3.08" is octal with an 8), or a value out of range (non-last
-    * ≥ 256; last ≥ 256^(5-count)) all throw; a last label that is NOT a
-    * number makes the host a plain domain again. */
-  private def hostIpv4Ok(rawHost: String): Boolean = {
-    // '+' is a legal domain char that form-decoding would turn into a
-    // space — re-escape it first (same dance as the Column tree's
-    // url_decode; the structural regex guarantees every '%' is a valid
-    // non-forbidden two-hex escape, so decode cannot throw)
-    val decoded = java.net.URLDecoder.decode(
-      rawHost.replace("+", "%2B"), java.nio.charset.StandardCharsets.UTF_8)
-    val trimmed = trailingDot.matcher(decoded).replaceAll("") // drop ONE trailing dot
+  /** WHATWG ends-in-number / IPv4-host rule over the POST-IDNA ASCII
+    * host ([[domainToAscii]] — node re-routes to its IPv4 parser after
+    * mapping, so "１２３" is IPv4 0.0.0.123 and "a。0x10" fails like
+    * "a.0x10"): >4 parts, a non-numeric part, an invalid digit for the
+    * radix ("1.2.3.08" is octal with an 8), or a value out of range
+    * (non-last ≥ 256; last ≥ 256^(5-count)) all throw; a last label
+    * that is NOT a number makes the host a plain domain again. */
+  private def hostIpv4Ok(asciiHost: String): Boolean = {
+    val trimmed = trailingDot.matcher(asciiHost).replaceAll("") // drop ONE trailing dot
     val parts = trimmed.split("\\.", -1)
     if (!endsInNumber.matcher(parts.last).find()) return true
     if (parts.length > 4) return false

@@ -226,7 +226,12 @@ class ValidationSpec extends SparkSpec {
       // case variants, raw and escaped non-ASCII
       "xn--tda", "xn--caf-dma", "xn--caf-dma-", "xn--123", "xn--zzz",
       "xn--ab-c", "xn----", "xn--a-", "XN--TDA", "xn--1ug", "xn--b-gga",
-      "caf\u00e9", "b\u00fccher", "%C3%A9", "\u30c9x")
+      "caf\u00e9", "b\u00fccher", "%C3%A9", "\u30c9x",
+      // the r17 sweep's divergence-finders: ignored (soft hyphen),
+      // minted separator (U+3002), fullwidth, capital sharp S (the
+      // ICU/node table skew), leading combining mark, deviation sigma
+      "xn--tda\u00ad", "a\u3002b", "\uff21\uff11", "\u1e9e", "a\u1e9e",
+      "\u0301a", "a\u03c2")
     def label() = labels(rnd.nextInt(labels.size))
     def host() = (0 until (1 + rnd.nextInt(3))).map(_ => label()).mkString(".")
     val ports = Seq("", ":80", ":0", ":000080", ":65535", ":65536", ":99999",
