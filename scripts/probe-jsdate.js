@@ -504,6 +504,30 @@ fuzz.push(
   ' T10:20', ' 6010:EST', '  -012023/(Z0500/',
 );
 
+// r17 sweep findings: the ':'-routed zone offset is uncapped hours in
+// wrapping int32 SECONDS over the guarded number reader (leading zeros
+// skipped, value frozen once >= 1e8), a wrapped-negative total is
+// Invalid unless a later zone WORD overwrites it, and long fractions
+// scale over min(rawLen, 9) with the frozen value (leading zeros drop
+// out of long runs).
+fuzz.push(
+  'Jan 1 2001 Z-0500::', 'Jan 1 2001 Z-500::', 'Jan 1 2001 Z-05002023::',
+  'Jan 1 2001 Z-123456::', 'Jan 1 2001 Z+123456789::', '12/Z-05002023::',
+  'Jan 1 2001 Z-999999999:', 'Jan 1 2001 Z-9999999999::',
+  'Jan 1 2001 Z-1000000000::', 'Jan 1 2001 Z-1000000001::',
+  'Jan 1 2001 Z-99999999::', 'Jan 1 2001 Z+99999999::',
+  'Jan 1 2001 Z-314159265::', 'Jan 1 2001 Z-299999999::',
+  'Jan 1 2001 Z-12345678901234::', 'Jan 1 2001 Z-00000123456::',
+  'Jan 1 2001 Z-123456789:30', 'Jan 1 2001 Z-0500:77',
+  'Jan 1 2001 Z-99999999:: GMT', 'Jan 1 2001 Z-99999999:: +0500',
+  'May 4 10:20:30.599999999999', 'May 4 10:20:30.059999999999',
+  'May 4 10:20:30.009999999999', 'May 4 10:20:30.00000000059',
+  'May 4 10:20:30.100000000001', 'May 4 10:20:30.12345678901',
+  'May 4 10:20.059', 'May 4 10:20.0599', 'May 4 10:20.059999999999',
+  'May 4 10:20.00000000059', 'May 4 10:20.599999999999',
+  '4GMT10:20.599999999999GMT', 'May 4 99999999999 10:20',
+);
+
 const inputs = [...base, ...fuzz];
 
 function fmt(d, withTime) {

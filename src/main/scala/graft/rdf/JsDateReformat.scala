@@ -115,7 +115,7 @@ object JsDateReformat {
   //   - hour 0-24 where 24 requires :00(:00) and rolls to the next day
   //     ("2023-1-1 24:00" → Jan 2, "2023-05-04T24:00" → May 5).
   private def build(y: Int, m: Int, d: Int, h: Int, mi: Int, sec: Int,
-      offsetMin: Option[Int]): Option[ZonedDateTime] = {
+      offsetSec: Option[Int]): Option[ZonedDateTime] = {
     if (m < 1 || m > 12 || d < 1 || d > 31 || h < 0 || h > 24 ||
         mi < 0 || mi > 59 || sec < 0 || sec > 59) None
     else if (h == 24 && (mi != 0 || sec != 0)) None
@@ -124,7 +124,7 @@ object JsDateReformat {
         .atStartOfDay.plusHours(h).plusMinutes(mi).plusSeconds(sec)
       // an offset of +HH:MM means instant = local - offset; legacy offsets
       // exceed ZoneOffset's ±18h range ("-99" parses), so shift directly
-      val zoned = local.minusMinutes(offsetMin.getOrElse(0).toLong)
+      val zoned = local.minusSeconds(offsetSec.getOrElse(0).toLong)
         .atZone(ZoneOffset.UTC)
       // JS Date range: ±1e8 days (8.64e15 ms) from the epoch —
       // "275761-01-01" is Invalid Date while 275760 still parses
@@ -205,12 +205,18 @@ object JsDateReformat {
       val c = s.charAt(pos)
       if (c >= '0' && c <= '9') {
         val start = pos
-        var v = 0L
+        // V8's ReadUnsignedNumeral: digits stop ACCUMULATING once the
+        // value reaches 1e8 (checked before each add — max 999999999);
+        // the run is still consumed and its raw length kept. The freeze
+        // is verdict-visible through the zone-offset wrap ("Z-123456789
+        // ::" is the frozen 123456789 hours, int32-wrapped — below);
+        // every other sink bounds the value far under the freeze line.
+        var v = 0
         while (pos < s.length && s.charAt(pos) >= '0' && s.charAt(pos) <= '9') {
-          v = math.min(v * 10 + (s.charAt(pos) - '0'), Int.MaxValue.toLong)
+          if (v < 100000000) v = v * 10 + (s.charAt(pos) - '0')
           pos += 1
         }
-        new Tok(TNum, v.toInt, pos - start, 0, null)
+        new Tok(TNum, v, pos - start, 0, null)
       } else if (c >= 'A') { // V8 scans any char >= 'A' as a word char
         val start = pos
         while (pos < s.length && s.charAt(pos) >= 'A') pos += 1
@@ -280,26 +286,45 @@ object JsDateReformat {
   }
 
   /** Zone state: a named word's offset vs a sign-built numeric offset;
-    * the last one set wins ("Z +02:00" is +2, "+02:00 Z" is UTC). */
+    * the last one set wins ("Z +02:00" is +2, "+02:00 Z" is UTC).
+    *
+    * The sign-built total is SECONDS in wrapping int32 arithmetic,
+    * exactly V8's composer: the ':'-routed hour is uncapped ("-0500::"
+    * is −500 HOURS), so a frozen-reader hour wraps `hour*3600`
+    * ("Z-05002023::" is +827413616 s ≈ 26 years, probe-pinned), and a
+    * total that wraps NEGATIVE is Invalid Date ("Z-1000000001::",
+    * "Z+99999999::") — unless a later zone word overwrites it
+    * ("Z-99999999:: GMT" is UTC; a later sign-built offset can't, the
+    * second sign already fails the sign rule). */
   private final class TzAcc {
     var named: Int = Int.MinValue // minutes, MinValue = unset
     var sign = 0
     var hour = 0
     var minute = 0
     var minutePending = false
-    def offset: Option[Int] =
-      if (sign != 0) Some(sign * (hour * 60 + minute))
-      else if (named != Int.MinValue) Some(named)
+    def wrappedNegative: Boolean = sign != 0 && hour * 3600 + minute * 60 < 0
+    def offsetSec: Option[Int] =
+      if (sign != 0) Some(sign * (hour * 3600 + minute * 60))
+      else if (named != Int.MinValue) Some(named * 60)
       else None
   }
 
-  /** Milliseconds from a fraction's digit run: first three digits,
-    * right-padded ("*.5" is 500 ms, "*.60" is 600, "*.123456" is 123).
-    * The VALUE matters only through the ms slot's 0-999 bound — which
-    * is how "10:20.5" turns Invalid: the 500 lands on the SECOND slot. */
-  private def readMs(t: Tok): Int =
-    if (t.rawLen <= 3) t.value * math.pow(10, 3 - t.rawLen).toInt
-    else (t.value / math.pow(10, math.min(t.rawLen, 10) - 3)).toInt
+  /** Milliseconds from a fraction's digit run: the guarded-reader value
+    * (leading zeros skipped, frozen at 9 significant digits) scaled to
+    * three digits over an effective length of min(rawLen, 9) — V8's
+    * ReadMilliseconds over its ReadUnsignedNumeral. Short runs pad
+    * ("*.5" is 500 ms, "*.60" is 600); long runs divide down
+    * ("*.123456" is 123). The freeze makes LEADING ZEROS drop out of
+    * long runs — ".059999999999" is 599 (not 059) and ".009999999999"
+    * is 999, while ".00000000059" is 0 — all probe-pinned. The value
+    * matters only through the slot bounds: the scaled result never
+    * exceeds 999, and "10:20.5" turns Invalid because the 500 lands on
+    * the SECOND slot (max 59). */
+  private def readMs(t: Tok): Int = {
+    val effLen = math.min(t.rawLen, 9)
+    if (effLen <= 3) t.value * math.pow(10, 3 - effLen).toInt
+    else (t.value / math.pow(10, effLen - 3)).toInt
+  }
 
   /** The legacy token loop. Each branch carries its probe-pinned rule:
     *
@@ -470,7 +495,8 @@ object JsDateReformat {
       if (h > 12) return None
       h = h % 12 + time.hourOffset
     }
-    val off: Option[Int] = tz.offset
+    if (tz.wrappedNegative) return None
+    val off: Option[Int] = tz.offsetSec
     val (y, m, d) =
       if (day.iso) {
         // complete ES5 match: fixed Y-M-D order, literal year
