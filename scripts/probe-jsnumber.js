@@ -44,6 +44,13 @@ const inputs = [
   // precision edge: parseInt returns a double, so digits beyond 2^53
   // round (the Scala mirror keeps exact decimals — documented residual)
   '99999999999999999999999999', '9007199254740993',
+  // r17 sweep finding: hex literals wider than 64 bits make Spark's
+  // ANSI `conv` throw — the mirror guards them to null (ledgered:
+  // node returns the rounded double). Leading zeros are significant-
+  // stripped first, so a zero-padded small hex still converts.
+  '0x1ffffffffffffffff', '0xffffffffffffffffffffffffffffffffffffffff',
+  '-0x1ffffffffffffffff', '0x00000000000000000000ff',
+  '0x0000000000000000000000', '0x0000000000000000000001f',
 ];
 
 function fmtParseInt(v) {

@@ -34,7 +34,12 @@ object Bindings {
         // parseInt returns a double, so values beyond 2^53 round
         // ("9007199254740993" → ...92, "0xffffffffffffffff" → 2^64)
         // while this mirror keeps exact decimals — the exact value is
-        // strictly more faithful to the binding.
+        // strictly more faithful to the binding — and a hex literal
+        // wider than 64 bits (17+ significant hex digits, already deep
+        // inside the rounding residual) nulls instead: `conv` works in
+        // 64-bit arithmetic and ANSI mode makes its overflow THROW, so
+        // the length guard below is what keeps one hostile binding from
+        // killing the whole query (found by JsNumberSoupSweep).
         // Extract-then-cast also avoids decimal HALF_UP rounding
         // fabricating values, and ANSI-safe try_cast nulls the no-match
         // empty string. decimal(38,0) because xsd:integer is unbounded.
@@ -50,7 +55,10 @@ object Bindings {
             "^" + ws + "[+-]?0[xX]([0-9a-fA-F]+)", 1)
           val hexNeg = regexp_extract(col(name),
             "^" + ws + "(-)0[xX]", 1) === "-"
-          val hexVal = conv(hexDigits, 16, 10).try_cast(dec38)
+          // significant digits only: "0x00000000000000000000ff" is 255
+          val hexSig = regexp_replace(hexDigits, "^0+(?=.)", "")
+          val hexVal = when(length(hexSig) <= lit(16),
+            conv(hexSig, 16, 10).try_cast(dec38)).otherwise(lit(null).cast(dec38))
           df.withColumn(name,
             when(hexPrefix,
               when(hexDigits =!= "",
