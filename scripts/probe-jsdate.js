@@ -528,6 +528,43 @@ fuzz.push(
   '4GMT10:20.599999999999GMT', 'May 4 99999999999 10:20',
 );
 
+// r17 scanner character classes: V8's date whitespace is \t\n\v\f\r,
+// space, Zs (NBSP, ideographic space, thin space) and ZWNBSP/BOM -
+// NOT the other C0 controls (skip symbols, which fail the time-close
+// adjacency rule), NOT U+2028/U+2029 or Cf formats (word chars). A NUL
+// truncates the whole input before parsing, ES5 completeness included.
+fuzz.push(
+  'May\u00a04, 2023',
+  'May 4,\u00a02023',
+  '\u00a02023-05-04',
+  '2023-05-04\u3000',
+  'May\u30004 2023',
+  '2023-05-04\ufeff',
+  'May\u20094 2023',
+  'May 4 2023 10:20\u00a0',
+  'May 4 2023 10:20\u3000',
+  'May 4 2023 10:20\ufeff',
+  'May 4 2023 10:20\u0007',
+  'May 4 2023 10:20\u001f',
+  'May 4\u00072023',
+  'May 4\u001f2023',
+  '2023-05-04\u2028',
+  '\u20282023-05-04',
+  'May 4\u200b2023',
+  '2023\u180e-05-04',
+  'May 4 2023\u200e',
+  '\u200e2023-05-04',
+  'May 4 2023 GMT\u00a0+5',
+  'May 4 2023 10:20\u00a0pm',
+  'May\u00a0Jun 4 2023',
+  '2023\u00a0-05-04',
+  'May 4\u00002023',
+  '2023-05-04\u0000junk',
+  '\u0000',
+  '0099-01-01\u0000 10:20',
+  'May 4 2023 10:20pm\u00a0',
+);
+
 const inputs = [...base, ...fuzz];
 
 function fmt(d, withTime) {
@@ -545,6 +582,11 @@ for (const input of inputs) {
   seen.add(input);
   const d = new Date(input);
   // TSV-encode the input (tabs/newlines never occur; escape just in case)
-  const key = input.replace(/\\/g, '\\\\').replace(/\t/g, '\\t').replace(/\n/g, '\\n');
+  // non-ASCII and controls \u-escape so the committed table stays pure
+  // ASCII (a locale-decoding reader can never mangle it) — the spec's
+  // unescape reverses this
+  const key = input
+    .replace(/\\/g, '\\\\').replace(/\t/g, '\\t').replace(/\n/g, '\\n')
+    .replace(/[^\x20-\x7E]/g, c => '\\u' + c.codePointAt(0).toString(16).padStart(4, '0'));
   process.stdout.write(`${key}\t${fmt(d, false)}\t${fmt(d, true)}\n`);
 }

@@ -217,13 +217,14 @@ object JsDateReformat {
           pos += 1
         }
         new Tok(TNum, v, pos - start, 0, null)
-      } else if (c >= 'A') { // V8 scans any char >= 'A' as a word char
-        val start = pos
-        while (pos < s.length && s.charAt(pos) >= 'A') pos += 1
-        new Tok(TWord, 0, pos - start, 0, s.substring(start, pos))
-      } else if (Character.isWhitespace(c)) {
-        while (pos < s.length && Character.isWhitespace(s.charAt(pos))) pos += 1
+      } else if (JsDateReformat.isJsDateWs(c)) {
+        while (pos < s.length && JsDateReformat.isJsDateWs(s.charAt(pos))) pos += 1
         new Tok(TWs, 0, 0, 0, null)
+      } else if (c >= 'A') { // V8 scans any other char >= 'A' as a word char
+        val start = pos
+        while (pos < s.length && s.charAt(pos) >= 'A' &&
+          !JsDateReformat.isJsDateWs(s.charAt(pos))) pos += 1
+        new Tok(TWord, 0, pos - start, 0, s.substring(start, pos))
       } else if (c == '+' || c == '-') {
         pos += 1
         new Tok(TSign, 0, 0, if (c == '-') -1 else 1, null)
@@ -647,9 +648,26 @@ object JsDateReformat {
     * is legacy-parsed to 1999 while "0099-01-01" is literal 99, and
     * " 1210:" is Invalid (hour 1210) while "1210:" is year 1210 with a
     * stray colon (probe-pinned). */
+  /** V8's date-scanner whitespace, probe-pinned: \t\n\u000b\f\r,
+    * space, the Zs category (NBSP, ideographic space, thin spaces —
+    * scraped pages carry literal NBSP inside dates), and ZWNBSP/BOM.
+    * NOT the other C0 controls (skip symbols — they fail the time-close
+    * adjacency rule where whitespace passes: "...10:20<U+0001>" is
+    * Invalid, "...10:20<NBSP>" parses), NOT U+2028/U+2029 or Cf formats
+    * (word chars: "2023<U+2028>" is Invalid). */
+  private[rdf] def isJsDateWs(c: Char): Boolean =
+    (c >= 0x09 && c <= 0x0d) || c == ' ' || c == '\ufeff' ||
+      (c >= 0xa0 && Character.getType(c) == Character.SPACE_SEPARATOR)
+
   def parse(raw: String): Option[ZonedDateTime] = {
     try {
-      val sc = new Scanner(raw)
+      // a NUL truncates the whole input before any parsing — even an
+      // ES5 match completes against the truncated string ("2023-05-04
+      // <NUL>junk" is the COMPLETE ISO date; a lone NUL is empty →
+      // Invalid)
+      val nul = raw.indexOf('\u0000')
+      val s = if (nul >= 0) raw.substring(0, nul) else raw
+      val sc = new Scanner(s)
       val day = new DayAcc
       val time = new TimeAcc
       val tz = new TzAcc

@@ -36,8 +36,23 @@ class JsDateReformatSpec extends SparkSpec {
     * divergence can be ledgered instead of silently shipped. */
   private val residuals: Set[String] = Set()
 
-  private def unescape(s: String): String =
-    s.replace("\\t", "\t").replace("\\n", "\n").replace("\\\\", "\\")
+  private def unescape(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => b += '\t'; i += 2
+          case 'n' => b += '\n'; i += 2
+          case 'u' =>
+            b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case c => b += c; i += 2
+        }
+      } else { b += s.charAt(i); i += 1 }
+    }
+    b.toString
+  }
 
   private val corpusPath = Paths.get("src/test/resources/jsdate/corpus.tsv")
 

@@ -13,7 +13,13 @@ object JsDateSoupSweep {
       "1", "012023", "10:20", "10:", "::", ":", ".", ".5", "-", "+", "/",
       ",", " ", "  ", "May", "Jun", "pm", "am", "GMT", "EST", "Z", "Xyz",
       "(x)", "(", ")", ";", "%", "T", "Sat", "+02:00", "-0500",
-      "99999999999", "Tt", "z", "ut", "24:00", "0x10", "1e2")
+      "99999999999", "Tt", "z", "ut", "24:00", "0x10", "1e2",
+      // scanner character classes beyond ASCII: JS whitespace (NBSP,
+      // ideographic space, BOM), non-whitespace look-alikes (U+2028,
+      // ZWSP, Mongolian vowel separator), a C0 skip symbol, NUL
+      // truncation, and the wrap-prone wide offsets/fractions
+      "\u00a0", "\u3000", "\ufeff", "\u2028", "\u200b", "\u180e",
+      "\u0007", "\u0000", "123456789", "05002023", ".059999999999")
     var bad = 0
     for (seed <- 1 to nSeeds) {
       val rnd = new scala.util.Random(900000 + seed)
@@ -28,8 +34,12 @@ object JsDateSoupSweep {
         "return t?`${dd}T${d.getHours()}:${d.getMinutes()}:${d.getSeconds()}`:dd};" +
         "for(const u of us){const d=new Date(u);console.log(f(d,false)+'|'+f(d,true))}"
       val in = new java.io.ByteArrayInputStream(
-        fuzz.map(u => "\"" + u.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-          .mkString("[", ",", "]").getBytes("UTF-8"))
+        fuzz.map(u => "\"" + u.flatMap {
+          case '\\' => "\\\\"
+          case '"'  => "\\\""
+          case c if c < 0x20 => f"\\u${c.toInt}%04x" // JSON forbids raw controls
+          case c => c.toString
+        } + "\"").mkString("[", ",", "]").getBytes("UTF-8"))
       val out = new StringBuilder
       val code = (Process(Seq("node", "-e", js), None, "TZ" -> "UTC") #< in)
         .!(ProcessLogger(l => out.append(l).append('\n'), _ => ()))
