@@ -151,6 +151,9 @@ const urls = [
   'http://ẞ.de/', 'http://aς/', 'http://ßẞ.de/',
   // mapped input to the ends-in-number check, pre-split forms
   'http://ａ．ａ１/', 'http://a。０x10/',
+  // WHATWG trims leading/trailing C0-controls-and-space before parsing
+  '  http://a/  ', '\u0001http://a/\u0008', 'http://a/ ',
+  ' http://a b/', '\u0000http://a/',
 ];
 
 for (const u of urls) {

@@ -106,12 +106,18 @@ object JsUrlMirror {
     Pattern.compile("^(0|[1-9][0-9]{0,2})(\\.(0|[1-9][0-9]{0,2})){3}$")
 
   /** True iff JS `new URL(url)` would NOT throw, for the http(s) URLs
-    * the WKT CRS extraction can produce. WHATWG strips ASCII
-    * tab/newline before parsing, mirrored here — unreachable through
-    * [[Validation.wktCrsRegex]] (which can't extract whitespace) but it
-    * keeps the mirror honest for direct callers. */
+    * the WKT CRS extraction can produce. WHATWG trims leading/trailing
+    * C0-controls-and-space, then strips ASCII tab/newline everywhere —
+    * mirrored here; both are unreachable through
+    * [[Validation.wktCrsRegex]] (which can't extract whitespace) but
+    * they keep the mirror honest for direct callers. */
   def isParseable(url: UTF8String): Boolean = {
-    val cleaned = tabNl.matcher(url.toString).replaceAll("")
+    val raw = url.toString
+    var lo = 0
+    var hi = raw.length
+    while (lo < hi && raw.charAt(lo) <= ' ') lo += 1
+    while (hi > lo && raw.charAt(hi - 1) <= ' ') hi -= 1
+    val cleaned = tabNl.matcher(raw.substring(lo, hi)).replaceAll("")
     if (simpleUrl.matcher(cleaned).find()) return true
     val m = fullUrl.matcher(cleaned)
     if (!m.find()) return false
