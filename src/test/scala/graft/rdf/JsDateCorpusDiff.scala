@@ -15,7 +15,24 @@ object JsDateCorpusDiff {
     var n = 0
     lines.asScala.filter(_.nonEmpty).foreach { line =>
       val Array(inRaw, d, dt) = line.split("\t", -1)
-      val in = inRaw.replace("\\t", "\t").replace("\\\\", "\\")
+      // same escape set the probe writes: \\ \t \n \uXXXX
+      val in = {
+        val b = new StringBuilder
+        var i = 0
+        while (i < inRaw.length) {
+          if (inRaw.charAt(i) == '\\' && i + 1 < inRaw.length) {
+            inRaw.charAt(i + 1) match {
+              case 't' => b += '\t'; i += 2
+              case 'n' => b += '\n'; i += 2
+              case 'u' =>
+                b += Integer.parseInt(inRaw.substring(i + 2, i + 6), 16).toChar
+                i += 6
+              case c => b += c; i += 2
+            }
+          } else { b += inRaw.charAt(i); i += 1 }
+        }
+        b.toString
+      }
       val expD = if (d == "\\N") null else d
       val expDt = if (dt == "\\N") null else dt
       val got = JsDateReformat.parse(in)
