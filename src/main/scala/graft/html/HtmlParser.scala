@@ -238,6 +238,17 @@ object HtmlParser {
   private def impliedEndTags(stack: mutable.Stack[Builder], tag: String): Unit = {
     def inTable = stack.exists(_.tag == "table")
     tag match {
+      case "table" =>
+        // in-body table start closes a p in button scope like the rest
+        // of the closesP family — AND, at a TABLE insertion point,
+        // WHATWG in-table acts as </table> first: "<table><table>"
+        // builds two sibling tables ("<table><tr><table>" ends the row
+        // with its table). Inside a cell or caption the content mode is
+        // in-body again, where a nested table is legal and stays nested.
+        closePInButtonScope(stack)
+        val idx = stack.indexWhere(b => b.tag == "table" || b.tag == "td" ||
+          b.tag == "th" || b.tag == "caption" || b.tag == "#root")
+        if (idx >= 0 && stack(idx).tag == "table") popThrough(stack, idx)
       case t if closesP(t) => closePInButtonScope(stack)
       case "li" =>
         closeSibling(stack, Set("li")); closePInButtonScope(stack)
@@ -253,10 +264,32 @@ object HtmlParser {
         if (inTable)
           while (stack.top.tag != "table" && stack.top.tag != "#root") finish(stack)
         else innermostLegacy(stack, tag)
-      case "option" | "optgroup" | "rt" | "rp" => innermostLegacy(stack, tag)
+      case "rt" | "rp" =>
+        // in-body rt/rp: ONLY with a ruby element in scope do they
+        // generate implied end tags (closing an open rt/rp/rb down to
+        // the ruby); without one they are generic starts and nest —
+        // "<rp><rt>" outside ruby keeps the rt inside the rp, exactly
+        // as jsdom builds it
+        val idx = stack.indexWhere(b => b.tag == "ruby" || rubyScopeBarrier(b.tag))
+        if (idx >= 0 && stack(idx).tag == "ruby")
+          while (impliedEndSet(stack.top.tag)) finish(stack)
+      case "option" | "optgroup" =>
+        // in-body: both starts pop a current OPTION only; optgroup does
+        // NOT close an open optgroup outside a select (spec-literal,
+        // like jsdom — the in-select rules are not modelled)
+        if (stack.top.tag == "option") finish(stack)
       case _ => ()
     }
   }
+
+  /** Regular-scope barriers for the ruby search (WHATWG "has a ruby
+    * element in scope"). */
+  private val rubyScopeBarrier = Set("applet", "caption", "html", "table",
+    "td", "th", "marquee", "object", "template", "#root")
+
+  /** The spec's "generate implied end tags" set. */
+  private val impliedEndSet = Set("dd", "dt", "li", "optgroup", "option",
+    "p", "rb", "rp", "rt", "rtc")
 
   /** The pre-scope-walk innermost-only sibling rules, kept for the
     * table-structural tags OUTSIDE any table (nothing to clear back to)
@@ -270,9 +303,6 @@ object HtmlParser {
       case "td" | "th"         => top == "td" || top == "th" ||
                                   top == "caption" || top == "colgroup" || top == "p"
       case t if tableSection(t) => tableInner(top)
-      case "option"            => top == "option"
-      case "optgroup"          => top == "option" || top == "optgroup"
-      case "rt" | "rp"         => top == "rt" || top == "rp"
       case _                   => false
     }
     if (close) { finish(stack); innermostLegacy(stack, tag) }
@@ -474,6 +504,15 @@ object HtmlParser {
         s""" $k="${v.replace("&", "&amp;").replace("\"", "&quot;")}""""
       }.mkString
       if (voidElements(e.tag)) s"<${e.tag}$attrs/>"
+      else if (rawTextElements(e.tag))
+        // the HTML serialization of a raw-text element emits its text
+        // UNescaped (the parser never entity-decodes it, so escaping
+        // here would double-encode on every parse→render round trip —
+        // and jsdom's outerHTML, which the reference externalizes,
+        // emits raw too). Always re-readable: the raw-text scan stops
+        // at the first "</tag", so parsed raw text can never contain
+        // its own terminator.
+        s"<${e.tag}$attrs>${e.children.collect { case TextNode(t) => t }.mkString}</${e.tag}>"
       else s"<${e.tag}$attrs>${e.children.map(render).mkString}</${e.tag}>"
   }
 

@@ -1,0 +1,51 @@
+package graft.html
+
+/** Scratch: find minimal render→reparse fixpoint violations. */
+object FixpointHunt {
+  def main(args: Array[String]): Unit = {
+    val tags = Seq("div", "span", "p", "a", "time", "script", "style", "br",
+      "x-widget", "table", "tbody", "thead", "tfoot", "tr", "td", "th",
+      "caption", "colgroup", "button", "ul", "li", "dl", "dt", "dd",
+      "select", "option", "optgroup", "ruby", "rt", "rp")
+    val junk = Seq("<", ">", "&", "\"", "'", "=", "/", "<!--", "-->", "<!",
+      "]]>", "&#x41;", "&#999999999;", "&bogus;", " ", "�", "<<>>",
+      "</", "<a", "=\"", "a:b", "[a:b]", "_:x", "\n", "\t", "ab")
+    val rnd = new scala.util.Random(42)
+    def frag(): String = rnd.nextInt(4) match {
+      case 0 => s"<${tags(rnd.nextInt(tags.size))}>"
+      case 1 => s"</${tags(rnd.nextInt(tags.size))}>"
+      case 2 => junk(rnd.nextInt(junk.size))
+      case _ => "w" + rnd.nextInt(10)
+    }
+    def flat(doc: String): String =
+      HtmlParser.parse(doc).children.map(HtmlParser.render).mkString
+    def bad(doc: String): Boolean = { val once = flat(doc); flat(once) != once }
+    var found = 0
+    var i = 0
+    while (found < 8 && i < 200000) {
+      i += 1
+      val doc = (0 until (1 + rnd.nextInt(6))).map(_ => frag()).mkString
+      if (bad(doc)) {
+        // greedy shrink: drop chars while still failing
+        var cur = doc
+        var progress = true
+        while (progress) {
+          progress = false
+          var j = 0
+          while (j < cur.length) {
+            val cand = cur.substring(0, j) + cur.substring(j + 1)
+            if (cand.nonEmpty && bad(cand)) { cur = cand; progress = true }
+            else j += 1
+          }
+        }
+        val once = flat(cur)
+        val twice = flat(once)
+        println(s"BAD doc=${cur.map(c => if (c < 0x20 || c > 0x7e) f"\\u${c.toInt}%04x" else c).mkString}")
+        println(s"  once =$once")
+        println(s"  twice=$twice")
+        found += 1
+      }
+    }
+    println(s"$found failures in $i docs")
+  }
+}

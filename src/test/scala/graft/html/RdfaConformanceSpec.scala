@@ -226,4 +226,51 @@ class RdfaConformanceSpec extends AnyFunSuite {
     val props = quads.filter(q => q.predicate.value == "http://ex.org/name")
     assert(props.nonEmpty && props.head.obj.value == "Alice")
   }
+
+  // --- WHATWG recovery rules with RDfa-visible extents (r17: the
+  // render→reparse convergence fuzz exposed these)
+
+  test("a table start at a table insertion point acts as </table> (in-table rule)") {
+    // "<table property=…><table>" builds SIBLING tables in browsers —
+    // the second table's text must fall OUTSIDE the first's literal
+    val got = triples(
+      """<div about="#d" prefix="ex: http://ex.org/">
+        |<table property="ex:p"><tr><td>one</td></tr><table><tr><td>two</td></tr></table>
+        |</div>""".stripMargin)
+    val lit = got.find(_._2 == "http://ex.org/p").map(_._3)
+    assert(lit.exists(v => v.contains("one") && !v.contains("two")),
+      s"second table leaked into the first's literal: $lit")
+  }
+
+  test("rt without a ruby in scope is a generic start and nests (in-body rt rule)") {
+    // implied end tags fire ONLY with a ruby element in scope — outside
+    // one, "<rp property=…>a<rt>b" keeps the rt INSIDE the rp literal
+    val got = triples(
+      """<div about="#d" prefix="ex: http://ex.org/">
+        |<span><rp property="ex:q">a<rt>b</rt></rp></span>
+        |</div>""".stripMargin)
+    val lit = got.find(_._2 == "http://ex.org/q").map(_._3)
+    assert(lit.exists(v => v.contains("a") && v.contains("b")),
+      s"rt outside ruby must nest, got $lit")
+  }
+
+  test("rt with a ruby in scope closes the open rp (implied end tags)") {
+    val got = triples(
+      """<div about="#d" prefix="ex: http://ex.org/">
+        |<ruby><rp property="ex:q">a<rt>b</rt></ruby>
+        |</div>""".stripMargin)
+    val lit = got.find(_._2 == "http://ex.org/q").map(_._3)
+    assert(lit.exists(v => v.contains("a") && !v.contains("b")),
+      s"rt inside ruby must close the rp, got $lit")
+  }
+
+  test("optgroup does not close an open optgroup in body (only a current option pops)") {
+    val got = triples(
+      """<div about="#d" prefix="ex: http://ex.org/">
+        |<optgroup property="ex:o">x<optgroup>y</optgroup></optgroup>
+        |</div>""".stripMargin)
+    val lit = got.find(_._2 == "http://ex.org/o").map(_._3)
+    assert(lit.exists(v => v.contains("x") && v.contains("y")),
+      s"in-body optgroup must nest, got $lit")
+  }
 }
