@@ -1,6 +1,9 @@
 package graft.html
 
-/** Scratch: find minimal render→reparse fixpoint violations. */
+/** Dev harness: hunt minimal render→reparse CONVERGENCE violations
+  * (the HtmlFuzzSpec property) — one-trip non-idempotence is expected
+  * for foster-parented content (browsers too), so only a second round
+  * trip that still changes the serialization is a finding. */
 object FixpointHunt {
   def main(args: Array[String]): Unit = {
     val tags = Seq("div", "span", "p", "a", "time", "script", "style", "br",
@@ -19,7 +22,7 @@ object FixpointHunt {
     }
     def flat(doc: String): String =
       HtmlParser.parse(doc).children.map(HtmlParser.render).mkString
-    def bad(doc: String): Boolean = { val once = flat(doc); flat(once) != once }
+    def bad(doc: String): Boolean = { val twice = flat(flat(doc)); flat(twice) != twice }
     var found = 0
     var i = 0
     while (found < 8 && i < 200000) {
