@@ -196,6 +196,18 @@ object Bench {
     // (ScaleDesignSpec) pin what those queries are allowed to read, so
     // a plan-level regression cannot hide behind this note.
     //
+    // r16→r17 A/B, same method, on x_pipeline_corpus (min 2.91→~3.86 in
+    // all three r17 full runs, including the round's quietest-cal run —
+    // suspicious enough to test rather than wave at the band): the r16
+    // tree (f89ca6c, own worktree+compile) and HEAD ran the 1-query
+    // subset bench interleaved, three passes each, same day.
+    // Indistinguishable — r16 code {4.16, 3.76, 3.58}, HEAD {3.92,
+    // 3.47, 4.14}, HEAD's min the better one — and the r16 tree cannot
+    // reproduce its own recorded 2.91 (a quiet-moment sample; that
+    // round's cal dipped to 0.14 vs 0.16-0.21 during the A/B). Same
+    // composed quality∩dedup∩cluster shape, same shuffle-IO-bound
+    // cause; the band note above covers it.
+    //
     // r14→r15 named cause #2: the four corpus-validate queries
     // (p4_validate +0.10 s, k9_partition_sizes +0.08, a3_verdict_counts
     // +0.42, rdfa_pipeline +0.7 vs their r14 minima) carry the r15 URL-
