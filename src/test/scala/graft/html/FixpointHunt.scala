@@ -9,7 +9,8 @@ object FixpointHunt {
     val tags = Seq("div", "span", "p", "a", "time", "script", "style", "br",
       "x-widget", "table", "tbody", "thead", "tfoot", "tr", "td", "th",
       "caption", "colgroup", "button", "ul", "li", "dl", "dt", "dd",
-      "select", "option", "optgroup", "ruby", "rt", "rp")
+      "select", "option", "optgroup", "ruby", "rt", "rp",
+      "col", "hr", "input", "img")
     val junk = Seq("<", ">", "&", "\"", "'", "=", "/", "<!--", "-->", "<!",
       "]]>", "&#x41;", "&#999999999;", "&bogus;", " ", "�", "<<>>",
       "</", "<a", "=\"", "a:b", "[a:b]", "_:x", "\n", "\t", "ab")
