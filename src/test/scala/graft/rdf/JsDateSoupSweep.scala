@@ -24,7 +24,7 @@ object JsDateSoupSweep {
     for (seed <- 1 to nSeeds) {
       val rnd = new scala.util.Random(900000 + seed)
       val fuzz = (0 until 600).map(_ =>
-        (0 until (2 + rnd.nextInt(7)))
+        (0 until (2 + rnd.nextInt(11)))
           .map(_ => soupTokens(rnd.nextInt(soupTokens.size)))
           .mkString(if (rnd.nextBoolean()) " " else "")).distinct
       val js = "const us=JSON.parse(require('fs').readFileSync(0,'utf8'));" +
