@@ -459,6 +459,12 @@ object HtmlParser {
 
   // ------------------------------------------------------------ entities
 
+  /** The fast local subset (hit on virtually every reference): XML
+    * basics (incl. `apos`, which HTML4 lacks) and the accents/dashes
+    * besluit pages actually carry. Anything else non-numeric falls
+    * through to commons-text's complete HTML4 table (shipped with
+    * Spark), so `&euml;`/`&alpha;`/`&hearts;` all decode; HTML5-only
+    * long names are the remaining (rare) literals. */
   private val namedEntities = Map(
     "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
     "nbsp" -> " ", "eacute" -> "é", "egrave" -> "è", "agrave" -> "à",
@@ -467,6 +473,28 @@ object HtmlParser {
     "rsquo" -> "’", "lsquo" -> "‘",
     "ldquo" -> "“", "rdquo" -> "”", "hellip" -> "…")
 
+  /** WHATWG numeric-character-reference value mapping: NUL, surrogates
+    * and beyond-Unicode turn into U+FFFD, and the C1 block 0x80–0x9F
+    * takes the windows-1252 remap — scraped CMS output is full of
+    * `&#146;`-style smart quotes that MUST decode as ’, not as a C1
+    * control (jsdom, the reference's parser, does the same). */
+  private val win1252Remap: Map[Int, Int] = Map(
+    0x80 -> 0x20AC, 0x82 -> 0x201A, 0x83 -> 0x0192, 0x84 -> 0x201E,
+    0x85 -> 0x2026, 0x86 -> 0x2020, 0x87 -> 0x2021, 0x88 -> 0x02C6,
+    0x89 -> 0x2030, 0x8A -> 0x0160, 0x8B -> 0x2039, 0x8C -> 0x0152,
+    0x8E -> 0x017D, 0x91 -> 0x2018, 0x92 -> 0x2019, 0x93 -> 0x201C,
+    0x94 -> 0x201D, 0x95 -> 0x2022, 0x96 -> 0x2013, 0x97 -> 0x2014,
+    0x98 -> 0x02DC, 0x99 -> 0x2122, 0x9A -> 0x0161, 0x9B -> 0x203A,
+    0x9C -> 0x0153, 0x9E -> 0x017E, 0x9F -> 0x0178)
+
+  private def numericRef(cp0: Long): String = {
+    val cp =
+      if (cp0 == 0L || cp0 > 0x10FFFFL ||
+          (cp0 >= 0xD800L && cp0 <= 0xDFFFL)) 0xFFFD
+      else win1252Remap.getOrElse(cp0.toInt, cp0.toInt)
+    new String(Character.toChars(cp))
+  }
+
   def decodeEntities(t: String): String = {
     if (t.indexOf('&') < 0) return t
     val sb = new StringBuilder(t.length)
@@ -474,16 +502,38 @@ object HtmlParser {
     while (i < t.length) {
       if (t(i) == '&') {
         val semi = t.indexOf(';', i + 1)
-        if (semi > i && semi - i <= 10) {
+        if (semi > i && semi - i <= 32) {
           val body = t.substring(i + 1, semi)
           val decoded: Option[String] =
-            if (body.startsWith("#x") || body.startsWith("#X"))
-              try Some(new String(Character.toChars(
-                Integer.parseInt(body.substring(2), 16)))) catch { case _: Exception => None }
-            else if (body.startsWith("#"))
-              try Some(new String(Character.toChars(
-                Integer.parseInt(body.substring(1))))) catch { case _: Exception => None }
-            else namedEntities.get(body)
+            if (body.startsWith("#x") || body.startsWith("#X")) {
+              val digits = body.substring(2)
+              if (digits.nonEmpty && digits.forall(c => (c >= '0' && c <= '9') ||
+                  (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')))
+                // a digit run too wide for Long is out of range regardless
+                Some(try numericRef(java.lang.Long.parseLong(digits, 16))
+                  catch { case _: NumberFormatException => "�" })
+              else None
+            } else if (body.startsWith("#")) {
+              val digits = body.substring(1)
+              if (digits.nonEmpty && digits.forall(c => c >= '0' && c <= '9'))
+                Some(try numericRef(java.lang.Long.parseLong(digits))
+                  catch { case _: NumberFormatException => "�" })
+              else None
+            }
+            else if (body.nonEmpty && body.forall(c =>
+                (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+                (c >= '0' && c <= '9'))) {
+              namedEntities.get(body).orElse {
+                // commons' unescaper throws on malformed numerics, but a
+                // name-shaped body can only hit its named table; the
+                // catch is belt-and-braces
+                val ref = t.substring(i, semi + 1)
+                try {
+                  val un = org.apache.commons.text.StringEscapeUtils.unescapeHtml4(ref)
+                  if (un != ref) Some(un) else None
+                } catch { case _: Exception => None }
+              }
+            } else None
           decoded match {
             case Some(d) => sb.append(d); i = semi + 1
             case None => sb.append('&'); i += 1
@@ -493,6 +543,7 @@ object HtmlParser {
     }
     sb.toString
   }
+
 
   /** Re-serialize a node (innerHtml support). Attributes emit in SOURCE
     * order (the tokenizer builds a VectorMap), matching jsdom's

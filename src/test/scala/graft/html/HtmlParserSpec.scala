@@ -34,6 +34,23 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(a.text == "x <tag> é")
   }
 
+  test("C1 numeric references take the windows-1252 remap (WHATWG)") {
+    // scraped CMS text is full of &#145;-&#151; smart punctuation
+    val root = parse("<p>it&#146;s &#147;q&#148; &#150; &#133;</p>")
+    assert(root.text == "it’s “q” – …")
+  }
+
+  test("NUL, surrogate and beyond-Unicode numeric references decode to U+FFFD") {
+    val root = parse("<p>&#0;|&#xD800;|&#x110000;|&#9999999;|&#99999999999999999999;</p>")
+    assert(root.text == "�|�|�|�|�")
+  }
+
+  test("named references beyond the local subset resolve via the HTML4 table") {
+    val root = parse("<p>ge&euml;xtraheerd &iuml; &alpha;&hearts; &bogus; &#x41</p>")
+    // &bogus; stays literal (unknown name); a ;-less numeric stays literal
+    assert(root.text == "geëxtraheerd ï α♥ &bogus; &#x41")
+  }
+
   test("mismatched and stray end tags are tolerated") {
     val root = parse("<div><b>x</i>y</b>z</div><p>tail")
     assert(root.text == "xyztail")
