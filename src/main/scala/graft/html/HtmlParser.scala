@@ -104,9 +104,10 @@ object HtmlParser {
         }
       case Tok.Open(tag, attrs, selfClosing) =>
         impliedEndTags(stack, tag)
-        // a nested <table> start at a structural point stays in place
-        // (WHATWG would close the outer table; the common nested-table
-        // case — a table inside a CELL — is not a foster context at all)
+        // a table start never fosters: at a structural point the
+        // implied-end step above just closed the outer table (WHATWG's
+        // act-as-</table> rule), and inside a CELL a nested table is
+        // legal in-body content
         val fostered =
           if (fosterContext(stack.top.tag) && !tableLegal(tag) && tag != "table")
             fosterSpot()
@@ -345,7 +346,7 @@ object HtmlParser {
         val start = i
         val lt = s.indexOf('<', i)
         i = if (lt < 0) s.length else lt
-        return Tok.Text(decodeEntities(s.substring(start, i)))
+        return Tok.Text(decodeEntities(s.substring(start, i), isAttr = false))
       }
       // '<'
       if (s.startsWith("<!--", i)) {
@@ -419,12 +420,12 @@ object HtmlParser {
                 val quote = s(j); j += 1
                 val vStart = j
                 while (j < s.length && s(j) != quote) j += 1
-                putAttr(name, decodeEntities(s.substring(vStart, j)))
+                putAttr(name, decodeEntities(s.substring(vStart, j), isAttr = true))
                 if (j < s.length) j += 1
               } else {
                 val vStart = j
                 while (j < s.length && !s(j).isWhitespace && s(j) != '>') j += 1
-                putAttr(name, decodeEntities(s.substring(vStart, j)))
+                putAttr(name, decodeEntities(s.substring(vStart, j), isAttr = true))
               }
             } else if (name.nonEmpty) putAttr(name, "")
         }
@@ -495,54 +496,98 @@ object HtmlParser {
     new String(Character.toChars(cp))
   }
 
-  def decodeEntities(t: String): String = {
+  /** WHATWG legacy (semicolon-less) named references: exactly the
+    * HTML4 basic + Latin-1 sets, plus their historical uppercase
+    * aliases — "&copy 2023" is "\u00a9 2023" and "&ampx" is "&x" in
+    * TEXT; in an ATTRIBUTE a legacy match followed by [a-zA-Z0-9=]
+    * does not decode, so query strings like "?a=1&copy=2" stay intact
+    * (the spec's attribute suppression rule). */
+  private val legacyEntities: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val commons =
+      (org.apache.commons.text.translate.EntityArrays.BASIC_UNESCAPE.asScala ++
+        org.apache.commons.text.translate.EntityArrays.ISO8859_1_UNESCAPE.asScala)
+        .map { case (k, v) =>
+          k.toString.stripPrefix("&").stripSuffix(";") -> v.toString }
+    commons.toMap ++ Map("AMP" -> "&", "LT" -> "<", "GT" -> ">",
+      "QUOT" -> "\"", "COPY" -> "\u00a9", "REG" -> "\u00ae")
+  }
+  private val legacyMaxLen = legacyEntities.keysIterator.map(_.length).max
+
+  @inline private def isNameChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+
+  def decodeEntities(t: String, isAttr: Boolean = false): String = {
     if (t.indexOf('&') < 0) return t
     val sb = new StringBuilder(t.length)
     var i = 0
     while (i < t.length) {
-      if (t(i) == '&') {
-        val semi = t.indexOf(';', i + 1)
-        if (semi > i && semi - i <= 32) {
-          val body = t.substring(i + 1, semi)
-          val decoded: Option[String] =
-            if (body.startsWith("#x") || body.startsWith("#X")) {
-              val digits = body.substring(2)
-              if (digits.nonEmpty && digits.forall(c => (c >= '0' && c <= '9') ||
-                  (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')))
-                // a digit run too wide for Long is out of range regardless
-                Some(try numericRef(java.lang.Long.parseLong(digits, 16))
-                  catch { case _: NumberFormatException => "�" })
-              else None
-            } else if (body.startsWith("#")) {
-              val digits = body.substring(1)
-              if (digits.nonEmpty && digits.forall(c => c >= '0' && c <= '9'))
-                Some(try numericRef(java.lang.Long.parseLong(digits))
-                  catch { case _: NumberFormatException => "�" })
-              else None
-            }
-            else if (body.nonEmpty && body.forall(c =>
-                (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-                (c >= '0' && c <= '9'))) {
-              namedEntities.get(body).orElse {
-                // commons' unescaper throws on malformed numerics, but a
-                // name-shaped body can only hit its named table; the
-                // catch is belt-and-braces
-                val ref = t.substring(i, semi + 1)
-                try {
-                  val un = org.apache.commons.text.StringEscapeUtils.unescapeHtml4(ref)
-                  if (un != ref) Some(un) else None
-                } catch { case _: Exception => None }
+      if (t(i) == '&' && i + 1 < t.length) {
+        val c1 = t(i + 1)
+        if (c1 == '#') {
+          // numeric reference: the value is emitted whether or not a
+          // semicolon follows ("&#65x" is "Ax" with a parse error) —
+          // the spec's missing-semicolon rule; the value accumulator
+          // saturates, so arbitrarily long digit runs land on U+FFFD
+          val hex = i + 2 < t.length && (t(i + 2) == 'x' || t(i + 2) == 'X')
+          var j = i + (if (hex) 3 else 2)
+          var v = 0L
+          var any = false
+          while (j < t.length && {
+            val c = t(j)
+            if (hex) isHexDigit(c) else c >= '0' && c <= '9'
+          }) {
+            any = true
+            if (v <= 0x10FFFFL)
+              v = v * (if (hex) 16 else 10) + Character.digit(t(j), 16)
+            j += 1
+          }
+          if (any) {
+            sb.append(numericRef(v))
+            i = if (j < t.length && t(j) == ';') j + 1 else j
+          } else { sb.append('&'); i += 1 }
+        } else if (isNameChar(c1)) {
+          var j = i + 1
+          while (j < t.length && isNameChar(t(j))) j += 1
+          val run = t.substring(i + 1, j)
+          val semiDecoded: Option[String] =
+            if (j < t.length && t(j) == ';')
+              namedEntities.get(run).orElse {
+                val ref = "&" + run + ";"
+                val un = org.apache.commons.text.StringEscapeUtils.unescapeHtml4(ref)
+                if (un != ref) Some(un) else None
               }
-            } else None
-          decoded match {
-            case Some(d) => sb.append(d); i = semi + 1
-            case None => sb.append('&'); i += 1
+            else None
+          semiDecoded match {
+            case Some(d) => sb.append(d); i = j + 1
+            case None =>
+              // legacy fallback: longest semicolon-less prefix of the
+              // run ("&notit;" is "\u00acit;", the ; belongs to no one)
+              var k = math.min(run.length, legacyMaxLen)
+              var hit: Option[(String, Int)] = None
+              while (k >= 2 && hit.isEmpty) {
+                legacyEntities.get(run.substring(0, k)) match {
+                  case Some(v2) => hit = Some((v2, i + 1 + k))
+                  case None => k -= 1
+                }
+              }
+              hit match {
+                case Some((v2, next))
+                    if !(isAttr && next < t.length &&
+                      (t(next) == '=' || isNameChar(t(next)))) =>
+                  sb.append(v2); i = next
+                case _ => sb.append('&'); i += 1
+              }
           }
         } else { sb.append('&'); i += 1 }
       } else { sb.append(t(i)); i += 1 }
     }
     sb.toString
   }
+
+  @inline private def isHexDigit(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
 
 
   /** Re-serialize a node (innerHtml support). Attributes emit in SOURCE

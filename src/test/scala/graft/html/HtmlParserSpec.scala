@@ -46,9 +46,26 @@ class HtmlParserSpec extends AnyFunSuite {
   }
 
   test("named references beyond the local subset resolve via the HTML4 table") {
-    val root = parse("<p>ge&euml;xtraheerd &iuml; &alpha;&hearts; &bogus; &#x41</p>")
-    // &bogus; stays literal (unknown name); a ;-less numeric stays literal
-    assert(root.text == "geëxtraheerd ï α♥ &bogus; &#x41")
+    val root = parse("<p>ge&euml;xtraheerd &iuml; &alpha;&hearts; &bogus;</p>")
+    // &bogus; stays literal (unknown name, and no legacy prefix)
+    assert(root.text == "geëxtraheerd ï α♥ &bogus;")
+  }
+
+  test("semicolon-less references: numerics always decode, legacy names decode in text") {
+    // WHATWG missing-semicolon rules: "&#65x" is "Ax"; "&copy 2023" is
+    // "© 2023"; "&notit;" takes the longest legacy prefix ("¬it;");
+    // non-legacy names need the semicolon ("&alpha" stays)
+    val root = parse("<p>&#x41&#66x &copy 2023 &notit; &alpha &ampx</p>")
+    assert(root.text == "ABx © 2023 ¬it; &alpha &x")
+  }
+
+  test("attribute suppression: a legacy name followed by = or alphanumeric stays literal") {
+    val root = parse("""<a href="?a=1&copy=2&copyx&copy." title="&#65x">x</a>""")
+    val a = root.children.head.asInstanceOf[Element]
+    // &copy= and &copyx suppressed (URL params survive); &copy. decodes;
+    // numerics decode in attributes regardless
+    assert(a.attrs("href") == "?a=1&copy=2&copyx©.")
+    assert(a.attrs("title") == "Ax")
   }
 
   test("mismatched and stray end tags are tolerated") {
