@@ -350,8 +350,21 @@ object HtmlParser {
       }
       // '<'
       if (s.startsWith("<!--", i)) {
-        val end = s.indexOf("-->", i + 4)
-        i = if (end < 0) s.length else end + 3
+        // WHATWG comment endings: "<!-->" and "<!--->" close ABRUPTLY
+        // (an empty comment, not a swallow-the-document scan), and
+        // "--!>" (incorrectly-closed) ends a comment like "-->" does —
+        // whichever terminator comes first
+        val after = i + 4
+        if (s.startsWith(">", after)) i = after + 1
+        else if (s.startsWith("->", after)) i = after + 2
+        else {
+          val end1 = s.indexOf("-->", after)
+          val end2 = s.indexOf("--!>", after)
+          i =
+            if (end2 >= 0 && (end1 < 0 || end2 < end1)) end2 + 4
+            else if (end1 >= 0) end1 + 3
+            else s.length
+        }
         return Tok.Text("")
       }
       if (i + 1 < s.length && (s(i + 1) == '!' || s(i + 1) == '?')) {

@@ -68,6 +68,16 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(a.attrs("title") == "Ax")
   }
 
+  test("abrupt and incorrectly-closed comments end where WHATWG ends them") {
+    // "<!-->" / "<!--->" are complete empty comments (not a scan to the
+    // next "-->", which would swallow the document); "--!>" terminates
+    assert(parse("<p>a<!-->b</p>").text == "ab")
+    assert(parse("<p>a<!--->b</p>").text == "ab")
+    assert(parse("<p>a<!--x--!>b</p>").text == "ab")
+    assert(parse("<p>a<!--x--!>b-->c</p>").text == "ab-->c")
+    assert(parse("<p>a<!--never closed").text == "a")
+  }
+
   test("mismatched and stray end tags are tolerated") {
     val root = parse("<div><b>x</i>y</b>z</div><p>tail")
     assert(root.text == "xyztail")
