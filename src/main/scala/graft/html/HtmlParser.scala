@@ -373,11 +373,24 @@ object HtmlParser {
         return Tok.Text("")
       }
       if (i + 1 < s.length && s(i + 1) == '/') {
+        // WHATWG end-tag-open: a letter starts an end tag whose NAME is
+        // the leading run — trailing junk (attributes on an end tag,
+        // "</div foo>") is parse-error noise and the div still closes;
+        // a NON-letter makes the whole thing a bogus comment ("</ div>",
+        // "</3>" close nothing)
         val end = s.indexOf('>', i)
         if (end < 0) { i = s.length; return Tok.Text("") }
-        val tag = s.substring(i + 2, end).trim.toLowerCase
-        i = end + 1
-        return Tok.Close(tag)
+        val c2 = if (i + 2 < s.length) s(i + 2) else ' '
+        if ((c2 >= 'a' && c2 <= 'z') || (c2 >= 'A' && c2 <= 'Z')) {
+          var j = i + 2
+          while (j < end && s(j) != ' ' && s(j) != '\t' && s(j) != '\n' &&
+            s(j) != '\f' && s(j) != '\r' && s(j) != '/') j += 1
+          val tag = s.substring(i + 2, j).toLowerCase
+          i = end + 1
+          return Tok.Close(tag)
+        }
+        i = end + 1 // bogus comment: consumed, emits nothing
+        return Tok.Text("")
       }
       // open tag
       parseOpenTag() match {

@@ -78,6 +78,16 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(parse("<p>a<!--never closed").text == "a")
   }
 
+  test("end-tag names are the leading letter run; non-letter end tags are bogus comments") {
+    // "</div foo>" still closes the div (attr junk ignored); "</ div>"
+    // and "</3>" are bogus comments and close NOTHING
+    val a = parse("<div><b>x</div foo>y")
+    assert(a.children.map(_.text) == Vector("x", "y"))
+    val b = parse("<div>x</ div>y</div>z")
+    assert(b.children.head.text == "xy" && b.text == "xyz")
+    assert(parse("<p>a</3>b</p>").text == "ab")
+  }
+
   test("mismatched and stray end tags are tolerated") {
     val root = parse("<div><b>x</i>y</b>z</div><p>tail")
     assert(root.text == "xyztail")
