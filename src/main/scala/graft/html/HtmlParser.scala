@@ -413,8 +413,12 @@ object HtmlParser {
     private def parseOpenTag(): Option[Tok.Open] = {
       var j = i + 1
       val nameStart = j
+      // WHATWG tag-open: only an ASCII LETTER starts a tag — "<3" is
+      // literal text, not an element named "3"
+      if (j >= s.length ||
+          !((s(j) >= 'a' && s(j) <= 'z') || (s(j) >= 'A' && s(j) <= 'Z')))
+        return None
       while (j < s.length && (s(j).isLetterOrDigit || s(j) == '-' || s(j) == ':')) j += 1
-      if (j == nameStart) return None
       val tag = s.substring(nameStart, j).toLowerCase
       // Insertion-ordered: re-serialization (render/innerHtml) must emit
       // attributes in source order like jsdom's innerHTML — a hash Map

@@ -78,6 +78,10 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(parse("<p>a<!--never closed").text == "a")
   }
 
+  test("a '<' before a non-letter is literal text, not a tag") {
+    assert(parse("<p>i <3 u < 5></p>").text == "i <3 u < 5>")
+  }
+
   test("end-tag names are the leading letter run; non-letter end tags are bogus comments") {
     // "</div foo>" still closes the div (attr junk ignored); "</ div>"
     // and "</3>" are bogus comments and close NOTHING
