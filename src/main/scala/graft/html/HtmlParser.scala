@@ -346,7 +346,13 @@ object HtmlParser {
         val start = i
         val lt = s.indexOf('<', i)
         i = if (lt < 0) s.length else lt
-        return Tok.Text(decodeEntities(s.substring(start, i), isAttr = false))
+        // WHATWG: raw NUL character tokens are ignored by the in-body
+        // tree builder — they vanish from text (an entity &#0; instead
+        // decodes to U+FFFD in decodeEntities, a different rule)
+        val txt = s.substring(start, i)
+        return Tok.Text(decodeEntities(
+          if (txt.indexOf('\u0000') >= 0) txt.replace("\u0000", "") else txt,
+          isAttr = false))
       }
       // '<'
       if (s.startsWith("<!--", i)) {
@@ -398,7 +404,9 @@ object HtmlParser {
           if (rawTextElements(open.tag) && !open.selfClosing) {
             val end = indexOfIgnoreCaseAscii(s, s"</${open.tag}", i)
             if (end >= 0) {
-              pendingRawText = s.substring(i, end)
+              // script-data tokenization maps NUL to U+FFFD (unlike
+              // body text, where NUL tokens are dropped)
+              pendingRawText = s.substring(i, end).replace('\u0000', '\ufffd')
               i = end
             }
           }

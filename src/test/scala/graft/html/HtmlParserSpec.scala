@@ -78,6 +78,14 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(parse("<p>a<!--never closed").text == "a")
   }
 
+  test("raw NULs vanish from body text but map to U+FFFD in raw text") {
+    assert(parse("<p>a\u0000b</p>").text == "ab")
+    val root = parse("<body><script>x\u0000y</script></body>")
+    var scriptText = ""
+    HtmlParser.walk(root) { e => if (e.tag == "script") scriptText = e.text }
+    assert(scriptText == "x\ufffdy")
+  }
+
   test("a '<' before a non-letter is literal text, not a tag") {
     assert(parse("<p>i <3 u < 5></p>").text == "i <3 u < 5>")
   }
