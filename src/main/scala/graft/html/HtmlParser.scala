@@ -67,7 +67,14 @@ object HtmlParser {
 
   /** Parse a full document; returns a synthetic root element. */
   def parse(html: String): Element = {
-    val tokens = tokenize(html)
+    // WHATWG input-stream preprocessing: CRLF and lone CR normalize to
+    // LF before tokenization — a property literal from a Windows-
+    // authored (CRLF) page carries \n exactly as jsdom's does
+    val normalized =
+      if (html.indexOf('\r') >= 0)
+        html.replace("\r\n", "\n").replace('\r', '\n')
+      else html
+    val tokens = tokenize(normalized)
     val root = new Builder("#root", Map.empty)
     root.owner = root
     val stack = mutable.Stack[Builder](root)

@@ -86,6 +86,13 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(scriptText == "x\ufffdy")
   }
 
+  test("CRLF and lone CR normalize to LF before tokenization (input preprocessing)") {
+    val root = parse("<p>a\r\nb\rc</p>")
+    assert(root.text == "a\nb\nc")
+    val a = parse("<a title=\"x\r\ny\">t</a>").children.head.asInstanceOf[Element]
+    assert(a.attrs("title") == "x\ny")
+  }
+
   test("a '<' before a non-letter is literal text, not a tag") {
     assert(parse("<p>i <3 u < 5></p>").text == "i <3 u < 5>")
   }
