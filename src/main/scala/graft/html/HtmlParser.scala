@@ -17,7 +17,9 @@ import scala.collection.mutable
   * BUTTON SCOPE, popping intervening inline elements: `<p>a<b>c<p>d`
   * ends the first paragraph at "ac"; `li`/`dt`/`dd` close their open
   * siblings through phrasing content, stopping at special-category
-  * blocks; `option`/`rt`/`rp` close their innermost siblings) — plus,
+  * blocks; a current `option` pops on option/optgroup starts; `rt`/`rp`
+  * generate implied end tags only with a `ruby` in scope; a `table`
+  * start at a table insertion point acts as `</table>` first) — plus,
   * inside tables, the two WHATWG recovery paths that move RDFa-visible
   * content: "clear the stack back to a table(/body/row) context" for
   * structural start tags, and FOSTER PARENTING (non-whitespace text and
@@ -398,7 +400,7 @@ object HtmlParser {
           var j = i + 2
           while (j < end && s(j) != ' ' && s(j) != '\t' && s(j) != '\n' &&
             s(j) != '\f' && s(j) != '\r' && s(j) != '/') j += 1
-          val tag = s.substring(i + 2, j).toLowerCase
+          val tag = s.substring(i + 2, j).toLowerCase(java.util.Locale.ROOT)
           i = end + 1
           return Tok.Close(tag)
         }
@@ -434,7 +436,7 @@ object HtmlParser {
           !((s(j) >= 'a' && s(j) <= 'z') || (s(j) >= 'A' && s(j) <= 'Z')))
         return None
       while (j < s.length && (s(j).isLetterOrDigit || s(j) == '-' || s(j) == ':')) j += 1
-      val tag = s.substring(nameStart, j).toLowerCase
+      val tag = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
       // Insertion-ordered: re-serialization (render/innerHtml) must emit
       // attributes in source order like jsdom's innerHTML — a hash Map
       // goes hash-order above 4 entries. First occurrence wins on
@@ -456,7 +458,9 @@ object HtmlParser {
             val aStart = j
             while (j < s.length && !s(j).isWhitespace && s(j) != '=' &&
               s(j) != '>' && s(j) != '/') j += 1
-            val name = s.substring(aStart, j).toLowerCase
+            // Locale.ROOT: a default Turkish locale would map 'I' to a
+            // dotless ı and break PROPERTY/ABOUT lookups
+            val name = s.substring(aStart, j).toLowerCase(java.util.Locale.ROOT)
             while (j < s.length && s(j).isWhitespace) j += 1
             if (j < s.length && s(j) == '=') {
               j += 1
