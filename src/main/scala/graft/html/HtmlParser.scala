@@ -8,11 +8,15 @@ import scala.collection.mutable
   * lines sufficient for the RDFa attribute walk).
   *
   * Supported: nested elements, attributes (double/single/unquoted/bare),
-  * comments, doctype/processing instructions, void elements, self-closing
-  * syntax, raw-text elements (script/style), character references
-  * (named basics + decimal/hex), mismatched end tags (closed by
-  * popping to the nearest matching open element, else ignored — the
-  * usual lenient behavior), the WHATWG implied-end-tag rules
+  * comments (including WHATWG's abrupt "<!-->" and "--!>" endings),
+  * doctype/processing instructions, void elements, self-closing syntax,
+  * raw-text elements (script/style, serialized raw), CRLF input
+  * normalization, character references per the spec's tokenizer — the
+  * HTML4 named table, the legacy semicolon-less set with attribute
+  * suppression, and numeric refs with the windows-1252 C1 remap and
+  * U+FFFD fallbacks — mismatched end tags (closed by popping to the
+  * nearest matching open element, else ignored — the usual lenient
+  * behavior), the WHATWG implied-end-tag rules
   * with their real scope walks (a block start tag closes an open `p` in
   * BUTTON SCOPE, popping intervening inline elements: `<p>a<b>c<p>d`
   * ends the first paragraph at "ac"; `li`/`dt`/`dd` close their open
