@@ -52,7 +52,14 @@ object HtmlParser {
       attrs: Map[String, String],
       children: Vector[Node]) extends Node {
     def attr(name: String): Option[String] = attrs.get(name)
-    def text: String = children.map(_.text).mkString
+    /** DOM textContent: a <template>'s contents live in a separate
+      * fragment — its childNodes are empty, so its text contributes
+      * NOTHING to an ancestor's literal (innerHTML still serializes
+      * the contents, like the DOM's template.innerHTML does). */
+    def text: String = children.map {
+      case e: Element if e.tag == "template" => ""
+      case n => n.text
+    }.mkString
     /** Re-serialized inner HTML (for rdf:HTML literals, G2). */
     def innerHtml: String = children.map(render).mkString
   }

@@ -166,6 +166,12 @@ object RdfaExtractor {
   private def walk(e: HtmlParser.Element, ctx0: Ctx,
       out: mutable.ArrayBuffer[Quad], counter: Counter,
       lists: ListMap): Unit = {
+    // <template> contents live in a separate DocumentFragment in the
+    // DOM — jsdom's childNodes never surface them, so the reference's
+    // processor extracts NOTHING from a template subtree (client-side
+    // framework leftovers on server-rendered pages carry RDFa-shaped
+    // markup that must stay invisible)
+    if (e.tag == "template") return
     var ctx = ctx0
     val inlist = e.attr("inlist").isDefined
 

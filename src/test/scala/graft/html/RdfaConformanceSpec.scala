@@ -264,6 +264,24 @@ class RdfaConformanceSpec extends AnyFunSuite {
       s"rt inside ruby must close the rp, got $lit")
   }
 
+  test("template contents are invisible to the processor (separate DOM fragment)") {
+    val got = triples(
+      """<div about="#d" prefix="ex: http://ex.org/">
+        |<span property="ex:real">yes</span>
+        |<template><span property="ex:ghost">no</span></template>
+        |</div>""".stripMargin)
+    assert(got.exists(_._2 == "http://ex.org/real"))
+    assert(!got.exists(_._2 == "http://ex.org/ghost"),
+      "RDFa inside <template> must not extract (jsdom keeps it in a fragment)")
+    // and template text contributes nothing to an enclosing literal
+    val lit = triples(
+      """<div about="#d" prefix="ex: http://ex.org/">
+        |<span property="ex:p">a<template>GHOST</template>c</span>
+        |</div>""".stripMargin)
+    assert(lit.exists(t => t._2 == "http://ex.org/p" && t._3 == "ac"),
+      s"template text leaked into the literal: ${lit.map(_._3)}")
+  }
+
   test("optgroup does not close an open optgroup in body (only a current option pops)") {
     val got = triples(
       """<div about="#d" prefix="ex: http://ex.org/">
