@@ -659,7 +659,10 @@ object HtmlParser {
       val attrs = e.attrs.map { case (k, v) =>
         s""" $k="${v.replace("&", "&amp;").replace("\"", "&quot;")}""""
       }.mkString
-      if (voidElements(e.tag)) s"<${e.tag}$attrs/>"
+      // HTML serialization writes voids with NO self-closing slash —
+      // jsdom's innerHTML emits "<br>", and the G2 externalized literal
+      // must match the reference's bytes
+      if (voidElements(e.tag)) s"<${e.tag}$attrs>"
       else if (rawTextElements(e.tag))
         // the HTML serialization of a raw-text element emits its text
         // UNescaped (the parser never entity-decodes it, so escaping
