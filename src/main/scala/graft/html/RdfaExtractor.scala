@@ -166,12 +166,20 @@ object RdfaExtractor {
   private def walk(e: HtmlParser.Element, ctx0: Ctx,
       out: mutable.ArrayBuffer[Quad], counter: Counter,
       lists: ListMap): Unit = {
-    // <template> contents live in a separate DocumentFragment in the
+    // <template> CONTENTS live in a separate DocumentFragment in the
     // DOM — jsdom's childNodes never surface them, so the reference's
-    // processor extracts NOTHING from a template subtree (client-side
+    // processor extracts nothing from a template SUBTREE (client-side
     // framework leftovers on server-rendered pages carry RDFa-shaped
-    // markup that must stay invisible)
-    if (e.tag == "template") return
+    // markup that must stay invisible). The template NODE itself is a
+    // regular element in the tree walk, though: its own property/
+    // typeof/about attributes process normally, with textContent ""
+    // (the fragment contributes no text) — `<template property="ex:p"
+    // content="v">` yields a triple there, and without @content the
+    // object is the empty-string literal.
+    val isTemplate = e.tag == "template"
+    // DOM textContent of the element — "" for a template (children are
+    // fragment-side); used for every literal-value fallback below
+    val textContent = if (isTemplate) "" else e.text
     var ctx = ctx0
     val inlist = e.attr("inlist").isDefined
 
@@ -356,10 +364,10 @@ object RdfaExtractor {
             // elements (HTML+RDFa §3.1)
             val value = e.attr("content")
               .orElse(e.attr("datetime").filter(_ => e.tag == "time"))
-              .getOrElse(e.text)
+              .getOrElse(textContent)
             Term.typed(value, dt)
           case Some(_) => // datatype="" → plain literal
-            plainLiteral(e.attr("content").getOrElse(e.text), ctx)
+            plainLiteral(e.attr("content").getOrElse(textContent), ctx)
           case None =>
             // HTML+RDFa §3.1: the datetime rule is scoped to TIME
             // elements, and a <time> WITHOUT @datetime still
@@ -370,7 +378,7 @@ object RdfaExtractor {
             // (<time>March 18</time> under lang="en" is "March 18"@en)
             val timeValue =
               if (e.tag == "time")
-                e.attr("datetime").orElse(Some(e.text.trim))
+                e.attr("datetime").orElse(Some(textContent.trim))
               else None
             e.attr("content").map(plainLiteral(_, ctx))
               .orElse(timeValue.map { dtv =>
@@ -386,7 +394,7 @@ object RdfaExtractor {
               .orElse(resource.filter(_ => !hasLinks).map(toTerm))
               // typed object: typeof without about → the typed node
               .orElse(typedNode.filter(_ => about.isEmpty).map(toTerm))
-              .getOrElse(plainLiteral(e.text, ctx))
+              .getOrElse(plainLiteral(textContent, ctx))
         }
       // lblod specialHtmlPredicates rewiring (rdfa-extractor.js:78-83)
       properties.foreach { p =>
@@ -410,7 +418,8 @@ object RdfaExtractor {
       else subjectForChildren
     val childCtx = ctx.copy(subject = childSubject, pending = childPending,
       pendingBridge = childBridge)
-    e.children.foreach {
+    // template children are fragment-side: never walked (see above)
+    if (!isTemplate) e.children.foreach {
       case el: HtmlParser.Element => walk(el, childCtx, out, counter, localLists)
       case _ =>
     }

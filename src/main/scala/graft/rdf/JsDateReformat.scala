@@ -115,10 +115,12 @@ object JsDateReformat {
   //   - hour 0-24 where 24 requires :00(:00) and rolls to the next day
   //     ("2023-1-1 24:00" → Jan 2, "2023-05-04T24:00" → May 5).
   private def build(y: Int, m: Int, d: Int, h: Int, mi: Int, sec: Int,
-      offsetSec: Option[Int]): Option[ZonedDateTime] = {
+      ms: Int, offsetSec: Option[Int]): Option[ZonedDateTime] = {
     if (m < 1 || m > 12 || d < 1 || d > 31 || h < 0 || h > 24 ||
         mi < 0 || mi > 59 || sec < 0 || sec > 59) None
-    else if (h == 24 && (mi != 0 || sec != 0)) None
+    // hour 24 needs min, sec AND ms zero: "…T24:00:00.000" rolls to the
+    // next day while "…T24:00:00.5" is Invalid Date (probe-pinned)
+    else if (h == 24 && (mi != 0 || sec != 0 || ms != 0)) None
     else {
       val local = LocalDate.of(y, m, 1).plusDays(d - 1L)
         .atStartOfDay.plusHours(h).plusMinutes(mi).plusSeconds(sec)
@@ -126,9 +128,12 @@ object JsDateReformat {
       // exceed ZoneOffset's ±18h range ("-99" parses), so shift directly
       val zoned = local.minusSeconds(offsetSec.getOrElse(0).toLong)
         .atZone(ZoneOffset.UTC)
-      // JS Date range: ±1e8 days (8.64e15 ms) from the epoch —
-      // "275761-01-01" is Invalid Date while 275760 still parses
-      if (math.abs(zoned.toInstant.toEpochMilli) > 8_640_000_000_000_000L) None
+      // JS Date range: ±1e8 days (8.64e15 ms) from the epoch — INCLUDING
+      // the parsed milliseconds: "+275760-09-13T00:00:00.5Z" is Invalid
+      // Date in node (the .5 tips it over) while "…T00:00:00.000Z" still
+      // parses; output formatting keeps dropping the sub-second part
+      if (math.abs(zoned.toInstant.toEpochMilli + ms.toLong) >
+          8_640_000_000_000_000L) None
       else Some(zoned)
     }
   }
@@ -522,7 +527,7 @@ object JsDateReformat {
             if (day.count >= 3) day.comp(2) else 1)
         else return None // 13-31: a day with no month to attach to
       }
-    build(y, m, d, h, time.slot(1), time.slot(2), off)
+    build(y, m, d, h, time.slot(1), time.slot(2), time.slot(3), off)
   }
 
   // es5Prefix result codes; the unhandled token rides in a var slot

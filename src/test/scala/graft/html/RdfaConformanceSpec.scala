@@ -282,6 +282,35 @@ class RdfaConformanceSpec extends AnyFunSuite {
       s"template text leaked into the literal: ${lit.map(_._3)}")
   }
 
+  test("template element's OWN RDFa attributes process (only its children are fragment-side)") {
+    // jsdom walks the template NODE itself — only the contents live in a
+    // separate fragment — so @property/@content on the template emits
+    val got = triples(
+      """<div about="#d" prefix="ex: http://ex.org/">
+        |<template property="ex:t" content="v"><span property="ex:ghost">no</span></template>
+        |</div>""".stripMargin)
+    assert(got.contains(("https://example.org/page#d", "http://ex.org/t",
+      "v", Vocab.xsdString, "-")),
+      s"template's own @property/@content must extract, got $got")
+    assert(!got.exists(_._2 == "http://ex.org/ghost"))
+    // @property WITHOUT @content: textContent of a template is "" (the
+    // fragment contributes nothing) → empty-string literal
+    val got2 = triples(
+      """<div about="#d" prefix="ex: http://ex.org/">
+        |<template property="ex:t">GHOST</template>
+        |</div>""".stripMargin)
+    assert(got2.contains(("https://example.org/page#d", "http://ex.org/t",
+      "", Vocab.xsdString, "-")),
+      s"template @property without @content must be an empty literal, got $got2")
+    // @about/@typeof on the template node itself also process
+    val got3 = triples(
+      """<div prefix="ex: http://ex.org/">
+        |<template about="#t" typeof="ex:T"></template>
+        |</div>""".stripMargin)
+    assert(got3.contains(("https://example.org/page#t", Vocab.rdfType,
+      "http://ex.org/T", "-", "-")))
+  }
+
   test("optgroup does not close an open optgroup in body (only a current option pops)") {
     val got = triples(
       """<div about="#d" prefix="ex: http://ex.org/">

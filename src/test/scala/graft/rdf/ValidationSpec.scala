@@ -144,7 +144,7 @@ class ValidationSpec extends SparkSpec {
   /** Rows where the mirror deliberately diverges from node — EMPTY
     * since r17: the IDNA/punycode class (the last entries) is
     * implemented via RFC 3492 decode + icu4j's UTS46 tables with the
-    * URL Standard's option set (JsUrlMirror.hostIdnaOk). The mechanism
+    * URL Standard's option set (JsUrlMirror.domainToAscii). The mechanism
     * stays so a future divergence can be ledgered instead of silently
     * shipped. */
   private val urlResiduals: Set[String] = Set()
