@@ -565,6 +565,16 @@ fuzz.push(
   'May 4 2023 10:20pm\u00a0',
 );
 
+// parsed milliseconds count against the ±8.64e15 ms range and the
+// hour-24 all-zero rule, even though output formatting drops them
+fuzz.push(
+  '+275760-09-13T00:00:00.5Z', '+275760-09-13T00:00:00.000Z',
+  '+275760-09-12T23:59:59.999Z', '-271821-04-20T00:00:00.000Z',
+  '-271821-04-20T00:00:00.001Z', '2023-05-04T24:00:00.5',
+  '2023-05-04T24:00:00.000Z', 'May 4 2023 24:00:00.5',
+  'May 4 275760 10:20:30.5 GMT', 'Sep 13 275760 00:00:00.5 GMT',
+);
+
 const inputs = [...base, ...fuzz];
 
 function fmt(d, withTime) {
