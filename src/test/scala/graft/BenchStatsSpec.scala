@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench's pass-acceptance and noise-floor rules on synthetic
+  * anchor sequences — the statistics that decide which samples reach the
+  * headline, extracted pure in [[Bench]] exactly so a regression here is
+  * a unit-test failure rather than a judge-time artifact dispute. */
+class BenchStatsSpec extends AnyFunSuite {
+
+  test("uncontended run: every regular pass accepted (min_fallback can stay false)") {
+    val cal = Vector(0.16, 0.18, 0.17)
+    assert(Bench.rejectedRegularPasses(cal, 3).isEmpty)
+  }
+
+  test("a contended regular pass (>1.5x best regular) is rejected") {
+    val cal = Vector(0.45, 0.16, 0.18)
+    assert(Bench.rejectedRegularPasses(cal, 3) == Set(1))
+  }
+
+  test("a fast RETRY anchor cannot retroactively reject accepted regular passes") {
+    // three regular passes within 1.5x of each other were all accepted by
+    // the replacement-pass loop; the drive-retry pass then lands on a
+    // quiet machine moment (0.10). Against 0.10 every regular anchor
+    // would exceed 1.5x — the rule must keep reading regular-only.
+    val cal = Vector(0.20, 0.21, 0.22, 0.10)
+    assert(Bench.rejectedRegularPasses(cal, 3).isEmpty)
+  }
+
+  test("a fast spread-resample anchor is equally excluded from the denominator") {
+    // retry (0.30, index 3) AND spread pass (0.09, index 4) trail the
+    // regular anchors; only indices 0..2 participate either way
+    val cal = Vector(0.20, 0.28, 0.24, 0.30, 0.09)
+    assert(Bench.rejectedRegularPasses(cal, 3).isEmpty)
+  }
+
+  test("rejection still fires among regular passes when trailing anchors exist") {
+    val cal = Vector(0.16, 0.40, 0.17, 0.10)
+    assert(Bench.rejectedRegularPasses(cal, 3) == Set(2))
+  }
+
+  test("noise floor is the larger of cal spread and own sample spread") {
+    // own spread 0.03 < cal noise 0.05 → cal noise wins
+    assert(Bench.noiseFloorSec(Vector(0.40, 0.43), 0.05) == 0.05)
+    // own spread 0.20 > cal noise 0.05 → own spread wins
+    assert(math.abs(Bench.noiseFloorSec(Vector(1.00, 1.20), 0.05) - 0.20) < 1e-9)
+  }
+
+  test("noise floor ignores beyond-2x contended samples (intra-pass bursts)") {
+    // 6.5 is >2x the 1.0 min — an intra-pass contention outlier the
+    // spread/min machinery already handles; including it would inflate
+    // the floor to 5.5 s and make the breach rule toothless
+    val floor = Bench.noiseFloorSec(Vector(1.06, 6.54, 1.23), 0.04)
+    assert(math.abs(floor - 0.17) < 1e-9, s"floor was $floor")
+  }
+
+  test("single-sample query floors at the cal spread") {
+    assert(Bench.noiseFloorSec(Vector(2.5), 0.07) == 0.07)
+    assert(Bench.noiseFloorSec(Vector.empty, 0.07) == 0.07)
+  }
+
+  test("the breach rule worked example: a 1.34x sub-500ms delta is inside the floor") {
+    // r17's x_sim_topk shape: prior min 0.30, current min 0.40 (1.34x),
+    // accepted samples 0.40/0.43, cal noise 0.04 → floor 0.04;
+    // 0.40 <= 1.3*0.30 + 0.04 → NOT a breach
+    val floor = Bench.noiseFloorSec(Vector(0.40, 0.43), 0.04)
+    assert(0.40 <= 1.3 * 0.30 + floor)
+    // while a genuine 2x regression on a 2 s query still breaches
+    assert(4.0 > 1.3 * 2.0 + floor)
+  }
+}

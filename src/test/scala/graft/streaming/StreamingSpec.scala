@@ -263,4 +263,32 @@ class StreamingSpec extends SparkSpec {
       col("predicate") === Vocab.taskError)
     assert(link.count() == 1)
   }
+
+  test("every drive-backed bench query records a usable trigger vector") {
+    // Bench ships drive_trigger_ms as the cross-round comparison metric
+    // for drives (wall time tracks the machine's IO band): the median of
+    // the non-empty batches AFTER dropping the first. A drive collapsing
+    // to <2 non-empty micro-batches would silently thin that metric to
+    // nothing — pin >=2 positive trigger durations for each of the five
+    // bench drives, on fresh (non-drained-cache) executions.
+    val sf = "/root/testdata/sf0.001"
+    val drives: Seq[(String, () => Unit)] = Seq(
+      "x_stream_hourly" -> (() => StreamDrive.hourlyFromFiles(spark, sf).count()),
+      "x_stream_sliding" -> (() => StreamDrive.slidingFromFiles(spark, sf).count()),
+      "x_stream_sessionize" -> (() => StreamDrive.sessionsFromFiles(spark, sf).count()),
+      "x_stream_dedup" -> (() => StreamDrive.dedupFromFiles(spark, sf).count()),
+      "x_stream_late" -> (() => StreamDrive.hourlyLateFromFiles(spark, sf).count()))
+    StreamDrive.clearDrained()
+    for ((name, run) <- drives) {
+      val runsBefore = StreamDrive.driveRuns
+      run()
+      assert(StreamDrive.driveRuns > runsBefore,
+        s"$name did not execute a genuine drive (drained cache not cleared?)")
+      val trig = StreamDrive.lastDriveTriggerMs
+      assert(trig.length >= 2,
+        s"$name recorded ${trig.length} trigger durations ($trig) — the " +
+          "steady-state median (first batch dropped) would be empty/thin")
+      assert(trig.forall(_ > 0), s"$name trigger vector $trig has non-positive entries")
+    }
+  }
 }
