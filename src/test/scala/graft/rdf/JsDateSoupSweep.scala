@@ -9,6 +9,15 @@ import scala.sys.process._
 object JsDateSoupSweep {
   def main(args: Array[String]): Unit = {
     val nSeeds = if (args.nonEmpty) args(0).toInt else 10
+    val bad = sweep(1 to nSeeds)
+    println(s"$bad mismatches across $nSeeds seeds")
+    if (bad > 0) sys.exit(1)
+  }
+
+  /** One sweep over the given seeds; returns the mismatch count (each
+    * printed). Callable both from main (dev, many seeds) and from
+    * SoupSweepSmokeSpec (CI, a small fixed seed set). */
+  def sweep(seeds: Seq[Int]): Int = {
     val soupTokens = Seq("2023", "05", "4", "99", "0500", "123", "60", "12",
       "1", "012023", "10:20", "10:", "::", ":", ".", ".5", "-", "+", "/",
       ",", " ", "  ", "May", "Jun", "pm", "am", "GMT", "EST", "Z", "Xyz",
@@ -21,7 +30,7 @@ object JsDateSoupSweep {
       "\u00a0", "\u3000", "\ufeff", "\u2028", "\u200b", "\u180e",
       "\u0007", "\u0000", "123456789", "05002023", ".059999999999")
     var bad = 0
-    for (seed <- 1 to nSeeds) {
+    for (seed <- seeds) {
       val rnd = new scala.util.Random(900000 + seed)
       val fuzz = (0 until 600).map(_ =>
         (0 until (2 + rnd.nextInt(11)))
@@ -59,7 +68,6 @@ object JsDateSoupSweep {
         }
       }
     }
-    println(s"$bad mismatches across $nSeeds seeds")
-    if (bad > 0) sys.exit(1)
+    bad
   }
 }

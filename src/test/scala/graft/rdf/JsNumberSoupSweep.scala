@@ -16,6 +16,20 @@ import org.apache.spark.sql.functions._
 object JsNumberSoupSweep {
   def main(args: Array[String]): Unit = {
     val nSeeds = if (args.nonEmpty) args(0).toInt else 10
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val (bad, n) = sweep(1 to nSeeds, spark)
+    println(s"$bad mismatches across $nSeeds seeds ($n inputs)")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+
+  /** One sweep over the given seeds; returns (mismatches, inputs swept),
+    * each mismatch printed. Callable from main (dev, own session) and
+    * SoupSweepSmokeSpec (CI, the suite's session). */
+  def sweep(seeds: Seq[Int], spark: SparkSession): (Int, Int) = {
     val signs = Seq("", "+", "-", "--", "+-")
     val bodies = Seq("12", "0", "00", "007", ".5", "5.", "1.5", "1.2.3",
       "1e3", "1e+3", "1e-3", "1e", "e3", "Infinity", "infinity", "NaN",
@@ -24,7 +38,7 @@ object JsNumberSoupSweep {
       "0x", "5e5e5", "123456789012345678901234567890")
     val pads = Seq("", " ", "  ", "\t", "\u000b", "\u00a0", "\ufeff",
       "\u3000", "\u2028", "\u180e", "\n")
-    val all = (1 to nSeeds).flatMap { seed =>
+    val all = seeds.flatMap { seed =>
       val rnd = new scala.util.Random(610000 + seed)
       def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
       (0 until 400).map { _ =>
@@ -52,10 +66,6 @@ object JsNumberSoupSweep {
     val nodeOut = out.toString.split("\n")
     require(nodeOut.length == all.size, s"${nodeOut.length} != ${all.size}")
 
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     val numberGot = all.toDF("v")
       .select($"v", Validation.isJsNumber($"v").as("ok"))
@@ -83,8 +93,6 @@ object JsNumberSoupSweep {
         println(s"MISMATCH parseInt '${esc(input)}': mirror $got, node $want")
       }
     }
-    println(s"$bad mismatches across $nSeeds seeds (${all.size} inputs)")
-    spark.stop()
-    if (bad > 0) sys.exit(1)
+    (bad, all.size)
   }
 }

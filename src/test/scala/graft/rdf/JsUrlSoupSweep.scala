@@ -13,6 +13,14 @@ import org.apache.spark.unsafe.types.UTF8String
 object JsUrlSoupSweep {
   def main(args: Array[String]): Unit = {
     val nSeeds = if (args.nonEmpty) args(0).toInt else 10
+    val bad = sweep(1 to nSeeds)
+    println(s"$bad mismatches across $nSeeds seeds")
+    if (bad > 0) sys.exit(1)
+  }
+
+  /** One sweep over the given seeds; returns the mismatch count (each
+    * printed). Callable from main (dev) and SoupSweepSmokeSpec (CI). */
+  def sweep(seeds: Seq[Int]): Int = {
     // label fragments: ASCII shapes, punycode edges, and raw codepoints
     // across the UTS46 table's interesting classes (mapped, deviation,
     // disallowed, ignored) plus bidi classes L/R/AL/EN/AN/NSM
@@ -26,7 +34,7 @@ object JsUrlSoupSweep {
     val seps = Seq(".", ".", ".", "", "%2e", "。")
     val tails = Seq("", "/", ":80/", "?q", "#f")
     var bad = 0
-    for (seed <- 1 to nSeeds) {
+    for (seed <- seeds) {
       val rnd = new scala.util.Random(770000 + seed)
       val fuzz = (0 until 500).map { _ =>
         val n = 1 + rnd.nextInt(4)
@@ -55,7 +63,6 @@ object JsUrlSoupSweep {
         }
       }
     }
-    println(s"$bad mismatches across $nSeeds seeds")
-    if (bad > 0) sys.exit(1)
+    bad
   }
 }
