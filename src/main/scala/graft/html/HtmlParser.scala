@@ -29,12 +29,16 @@ import scala.collection.mutable
   * structural start tags, and FOSTER PARENTING (non-whitespace text and
   * non-table elements at a structural insertion point are hoisted before
   * the table, like jsdom — which changes a `<table property=…>`'s
-  * extracted literal). Not a full WHATWG tree builder: no adoption
-  * agency / active-formatting reconstruction — a formatting element
-  * closed by a scope walk is NOT re-cloned into the next block, so a
-  * property-carrying `<b>` spanning paragraphs yields one triple, not
-  * jsdom's two; harvested besluit pages don't carry RDFa on formatting
-  * elements.
+  * extracted literal) — and, since r18, the ACTIVE FORMATTING ELEMENTS
+  * machinery: the full adoption agency algorithm (outer loop bounded at
+  * 8, the >3-inner-iterations entry drop), reconstruction of pending
+  * formatting entries before character and phrasing-start insertion,
+  * formatting-list markers at cell/caption/template/applet boundaries,
+  * the in-body nested-`<a>`/`<nobr>` start-tag rules, and the Noah's
+  * Ark cap — so `<b>x<p>y</b>z` builds jsdom's two-element
+  * `<b>x</b><p><b>y</b>z</p>` shape. Remaining tree-builder divergence:
+  * no SVG/MathML foreign-content modes (see the foreign-content note
+  * where `<svg>`/`<math>` are handled).
   */
 object HtmlParser {
 
@@ -78,6 +82,41 @@ object HtmlParser {
   private val tableLegal = Set("caption", "col", "colgroup", "tbody", "td",
     "tfoot", "th", "thead", "tr", "style", "script", "template", "form")
 
+  /** WHATWG "formatting" category: elements the active-formatting list
+    * tracks, reconstructed across block boundaries and re-nested by the
+    * adoption agency on their end tags. */
+  private val formattingTags = Set("a", "b", "big", "code", "em", "font",
+    "i", "nobr", "s", "small", "strike", "strong", "tt", "u")
+
+  /** Elements whose open inserts a MARKER into the active formatting
+    * list and whose close clears the list back to it — formatting never
+    * reconstructs across a cell/caption/template boundary. */
+  private val afeMarkerTags = Set("applet", "object", "marquee",
+    "template", "caption", "td", "th")
+
+  /** Start tags that do NOT "reconstruct the active formatting elements"
+    * before inserting, per the in-body insertion mode: the block starts
+    * (closesP), list items, the table-structural family, and the
+    * raw-text/metadata elements. Everything else — phrasing content,
+    * voids like br/img/input, select/option, formatting tags — does. */
+  private lazy val noReconstructStart: Set[String] =
+    closesP ++ tableInner ++ tableSection ++ Set("li", "dt", "dd", "col",
+      "colgroup", "html", "head", "body", "frameset", "frame", "textarea",
+      "title", "script", "style", "template", "noscript", "rt", "rp")
+
+  /** The spec's "special" category (furthest-block candidates in the
+    * adoption agency): everything non-phrasing. liWalkBarrier is special
+    * minus address/div/p; the rest are the void/metadata members. */
+  private lazy val specialCategory: Set[String] = liWalkBarrier ++ Set(
+    "address", "div", "p", "area", "base", "basefont", "bgsound", "br",
+    "embed", "frame", "frameset", "hr", "iframe", "img", "input",
+    "keygen", "link", "meta", "noembed", "noframes", "noscript", "param",
+    "script", "source", "style", "textarea", "title", "track", "wbr",
+    "li", "dd", "dt")
+
+  /** Default ("regular") scope barriers — button scope minus `button`. */
+  private lazy val defaultScopeBarrier: Set[String] = buttonScopeBarrier - "button"
+
   /** Parse a full document; returns a synthetic root element. */
   def parse(html: String): Element = {
     // WHATWG input-stream preprocessing: CRLF and lone CR normalize to
@@ -89,83 +128,321 @@ object HtmlParser {
       else html
     val tokens = tokenize(normalized)
     val root = new Builder("#root", Map.empty)
-    root.owner = root
     val stack = mutable.Stack[Builder](root)
+    // Active formatting elements (WHATWG): Builder entries interleaved
+    // with markers, most recent LAST. An entry whose builder is no
+    // longer on the open-element stack is "pending" — reconstruction
+    // clones it into the current insertion point before the next
+    // character or phrasing start tag.
+    val afe = mutable.ArrayBuffer[AnyRef]()
 
+    def onStack(b: Builder): Boolean = stack.exists(_ eq b)
+
+    // --- tree edits (the lazy builder tree: children hold built Nodes
+    // --- and still-open/closed Builders alike; Element conversion is a
+    // --- single pass at EOF, so the adoption agency can move and clone
+    // --- subtrees freely)
+    def detach(b: Builder): Unit = if (b.parent != null) {
+      val idx = b.parent.children.indexWhere(_.asInstanceOf[AnyRef] eq b)
+      if (idx >= 0) b.parent.children.remove(idx)
+      b.parent = null
+    }
+    def appendTo(parent: Builder, child: AnyRef): Unit = {
+      child match { case cb: Builder => detach(cb); cb.parent = parent; case _ => }
+      parent.children += child
+    }
     // Foster parenting (WHATWG "appropriate place for inserting a node"
     // with foster parenting enabled): while the insertion point is a
     // table-structural element, non-whitespace text and non-table start
-    // tags are inserted into the NEAREST table's parent, immediately
-    // before the table — jsdom does this, and it moves stray text OUT of
-    // a <table property=…> element's extracted literal. The insert goes
-    // at the table's placeholder index in its owner; every sibling
-    // placeholder at-or-after that index (the table itself, and any
-    // still-open fostered sibling) shifts one right.
-    def fosterSpot(): Option[(Builder, Int)] =
-      stack.find(_.tag == "table").map { t =>
-        val owner = t.owner
-        val at = t.placeholderIndex
-        owner.children.insert(at, null)
-        owner.childBuilders.foreach { cb =>
-          if (cb.placeholderIndex >= at) cb.placeholderIndex += 1
-        }
-        (owner, at)
+    // tags are inserted into the NEAREST open table's parent,
+    // immediately before the table — jsdom does this, and it moves
+    // stray text OUT of a <table property=…> element's extracted
+    // literal. Returns false when no fosterable spot exists (table
+    // parentless — cannot happen below #root — or no table open).
+    def fosterInsert(node: AnyRef): Boolean =
+      stack.find(_.tag == "table") match {
+        case Some(t) if t.parent != null =>
+          val owner = t.parent
+          val at = owner.children.indexWhere(_.asInstanceOf[AnyRef] eq t)
+          node match { case nb: Builder => detach(nb); nb.parent = owner; case _ => }
+          if (at >= 0) owner.children.insert(at, node)
+          else owner.children += node
+          true
+        case _ => false
       }
+    /** Insert at the appropriate place: fostered when the current node
+      * is table-structural (and the caller allows it), else appended. */
+    def insertAppropriately(node: AnyRef, allowFoster: Boolean): Unit =
+      if (allowFoster && fosterContext(stack.top.tag) && fosterInsert(node)) ()
+      else appendTo(stack.top, node)
+
+    // --- active formatting list maintenance
+    def pushFormatting(b: Builder): Unit = {
+      // Noah's Ark clause: at most 3 entries with identical tag+attrs
+      // since the last marker — the cap that keeps "<b><b><b><b>…" from
+      // reconstructing unboundedly many clones per character
+      var count = 0
+      var earliest = -1
+      var i = afe.length - 1
+      var stop = false
+      while (i >= 0 && !stop) {
+        afe(i) match {
+          case m if m.asInstanceOf[AnyRef] eq AfeMarker => stop = true
+          case ob: Builder if ob.tag == b.tag && ob.attrs == b.attrs =>
+            count += 1; earliest = i
+          case _ =>
+        }
+        i -= 1
+      }
+      if (count >= 3 && earliest >= 0) afe.remove(earliest)
+      afe += b
+    }
+    def clearAfeToMarker(): Unit = {
+      var done = false
+      while (!done && afe.nonEmpty) {
+        val last = afe.remove(afe.length - 1)
+        if (last eq AfeMarker) done = true
+      }
+    }
+    def finish(): Unit = {
+      val done = stack.pop()
+      // closing a cell/caption/template/applet-family element clears the
+      // formatting list back to its marker, whatever path popped it
+      if (afeMarkerTags(done.tag)) clearAfeToMarker()
+    }
+    def popThrough(idx: Int): Unit = {
+      var i = idx
+      while (i >= 0) { finish(); i -= 1 }
+    }
+
+    /** Reconstruct the active formatting elements (WHATWG): every
+      * trailing pending entry (not on the stack, after the last marker)
+      * is re-opened as a CLONE at the current insertion point — this is
+      * what makes `<p><b>x<p>y` render "y" inside a fresh `<b>` like
+      * jsdom. No-op (the overwhelmingly common case) when the last
+      * entry is a marker or still open. */
+    def reconstructAfe(): Unit = {
+      if (afe.isEmpty) return
+      afe.last match {
+        case m if m.asInstanceOf[AnyRef] eq AfeMarker => return
+        case b: Builder if onStack(b) => return
+        case _ =>
+      }
+      var i = afe.length - 1
+      var stop = false
+      while (!stop && i > 0) {
+        afe(i - 1) match {
+          case m if m.asInstanceOf[AnyRef] eq AfeMarker => stop = true
+          case b: Builder if onStack(b) => stop = true
+          case _ => i -= 1
+        }
+      }
+      while (i < afe.length) {
+        val old = afe(i).asInstanceOf[Builder]
+        val clone = new Builder(old.tag, old.attrs)
+        insertAppropriately(clone, allowFoster = true)
+        stack.push(clone)
+        afe(i) = clone
+        i += 1
+      }
+    }
+
+    /** Generic in-body end tag (pre-adoption-agency behavior, kept for
+      * every non-formatting tag): pop to the nearest matching open
+      * element, or ignore a stray end tag. */
+    def genericEndTag(tag: String): Unit =
+      if (stack.exists(b => b.tag == tag && b.tag != "#root")) {
+        while (stack.top.tag != tag) finish()
+        finish()
+      }
+
+    /** The WHATWG adoption agency algorithm (full form, outer loop
+      * bounded at 8, inner at the >3-iterations AFE drop): re-nests a
+      * formatting element closed across a block boundary the way jsdom
+      * does — `<b>x<p>y</b>z` builds `<b>x</b><p><b>y</b>z</p>`, the
+      * TWO-element shape the pre-r18 parser documented as its remaining
+      * tree-builder divergence. */
+    def adoptionAgency(subject: String): Unit = {
+      if (stack.top.tag == subject && stack.top.tag != "#root" &&
+          !afe.exists(_.asInstanceOf[AnyRef] eq stack.top)) {
+        finish()
+        return
+      }
+      var outer = 0
+      while (outer < 8) {
+        outer += 1
+        // the most recent AFE entry for subject, above the last marker
+        var fi = afe.length - 1
+        while (fi >= 0 && !(afe(fi) eq AfeMarker) &&
+          afe(fi).asInstanceOf[Builder].tag != subject) fi -= 1
+        if (fi < 0 || (afe(fi) eq AfeMarker)) { genericEndTag(subject); return }
+        val fe = afe(fi).asInstanceOf[Builder]
+        val feIdx = stack.indexWhere(_ eq fe)
+        if (feIdx < 0) { afe.remove(fi); return } // in AFE, not open: drop
+        // in (default) scope?
+        val scopeIdx = stack.indexWhere(b =>
+          (b eq fe) || defaultScopeBarrier(b.tag))
+        if (scopeIdx < 0 || !(stack(scopeIdx) eq fe)) return // ignore token
+        // furthest block: the special element closest above fe's content
+        // (scala stack: index 0 = most recent, so the LARGEST index < feIdx)
+        var fb = feIdx - 1
+        while (fb >= 0 && !specialCategory(stack(fb).tag)) fb -= 1
+        if (fb < 0) {
+          // no furthest block: plain close — pop through fe, drop entry
+          popThrough(feIdx)
+          val fiNow = afe.indexWhere(_.asInstanceOf[AnyRef] eq fe)
+          if (fiNow >= 0) afe.remove(fiNow)
+          return
+        }
+        val furthestBlock = stack(fb)
+        val commonAncestor = stack(feIdx + 1)
+        var bookmark = fi
+        // inner loop over the elements strictly between furthestBlock
+        // and fe (bottom-up; the chain is fixed up front — the spec's
+        // "element above node BEFORE it was removed")
+        val chain = ((fb + 1) until feIdx).map(stack(_)).toVector
+        var lastNode: Builder = furthestBlock
+        var inner = 0
+        for (nd <- chain) {
+          inner += 1
+          val ndAfe = afe.indexWhere(_.asInstanceOf[AnyRef] eq nd)
+          if (inner > 3 && ndAfe >= 0) {
+            afe.remove(ndAfe)
+            if (ndAfe < bookmark) bookmark -= 1
+          }
+          val keep = inner <= 3 && ndAfe >= 0
+          if (!keep) {
+            val si = stack.indexWhere(_ eq nd)
+            if (si >= 0) stack.remove(si)
+          } else {
+            val clone = new Builder(nd.tag, nd.attrs)
+            afe(ndAfe) = clone
+            val si = stack.indexWhere(_ eq nd)
+            if (si >= 0) stack(si) = clone
+            if (lastNode eq furthestBlock) bookmark = ndAfe + 1
+            appendTo(clone, lastNode)
+            lastNode = clone
+          }
+        }
+        // place the chain head under the common ancestor (foster-aware:
+        // a table-structural common ancestor hoists it before the table)
+        detach(lastNode)
+        if (fosterContext(commonAncestor.tag)) {
+          if (!fosterInsert(lastNode)) appendTo(commonAncestor, lastNode)
+        } else appendTo(commonAncestor, lastNode)
+        // clone fe; the furthest block's content moves into the clone,
+        // which becomes the furthest block's last child and the new
+        // open/AFE entry — the "second <b>" jsdom builds
+        val feClone = new Builder(fe.tag, fe.attrs)
+        feClone.children ++= furthestBlock.children
+        feClone.children.foreach {
+          case cb: Builder => cb.parent = feClone
+          case _ =>
+        }
+        furthestBlock.children.clear()
+        appendTo(furthestBlock, feClone)
+        val fiNow = afe.indexWhere(_.asInstanceOf[AnyRef] eq fe)
+        if (fiNow >= 0) {
+          afe.remove(fiNow)
+          if (fiNow < bookmark) bookmark -= 1
+        }
+        afe.insert(math.min(bookmark, afe.length), feClone)
+        val feStackNow = stack.indexWhere(_ eq fe)
+        if (feStackNow >= 0) stack.remove(feStackNow)
+        val fbNow = stack.indexWhere(_ eq furthestBlock)
+        stack.insert(math.max(fbNow, 0), feClone)
+      }
+    }
 
     tokens.foreach {
       case Tok.Text(t) =>
         if (t.nonEmpty) {
+          // whitespace-only text at a table-structural point stays
+          // in-table (no foster, no reconstruct); anything else is
+          // in-body character handling: reconstruct, then insert (the
+          // reconstruction may retarget the insertion point to a clone)
+          val tableWs = fosterContext(stack.top.tag) && t.trim.isEmpty
+          if (!tableWs) reconstructAfe()
           if (fosterContext(stack.top.tag) && t.trim.nonEmpty) {
-            fosterSpot() match {
-              case Some((owner, at)) => owner.children(at) = TextNode(t)
-              case None => stack.top.children += TextNode(t)
-            }
-          } else stack.top.children += TextNode(t)
+            if (!fosterInsert(TextNode(t))) appendTo(stack.top, TextNode(t))
+          } else appendTo(stack.top, TextNode(t))
         }
       case Tok.Open(tag, attrs, selfClosing) =>
-        impliedEndTags(stack, tag)
+        impliedEndTags(stack, tag, () => finish())
+        // nested-anchor rule (in-body <a>): an <a> in the formatting
+        // list since the last marker is force-closed by the adoption
+        // agency before the new one opens — jsdom never nests anchors
+        if (tag == "a") {
+          var i = afe.length - 1
+          var hit = -1
+          while (i >= 0 && hit < 0 && !(afe(i) eq AfeMarker)) {
+            if (afe(i).asInstanceOf[Builder].tag == "a") hit = i
+            i -= 1
+          }
+          if (hit >= 0) {
+            val old = afe(hit).asInstanceOf[Builder]
+            adoptionAgency("a")
+            val a2 = afe.indexWhere(_.asInstanceOf[AnyRef] eq old)
+            if (a2 >= 0) afe.remove(a2)
+            val s2 = stack.indexWhere(_ eq old)
+            if (s2 >= 0) stack.remove(s2)
+          }
+        }
+        // in-body <nobr>: a nobr in scope is adoption-agency-closed first
+        if (tag == "nobr") {
+          val i = stack.indexWhere(b => b.tag == "nobr" || defaultScopeBarrier(b.tag))
+          if (i >= 0 && stack(i).tag == "nobr") adoptionAgency("nobr")
+        }
+        if (!noReconstructStart(tag)) reconstructAfe()
         // a table start never fosters: at a structural point the
         // implied-end step above just closed the outer table (WHATWG's
         // act-as-</table> rule), and inside a CELL a nested table is
         // legal in-body content
-        val fostered =
-          if (fosterContext(stack.top.tag) && !tableLegal(tag) && tag != "table")
-            fosterSpot()
-          else None
+        val allowFoster = !tableLegal(tag) && tag != "table"
         if (selfClosing || voidElements(tag)) {
-          val el = Element(tag, attrs, Vector.empty)
-          fostered match {
-            case Some((owner, at)) => owner.children(at) = el
-            case None => stack.top.children += el
-          }
+          insertAppropriately(Element(tag, attrs, Vector.empty), allowFoster)
         } else {
           val b = new Builder(tag, attrs)
-          fostered match {
-            case Some((owner, at)) =>
-              owner.childBuilders += b
-              b.owner = owner
-              b.placeholderIndex = at
-            case None =>
-              stack.top.childBuilders += b
-              stack.top.children += null // placeholder, patched on close
-              b.owner = stack.top
-              b.placeholderIndex = stack.top.children.length - 1
-          }
+          insertAppropriately(b, allowFoster)
           stack.push(b)
+          if (formattingTags(tag)) pushFormatting(b)
+          else if (afeMarkerTags(tag)) afe += AfeMarker
         }
       case Tok.Close(tag) =>
-        if (stack.exists(b => b.tag == tag && b.tag != "#root")) {
-          while (stack.top.tag != tag) finish(stack)
-          finish(stack)
-        } // else: stray end tag, ignored
+        if (formattingTags(tag)) adoptionAgency(tag)
+        else genericEndTag(tag)
     }
-    while (stack.top.tag != "#root") finish(stack)
-    root.build()
+    while (stack.top.tag != "#root") finish()
+    buildTree(root)
   }
 
-  private def finish(stack: mutable.Stack[Builder]): Unit = {
-    val done = stack.pop()
-    done.owner.children(done.placeholderIndex) = done.build()
+  /** Marker sentinel in the active-formatting list. */
+  private object AfeMarker
+
+  /** Builder tree → immutable Element tree, iteratively (post-order with
+    * an explicit stack): adversarial nesting depth must not blow the JVM
+    * stack during parse itself. */
+  private def buildTree(root: Builder): Element = {
+    final case class Frame(b: Builder, it: Iterator[AnyRef],
+        acc: mutable.ArrayBuffer[Node])
+    def frame(b: Builder) =
+      Frame(b, b.children.iterator, new mutable.ArrayBuffer[Node](b.children.size))
+    val work = mutable.ArrayBuffer(frame(root))
+    var result: Element = null
+    while (work.nonEmpty) {
+      val f = work.last
+      if (f.it.hasNext) {
+        f.it.next() match {
+          case cb: Builder => work += frame(cb)
+          case n: Node => f.acc += n
+        }
+      } else {
+        work.remove(work.length - 1)
+        val el = Element(f.b.tag, f.b.attrs, f.acc.toVector)
+        if (work.isEmpty) result = el else work.last.acc += el
+      }
+    }
+    result
   }
 
   /** Start tags whose appearance closes an open `p` element — the
@@ -231,10 +508,13 @@ object HtmlParser {
     "summary", "table", "tbody", "td", "template", "tfoot", "th", "thead",
     "tr", "ul", "xmp", "#root")
 
-  /** Pop until the builder at stack index `idx` (inclusive) is closed. */
-  private def popThrough(stack: mutable.Stack[Builder], idx: Int): Unit = {
+  /** Pop until the builder at stack index `idx` (inclusive) is closed.
+    * `pop` is the caller's finish (it also clears formatting-list
+    * markers when a cell/caption/template closes). */
+  private def popThrough(stack: mutable.Stack[Builder], idx: Int,
+      pop: () => Unit): Unit = {
     var i = idx
-    while (i >= 0) { finish(stack); i -= 1 }
+    while (i >= 0) { pop(); i -= 1 }
   }
 
   /** WHATWG "close a p element in button scope", the scope-walking form:
@@ -243,20 +523,23 @@ object HtmlParser {
     * the first p AND the b — matching jsdom's literal extents for a
     * `<p property=…>` (the reconstruction of active formatting elements
     * around "d" is NOT mirrored; see the class doc). */
-  private def closePInButtonScope(stack: mutable.Stack[Builder]): Unit = {
+  private def closePInButtonScope(stack: mutable.Stack[Builder],
+      pop: () => Unit): Unit = {
     val idx = stack.indexWhere(b => b.tag == "p" || buttonScopeBarrier(b.tag))
-    if (idx >= 0 && stack(idx).tag == "p") popThrough(stack, idx)
+    if (idx >= 0 && stack(idx).tag == "p") popThrough(stack, idx, pop)
   }
 
   /** The li (and dd/dt) sibling walk: from the stack top, close an open
     * sibling through phrasing content (`<li><b>x<li>` pops b and li) but
     * stop at special-category blocks other than address/div/p. */
-  private def closeSibling(stack: mutable.Stack[Builder], targets: Set[String]): Unit = {
+  private def closeSibling(stack: mutable.Stack[Builder],
+      targets: Set[String], pop: () => Unit): Unit = {
     val idx = stack.indexWhere(b => targets(b.tag) || liWalkBarrier(b.tag))
-    if (idx >= 0 && targets(stack(idx).tag)) popThrough(stack, idx)
+    if (idx >= 0 && targets(stack(idx).tag)) popThrough(stack, idx, pop)
   }
 
-  private def impliedEndTags(stack: mutable.Stack[Builder], tag: String): Unit = {
+  private def impliedEndTags(stack: mutable.Stack[Builder], tag: String,
+      pop: () => Unit): Unit = {
     def inTable = stack.exists(_.tag == "table")
     tag match {
       case "table" =>
@@ -266,25 +549,25 @@ object HtmlParser {
         // builds two sibling tables ("<table><tr><table>" ends the row
         // with its table). Inside a cell or caption the content mode is
         // in-body again, where a nested table is legal and stays nested.
-        closePInButtonScope(stack)
+        closePInButtonScope(stack, pop)
         val idx = stack.indexWhere(b => b.tag == "table" || b.tag == "td" ||
           b.tag == "th" || b.tag == "caption" || b.tag == "#root")
-        if (idx >= 0 && stack(idx).tag == "table") popThrough(stack, idx)
-      case t if closesP(t) => closePInButtonScope(stack)
+        if (idx >= 0 && stack(idx).tag == "table") popThrough(stack, idx, pop)
+      case t if closesP(t) => closePInButtonScope(stack, pop)
       case "li" =>
-        closeSibling(stack, Set("li")); closePInButtonScope(stack)
+        closeSibling(stack, Set("li"), pop); closePInButtonScope(stack, pop)
       case "dt" | "dd" =>
-        closeSibling(stack, Set("dt", "dd")); closePInButtonScope(stack)
+        closeSibling(stack, Set("dt", "dd"), pop); closePInButtonScope(stack, pop)
       case "tr" =>
-        if (inTable) while (!tableBodyCtx(stack.top.tag)) finish(stack)
-        else innermostLegacy(stack, tag)
+        if (inTable) while (!tableBodyCtx(stack.top.tag)) pop()
+        else innermostLegacy(stack, tag, pop)
       case "td" | "th" =>
-        if (inTable) while (!tableRowCtx(stack.top.tag)) finish(stack)
-        else innermostLegacy(stack, tag)
+        if (inTable) while (!tableRowCtx(stack.top.tag)) pop()
+        else innermostLegacy(stack, tag, pop)
       case t if tableSection(t) =>
         if (inTable)
-          while (stack.top.tag != "table" && stack.top.tag != "#root") finish(stack)
-        else innermostLegacy(stack, tag)
+          while (stack.top.tag != "table" && stack.top.tag != "#root") pop()
+        else innermostLegacy(stack, tag, pop)
       case "rt" | "rp" =>
         // in-body rt/rp: ONLY with a ruby element in scope do they
         // generate implied end tags (closing an open rt/rp/rb down to
@@ -293,12 +576,12 @@ object HtmlParser {
         // as jsdom builds it
         val idx = stack.indexWhere(b => b.tag == "ruby" || rubyScopeBarrier(b.tag))
         if (idx >= 0 && stack(idx).tag == "ruby")
-          while (impliedEndSet(stack.top.tag)) finish(stack)
+          while (impliedEndSet(stack.top.tag)) pop()
       case "option" | "optgroup" =>
         // in-body: both starts pop a current OPTION only; optgroup does
         // NOT close an open optgroup outside a select (spec-literal,
         // like jsdom — the in-select rules are not modelled)
-        if (stack.top.tag == "option") finish(stack)
+        if (stack.top.tag == "option") pop()
       case _ => ()
     }
   }
@@ -316,7 +599,8 @@ object HtmlParser {
     * table-structural tags OUTSIDE any table (nothing to clear back to)
     * and the option/ruby families. */
   @annotation.tailrec
-  private def innermostLegacy(stack: mutable.Stack[Builder], tag: String): Unit = {
+  private def innermostLegacy(stack: mutable.Stack[Builder], tag: String,
+      pop: () => Unit): Unit = {
     val top = stack.top.tag
     val close = tag match {
       case "tr"                => top == "tr" || top == "td" || top == "th" ||
@@ -326,20 +610,17 @@ object HtmlParser {
       case t if tableSection(t) => tableInner(top)
       case _                   => false
     }
-    if (close) { finish(stack); innermostLegacy(stack, tag) }
+    if (close) { pop(); innermostLegacy(stack, tag, pop) }
   }
 
+  /** Open-element builder: a mutable tree node. `children` holds built
+    * Nodes and child Builders alike (open or closed — closure changes
+    * nothing structurally); [[buildTree]] converts once at EOF. The
+    * mutable form is what lets the adoption agency move and clone
+    * subtrees that earlier eager-build designs could not. */
   private final class Builder(val tag: String, val attrs: Map[String, String]) {
-    val children = mutable.ArrayBuffer[Node]()
-    val childBuilders = mutable.ArrayBuffer[Builder]()
-    /** The builder whose `children` hold this builder's placeholder —
-      * the stack parent normally, the table's parent when fostered. */
-    var owner: Builder = null
-    var placeholderIndex: Int = -1
-    def build(): Element = {
-      // any still-null placeholders are unclosed children finished bottom-up
-      Element(tag, attrs, children.iterator.filter(_ != null).toVector)
-    }
+    val children = mutable.ArrayBuffer[AnyRef]() // Node | Builder
+    var parent: Builder = null
   }
 
   // -------------------------------------------------------------- tokens

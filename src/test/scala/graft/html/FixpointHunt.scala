@@ -10,7 +10,8 @@ object FixpointHunt {
       "x-widget", "table", "tbody", "thead", "tfoot", "tr", "td", "th",
       "caption", "colgroup", "button", "ul", "li", "dl", "dt", "dd",
       "select", "option", "optgroup", "ruby", "rt", "rp",
-      "col", "hr", "input", "img")
+      "col", "hr", "input", "img",
+      "b", "i", "em", "strong", "nobr", "code", "u", "small", "font")
     val junk = Seq("<", ">", "&", "\"", "'", "=", "/", "<!--", "-->", "<!",
       "]]>", "&#x41;", "&#999999999;", "&bogus;", " ", "�", "<<>>",
       "</", "<a", "=\"", "a:b", "[a:b]", "_:x", "\n", "\t", "ab")

@@ -307,4 +307,67 @@ class HtmlParserSpec extends AnyFunSuite {
     val tr = t2.children.collect { case e: Element => e }.head
     assert(tr.children.collect { case e: Element => e.tag } == Vector("td", "td"))
   }
+
+  private def flat(doc: String): String =
+    parse(doc).children.map(render).mkString
+
+  test("adoption agency: formatting element across a block boundary splits (WHATWG <b><p>)") {
+    // the spec's motivating example: </b> with a <p> above it on the
+    // stack re-nests — one <b> before the paragraph, a CLONE inside it,
+    // and the tail text lands outside the clone
+    assert(flat("<b>x<p>y</b>z") == "<b>x</b><p><b>y</b>z</p>")
+    // the 1<b>2<i>3</b>4</i>5 classic: the inner <i> is split, the <b>
+    // keeps the first half, the reconstructed <i> carries "4"
+    assert(flat("<p>1<b>2<i>3</b>4</i>5") ==
+      "<p>1<b>2<i>3</i></b><i>4</i>5</p>")
+  }
+
+  test("adoption agency: furthest-block children move into the clone") {
+    // <button> is a special element: </b> clones b INSIDE the button,
+    // wrapping the button's existing content; trailing text goes to the
+    // button (the clone is closed by the second outer-loop iteration)
+    assert(flat("<b><button>x</b>y") == "<b></b><button><b>x</b>y</button>")
+    // <div> likewise; the div moves up beside the original b
+    assert(flat("<b>1<div>2</b>3</div>") == "<b>1</b><div><b>2</b>3</div>")
+  }
+
+  test("active formatting reconstruction: a pending entry re-opens in the next block") {
+    // the second <p> closes the first, popping the still-open <b>; the
+    // b entry stays in the formatting list and reconstructs around "y"
+    assert(flat("<p><b>x<p>y") == "<p><b>x</b></p><p><b>y</b></p>")
+    // reconstruction also fires for text after a list-item close
+    assert(flat("<ul><li><b>x<li>y") ==
+      "<ul><li><b>x</b></li><li><b>y</b></li></ul>")
+  }
+
+  test("reconstruction never crosses a cell/caption marker") {
+    // a STILL-OPEN b around a table needs no reconstruction — trailing
+    // text lands in the original element
+    assert(flat("<b><table><tr><td>x</td></tr></table>z") ==
+      "<b><table><tr><td>x</td></tr></table>z</b>")
+    // a PENDING b (popped by the second <p>'s scope walk) must NOT
+    // reconstruct inside the cell — td pushes a formatting-list marker —
+    // while text after the table reconstructs it again (the td close
+    // cleared the list back to the marker, re-exposing the pending b)
+    // (the table start itself closes the second p — standards mode)
+    assert(flat("<p><b>u<p><table><tr><td>x</td></tr></table>z") ==
+      "<p><b>u</b></p><p></p><table><tr><td>x</td></tr></table><b>z</b>")
+  }
+
+  test("nested <a> start closes the open one (in-body anchor rule)") {
+    assert(flat("""<a href="1">x<a href="2">y""") ==
+      """<a href="1">x</a><a href="2">y</a>""")
+  }
+
+  test("Noah's Ark: at most three identical formatting entries reconstruct") {
+    // four identical pending <b> entries collapse to three clones
+    val got = flat("<p><b><b><b><b>x<p>y")
+    assert(got.endsWith("<p><b><b><b>y</b></b></b></p>"), got)
+  }
+
+  test("fostered formatting element stays usable after the table") {
+    // the <b> opened at a table insertion point fosters BEFORE the
+    // table; its text goes inside it, and the table parses on
+    assert(flat("<table><b>x</table>") == "<b>x</b><table></table>")
+  }
 }

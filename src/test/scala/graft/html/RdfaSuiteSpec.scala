@@ -38,7 +38,8 @@ class RdfaSuiteSpec extends AnyFunSuite {
     "implied-p-close", "safe-curie-undeclared", "rel-term-with-property",
     "vocab-reset-empty", "resource-fallback-href", "time-no-datetime",
     "implied-center-close", "implied-table-sections",
-    "foster-text-in-table", "foster-element-in-table", "scope-close-p")
+    "foster-text-in-table", "foster-element-in-table", "scope-close-p",
+    "formatting-across-p", "formatting-in-list")
 
   // The FIXTURES.md §3a ledger is the conformance contract; its literal
   // case count drifted once (r13 added 3 cases without touching the
