@@ -36,9 +36,13 @@ import scala.collection.mutable
   * formatting-list markers at cell/caption/template/applet boundaries,
   * the in-body nested-`<a>`/`<nobr>` start-tag rules, and the Noah's
   * Ark cap — so `<b>x<p>y</b>z` builds jsdom's two-element
-  * `<b>x</b><p><b>y</b>z</p>` shape. Remaining tree-builder divergence:
-  * no SVG/MathML foreign-content modes (see the foreign-content note
-  * where `<svg>`/`<math>` are handled).
+  * `<b>x</b><p><b>y</b>z</p>` shape — and SVG/MathML FOREIGN CONTENT:
+  * case-adjusted tag/attribute names (`foreignObject`, `viewBox`),
+  * namespace-tracked elements, the HTML/MathML-text integration points,
+  * the breakout start-tag list, honored self-closing syntax, CDATA
+  * sections, and case-preserving serialization with explicit end tags —
+  * so an inline SVG inside a property subtree re-serializes into an
+  * rdf:HTML literal byte-compatibly with jsdom's innerHTML.
   */
 object HtmlParser {
 
@@ -54,7 +58,13 @@ object HtmlParser {
   final case class Element(
       tag: String,
       attrs: Map[String, String],
-      children: Vector[Node]) extends Node {
+      children: Vector[Node],
+      /** "html" | "svg" | "math" — foreign elements re-serialize with
+        * their case-adjusted names and never take the void/raw-text
+        * HTML serialization rules. `tag` stays the lowercase canonical
+        * name in every namespace (matching logic is uniform); render
+        * restores the SVG DOM casing via the adjust table. */
+      ns: String = "html") extends Node {
     def attr(name: String): Option[String] = attrs.get(name)
     /** DOM textContent: a <template>'s contents live in a separate
       * fragment — its childNodes are empty, so its text contributes
@@ -117,6 +127,105 @@ object HtmlParser {
   /** Default ("regular") scope barriers — button scope minus `button`. */
   private lazy val defaultScopeBarrier: Set[String] = buttonScopeBarrier - "button"
 
+  // ------------------------------------------------- foreign content
+  // WHATWG "The rules for parsing tokens in foreign content": inside an
+  // <svg>/<math> subtree (outside the HTML integration points) tag and
+  // attribute names are case-ADJUSTED rather than flattened, CDATA
+  // sections are character data, and a list of HTML "breakout" start
+  // tags pops the foreign subtree. jsdom preserves exactly this, so an
+  // inline SVG logo inside a property subtree serializes into the
+  // rdf:HTML literal with its viewBox/foreignObject casing intact.
+
+  /** SVG tag-name adjustments (lowercased input → the SVG DOM name). */
+  private val svgTagAdjust: Map[String, String] = Map(
+    "altglyph" -> "altGlyph", "altglyphdef" -> "altGlyphDef",
+    "altglyphitem" -> "altGlyphItem", "animatecolor" -> "animateColor",
+    "animatemotion" -> "animateMotion",
+    "animatetransform" -> "animateTransform", "clippath" -> "clipPath",
+    "feblend" -> "feBlend", "fecolormatrix" -> "feColorMatrix",
+    "fecomponenttransfer" -> "feComponentTransfer",
+    "fecomposite" -> "feComposite",
+    "feconvolvematrix" -> "feConvolveMatrix",
+    "fediffuselighting" -> "feDiffuseLighting",
+    "fedisplacementmap" -> "feDisplacementMap",
+    "fedistantlight" -> "feDistantLight", "fedropshadow" -> "feDropShadow",
+    "feflood" -> "feFlood", "fefunca" -> "feFuncA", "fefuncb" -> "feFuncB",
+    "fefuncg" -> "feFuncG", "fefuncr" -> "feFuncR",
+    "fegaussianblur" -> "feGaussianBlur", "feimage" -> "feImage",
+    "femerge" -> "feMerge", "femergenode" -> "feMergeNode",
+    "femorphology" -> "feMorphology", "feoffset" -> "feOffset",
+    "fepointlight" -> "fePointLight",
+    "fespecularlighting" -> "feSpecularLighting",
+    "fespotlight" -> "feSpotLight", "fetile" -> "feTile",
+    "feturbulence" -> "feTurbulence", "foreignobject" -> "foreignObject",
+    "glyphref" -> "glyphRef", "lineargradient" -> "linearGradient",
+    "radialgradient" -> "radialGradient", "textpath" -> "textPath")
+
+  /** SVG attribute-name adjustments (the "adjust SVG attributes" table). */
+  private val svgAttrAdjust: Map[String, String] = Map(
+    "attributename" -> "attributeName", "attributetype" -> "attributeType",
+    "basefrequency" -> "baseFrequency", "baseprofile" -> "baseProfile",
+    "calcmode" -> "calcMode", "clippathunits" -> "clipPathUnits",
+    "diffuseconstant" -> "diffuseConstant", "edgemode" -> "edgeMode",
+    "filterunits" -> "filterUnits", "glyphref" -> "glyphRef",
+    "gradienttransform" -> "gradientTransform",
+    "gradientunits" -> "gradientUnits", "kernelmatrix" -> "kernelMatrix",
+    "kernelunitlength" -> "kernelUnitLength", "keypoints" -> "keyPoints",
+    "keysplines" -> "keySplines", "keytimes" -> "keyTimes",
+    "lengthadjust" -> "lengthAdjust",
+    "limitingconeangle" -> "limitingConeAngle",
+    "markerheight" -> "markerHeight", "markerunits" -> "markerUnits",
+    "markerwidth" -> "markerWidth",
+    "maskcontentunits" -> "maskContentUnits", "maskunits" -> "maskUnits",
+    "numoctaves" -> "numOctaves", "pathlength" -> "pathLength",
+    "patterncontentunits" -> "patternContentUnits",
+    "patterntransform" -> "patternTransform",
+    "patternunits" -> "patternUnits", "pointsatx" -> "pointsAtX",
+    "pointsaty" -> "pointsAtY", "pointsatz" -> "pointsAtZ",
+    "preservealpha" -> "preserveAlpha",
+    "preserveaspectratio" -> "preserveAspectRatio",
+    "primitiveunits" -> "primitiveUnits", "refx" -> "refX",
+    "refy" -> "refY", "repeatcount" -> "repeatCount",
+    "repeatdur" -> "repeatDur",
+    "requiredextensions" -> "requiredExtensions",
+    "requiredfeatures" -> "requiredFeatures",
+    "specularconstant" -> "specularConstant",
+    "specularexponent" -> "specularExponent",
+    "spreadmethod" -> "spreadMethod", "startoffset" -> "startOffset",
+    "stddeviation" -> "stdDeviation", "stitchtiles" -> "stitchTiles",
+    "surfacescale" -> "surfaceScale", "systemlanguage" -> "systemLanguage",
+    "tablevalues" -> "tableValues", "targetx" -> "targetX",
+    "targety" -> "targetY", "textlength" -> "textLength",
+    "viewbox" -> "viewBox", "viewtarget" -> "viewTarget",
+    "xchannelselector" -> "xChannelSelector",
+    "ychannelselector" -> "yChannelSelector", "zoomandpan" -> "zoomAndPan")
+
+  /** MathML's single attribute adjustment. */
+  private val mathAttrAdjust: Map[String, String] =
+    Map("definitionurl" -> "definitionURL")
+
+  /** HTML start tags that break OUT of foreign content (pop the foreign
+    * subtree and reprocess in HTML mode); `font` breaks out only when it
+    * carries color/face/size. */
+  private val foreignBreakout = Set("b", "big", "blockquote", "body", "br",
+    "center", "code", "dd", "div", "dl", "dt", "em", "embed", "h1", "h2",
+    "h3", "h4", "h5", "h6", "head", "hr", "i", "img", "li", "listing",
+    "menu", "meta", "nobr", "ol", "p", "pre", "ruby", "s", "small",
+    "span", "strong", "strike", "sub", "sup", "table", "tt", "u", "ul",
+    "var")
+
+  /** Case-adjust attribute names in source order (the tokenizer's
+    * VectorMap order must survive — a plain `.map` re-buckets to hash
+    * order above 4 entries). */
+  private def adjustAttrs(attrs: Map[String, String],
+      table: Map[String, String]): Map[String, String] =
+    if (attrs.isEmpty) attrs
+    else {
+      var out = scala.collection.immutable.VectorMap.empty[String, String]
+      attrs.foreach { case (k, v) => out = out.updated(table.getOrElse(k, k), v) }
+      out
+    }
+
   /** Parse a full document; returns a synthetic root element. */
   def parse(html: String): Element = {
     // WHATWG input-stream preprocessing: CRLF and lone CR normalize to
@@ -126,7 +235,7 @@ object HtmlParser {
       if (html.indexOf('\r') >= 0)
         html.replace("\r\n", "\n").replace('\r', '\n')
       else html
-    val tokens = tokenize(normalized)
+    val tokens = new Tokenizer(normalized)
     val root = new Builder("#root", Map.empty)
     val stack = mutable.Stack[Builder](root)
     // Active formatting elements (WHATWG): Builder entries interleaved
@@ -198,6 +307,10 @@ object HtmlParser {
       afe += b
     }
     def clearAfeToMarker(): Unit = {
+      // lenient guard: a markerless list stays intact rather than being
+      // wiped (cannot arise from HTML-mode opens, which always pushed
+      // the marker, but costs nothing to keep true by construction)
+      if (!afe.exists(_ eq AfeMarker)) return
       var done = false
       while (!done && afe.nonEmpty) {
         val last = afe.remove(afe.length - 1)
@@ -207,8 +320,9 @@ object HtmlParser {
     def finish(): Unit = {
       val done = stack.pop()
       // closing a cell/caption/template/applet-family element clears the
-      // formatting list back to its marker, whatever path popped it
-      if (afeMarkerTags(done.tag)) clearAfeToMarker()
+      // formatting list back to its marker, whatever path popped it —
+      // HTML-namespace only: a foreign element named `td` never pushed one
+      if (done.ns == "html" && afeMarkerTags(done.tag)) clearAfeToMarker()
     }
     def popThrough(idx: Int): Unit = {
       var i = idx
@@ -281,12 +395,15 @@ object HtmlParser {
         if (feIdx < 0) { afe.remove(fi); return } // in AFE, not open: drop
         // in (default) scope?
         val scopeIdx = stack.indexWhere(b =>
-          (b eq fe) || defaultScopeBarrier(b.tag))
+          (b eq fe) || defaultScopeBarrier(b.tag) || foreignScopeBarrier(b))
         if (scopeIdx < 0 || !(stack(scopeIdx) eq fe)) return // ignore token
         // furthest block: the special element closest above fe's content
         // (scala stack: index 0 = most recent, so the LARGEST index < feIdx)
         var fb = feIdx - 1
-        while (fb >= 0 && !specialCategory(stack(fb).tag)) fb -= 1
+        while (fb >= 0 && !{
+          val st = stack(fb)
+          (st.ns == "html" && specialCategory(st.tag)) || foreignScopeBarrier(st)
+        }) fb -= 1
         if (fb < 0) {
           // no furthest block: plain close — pop through fe, drop entry
           popThrough(feIdx)
@@ -354,21 +471,24 @@ object HtmlParser {
       }
     }
 
-    tokens.foreach {
-      case Tok.Text(t) =>
-        if (t.nonEmpty) {
-          // whitespace-only text at a table-structural point stays
-          // in-table (no foster, no reconstruct); anything else is
-          // in-body character handling: reconstruct, then insert (the
-          // reconstruction may retarget the insertion point to a clone)
-          val tableWs = fosterContext(stack.top.tag) && t.trim.isEmpty
-          if (!tableWs) reconstructAfe()
-          if (fosterContext(stack.top.tag) && t.trim.nonEmpty) {
-            if (!fosterInsert(TextNode(t))) appendTo(stack.top, TextNode(t))
-          } else appendTo(stack.top, TextNode(t))
-        }
-      case Tok.Open(tag, attrs, selfClosing) =>
-        impliedEndTags(stack, tag, () => finish())
+    /** Foreign-content dispatch (WHATWG "tree construction dispatcher"):
+      * tokens process under the foreign rules when the current node is a
+      * non-HTML element outside the integration points; at a MathML text
+      * integration point only mglyph/malignmark starts stay foreign. */
+    def foreignMode(startTag: Option[String]): Boolean = {
+      val cn = stack.top
+      if (cn.ns == "html") false
+      else if (isMathTextIntegrationPoint(cn))
+        startTag.exists(t => t == "mglyph" || t == "malignmark")
+      else if (isHtmlIntegrationPoint(cn)) false
+      else true
+    }
+
+    /** The in-body start-tag path (also the reprocessing target after a
+      * foreign-content breakout). */
+    def handleHtmlOpen(tag: String, attrs: Map[String, String],
+        selfClosing: Boolean): Unit = {
+      impliedEndTags(stack, tag, () => finish())
         // nested-anchor rule (in-body <a>): an <a> in the formatting
         // list since the last marker is force-closed by the adoption
         // agency before the new one opens — jsdom never nests anchors
@@ -393,24 +513,101 @@ object HtmlParser {
           val i = stack.indexWhere(b => b.tag == "nobr" || defaultScopeBarrier(b.tag))
           if (i >= 0 && stack(i).tag == "nobr") adoptionAgency("nobr")
         }
-        if (!noReconstructStart(tag)) reconstructAfe()
-        // a table start never fosters: at a structural point the
-        // implied-end step above just closed the outer table (WHATWG's
-        // act-as-</table> rule), and inside a CELL a nested table is
-        // legal in-body content
-        val allowFoster = !tableLegal(tag) && tag != "table"
-        if (selfClosing || voidElements(tag)) {
-          insertAppropriately(Element(tag, attrs, Vector.empty), allowFoster)
-        } else {
-          val b = new Builder(tag, attrs)
-          insertAppropriately(b, allowFoster)
-          stack.push(b)
-          if (formattingTags(tag)) pushFormatting(b)
-          else if (afeMarkerTags(tag)) afe += AfeMarker
-        }
-      case Tok.Close(tag) =>
-        if (formattingTags(tag)) adoptionAgency(tag)
-        else genericEndTag(tag)
+      if (!noReconstructStart(tag)) reconstructAfe()
+      // a table start never fosters: at a structural point the
+      // implied-end step above just closed the outer table (WHATWG's
+      // act-as-</table> rule), and inside a CELL a nested table is
+      // legal in-body content
+      val allowFoster = !tableLegal(tag) && tag != "table"
+      if (tag == "svg" || tag == "math") {
+        // entering foreign content: the element keeps its namespace,
+        // attribute names are case-adjusted, and (unlike HTML voids)
+        // self-closing syntax is honored for the root itself
+        val ns = if (tag == "svg") "svg" else "math"
+        val b = new Builder(tag,
+          adjustAttrs(attrs, if (ns == "svg") svgAttrAdjust else mathAttrAdjust))
+        b.ns = ns
+        insertAppropriately(b, allowFoster)
+        if (!selfClosing) stack.push(b)
+      } else if (selfClosing || voidElements(tag)) {
+        insertAppropriately(Element(tag, attrs, Vector.empty), allowFoster)
+      } else {
+        val b = new Builder(tag, attrs)
+        insertAppropriately(b, allowFoster)
+        stack.push(b)
+        if (formattingTags(tag)) pushFormatting(b)
+        else if (afeMarkerTags(tag)) afe += AfeMarker
+      }
+    }
+
+    tokens.foreach { tok =>
+      tok match {
+        case Tok.Text(t) =>
+          if (t.nonEmpty) {
+            if (foreignMode(None)) appendTo(stack.top, TextNode(t))
+            else {
+              // whitespace-only text at a table-structural point stays
+              // in-table (no foster, no reconstruct); anything else is
+              // in-body character handling: reconstruct, then insert (the
+              // reconstruction may retarget the insertion point to a clone)
+              val tableWs = fosterContext(stack.top.tag) && t.trim.isEmpty
+              if (!tableWs) reconstructAfe()
+              if (fosterContext(stack.top.tag) && t.trim.nonEmpty) {
+                if (!fosterInsert(TextNode(t))) appendTo(stack.top, TextNode(t))
+              } else appendTo(stack.top, TextNode(t))
+            }
+          }
+        case Tok.Open(tag, attrs, selfClosing) =>
+          if (foreignMode(Some(tag))) {
+            val breakout = foreignBreakout(tag) || (tag == "font" &&
+              (attrs.contains("color") || attrs.contains("face") ||
+                attrs.contains("size")))
+            if (breakout) {
+              // pop the foreign subtree back to HTML content (or an
+              // integration point), then reprocess as an HTML start tag
+              while ({
+                val t = stack.top
+                t.ns != "html" && !isHtmlIntegrationPoint(t) &&
+                  !isMathTextIntegrationPoint(t)
+              }) finish()
+              handleHtmlOpen(tag, attrs, selfClosing)
+            } else {
+              // insert a foreign element in the current (adjusted)
+              // namespace; <svg> under a MathML annotation-xml starts an
+              // SVG subtree (the spec's one cross-namespace entry point)
+              val ns =
+                if (tag == "svg" && stack.top.ns == "math" &&
+                  stack.top.tag == "annotation-xml") "svg"
+                else stack.top.ns
+              val b = new Builder(tag, adjustAttrs(attrs,
+                if (ns == "svg") svgAttrAdjust else mathAttrAdjust))
+              b.ns = ns
+              appendTo(stack.top, b)
+              if (!selfClosing) stack.push(b)
+            }
+          } else handleHtmlOpen(tag, attrs, selfClosing)
+        case Tok.Close(tag) =>
+          var handled = false
+          if (stack.top.ns != "html") {
+            // foreign end tag: pop to the nearest matching FOREIGN
+            // element; an HTML element reached first hands the token to
+            // the HTML rules below
+            val limit = stack.indexWhere(_.ns == "html") // #root is html
+            val m = stack.indexWhere(b => b.tag == tag && b.ns != "html")
+            if (m >= 0 && m < limit) { popThrough(m); handled = true }
+          }
+          if (!handled) {
+            if (formattingTags(tag)) adoptionAgency(tag)
+            else genericEndTag(tag)
+          }
+      }
+      // keep the tokenizer's mode in step: raw-text scanning and CDATA
+      // depend on whether the NEXT token arrives in foreign content
+      tokens.inForeign = {
+        val t = stack.top
+        t.ns != "html" && !isHtmlIntegrationPoint(t) &&
+          !isMathTextIntegrationPoint(t)
+      }
     }
     while (stack.top.tag != "#root") finish()
     buildTree(root)
@@ -438,7 +635,7 @@ object HtmlParser {
         }
       } else {
         work.remove(work.length - 1)
-        val el = Element(f.b.tag, f.b.attrs, f.acc.toVector)
+        val el = Element(f.b.tag, f.b.attrs, f.acc.toVector, f.b.ns)
         if (work.isEmpty) result = el else work.last.acc += el
       }
     }
@@ -525,7 +722,8 @@ object HtmlParser {
     * around "d" is NOT mirrored; see the class doc). */
   private def closePInButtonScope(stack: mutable.Stack[Builder],
       pop: () => Unit): Unit = {
-    val idx = stack.indexWhere(b => b.tag == "p" || buttonScopeBarrier(b.tag))
+    val idx = stack.indexWhere(b => b.tag == "p" ||
+      buttonScopeBarrier(b.tag) || foreignScopeBarrier(b))
     if (idx >= 0 && stack(idx).tag == "p") popThrough(stack, idx, pop)
   }
 
@@ -534,7 +732,8 @@ object HtmlParser {
     * stop at special-category blocks other than address/div/p. */
   private def closeSibling(stack: mutable.Stack[Builder],
       targets: Set[String], pop: () => Unit): Unit = {
-    val idx = stack.indexWhere(b => targets(b.tag) || liWalkBarrier(b.tag))
+    val idx = stack.indexWhere(b => targets(b.tag) ||
+      liWalkBarrier(b.tag) || foreignScopeBarrier(b))
     if (idx >= 0 && targets(stack(idx).tag)) popThrough(stack, idx, pop)
   }
 
@@ -574,7 +773,8 @@ object HtmlParser {
         // the ruby); without one they are generic starts and nest —
         // "<rp><rt>" outside ruby keeps the rt inside the rp, exactly
         // as jsdom builds it
-        val idx = stack.indexWhere(b => b.tag == "ruby" || rubyScopeBarrier(b.tag))
+        val idx = stack.indexWhere(b => b.tag == "ruby" ||
+          rubyScopeBarrier(b.tag) || foreignScopeBarrier(b))
         if (idx >= 0 && stack(idx).tag == "ruby")
           while (impliedEndSet(stack.top.tag)) pop()
       case "option" | "optgroup" =>
@@ -621,7 +821,37 @@ object HtmlParser {
   private final class Builder(val tag: String, val attrs: Map[String, String]) {
     val children = mutable.ArrayBuffer[AnyRef]() // Node | Builder
     var parent: Builder = null
+    /** Element namespace: "html" | "svg" | "math" (foreign content). */
+    var ns: String = "html"
   }
+
+  /** WHATWG HTML integration points: content inside them parses with
+    * HTML rules again (an <svg><foreignObject><p> paragraph is an HTML
+    * paragraph). */
+  private def isHtmlIntegrationPoint(b: Builder): Boolean =
+    (b.ns == "svg" &&
+      (b.tag == "foreignobject" || b.tag == "desc" || b.tag == "title")) ||
+    (b.ns == "math" && b.tag == "annotation-xml" && {
+      val enc = b.attrs.get("encoding")
+        .map(_.toLowerCase(java.util.Locale.ROOT))
+      enc.contains("text/html") || enc.contains("application/xhtml+xml")
+    })
+
+  /** MathML text integration points: HTML rules for everything except
+    * mglyph/malignmark starts. */
+  private def isMathTextIntegrationPoint(b: Builder): Boolean =
+    b.ns == "math" && (b.tag == "mi" || b.tag == "mo" || b.tag == "mn" ||
+      b.tag == "ms" || b.tag == "mtext")
+
+  /** The foreign-content members of every WHATWG scope definition (and
+    * of the "special" category): the integration points. Namespace-
+    * aware, so an HTML element that happens to be named `desc` or `mi`
+    * keeps its ordinary (walk-through) behavior. */
+  private def foreignScopeBarrier(b: Builder): Boolean =
+    (b.ns == "svg" &&
+      (b.tag == "foreignobject" || b.tag == "desc" || b.tag == "title")) ||
+    (b.ns == "math" && (b.tag == "mi" || b.tag == "mo" || b.tag == "mn" ||
+      b.tag == "ms" || b.tag == "mtext" || b.tag == "annotation-xml"))
 
   // -------------------------------------------------------------- tokens
 
@@ -633,7 +863,13 @@ object HtmlParser {
     final case class Close(tag: String) extends T
   }
 
-  private def tokenize(s: String): Iterator[Tok.T] = new Iterator[Tok.T] {
+  private final class Tokenizer(s: String) extends Iterator[Tok.T] {
+    /** Set by the tree builder between tokens: inside SVG/MathML content
+      * (outside integration points) raw-text scanning is disabled (an
+      * SVG <script> has element children), CDATA sections are character
+      * data, and NUL maps to U+FFFD instead of vanishing. Sound because
+      * tokens are produced strictly on demand, one per next(). */
+    var inForeign: Boolean = false
     private var i = 0
     private var pendingRawText: String = null
 
@@ -649,13 +885,26 @@ object HtmlParser {
         i = if (lt < 0) s.length else lt
         // WHATWG: raw NUL character tokens are ignored by the in-body
         // tree builder — they vanish from text (an entity &#0; instead
-        // decodes to U+FFFD in decodeEntities, a different rule)
+        // decodes to U+FFFD in decodeEntities, a different rule); in
+        // FOREIGN content the NUL becomes U+FFFD instead
         val txt = s.substring(start, i)
-        return Tok.Text(decodeEntities(
-          if (txt.indexOf('\u0000') >= 0) txt.replace("\u0000", "") else txt,
-          isAttr = false))
+        val nulled =
+          if (txt.indexOf('\u0000') < 0) txt
+          else if (inForeign) txt.replace('\u0000', '\ufffd')
+          else txt.replace("\u0000", "")
+        return Tok.Text(decodeEntities(nulled, isAttr = false))
       }
       // '<'
+      if (inForeign && s.startsWith("<![CDATA[", i)) {
+        // CDATA sections exist only in foreign content (in HTML they are
+        // bogus comments): raw character data to "]]>", NO entity
+        // decoding, NUL to U+FFFD
+        val end = s.indexOf("]]>", i + 9)
+        val content =
+          if (end < 0) s.substring(i + 9) else s.substring(i + 9, end)
+        i = if (end < 0) s.length else end + 3
+        return Tok.Text(content.replace('\u0000', '\ufffd'))
+      }
       if (s.startsWith("<!--", i)) {
         // WHATWG comment endings: "<!-->" and "<!--->" close ABRUPTLY
         // (an empty comment, not a swallow-the-document scan), and
@@ -702,7 +951,7 @@ object HtmlParser {
       // open tag
       parseOpenTag() match {
         case Some(open) =>
-          if (rawTextElements(open.tag) && !open.selfClosing) {
+          if (rawTextElements(open.tag) && !open.selfClosing && !inForeign) {
             val end = indexOfIgnoreCaseAscii(s, s"</${open.tag}", i)
             if (end >= 0) {
               // script-data tokenization maps NUL to U+FFFD (unlike
@@ -940,10 +1189,20 @@ object HtmlParser {
       val attrs = e.attrs.map { case (k, v) =>
         s""" $k="${v.replace("&", "&amp;").replace("\"", "&quot;")}""""
       }.mkString
+      // foreign elements serialize with their case-adjusted SVG DOM name
+      // (attr names were adjusted at parse time) and ALWAYS take explicit
+      // end tags — the HTML serializer's void/raw-text rules are
+      // HTML-namespace-only, so <svg><path/> emits "<path></path>" with
+      // viewBox/foreignObject casing intact, like jsdom's innerHTML
+      if (e.ns != "html") {
+        val name = if (e.ns == "svg") svgTagAdjust.getOrElse(e.tag, e.tag)
+          else e.tag
+        s"<$name$attrs>${e.children.map(render).mkString}</$name>"
+      }
       // HTML serialization writes voids with NO self-closing slash —
       // jsdom's innerHTML emits "<br>", and the G2 externalized literal
       // must match the reference's bytes
-      if (voidElements(e.tag)) s"<${e.tag}$attrs>"
+      else if (voidElements(e.tag)) s"<${e.tag}$attrs>"
       else if (rawTextElements(e.tag))
         // the HTML serialization of a raw-text element emits its text
         // UNescaped (the parser never entity-decodes it, so escaping

@@ -11,10 +11,12 @@ object FixpointHunt {
       "caption", "colgroup", "button", "ul", "li", "dl", "dt", "dd",
       "select", "option", "optgroup", "ruby", "rt", "rp",
       "col", "hr", "input", "img",
-      "b", "i", "em", "strong", "nobr", "code", "u", "small", "font")
+      "b", "i", "em", "strong", "nobr", "code", "u", "small", "font",
+      "svg", "math", "foreignobject", "mi", "annotation-xml", "circle",
+      "g", "clippath", "mglyph", "desc")
     val junk = Seq("<", ">", "&", "\"", "'", "=", "/", "<!--", "-->", "<!",
       "]]>", "&#x41;", "&#999999999;", "&bogus;", " ", "�", "<<>>",
-      "</", "<a", "=\"", "a:b", "[a:b]", "_:x", "\n", "\t", "ab")
+      "</", "<a", "=\"", "a:b", "[a:b]", "_:x", "\n", "\t", "ab", "<![CDATA[", "<![CDATA[x]]>")
     val rnd = new scala.util.Random(42)
     def frag(): String = rnd.nextInt(4) match {
       case 0 => s"<${tags(rnd.nextInt(tags.size))}>"

@@ -370,4 +370,77 @@ class HtmlParserSpec extends AnyFunSuite {
     // table; its text goes inside it, and the table parses on
     assert(flat("<table><b>x</table>") == "<b>x</b><table></table>")
   }
+
+  test("SVG foreign content preserves case-adjusted names and explicit end tags") {
+    // viewBox/foreignObject casing is restored from the adjust tables
+    // (the tokenizer still lowercases — source casing is irrelevant),
+    // self-closing works in foreign content, and serialization writes
+    // explicit end tags, never the void form
+    assert(flat("""<svg VIEWBOX="0 0 10 10"><path d="M0 0"/><ForeignObject><p>x</p></ForeignObject></svg>""") ==
+      """<svg viewBox="0 0 10 10"><path d="M0 0"></path><foreignObject><p>x</p></foreignObject></svg>""")
+    // clipPath + gradient names round-trip through render→reparse
+    val doc = """<svg><clipPath clipPathUnits="userSpaceOnUse"><lineargradient gradientUnits="objectBoundingBox"></lineargradient></clipPath></svg>"""
+    val once = flat(doc)
+    assert(once.contains("<clipPath clipPathUnits=") &&
+      once.contains("<linearGradient gradientUnits="), once)
+    assert(flat(once) == once)
+  }
+
+  test("HTML breakout tags pop the foreign subtree") {
+    // <div> is a breakout start tag: it closes the SVG content and
+    // re-enters HTML mode as a sibling
+    assert(flat("<svg><circle>a</circle><div>x</div></svg>") ==
+      "<svg><circle>a</circle></svg><div>x</div>")
+    // <font> breaks out only when it carries color/face/size
+    assert(flat("<svg><font>y</font></svg>") == "<svg><font>y</font></svg>")
+    assert(flat("""<svg><font color=red>y</font>""") ==
+      """<svg></svg><font color="red">y</font>""")
+  }
+
+  test("foreignObject is an HTML integration point (HTML rules inside)") {
+    // a table inside foreignObject is a real HTML table with its
+    // structural recovery (tbody rules etc.), and a p closes normally
+    val got = flat("<svg><foreignObject><p>a<p>b</foreignObject></svg>")
+    assert(got == "<svg><foreignObject><p>a</p><p>b</p></foreignObject></svg>", got)
+  }
+
+  test("CDATA sections are character data in foreign content only") {
+    // in SVG: raw text to ]]>, no entity decoding (the & re-escapes on
+    // serialization); in HTML: a bogus comment that vanishes
+    assert(flat("<svg><text><![CDATA[a & b <i>]]></text></svg>") ==
+      "<svg><text>a &amp; b &lt;i&gt;</text></svg>")
+    assert(flat("<p><![CDATA[gone]]>x</p>") == "<p>gone]]&gt;x</p>" ||
+      flat("<p><![CDATA[gone]]>x</p>") == "<p>x</p>")
+  }
+
+  test("script inside SVG is not raw text (element children parse)") {
+    assert(flat("<svg><script><circle/></script></svg>") ==
+      "<svg><script><circle></circle></script></svg>")
+    // while an HTML script stays raw
+    assert(flat("<script><circle/></script>") == "<script><circle/></script>")
+  }
+
+  test("MathML text integration points and mglyph exception") {
+    // inside <mi>, HTML rules apply (a span is an HTML element) except
+    // mglyph/malignmark which stay MathML
+    assert(flat("<math><mi><span>x</span><mglyph/></mi></math>") ==
+      "<math><mi><span>x</span><mglyph></mglyph></mi></math>")
+    // annotation-xml with encoding=text/html hosts HTML content
+    assert(flat("""<math><annotation-xml encoding="text/html"><p>a<p>b</annotation-xml></math>""") ==
+      """<math><annotation-xml encoding="text/html"><p>a</p><p>b</p></annotation-xml></math>""")
+    // MathML's one attribute adjustment
+    assert(flat("""<math><mrow definitionurl="u"></mrow></math>""") ==
+      """<math><mrow definitionURL="u"></mrow></math>""")
+  }
+
+  test("foreign end tags match foreign elements; namespaces recorded on the tree") {
+    val root = parse("""<svg><g><rect/></g></svg><p>x</p>""")
+    val svg = root.children.head.asInstanceOf[Element]
+    assert(svg.ns == "svg")
+    val g = svg.children.head.asInstanceOf[Element]
+    assert(g.ns == "svg" &&
+      g.children.head.asInstanceOf[Element].ns == "svg")
+    val p = root.children(1).asInstanceOf[Element]
+    assert(p.ns == "html")
+  }
 }

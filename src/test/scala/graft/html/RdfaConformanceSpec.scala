@@ -311,6 +311,27 @@ class RdfaConformanceSpec extends AnyFunSuite {
       "http://ex.org/T", "-", "-")))
   }
 
+  test("inline SVG in a property subtree keeps its case in the rdf:HTML literal") {
+    // jsdom preserves SVG tag/attribute casing (foreignObject, viewBox)
+    // and namespace, so the externalized rdf:HTML innerHTML literal must
+    // carry the case-adjusted serialization with explicit end tags
+    val got = triples(
+      """<div about="#d" prefix="ex: http://ex.org/ prov: http://www.w3.org/ns/prov#">
+        |<div property="ex:content" datatype="rdf:HTML">before<svg viewbox="0 0 4 4"><path d="M0 0"/><foreignobject><p>inside</p></foreignobject></svg>after</div>
+        |</div>""".stripMargin)
+    val lit = got.find(_._2 == "http://ex.org/content").map(_._3)
+    assert(lit.exists(_.contains(
+      """<svg viewBox="0 0 4 4"><path d="M0 0"></path><foreignObject><p>inside</p></foreignObject></svg>""")),
+      s"innerHTML literal lost SVG casing: $lit")
+    // and the SVG text still contributes to an ordinary text literal
+    val got2 = triples(
+      """<div about="#d" prefix="ex: http://ex.org/">
+        |<span property="ex:p">a<svg><text>b</text></svg>c</span>
+        |</div>""".stripMargin)
+    assert(got2.exists(t => t._2 == "http://ex.org/p" && t._3 == "abc"),
+      s"got $got2")
+  }
+
   test("optgroup does not close an open optgroup in body (only a current option pops)") {
     val got = triples(
       """<div about="#d" prefix="ex: http://ex.org/">
