@@ -92,6 +92,9 @@ object HtmlParser {
   private val tableLegal = Set("caption", "col", "colgroup", "tbody", "td",
     "tfoot", "th", "thead", "tr", "style", "script", "template", "form")
 
+  /** h1-h6 — a heading END tag of any rank closes the nearest open one. */
+  private val headingTags = Set("h1", "h2", "h3", "h4", "h5", "h6")
+
   /** WHATWG "formatting" category: elements the active-formatting list
     * tracks, reconstructed across block boundaries and re-nested by the
     * adoption agency on their end tags. */
@@ -370,6 +373,30 @@ object HtmlParser {
         finish()
       }
 
+    /** In-body end-tag special cases jsdom shares with the spec:
+      * `</p>` with NO p in button scope synthesizes an EMPTY paragraph
+      * (so "a</p>b" carries a `<p></p>` into rdf:HTML literals);
+      * `</br>` acts as a `<br>` START tag; `</h1>`..`</h6>` close the
+      * nearest open heading of ANY rank (`<h1>x</h2>` ends the h1). */
+    def htmlEndTag(tag: String): Unit = tag match {
+      case "p" =>
+        val idx = stack.indexWhere(b => b.tag == "p" ||
+          buttonScopeBarrier(b.tag) || foreignScopeBarrier(b))
+        if (idx >= 0 && stack(idx).tag == "p") popThrough(idx)
+        else insertAppropriately(Element("p", Map.empty, Vector.empty),
+          allowFoster = true)
+      case "br" =>
+        reconstructAfe()
+        insertAppropriately(Element("br", Map.empty, Vector.empty),
+          allowFoster = true)
+      case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
+        val idx = stack.indexWhere(b => headingTags(b.tag) ||
+          defaultScopeBarrier(b.tag) || foreignScopeBarrier(b))
+        if (idx >= 0 && headingTags(stack(idx).tag)) popThrough(idx)
+      case t if formattingTags(t) => adoptionAgency(t)
+      case t => genericEndTag(t)
+    }
+
     /** The WHATWG adoption agency algorithm (full form, outer loop
       * bounded at 8, inner at the >3-iterations AFE drop): re-nests a
       * formatting element closed across a block boundary the way jsdom
@@ -486,8 +513,11 @@ object HtmlParser {
 
     /** The in-body start-tag path (also the reprocessing target after a
       * foreign-content breakout). */
-    def handleHtmlOpen(tag: String, attrs: Map[String, String],
+    def handleHtmlOpen(tag0: String, attrs: Map[String, String],
         selfClosing: Boolean): Unit = {
+      // in-body "<image>" is a parse error handled as "<img>" (spec +
+      // jsdom: "Don't ask.")
+      val tag = if (tag0 == "image") "img" else tag0
       impliedEndTags(stack, tag, () => finish())
         // nested-anchor rule (in-body <a>): an <a> in the formatting
         // list since the last marker is force-closed by the adoption
@@ -596,10 +626,7 @@ object HtmlParser {
             val m = stack.indexWhere(b => b.tag == tag && b.ns != "html")
             if (m >= 0 && m < limit) { popThrough(m); handled = true }
           }
-          if (!handled) {
-            if (formattingTags(tag)) adoptionAgency(tag)
-            else genericEndTag(tag)
-          }
+          if (!handled) htmlEndTag(tag)
       }
       // keep the tokenizer's mode in step: raw-text scanning and CDATA
       // depend on whether the NEXT token arrives in foreign content

@@ -433,6 +433,24 @@ class HtmlParserSpec extends AnyFunSuite {
       """<math><mrow definitionURL="u"></mrow></math>""")
   }
 
+  test("stray </p> synthesizes an empty paragraph (in-body spec rule)") {
+    assert(flat("a</p>b") == "a<p></p>b")
+    // with a p actually open it closes normally, not doubly
+    assert(flat("<p>a</p>b") == "<p>a</p>b")
+    // inside a button (scope barrier) the outer p is out of reach
+    assert(flat("<p><button>x</p>y") == "<p><button>x<p></p>y</button></p>")
+  }
+
+  test("</br> acts as a <br> start tag; <image> maps to img") {
+    assert(flat("a</br>b") == "a<br>b")
+    assert(flat("""<image src="x">""") == """<img src="x">""")
+  }
+
+  test("a heading end tag closes the nearest open heading of any rank") {
+    assert(flat("<h1>x</h2>y") == "<h1>x</h1>y")
+    assert(flat("<h3>a<span>b</h1>c") == "<h3>a<span>b</span></h3>c")
+  }
+
   test("foreign end tags match foreign elements; namespaces recorded on the tree") {
     val root = parse("""<svg><g><rect/></g></svg><p>x</p>""")
     val svg = root.children.head.asInstanceOf[Element]
