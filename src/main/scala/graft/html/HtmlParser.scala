@@ -513,12 +513,13 @@ object HtmlParser {
 
     /** The in-body start-tag path (also the reprocessing target after a
       * foreign-content breakout). */
+    val popFn: () => Unit = () => finish()
     def handleHtmlOpen(tag0: String, attrs: Map[String, String],
         selfClosing: Boolean): Unit = {
       // in-body "<image>" is a parse error handled as "<img>" (spec +
       // jsdom: "Don't ask.")
       val tag = if (tag0 == "image") "img" else tag0
-      impliedEndTags(stack, tag, () => finish())
+      impliedEndTags(stack, tag, popFn)
         // nested-anchor rule (in-body <a>): an <a> in the formatting
         // list since the last marker is force-closed by the adoption
         // agency before the new one opens — jsdom never nests anchors
@@ -647,22 +648,22 @@ object HtmlParser {
     * an explicit stack): adversarial nesting depth must not blow the JVM
     * stack during parse itself. */
   private def buildTree(root: Builder): Element = {
-    final case class Frame(b: Builder, it: Iterator[AnyRef],
-        acc: mutable.ArrayBuffer[Node])
-    def frame(b: Builder) =
-      Frame(b, b.children.iterator, new mutable.ArrayBuffer[Node](b.children.size))
-    val work = mutable.ArrayBuffer(frame(root))
+    final class Frame(val b: Builder) {
+      val it: Iterator[AnyRef] = b.children.iterator
+      val acc = Vector.newBuilder[Node] // build the child Vector directly
+    }
+    val work = mutable.ArrayBuffer(new Frame(root))
     var result: Element = null
     while (work.nonEmpty) {
       val f = work.last
       if (f.it.hasNext) {
         f.it.next() match {
-          case cb: Builder => work += frame(cb)
+          case cb: Builder => work += new Frame(cb)
           case n: Node => f.acc += n
         }
       } else {
         work.remove(work.length - 1)
-        val el = Element(f.b.tag, f.b.attrs, f.acc.toVector, f.b.ns)
+        val el = Element(f.b.tag, f.b.attrs, f.acc.result(), f.b.ns)
         if (work.isEmpty) result = el else work.last.acc += el
       }
     }

@@ -178,8 +178,11 @@ object RdfaExtractor {
     // object is the empty-string literal.
     val isTemplate = e.tag == "template"
     // DOM textContent of the element — "" for a template (children are
-    // fragment-side); used for every literal-value fallback below
-    val textContent = if (isTemplate) "" else e.text
+    // fragment-side); used for every literal-value fallback below.
+    // A def, NOT a val: e.text walks the whole subtree, and computing it
+    // eagerly for every element made the page walk quadratic-ish
+    // (+31% on the extract benchmark when this was briefly a val)
+    def textContent: String = if (isTemplate) "" else e.text
     var ctx = ctx0
     val inlist = e.attr("inlist").isDefined
 
