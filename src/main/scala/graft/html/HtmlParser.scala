@@ -80,7 +80,18 @@ object HtmlParser {
 
   private val voidElements = Set("area", "base", "br", "col", "embed", "hr",
     "img", "input", "link", "meta", "param", "source", "track", "wbr")
-  private val rawTextElements = Set("script", "style")
+  /** RAWTEXT elements (WHATWG tokenizer states + the serializer's
+    * emit-unescaped list): content is a single undecoded text node,
+    * serialized raw. Safe to round-trip: the scan stops at the first
+    * "</tag", so captured text can never contain its own terminator. */
+  private val rawTextElements = Set("script", "style", "iframe", "xmp",
+    "noembed", "noframes")
+
+  /** RCDATA elements: text-only content like RAWTEXT, but character
+    * references DECODE on parse and the serializer escapes normally —
+    * "<title>a <b> c</title>" is the TEXT "a <b> c" (no b element),
+    * exactly as jsdom builds it. */
+  private val rcdataElements = Set("title", "textarea")
 
   /** Insertion points where character data and non-table elements cannot
     * legally live — WHATWG foster-parents them BEFORE the table. `caption`
@@ -115,7 +126,8 @@ object HtmlParser {
   private lazy val noReconstructStart: Set[String] =
     closesP ++ tableInner ++ tableSection ++ Set("li", "dt", "dd", "col",
       "colgroup", "html", "head", "body", "frameset", "frame", "textarea",
-      "title", "script", "style", "template", "noscript", "rt", "rp")
+      "title", "script", "style", "template", "noscript", "rt", "rp",
+      "iframe", "noembed", "noframes")
 
   /** The spec's "special" category (furthest-block candidates in the
     * adoption agency): everything non-phrasing. liWalkBarrier is special
@@ -571,9 +583,20 @@ object HtmlParser {
       }
     }
 
+    // a leading LF right after <pre>/<listing> is dropped (in-body rule)
+    var dropLeadingLf = false
     tokens.foreach { tok =>
       tok match {
-        case Tok.Text(t) =>
+        case Tok.Text(t0) =>
+          // EMPTY pseudo-text tokens (comments, doctypes, bogus end tags
+          // emit these) are invisible: they must not consume the
+          // leading-LF drop, or "<pre></>\n" would keep a newline that a
+          // reparse of the serialization then drops (non-convergent)
+          val t =
+            if (t0.nonEmpty && dropLeadingLf && t0.startsWith("\n"))
+              t0.substring(1)
+            else t0
+          if (t0.nonEmpty) dropLeadingLf = false
           if (t.nonEmpty) {
             if (foreignMode(None)) appendTo(stack.top, TextNode(t))
             else {
@@ -617,7 +640,9 @@ object HtmlParser {
               if (!selfClosing) stack.push(b)
             }
           } else handleHtmlOpen(tag, attrs, selfClosing)
+          dropLeadingLf = tag == "pre" || tag == "listing"
         case Tok.Close(tag) =>
+          dropLeadingLf = false
           var handled = false
           if (stack.top.ns != "html") {
             // foreign end tag: pop to the nearest matching FOREIGN
@@ -987,6 +1012,20 @@ object HtmlParser {
               pendingRawText = s.substring(i, end).replace('\u0000', '\ufffd')
               i = end
             }
+          } else if (rcdataElements(open.tag) && !open.selfClosing && !inForeign) {
+            val end = indexOfIgnoreCaseAscii(s, s"</${open.tag}", i)
+            if (end >= 0) {
+              val seg0 = s.substring(i, end)
+              // a leading LF right after <textarea> is dropped (spec);
+              // RCDATA decodes character references, NUL becomes U+FFFD
+              val seg =
+                if (open.tag == "textarea" && seg0.startsWith("\n"))
+                  seg0.substring(1)
+                else seg0
+              pendingRawText =
+                decodeEntities(seg.replace('\u0000', '\ufffd'), isAttr = false)
+              i = end
+            }
           }
           open
         case None =>
@@ -1240,7 +1279,20 @@ object HtmlParser {
         // at the first "</tag", so parsed raw text can never contain
         // its own terminator.
         s"<${e.tag}$attrs>${e.children.collect { case TextNode(t) => t }.mkString}</${e.tag}>"
-      else s"<${e.tag}$attrs>${e.children.map(render).mkString}</${e.tag}>"
+      else {
+        // HTML serialization: pre/textarea/listing whose first child
+        // text starts with LF get an EXTRA LF appended after the start
+        // tag — the parser drops one there, so serialize→parse is
+        // stable (spec rule; jsdom's innerHTML does the same)
+        val lfFix =
+          if ((e.tag == "pre" || e.tag == "listing" || e.tag == "textarea") &&
+            (e.children.headOption match {
+              case Some(TextNode(t)) => t.startsWith("\n")
+              case _ => false
+            })) "\n"
+          else ""
+        s"<${e.tag}$attrs>$lfFix${e.children.map(render).mkString}</${e.tag}>"
+      }
   }
 
   private def escapeText(t: String): String =

@@ -13,7 +13,9 @@ object FixpointHunt {
       "col", "hr", "input", "img",
       "b", "i", "em", "strong", "nobr", "code", "u", "small", "font",
       "svg", "math", "foreignobject", "mi", "annotation-xml", "circle",
-      "g", "clippath", "mglyph", "desc")
+      "g", "clippath", "mglyph", "desc",
+      // RCDATA / extended raw text / leading-LF elements
+      "title", "textarea", "iframe", "xmp", "pre", "listing")
     val junk = Seq("<", ">", "&", "\"", "'", "=", "/", "<!--", "-->", "<!",
       "]]>", "&#x41;", "&#999999999;", "&bogus;", " ", "�", "<<>>",
       "</", "<a", "=\"", "a:b", "[a:b]", "_:x", "\n", "\t", "ab", "<![CDATA[", "<![CDATA[x]]>")

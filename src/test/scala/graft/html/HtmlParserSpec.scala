@@ -433,6 +433,44 @@ class HtmlParserSpec extends AnyFunSuite {
       """<math><mrow definitionURL="u"></mrow></math>""")
   }
 
+  test("title and textarea are RCDATA: text-only, entities decode, markup stays text") {
+    val root = parse("<title>a &amp; <b> c</title><p>x</p>")
+    val title = root.children.head.asInstanceOf[Element]
+    assert(title.tag == "title" && title.children == Vector(TextNode("a & <b> c")))
+    // serialization re-escapes (round-trips to the same text)
+    assert(flat("<title>a &amp; <b> c</title>") == "<title>a &amp; &lt;b&gt; c</title>")
+    // textarea likewise, and a leading newline is dropped per the spec
+    assert(flat("<textarea>\nfoo <i>bar</textarea>") ==
+      "<textarea>foo &lt;i&gt;bar</textarea>")
+    // but an SVG <title> is an integration point and parses children
+    val svg = parse("<svg><title><b>x</b></title></svg>")
+      .children.head.asInstanceOf[Element]
+    val st = svg.children.head.asInstanceOf[Element]
+    assert(st.children.head.isInstanceOf[Element])
+  }
+
+  test("iframe/xmp/noembed/noframes are raw text like script/style") {
+    assert(flat("<iframe><p>x</p></iframe>y") == "<iframe><p>x</p></iframe>y")
+    assert(flat("<xmp>a <b> c</xmp>") == "<xmp>a <b> c</xmp>")
+    val el = parse("<noembed><span>q</span></noembed>").children.head.asInstanceOf[Element]
+    assert(el.children == Vector(TextNode("<span>q</span>")))
+  }
+
+  test("a leading newline after <pre>/<listing> is dropped; serialization compensates") {
+    // the parser drops ONE leading LF; DOM text proves it
+    def preText(doc: String) =
+      parse(doc).children.head.asInstanceOf[Element].text
+    assert(preText("<pre>\nkeep\nthis</pre>") == "keep\nthis")
+    assert(preText("<pre>\n\nx</pre>") == "\nx")
+    assert(preText("<pre>a\nb</pre>") == "a\nb")
+    // the serializer re-adds an LF when the content STARTS with one
+    // (spec rule — parse(render(x)) is then stable), so flat() shows
+    // the compensated form
+    assert(flat("<pre>\nkeep</pre>") == "<pre>keep</pre>")
+    assert(flat("<pre>\n\nx</pre>") == "<pre>\n\nx</pre>")
+    assert(flat(flat("<pre>\n\nx</pre>")) == "<pre>\n\nx</pre>")
+  }
+
   test("stray </p> synthesizes an empty paragraph (in-body spec rule)") {
     assert(flat("a</p>b") == "a<p></p>b")
     // with a p actually open it closes normally, not doubly
