@@ -106,6 +106,22 @@ object HtmlParser {
   /** h1-h6 — a heading END tag of any rank closes the nearest open one. */
   private val headingTags = Set("h1", "h2", "h3", "h4", "h5", "h6")
 
+  /** End tags with their own in-body branch: close the nearest match IN
+    * DEFAULT SCOPE, ignored when a barrier intervenes — a `</div>` from
+    * inside a table cell cannot close a div outside the cell (jsdom). */
+  private val scopedEndTags = Set("address", "article", "aside",
+    "blockquote", "button", "center", "details", "dialog", "dir", "div",
+    "dl", "fieldset", "figcaption", "figure", "footer", "form", "header",
+    "hgroup", "listing", "main", "menu", "nav", "ol", "pre", "search",
+    "section", "summary", "ul", "li", "dd", "dt")
+
+  /** End tags that keep the lenient pop-to-nearest-match close (the
+    * table/select families run their own clear-the-stack modes, which
+    * the nearest-match pop models). */
+  private val nearestEndTags = Set("table", "td", "th", "tr", "tbody",
+    "thead", "tfoot", "caption", "colgroup", "select", "option",
+    "optgroup", "template", "applet", "object", "marquee", "ruby")
+
   /** WHATWG "formatting" category: elements the active-formatting list
     * tracks, reconstructed across block boundaries and re-nested by the
     * adoption agency on their end tags. */
@@ -406,7 +422,32 @@ object HtmlParser {
           defaultScopeBarrier(b.tag) || foreignScopeBarrier(b))
         if (idx >= 0 && headingTags(stack(idx).tag)) popThrough(idx)
       case t if formattingTags(t) => adoptionAgency(t)
-      case t => genericEndTag(t)
+      case t if scopedEndTags(t) =>
+        // scope-checked close: out-of-scope end tags are IGNORED (the
+        // generate-implied-end-tags step is subsumed by the pop walk)
+        val idx = stack.indexWhere(b => b.tag == t ||
+          defaultScopeBarrier(b.tag) || foreignScopeBarrier(b))
+        if (idx >= 0 && stack(idx).tag == t) popThrough(idx)
+      case t if nearestEndTags(t) => genericEndTag(t)
+      case "body" | "html" =>
+        // in-body </body>/</html> switch insertion modes without popping:
+        // trailing content stays INSIDE the body, as jsdom nests it
+        ()
+      case t =>
+        // "any other end tag": walk down the stack; a matching HTML
+        // element pops through, but a SPECIAL element reached first
+        // means the token is ignored ("<span><div>x</span>" leaves the
+        // div open — jsdom's tree)
+        var i2 = 0
+        var done = false
+        while (!done) {
+          val b = stack(i2)
+          if (b.tag == "#root") done = true
+          else if (b.tag == t && b.ns == "html") { popThrough(i2); done = true }
+          else if ((b.ns == "html" && specialCategory(b.tag)) ||
+            foreignScopeBarrier(b)) done = true // ignore the token
+          else i2 += 1
+        }
     }
 
     /** The WHATWG adoption agency algorithm (full form, outer loop

@@ -489,6 +489,32 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(flat("<h3>a<span>b</h1>c") == "<h3>a<span>b</span></h3>c")
   }
 
+  test("block end tags are scope-checked: a </div> inside a cell cannot reach outside") {
+    // the td is a default-scope barrier — the stray </div> is IGNORED,
+    // the table survives, and trailing text stays in the cell
+    assert(flat("<div><table><tr><td>a</div>b</table></div>") ==
+      "<div><table><tr><td>ab</td></tr></table></div>")
+    // in-scope closes keep working, popping intervening elements
+    assert(flat("<div><span>x</div>y") == "<div><span>x</span></div>y")
+  }
+
+  test("'any other' end tags are ignored past a special element (<span><div></span>)") {
+    // node walk: div is special → the </span> token is ignored, the div
+    // stays open and the tail lands INSIDE it (jsdom's tree)
+    assert(flat("<span><div>x</span>y</div>") == "<span><div>xy</div></span>")
+    // but a plain misnested inline close still pops through phrasing
+    assert(flat("<span><x-widget>a</span>b") ==
+      "<span><x-widget>a</x-widget></span>b")
+  }
+
+  test("</body> and </html> do not pop: trailing content stays inside the body") {
+    val root = parse("<html><body><p>x</p></body><span>y</span></html>")
+    val html = root.children.head.asInstanceOf[Element]
+    val body = html.children.head.asInstanceOf[Element]
+    assert(body.tag == "body" &&
+      body.children.collect { case e: Element => e.tag } == Vector("p", "span"))
+  }
+
   test("foreign end tags match foreign elements; namespaces recorded on the tree") {
     val root = parse("""<svg><g><rect/></g></svg><p>x</p>""")
     val svg = root.children.head.asInstanceOf[Element]
