@@ -564,6 +564,16 @@ object HtmlParser {
       else true
     }
 
+    /** Index of the open `select` when the insertion point is inside
+      * one (select in SELECT SCOPE: only option/optgroup may intervene),
+      * else -1 — the gate for the "in select" insertion mode. */
+    def openSelectIdx: Int = {
+      var i = 0
+      while (stack(i).tag == "option" || stack(i).tag == "optgroup") i += 1
+      val b = stack(i)
+      if (b.tag == "select" && b.ns == "html") i else -1
+    }
+
     /** The in-body start-tag path (also the reprocessing target after a
       * foreign-content breakout). */
     val popFn: () => Unit = () => finish()
@@ -680,12 +690,58 @@ object HtmlParser {
               appendTo(stack.top, b)
               if (!selfClosing) stack.push(b)
             }
-          } else handleHtmlOpen(tag, attrs, selfClosing)
+          } else {
+            // "in select" insertion mode (jsdom too): only option/
+            // optgroup/hr structure, text, and script/template are
+            // honored inside a select; input/keygen/textarea and a
+            // nested <select> CLOSE it; any other start tag is IGNORED
+            val selIdx = openSelectIdx
+            if (selIdx >= 0) tag match {
+              case "option" =>
+                if (stack.top.tag == "option") finish()
+                val b = new Builder(tag, attrs)
+                appendTo(stack.top, b)
+                if (!selfClosing) stack.push(b)
+              case "optgroup" =>
+                if (stack.top.tag == "option") finish()
+                if (stack.top.tag == "optgroup") finish()
+                val b = new Builder(tag, attrs)
+                appendTo(stack.top, b)
+                if (!selfClosing) stack.push(b)
+              case "hr" =>
+                if (stack.top.tag == "option") finish()
+                if (stack.top.tag == "optgroup") finish()
+                appendTo(stack.top, Element("hr", attrs, Vector.empty))
+              case "select" => popThrough(openSelectIdx) // acts as </select>
+              case "input" | "keygen" | "textarea" =>
+                popThrough(openSelectIdx) // close the select, reprocess
+                handleHtmlOpen(tag, attrs, selfClosing)
+              case "script" | "template" =>
+                handleHtmlOpen(tag, attrs, selfClosing)
+              case _ => () // ignored in select
+            } else handleHtmlOpen(tag, attrs, selfClosing)
+          }
           dropLeadingLf = tag == "pre" || tag == "listing"
         case Tok.Close(tag) =>
           dropLeadingLf = false
           var handled = false
-          if (stack.top.ns != "html") {
+          if (stack.top.ns == "html" && openSelectIdx >= 0) {
+            // in-select end tags: </select> pops it; option/optgroup pop
+            // their current element (an option directly under a closing
+            // optgroup pops with it); everything else is ignored
+            tag match {
+              case "select" => popThrough(openSelectIdx)
+              case "option" =>
+                if (stack.top.tag == "option") finish()
+              case "optgroup" =>
+                if (stack.top.tag == "option" && stack(1).tag == "optgroup")
+                  finish()
+                if (stack.top.tag == "optgroup") finish()
+              case _ => ()
+            }
+            handled = true
+          }
+          if (!handled && stack.top.ns != "html") {
             // foreign end tag: pop to the nearest matching FOREIGN
             // element; an HTML element reached first hands the token to
             // the HTML rules below

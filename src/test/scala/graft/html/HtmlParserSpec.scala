@@ -515,6 +515,24 @@ class HtmlParserSpec extends AnyFunSuite {
       body.children.collect { case e: Element => e.tag } == Vector("p", "span"))
   }
 
+  test("in-select mode: non-option start tags are ignored, closers close") {
+    // a <div> inside a select is IGNORED (its text still inserts)
+    assert(flat("<select><div>x</div><option>a</select>") ==
+      "<select>x<option>a</option></select>")
+    // option/optgroup pop their current siblings; hr is structural
+    assert(flat("<select><option>a<option>b<optgroup label=g><option>c</select>") ==
+      """<select><option>a</option><option>b</option><optgroup label="g"><option>c</option></optgroup></select>""")
+    // a nested <select> start acts as </select>
+    assert(flat("<select><option>a<select>z") ==
+      "<select><option>a</option></select>z")
+    // input closes the select and reprocesses as a normal void
+    assert(flat("<select><option>a<input>") ==
+      "<select><option>a</option></select><input>")
+    // formatting does not reconstruct inside a select
+    assert(flat("<p><b>x<p><select><option>y</select>") ==
+      "<p><b>x</b></p><p><b><select><option>y</option></select></b></p>")
+  }
+
   test("foreign end tags match foreign elements; namespaces recorded on the tree") {
     val root = parse("""<svg><g><rect/></g></svg><p>x</p>""")
     val svg = root.children.head.asInstanceOf[Element]
