@@ -42,7 +42,23 @@ import scala.collection.mutable
   * the breakout start-tag list, honored self-closing syntax, CDATA
   * sections, and case-preserving serialization with explicit end tags —
   * so an inline SVG inside a property subtree re-serializes into an
-  * rdf:HTML literal byte-compatibly with jsdom's innerHTML.
+  * rdf:HTML literal byte-compatibly with jsdom's innerHTML. r18 also
+  * adds RCDATA (title/textarea), the full raw-text set, the pre/listing
+  * leading-LF rules with the serializer's compensating LF, the in-body
+  * end-tag scope rules (scope-checked block closes, special-barrier
+  * "any other" closes, non-popping body/html), the stray-</p> /
+  * </br> / any-rank-heading / <image> special cases, and the in-select
+  * insertion mode.
+  *
+  * Remaining divergences from a full WHATWG tree builder, ledgered:
+  * html/head/body wrappers are ordinary elements and are NOT
+  * synthesized when absent (the RDFa walk and rdf:HTML literals never
+  * include them, so tree shape above the first attributed element is
+  * immaterial); always standards mode (no quirks — affects only
+  * quirks-document table-in-p nesting); no in-frameset/after-body
+  * modes (frameset documents carry no besluit RDFa); input is an
+  * already-decoded String (charset sniffing is the ingest layer's
+  * concern, sources/PageSource).
   */
 object HtmlParser {
 
