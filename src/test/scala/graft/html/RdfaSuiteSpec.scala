@@ -39,7 +39,8 @@ class RdfaSuiteSpec extends AnyFunSuite {
     "vocab-reset-empty", "resource-fallback-href", "time-no-datetime",
     "implied-center-close", "implied-table-sections",
     "foster-text-in-table", "foster-element-in-table", "scope-close-p",
-    "formatting-across-p", "formatting-in-list", "svg-in-property")
+    "formatting-across-p", "formatting-in-list", "svg-in-property",
+    "scope-end-tag-ignored")
 
   // The FIXTURES.md §3a ledger is the conformance contract; its literal
   // case count drifted once (r13 added 3 cases without touching the
