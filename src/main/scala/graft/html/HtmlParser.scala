@@ -127,7 +127,7 @@ object HtmlParser {
     * inside a table cell cannot close a div outside the cell (jsdom). */
   private val scopedEndTags = Set("address", "article", "aside",
     "blockquote", "button", "center", "details", "dialog", "dir", "div",
-    "dl", "fieldset", "figcaption", "figure", "footer", "form", "header",
+    "dl", "fieldset", "figcaption", "figure", "footer", "header",
     "hgroup", "listing", "main", "menu", "nav", "ol", "pre", "search",
     "section", "summary", "ul", "li", "dd", "dt")
 
@@ -294,6 +294,12 @@ object HtmlParser {
 
     def onStack(b: Builder): Boolean = stack.exists(_ eq b)
 
+    // the form element POINTER (WHATWG): while a form is open, further
+    // <form> start tags are ignored outright, and </form> removes
+    // exactly the pointed-to node from the stack — leaving any still-
+    // open descendants attached and open, as jsdom does
+    var formPtr: Builder = null
+
     // --- tree edits (the lazy builder tree: children hold built Nodes
     // --- and still-open/closed Builders alike; Element conversion is a
     // --- single pass at EOF, so the adoption agency can move and clone
@@ -438,6 +444,19 @@ object HtmlParser {
           defaultScopeBarrier(b.tag) || foreignScopeBarrier(b))
         if (idx >= 0 && headingTags(stack(idx).tag)) popThrough(idx)
       case t if formattingTags(t) => adoptionAgency(t)
+      case "form" =>
+        // </form> clears the pointer and removes THAT node from the
+        // stack wherever it sits (scope-checked) — still-open
+        // descendants stay open and attached
+        val node = formPtr
+        formPtr = null
+        if (node != null) {
+          val idx = stack.indexWhere(_ eq node)
+          val scopeIdx = stack.indexWhere(b => (b eq node) ||
+            defaultScopeBarrier(b.tag) || foreignScopeBarrier(b))
+          if (idx >= 0 && scopeIdx >= 0 && (stack(scopeIdx) eq node))
+            stack.remove(idx)
+        }
       case t if scopedEndTags(t) =>
         // scope-checked close: out-of-scope end tags are IGNORED (the
         // generate-implied-end-tags step is subsumed by the pop walk)
@@ -629,7 +648,22 @@ object HtmlParser {
       // act-as-</table> rule), and inside a CELL a nested table is
       // legal in-body content
       val allowFoster = !tableLegal(tag) && tag != "table"
-      if (tag == "svg" || tag == "math") {
+      if (tag == "form") {
+        if (formPtr != null && onStack(formPtr)) () // nested form: ignored
+        else {
+          val b = new Builder(tag, attrs)
+          insertAppropriately(b, allowFoster = false)
+          if (fosterContext(stack.top.tag)) {
+            // in-table <form> is inserted WITHOUT pushing (and without
+            // fostering): the empty form sits in the table structure and
+            // content continues at the table context (spec)
+            formPtr = b
+          } else {
+            stack.push(b)
+            formPtr = b
+          }
+        }
+      } else if (tag == "svg" || tag == "math") {
         // entering foreign content: the element keeps its namespace,
         // attribute names are case-adjusted, and (unlike HTML voids)
         // self-closing syntax is honored for the root itself
@@ -946,8 +980,14 @@ object HtmlParser {
       case "option" | "optgroup" =>
         // in-body: both starts pop a current OPTION only; optgroup does
         // NOT close an open optgroup outside a select (spec-literal,
-        // like jsdom — the in-select rules are not modelled)
+        // like jsdom — the in-select rules run in the parse loop)
         if (stack.top.tag == "option") pop()
+      case "button" =>
+        // in-body: a <button> start with a button in scope closes it
+        // first — buttons never nest
+        val idx = stack.indexWhere(b => b.tag == "button" ||
+          buttonScopeBarrier(b.tag) || foreignScopeBarrier(b))
+        if (idx >= 0 && stack(idx).tag == "button") popThrough(stack, idx, pop)
       case _ => ()
     }
   }

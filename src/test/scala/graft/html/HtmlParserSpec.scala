@@ -533,6 +533,27 @@ class HtmlParserSpec extends AnyFunSuite {
       "<p><b>x</b></p><p><b><select><option>y</option></select></b></p>")
   }
 
+  test("buttons never nest: a <button> start closes the open one") {
+    assert(flat("<button>a<button>b</button>") ==
+      "<button>a</button><button>b</button>")
+  }
+
+  test("form pointer: nested <form> ignored; </form> removes only the form node") {
+    // the second <form> start is ignored outright while one is open
+    assert(flat("""<form action="1">a<form action="2">b</form>""") ==
+      """<form action="1">ab</form>""")
+    // </form> removes exactly the form from the open stack — the div
+    // stays OPEN and attached, trailing text lands inside it
+    assert(flat("<form><div>a</form>b</div>") == "<form><div>ab</div></form>")
+    // after a close, a new form may open again
+    assert(flat("<form>a</form><form>b</form>") ==
+      "<form>a</form><form>b</form>")
+    // in-table <form> inserts WITHOUT pushing: the row keeps parsing at
+    // the table context and the form sits empty in the structure
+    assert(flat("<table><form><tr><td>x</table>") ==
+      "<table><form></form><tr><td>x</td></tr></table>")
+  }
+
   test("foreign end tags match foreign elements; namespaces recorded on the tree") {
     val root = parse("""<svg><g><rect/></g></svg><p>x</p>""")
     val svg = root.children.head.asInstanceOf[Element]
