@@ -918,8 +918,8 @@ object HtmlParser {
     * pop everything down to and including the nearest open `p`, unless a
     * scope barrier intervenes. `<p>a<b>c<p>d`: the second p start closes
     * the first p AND the b — matching jsdom's literal extents for a
-    * `<p property=…>` (the reconstruction of active formatting elements
-    * around "d" is NOT mirrored; see the class doc). */
+    * `<p property=…>`; the popped b stays in the active formatting list
+    * and reconstructs around "d" (see reconstructAfe in parse). */
   private def closePInButtonScope(stack: mutable.Stack[Builder],
       pop: () => Unit): Unit = {
     val idx = stack.indexWhere(b => b.tag == "p" ||
