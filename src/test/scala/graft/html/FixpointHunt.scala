@@ -19,7 +19,9 @@ object FixpointHunt {
     val junk = Seq("<", ">", "&", "\"", "'", "=", "/", "<!--", "-->", "<!",
       "]]>", "&#x41;", "&#999999999;", "&bogus;", " ", "�", "<<>>",
       "</", "<a", "=\"", "a:b", "[a:b]", "_:x", "\n", "\t", "ab", "<![CDATA[", "<![CDATA[x]]>")
-    val rnd = new scala.util.Random(42)
+    // seed configurable: `Test/runMain graft.html.FixpointHunt [seed]`
+    val rnd = new scala.util.Random(
+      if (args.nonEmpty) args(0).toLong else 42L)
     def frag(): String = rnd.nextInt(4) match {
       case 0 => s"<${tags(rnd.nextInt(tags.size))}>"
       case 1 => s"</${tags(rnd.nextInt(tags.size))}>"
