@@ -124,12 +124,15 @@ object HtmlParser {
 
   /** End tags with their own in-body branch: close the nearest match IN
     * DEFAULT SCOPE, ignored when a barrier intervenes — a `</div>` from
-    * inside a table cell cannot close a div outside the cell (jsdom). */
+    * inside a table cell cannot close a div outside the cell (jsdom).
+    * `li` is NOT here: its end tag runs in LIST ITEM scope (default
+    * scope plus ol/ul barriers) via its own branch; dd/dt stay on
+    * default scope per the spec. */
   private val scopedEndTags = Set("address", "article", "aside",
     "blockquote", "button", "center", "details", "dialog", "dir", "div",
     "dl", "fieldset", "figcaption", "figure", "footer", "header",
     "hgroup", "listing", "main", "menu", "nav", "ol", "pre", "search",
-    "section", "summary", "ul", "li", "dd", "dt")
+    "section", "summary", "ul", "dd", "dt")
 
   /** End tags that keep the lenient pop-to-nearest-match close (the
     * table/select families run their own clear-the-stack modes, which
@@ -457,6 +460,14 @@ object HtmlParser {
           if (idx >= 0 && scopeIdx >= 0 && (stack(scopeIdx) eq node))
             stack.remove(idx)
         }
+      case "li" =>
+        // LIST ITEM scope: default scope plus ol/ul as barriers — a
+        // `</li>` from inside a nested list cannot close the outer li
+        // (`<li>a<ul>b</li>c` keeps "c" inside the nested ul, jsdom)
+        val idx = stack.indexWhere(b => b.tag == "li" ||
+          b.tag == "ol" || b.tag == "ul" ||
+          defaultScopeBarrier(b.tag) || foreignScopeBarrier(b))
+        if (idx >= 0 && stack(idx).tag == "li") popThrough(idx)
       case t if scopedEndTags(t) =>
         // scope-checked close: out-of-scope end tags are IGNORED (the
         // generate-implied-end-tags step is subsumed by the pop walk)
@@ -468,21 +479,28 @@ object HtmlParser {
         // in-body </body>/</html> switch insertion modes without popping:
         // trailing content stays INSIDE the body, as jsdom nests it
         ()
-      case t =>
-        // "any other end tag": walk down the stack; a matching HTML
-        // element pops through, but a SPECIAL element reached first
-        // means the token is ignored ("<span><div>x</span>" leaves the
-        // div open — jsdom's tree)
-        var i2 = 0
-        var done = false
-        while (!done) {
-          val b = stack(i2)
-          if (b.tag == "#root") done = true
-          else if (b.tag == t && b.ns == "html") { popThrough(i2); done = true }
-          else if ((b.ns == "html" && specialCategory(b.tag)) ||
-            foreignScopeBarrier(b)) done = true // ignore the token
-          else i2 += 1
-        }
+      case t => anyOtherEndTag(t)
+    }
+
+    /** The spec's "any other end tag" walk: pop through the nearest
+      * matching HTML element, but IGNORE the token once a special
+      * element is reached first ("<span><div>x</span>" leaves the div
+      * open — jsdom's tree). Also the adoption agency's no-AFE-entry
+      * fallback: a formatting element still on the stack after a
+      * Noah's Ark eviction must not let its end tag pop through a
+      * special barrier (four <b>s, a <div>, four </b>s — jsdom
+      * ignores the last </b>). */
+    def anyOtherEndTag(t: String): Unit = {
+      var i2 = 0
+      var done = false
+      while (!done) {
+        val b = stack(i2)
+        if (b.tag == "#root") done = true
+        else if (b.tag == t && b.ns == "html") { popThrough(i2); done = true }
+        else if ((b.ns == "html" && specialCategory(b.tag)) ||
+          foreignScopeBarrier(b)) done = true // ignore the token
+        else i2 += 1
+      }
     }
 
     /** The WHATWG adoption agency algorithm (full form, outer loop
@@ -504,7 +522,7 @@ object HtmlParser {
         var fi = afe.length - 1
         while (fi >= 0 && !(afe(fi) eq AfeMarker) &&
           afe(fi).asInstanceOf[Builder].tag != subject) fi -= 1
-        if (fi < 0 || (afe(fi) eq AfeMarker)) { genericEndTag(subject); return }
+        if (fi < 0 || (afe(fi) eq AfeMarker)) { anyOtherEndTag(subject); return }
         val fe = afe(fi).asInstanceOf[Builder]
         val feIdx = stack.indexWhere(_ eq fe)
         if (feIdx < 0) { afe.remove(fi); return } // in AFE, not open: drop
@@ -649,7 +667,12 @@ object HtmlParser {
       // legal in-body content
       val allowFoster = !tableLegal(tag) && tag != "table"
       if (tag == "form") {
-        if (formPtr != null && onStack(formPtr)) () // nested form: ignored
+        // the spec's form-element pointer rule: a <form> start tag is
+        // ignored whenever the pointer is non-null — even if the
+        // pointed-to form was already popped implicitly (only </form>
+        // clears the pointer), so '<div><form></div><form>' drops the
+        // second form like jsdom
+        if (formPtr != null) ()
         else {
           val b = new Builder(tag, attrs)
           insertAppropriately(b, allowFoster = false)
@@ -768,6 +791,16 @@ object HtmlParser {
                 handleHtmlOpen(tag, attrs, selfClosing)
               case "script" | "template" =>
                 handleHtmlOpen(tag, attrs, selfClosing)
+              case "caption" | "table" | "tbody" | "tfoot" | "thead" |
+                  "tr" | "td" | "th"
+                  if stack.drop(selIdx + 1)
+                    .exists(b => b.ns == "html" && b.tag == "table") =>
+                // "in select in table" (select opened inside a table):
+                // a structural start tag pops the select and reprocesses
+                // — so '<table><tr><td><select><td property=…>' keeps
+                // the second cell instead of dropping it (jsdom)
+                popThrough(selIdx)
+                handleHtmlOpen(tag, attrs, selfClosing)
               case _ => () // ignored in select
             } else handleHtmlOpen(tag, attrs, selfClosing)
           }
@@ -778,18 +811,27 @@ object HtmlParser {
           if (stack.top.ns == "html" && openSelectIdx >= 0) {
             // in-select end tags: </select> pops it; option/optgroup pop
             // their current element (an option directly under a closing
-            // optgroup pops with it); everything else is ignored
+            // optgroup pops with it); a table-family end tag whose
+            // element is open BELOW the select ("in select in table")
+            // pops the select and reprocesses; everything else ignored
+            val selIdx = openSelectIdx
+            handled = true
             tag match {
-              case "select" => popThrough(openSelectIdx)
+              case "select" => popThrough(selIdx)
               case "option" =>
                 if (stack.top.tag == "option") finish()
               case "optgroup" =>
                 if (stack.top.tag == "option" && stack(1).tag == "optgroup")
                   finish()
                 if (stack.top.tag == "optgroup") finish()
+              case "caption" | "table" | "tbody" | "tfoot" | "thead" |
+                  "tr" | "td" | "th"
+                  if stack.drop(selIdx + 1)
+                    .exists(b => b.ns == "html" && b.tag == tag) =>
+                popThrough(selIdx)
+                handled = false // reprocess via htmlEndTag below
               case _ => ()
             }
-            handled = true
           }
           if (!handled && stack.top.ns != "html") {
             // foreign end tag: pop to the nearest matching FOREIGN

@@ -564,4 +564,61 @@ class HtmlParserSpec extends AnyFunSuite {
     val p = root.children(1).asInstanceOf[Element]
     assert(p.ns == "html")
   }
+
+  test("</li> runs in LIST ITEM scope: a nested ul is a barrier") {
+    // jsdom ignores the </li> (the ul blocks the walk), so "c" stays
+    // inside the nested list — not hoisted past the li
+    assert(flat("<ul><li>a<ul>b</li>c</ul></ul>") ==
+      "<ul><li>a<ul>bc</ul></li></ul>")
+    // ol is a barrier too
+    assert(flat("<ol><li>a<ol>b</li>c</ol></ol>") ==
+      "<ol><li>a<ol>bc</ol></li></ol>")
+    // without an intervening list the close still works through
+    // phrasing (and the popped <b> reconstructs around "c", spec)
+    assert(flat("<ul><li>a<b>x</li>c</ul>") ==
+      "<ul><li>a<b>x</b></li><b>c</b></ul>")
+    // dd/dt stay on DEFAULT scope: a nested ul is NOT a barrier for them
+    assert(flat("<dl><dd>a<ul>b</dd>c</dl>") ==
+      "<dl><dd>a<ul>b</ul></dd>c</dl>")
+  }
+
+  test("form pointer persists after an implicit pop: later <form> still ignored") {
+    // '<div><form></div>' pops the form implicitly WITHOUT clearing the
+    // pointer (only </form> does) — jsdom ignores the next <form>
+    assert(flat("""<div><form></div><form action="2">x""") ==
+      "<div><form></form></div>x")
+    // an explicit </form> clears the pointer even when the form was
+    // already off the stack, so a third form opens normally
+    assert(flat("<div><form></div></form><form>x</form>") ==
+      "<div><form></form></div><form>x</form>")
+  }
+
+  test("in select in table: structural tags pop the select and reprocess") {
+    // a <td> start inside '<table><tr><td><select>' closes the select
+    // and opens the next cell (jsdom) instead of being dropped
+    assert(flat("<table><tr><td><select><option>a<td>b</table>") ==
+      "<table><tr><td><select><option>a</option></select></td><td>b</td></tr></table>")
+    // <tr> likewise starts a new row
+    assert(flat("<table><tr><td><select><tr><td>b</table>") ==
+      "<table><tr><td><select></select></td></tr><tr><td>b</td></tr></table>")
+    // </table> whose table is open below the select closes both
+    assert(flat("<table><tr><td><select><option>a</table>z") ==
+      "<table><tr><td><select><option>a</option></select></td></tr></table>z")
+    // a select NOT inside a table keeps plain in-select behavior:
+    // the structural tag is ignored
+    assert(flat("<select><option>a<td>b</select>") ==
+      "<select><option>ab</option></select>")
+  }
+
+  test("adoption agency no-AFE-entry fallback ignores across special barriers") {
+    // Noah's Ark caps identical AFE entries at 3: the fourth <b>
+    // evicts the first from the list but it stays on the stack; after
+    // a <div>, the fourth </b> finds no AFE entry and must NOT pop
+    // through the div (jsdom ignores it)
+    val doc = "<b>1<b>2<b>3<b>4<div>x</b></b></b></b>y"
+    val r = flat(doc)
+    // the div must still be open when "y" arrives: y inside the div
+    assert(r.contains("y</div>") || r.matches(".*<div>.*y.*</div>.*"),
+      s"div closed early: $r")
+  }
 }

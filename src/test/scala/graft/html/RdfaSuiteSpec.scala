@@ -57,6 +57,19 @@ class RdfaSuiteSpec extends AnyFunSuite {
         s"RdfaSuiteSpec registers ${cases.size}")
   }
 
+  // README.md cites the same count in prose and drifted once (r18 left
+  // it at 51 after the suite reached 54) — guard it the same way.
+  test("README.md conformance count matches the registered case list") {
+    val f = new java.io.File("README.md")
+    assume(f.isFile, "README.md not at cwd (non-sbt runner) — skipping")
+    val text = scala.io.Source.fromFile(f, "UTF-8").mkString
+    val m = "conformance fixture suite \\((\\d+) cases".r.findFirstMatchIn(text)
+    assert(m.isDefined, "README.md no longer states the fixture count")
+    assert(m.get.group(1).toInt == cases.size,
+      s"README.md says '${m.get.group(1)} cases' but RdfaSuiteSpec " +
+        s"registers ${cases.size}")
+  }
+
   private def slurp(name: String): String = {
     val in = getClass.getResourceAsStream(s"/rdfa11/$name")
     require(in != null, s"missing fixture resource rdfa11/$name")
