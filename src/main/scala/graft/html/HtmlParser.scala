@@ -50,15 +50,23 @@ import scala.collection.mutable
   * </br> / any-rank-heading / <image> special cases, and the in-select
   * insertion mode.
   *
+  * Since r19 the parser is doctype-aware: the WHATWG initial-mode
+  * classification (no-quirks / limited-quirks / quirks, including the
+  * legacy public-identifier tables) runs on the first doctype token,
+  * a document with no doctype before content is FULL QUIRKS (like
+  * jsdom's BackCompat for harvested legacy pages), and the one
+  * quirks-gated tree-builder rule is honored: a <table> start does
+  * not close an open p in quirks mode, so a table inside an annotated
+  * paragraph keeps jsdom's quirks literal extents.
+  *
   * Remaining divergences from a full WHATWG tree builder, ledgered:
   * html/head/body wrappers are ordinary elements and are NOT
   * synthesized when absent (the RDFa walk and rdf:HTML literals never
   * include them, so tree shape above the first attributed element is
-  * immaterial); always standards mode (no quirks — affects only
-  * quirks-document table-in-p nesting); no in-frameset/after-body
-  * modes (frameset documents carry no besluit RDFa); input is an
-  * already-decoded String (charset sniffing is the ingest layer's
-  * concern, sources/PageSource).
+  * immaterial); no in-frameset/after-body modes (frameset documents
+  * carry no besluit RDFa); input is an already-decoded String
+  * (charset sniffing is the ingest layer's concern,
+  * sources/PageSource).
   */
 object HtmlParser {
 
@@ -277,6 +285,99 @@ object HtmlParser {
     }
 
   /** Parse a full document; returns a synthetic root element. */
+  /** The spec's legacy quirks-mode public-identifier PREFIXES (matched
+    * ASCII case-insensitively; stored lowercased). A harvested page
+    * carrying any of these ancient DTDs parses in full quirks mode. */
+  private val quirkyPublicPrefixes: Array[String] = Array(
+    "+//silmaril//dtd html pro v0r11 19970101//",
+    "-//as//dtd html 3.0 aswedit + extensions//",
+    "-//advasoft ltd//dtd html 3.0 aswedit + extensions//",
+    "-//ietf//dtd html 2.0 level 1//",
+    "-//ietf//dtd html 2.0 level 2//",
+    "-//ietf//dtd html 2.0 strict level 1//",
+    "-//ietf//dtd html 2.0 strict level 2//",
+    "-//ietf//dtd html 2.0 strict//",
+    "-//ietf//dtd html 2.0//",
+    "-//ietf//dtd html 2.1e//",
+    "-//ietf//dtd html 3.0//",
+    "-//ietf//dtd html 3.2 final//",
+    "-//ietf//dtd html 3.2//",
+    "-//ietf//dtd html 3//",
+    "-//ietf//dtd html level 0//",
+    "-//ietf//dtd html level 1//",
+    "-//ietf//dtd html level 2//",
+    "-//ietf//dtd html level 3//",
+    "-//ietf//dtd html strict level 0//",
+    "-//ietf//dtd html strict level 1//",
+    "-//ietf//dtd html strict level 2//",
+    "-//ietf//dtd html strict level 3//",
+    "-//ietf//dtd html strict//",
+    "-//ietf//dtd html//",
+    "-//metrius//dtd metrius presentational//",
+    "-//microsoft//dtd internet explorer 2.0 html strict//",
+    "-//microsoft//dtd internet explorer 2.0 html//",
+    "-//microsoft//dtd internet explorer 2.0 tables//",
+    "-//microsoft//dtd internet explorer 3.0 html strict//",
+    "-//microsoft//dtd internet explorer 3.0 html//",
+    "-//microsoft//dtd internet explorer 3.0 tables//",
+    "-//netscape comm. corp.//dtd html//",
+    "-//netscape comm. corp.//dtd strict html//",
+    "-//o'reilly and associates//dtd html 2.0//",
+    "-//o'reilly and associates//dtd html extended 1.0//",
+    "-//o'reilly and associates//dtd html extended relaxed 1.0//",
+    "-//sq//dtd html 2.0 hotmetal + extensions//",
+    "-//softquad software//dtd hotmetal pro 6.0::19990601::extensions to html 4.0//",
+    "-//softquad//dtd hotmetal pro 4.0::19971010::extensions to html 4.0//",
+    "-//spyglass//dtd html 2.0 extended//",
+    "-//sun microsystems corp.//dtd hotjava html//",
+    "-//sun microsystems corp.//dtd hotjava strict html//",
+    "-//w3c//dtd html 3 1995-03-24//",
+    "-//w3c//dtd html 3.2 draft//",
+    "-//w3c//dtd html 3.2 final//",
+    "-//w3c//dtd html 3.2//",
+    "-//w3c//dtd html 3.2s draft//",
+    "-//w3c//dtd html 4.0 frameset//",
+    "-//w3c//dtd html 4.0 transitional//",
+    "-//w3c//dtd html experimental 19960712//",
+    "-//w3c//dtd html experimental 970421//",
+    "-//w3c//dtd w3 html//",
+    "-//w3o//dtd w3 html 3.0//",
+    "-//webtechs//dtd mozilla html 2.0//",
+    "-//webtechs//dtd mozilla html//")
+
+  /** Exact-match quirky public identifiers (lowercased). */
+  private val quirkyPublicIds = Set(
+    "-//w3o//dtd w3 html strict 3.0//en//",
+    "-/w3c/dtd html 4.0 transitional/en",
+    "html")
+
+  /** WHATWG doctype classification — the "initial insertion mode"
+    * rules jsdom applies (reference: lib/rdfa-extractor.js:72-84
+    * parses whatever jsdom builds, quirks included). Returns
+    * "quirks", "limited-quirks" or "no-quirks"; a document with NO
+    * doctype at all is full quirks (callers handle that case — this
+    * classifies a doctype that was present). */
+  def classifyDoctype(name: String, publicId: Option[String],
+      systemId: Option[String], forceQuirks: Boolean): String = {
+    val pid = publicId.getOrElse("").toLowerCase(java.util.Locale.ROOT)
+    val sid = systemId.map(_.toLowerCase(java.util.Locale.ROOT))
+    val html401FramesetOrTransitional =
+      pid.startsWith("-//w3c//dtd html 4.01 frameset//") ||
+        pid.startsWith("-//w3c//dtd html 4.01 transitional//")
+    if (forceQuirks || name != "html" ||
+        quirkyPublicIds(pid) ||
+        sid.contains(
+          "http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd") ||
+        quirkyPublicPrefixes.exists(pid.startsWith) ||
+        (systemId.isEmpty && html401FramesetOrTransitional))
+      "quirks"
+    else if (pid.startsWith("-//w3c//dtd xhtml 1.0 frameset//") ||
+        pid.startsWith("-//w3c//dtd xhtml 1.0 transitional//") ||
+        (systemId.nonEmpty && html401FramesetOrTransitional))
+      "limited-quirks"
+    else "no-quirks"
+  }
+
   def parse(html: String): Element = {
     // WHATWG input-stream preprocessing: CRLF and lone CR normalize to
     // LF before tokenization — a property literal from a Windows-
@@ -296,6 +397,16 @@ object HtmlParser {
     val afe = mutable.ArrayBuffer[AnyRef]()
 
     def onStack(b: Builder): Boolean = stack.exists(_ eq b)
+
+    // The document mode, decided by the INITIAL insertion mode: null
+    // while still before any content; the first doctype classifies it,
+    // and any non-whitespace character or tag arriving first locks in
+    // full quirks (no-doctype legacy pages — common in old government
+    // harvests). Later doctype tokens are ignored, per the spec. The
+    // one tree-builder behavior it gates: in quirks mode a <table>
+    // start does NOT close an open p (jsdom nests the table inside).
+    var docMode: String = null
+    def quirks: Boolean = docMode == "quirks"
 
     // the form element POINTER (WHATWG): while a form is open, further
     // <form> start tags are ignored outright, and </form> removes
@@ -635,7 +746,7 @@ object HtmlParser {
       // in-body "<image>" is a parse error handled as "<img>" (spec +
       // jsdom: "Don't ask.")
       val tag = if (tag0 == "image") "img" else tag0
-      impliedEndTags(stack, tag, popFn)
+      impliedEndTags(stack, tag, popFn, quirks)
         // nested-anchor rule (in-body <a>): an <a> in the formatting
         // list since the last marker is force-closed by the adoption
         // agency before the new one opens — jsdom never nests anchors
@@ -709,9 +820,15 @@ object HtmlParser {
 
     // a leading LF right after <pre>/<listing> is dropped (in-body rule)
     var dropLeadingLf = false
+    def leaveInitial(): Unit = if (docMode == null) docMode = "quirks"
     tokens.foreach { tok =>
       tok match {
+        case Tok.Doctype(name, pub, sys, force) =>
+          if (docMode == null)
+            docMode = classifyDoctype(name, pub, sys, force)
         case Tok.Text(t0) =>
+          if (t0.exists(c => c != ' ' && c != '\t' && c != '\n' &&
+            c != '\f' && c != '\r')) leaveInitial()
           // EMPTY pseudo-text tokens (comments, doctypes, bogus end tags
           // emit these) are invisible: they must not consume the
           // leading-LF drop, or "<pre></>\n" would keep a newline that a
@@ -736,6 +853,7 @@ object HtmlParser {
             }
           }
         case Tok.Open(tag, attrs, selfClosing) =>
+          leaveInitial()
           if (foreignMode(Some(tag))) {
             val breakout = foreignBreakout(tag) || (tag == "font" &&
               (attrs.contains("color") || attrs.contains("face") ||
@@ -806,6 +924,7 @@ object HtmlParser {
           }
           dropLeadingLf = tag == "pre" || tag == "listing"
         case Tok.Close(tag) =>
+          leaveInitial()
           dropLeadingLf = false
           var handled = false
           if (stack.top.ns == "html" && openSelectIdx >= 0) {
@@ -980,17 +1099,20 @@ object HtmlParser {
   }
 
   private def impliedEndTags(stack: mutable.Stack[Builder], tag: String,
-      pop: () => Unit): Unit = {
+      pop: () => Unit, quirks: Boolean): Unit = {
     def inTable = stack.exists(_.tag == "table")
     tag match {
       case "table" =>
         // in-body table start closes a p in button scope like the rest
-        // of the closesP family — AND, at a TABLE insertion point,
+        // of the closesP family — but ONLY outside quirks mode (the
+        // spec's single quirks-gated tree-builder rule: a doctype-less
+        // legacy page keeps the table INSIDE the paragraph, jsdom) —
+        // AND, at a TABLE insertion point,
         // WHATWG in-table acts as </table> first: "<table><table>"
         // builds two sibling tables ("<table><tr><table>" ends the row
         // with its table). Inside a cell or caption the content mode is
         // in-body again, where a nested table is legal and stays nested.
-        closePInButtonScope(stack, pop)
+        if (!quirks) closePInButtonScope(stack, pop)
         val idx = stack.indexWhere(b => b.tag == "table" || b.tag == "td" ||
           b.tag == "th" || b.tag == "caption" || b.tag == "#root")
         if (idx >= 0 && stack(idx).tag == "table") popThrough(stack, idx, pop)
@@ -1109,6 +1231,10 @@ object HtmlParser {
     final case class Open(tag: String, attrs: Map[String, String],
         selfClosing: Boolean) extends T
     final case class Close(tag: String) extends T
+    /** A DOCTYPE token with the fields the initial insertion mode
+      * classifies on. `name` is lowercased; ids are verbatim. */
+    final case class Doctype(name: String, publicId: Option[String],
+        systemId: Option[String], forceQuirks: Boolean) extends T
   }
 
   private final class Tokenizer(s: String) extends Iterator[Tok.T] {
@@ -1171,6 +1297,9 @@ object HtmlParser {
         }
         return Tok.Text("")
       }
+      if (i + 1 < s.length && s(i + 1) == '!' &&
+          s.regionMatches(true, i + 2, "doctype", 0, 7))
+        return parseDoctype()
       if (i + 1 < s.length && (s(i + 1) == '!' || s(i + 1) == '?')) {
         val end = s.indexOf('>', i)
         i = if (end < 0) s.length else end + 1
@@ -1228,6 +1357,58 @@ object HtmlParser {
           i += 1
           Tok.Text("<")
       }
+    }
+
+    /** The WHATWG DOCTYPE tokenizer states, collapsed: name, optional
+      * PUBLIC/SYSTEM keywords with quote-delimited identifiers (a '>'
+      * INSIDE a quoted id does not end the tag), force-quirks on the
+      * spec's malformed paths — missing name, junk after the name,
+      * missing/abrupt (unquoted-terminated) identifiers, EOF. Entered
+      * on a case-insensitive "<!doctype" at `i`. */
+    private def parseDoctype(): Tok.Doctype = {
+      var j = i + 9 // past "<!doctype"
+      def isWs(c: Char) =
+        c == ' ' || c == '\t' || c == '\n' || c == '\f'
+      def skipWs(): Unit = while (j < s.length && isWs(s(j))) j += 1
+      var force = false
+      skipWs()
+      if (j >= s.length) { i = s.length
+        return Tok.Doctype("", None, None, forceQuirks = true) }
+      if (s(j) == '>') { i = j + 1
+        return Tok.Doctype("", None, None, forceQuirks = true) }
+      val nameStart = j
+      while (j < s.length && !isWs(s(j)) && s(j) != '>') j += 1
+      val name = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+      skipWs()
+      var publicId: Option[String] = None
+      var systemId: Option[String] = None
+      // reads a quote-delimited identifier at j; a missing opening quote
+      // or an id ended by '>'/EOF instead of the quote sets force-quirks
+      def readQuoted(): Option[String] =
+        if (j < s.length && (s(j) == '"' || s(j) == '\'')) {
+          val q = s(j); j += 1
+          val start = j
+          while (j < s.length && s(j) != q && s(j) != '>') j += 1
+          val v = s.substring(start, j)
+          if (j < s.length && s(j) == q) { j += 1; Some(v) }
+          else { force = true; Some(v) }
+        } else { force = true; None }
+      if (j < s.length && s(j) != '>') {
+        if (s.regionMatches(true, j, "public", 0, 6)) {
+          j += 6; skipWs()
+          publicId = readQuoted()
+          skipWs()
+          if (j < s.length && s(j) != '>') systemId = readQuoted()
+        } else if (s.regionMatches(true, j, "system", 0, 6)) {
+          j += 6; skipWs()
+          systemId = readQuoted()
+        } else force = true // junk after the name: bogus DOCTYPE
+      }
+      // bogus-DOCTYPE state: consume to '>' (EOF forces quirks)
+      while (j < s.length && s(j) != '>') j += 1
+      if (j >= s.length) { force = true; i = s.length }
+      else i = j + 1
+      Tok.Doctype(name, publicId, systemId, force)
     }
 
     private def parseOpenTag(): Option[Tok.Open] = {

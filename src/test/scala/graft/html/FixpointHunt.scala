@@ -19,13 +19,28 @@ object FixpointHunt {
     val junk = Seq("<", ">", "&", "\"", "'", "=", "/", "<!--", "-->", "<!",
       "]]>", "&#x41;", "&#999999999;", "&bogus;", " ", "�", "<<>>",
       "</", "<a", "=\"", "a:b", "[a:b]", "_:x", "\n", "\t", "ab", "<![CDATA[", "<![CDATA[x]]>")
+    // r19: doctype preambles (quirks vs standards gates table-in-p) and
+    // foreign-content shapes — case-adjusted attrs, self-closing syntax,
+    // integration-point encodings — per the r18 verdict's item 7
+    val doctypes = Seq("", "", "", "", "<!DOCTYPE html>",
+      "<!DOCTYPE HTML PUBLIC \"-//W3C//DTD HTML 3.2//EN\">",
+      "<!DOCTYPE HTML PUBLIC \"-//W3C//DTD HTML 4.01 Transitional//EN\">",
+      "<!DOCTYPE>", "<!DOCTYPE html SYSTEM \"a>b\">",
+      "<!DOCTYPE html PUBLIC \"untermin")
+    val foreignAttrs = Seq("viewBox=\"0 0 1 1\"", "xlink:href=\"#x\"",
+      "definitionURL=\"d\"", "encoding=\"text/html\"",
+      "encoding=\"application/xhtml+xml\"", "color=\"red\"")
     // seed configurable: `Test/runMain graft.html.FixpointHunt [seed]`
     val rnd = new scala.util.Random(
       if (args.nonEmpty) args(0).toLong else 42L)
-    def frag(): String = rnd.nextInt(4) match {
+    def frag(): String = rnd.nextInt(6) match {
       case 0 => s"<${tags(rnd.nextInt(tags.size))}>"
       case 1 => s"</${tags(rnd.nextInt(tags.size))}>"
       case 2 => junk(rnd.nextInt(junk.size))
+      case 3 => s"<${tags(rnd.nextInt(tags.size))}/>"
+      case 4 =>
+        val t = tags(rnd.nextInt(tags.size))
+        s"<$t ${foreignAttrs(rnd.nextInt(foreignAttrs.size))}>"
       case _ => "w" + rnd.nextInt(10)
     }
     def flat(doc: String): String =
@@ -35,7 +50,8 @@ object FixpointHunt {
     var i = 0
     while (found < 8 && i < 200000) {
       i += 1
-      val doc = (0 until (1 + rnd.nextInt(6))).map(_ => frag()).mkString
+      val doc = doctypes(rnd.nextInt(doctypes.size)) +
+        (0 until (1 + rnd.nextInt(6))).map(_ => frag()).mkString
       if (bad(doc)) {
         // greedy shrink: drop chars while still failing
         var cur = doc

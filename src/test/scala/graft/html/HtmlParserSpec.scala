@@ -348,10 +348,14 @@ class HtmlParserSpec extends AnyFunSuite {
     // a PENDING b (popped by the second <p>'s scope walk) must NOT
     // reconstruct inside the cell — td pushes a formatting-list marker —
     // while text after the table reconstructs it again (the td close
-    // cleared the list back to the marker, re-exposing the pending b)
-    // (the table start itself closes the second p — standards mode)
-    assert(flat("<p><b>u<p><table><tr><td>x</td></tr></table>z") ==
+    // cleared the list back to the marker, re-exposing the pending b).
+    // With a doctype (standards mode) the table start closes the second p
+    assert(flat("<!DOCTYPE html><p><b>u<p><table><tr><td>x</td></tr></table>z") ==
       "<p><b>u</b></p><p></p><table><tr><td>x</td></tr></table><b>z</b>")
+    // doctype-less the page is QUIRKS (jsdom): the table stays INSIDE
+    // the second paragraph; the marker rule is unchanged
+    assert(flat("<p><b>u<p><table><tr><td>x</td></tr></table>z") ==
+      "<p><b>u</b></p><p><table><tr><td>x</td></tr></table><b>z</b></p>")
   }
 
   test("nested <a> start closes the open one (in-body anchor rule)") {
@@ -608,6 +612,98 @@ class HtmlParserSpec extends AnyFunSuite {
     // the structural tag is ignored
     assert(flat("<select><option>a<td>b</select>") ==
       "<select><option>ab</option></select>")
+  }
+
+  test("doctype classification: no-quirks / limited-quirks / quirks (WHATWG initial mode)") {
+    import HtmlParser.classifyDoctype
+    // the modern doctype and legacy-compat are standards mode
+    assert(classifyDoctype("html", None, None, forceQuirks = false) == "no-quirks")
+    assert(classifyDoctype("html", None, Some("about:legacy-compat"), false) == "no-quirks")
+    // HTML 4.01 Strict / XHTML 1.0 Strict are standards mode
+    assert(classifyDoctype("html", Some("-//W3C//DTD HTML 4.01//EN"),
+      Some("http://www.w3.org/TR/html4/strict.dtd"), false) == "no-quirks")
+    assert(classifyDoctype("html", Some("-//W3C//DTD XHTML 1.0 Strict//EN"),
+      Some("http://www.w3.org/TR/xhtml1/DTD/xhtml1-strict.dtd"), false) == "no-quirks")
+    // force-quirks flag, wrong name, bare "HTML" public id
+    assert(classifyDoctype("", None, None, forceQuirks = true) == "quirks")
+    assert(classifyDoctype("math", None, None, false) == "quirks")
+    assert(classifyDoctype("html", Some("HTML"), None, false) == "quirks")
+    // the legacy prefix list, matched case-insensitively
+    assert(classifyDoctype("html",
+      Some("-//W3C//DTD HTML 3.2//EN"), None, false) == "quirks")
+    assert(classifyDoctype("html",
+      Some("-//IETF//DTD HTML 2.0//EN"), None, false) == "quirks")
+    assert(classifyDoctype("html",
+      Some("-//netscape comm. corp.//dtd html//en"), None, false) == "quirks")
+    assert(classifyDoctype("html",
+      Some("-//W3C//DTD HTML 4.0 Transitional//EN"), None, false) == "quirks")
+    // the IBM system id
+    assert(classifyDoctype("html", None,
+      Some("http://www.ibm.com/data/dtd/v11/ibmxhtml1-transitional.dtd"),
+      false) == "quirks")
+    // HTML 4.01 Transitional/Frameset: quirks WITHOUT a system id,
+    // limited-quirks WITH one
+    assert(classifyDoctype("html",
+      Some("-//W3C//DTD HTML 4.01 Transitional//EN"), None, false) == "quirks")
+    assert(classifyDoctype("html",
+      Some("-//W3C//DTD HTML 4.01 Transitional//EN"),
+      Some("http://www.w3.org/TR/html4/loose.dtd"), false) == "limited-quirks")
+    assert(classifyDoctype("html",
+      Some("-//W3C//DTD HTML 4.01 Frameset//EN"), None, false) == "quirks")
+    // XHTML 1.0 Transitional/Frameset are limited-quirks
+    assert(classifyDoctype("html",
+      Some("-//W3C//DTD XHTML 1.0 Transitional//EN"),
+      Some("http://www.w3.org/TR/xhtml1/DTD/xhtml1-transitional.dtd"),
+      false) == "limited-quirks")
+  }
+
+  test("quirks mode: <table> does not close an open p (doctype-gated)") {
+    // NO doctype → quirks: the table nests INSIDE the annotated p
+    assert(flat("<p>a<table><tr><td>x</td></tr></table>b</p>") ==
+      "<p>a<table><tr><td>x</td></tr></table>b</p>")
+    // modern doctype → standards: the table is hoisted past the p (and
+    // the now-stray </p> synthesizes an empty paragraph, in-body rule)
+    assert(flat("<!DOCTYPE html><p>a<table><tr><td>x</td></tr></table>b</p>") ==
+      "<p>a</p><table><tr><td>x</td></tr></table>b<p></p>")
+    // an ANCIENT doctype (HTML 3.2) → quirks again
+    assert(flat("""<!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 3.2//EN"><p>a<table><tr><td>x</td></tr></table>b""") ==
+      "<p>a<table><tr><td>x</td></tr></table>b</p>")
+    // limited-quirks parses like standards (the gate is FULL quirks only)
+    assert(flat("""<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Transitional//EN" "http://www.w3.org/TR/xhtml1/DTD/xhtml1-transitional.dtd"><p>a<table><tr><td>x</td></tr></table>b""") ==
+      "<p>a</p><table><tr><td>x</td></tr></table>b")
+    // only the FIRST doctype counts, and only before content: a late
+    // ancient doctype cannot flip an already-standards document
+    assert(flat("""<!DOCTYPE html><!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 3.2//EN"><p>a<table></table>b""") ==
+      "<p>a</p><table></table>b")
+    assert(flat("""x<!DOCTYPE html><p>a<table></table>b""") ==
+      "x<p>a<table></table>b</p>")
+    // whitespace and comments before the doctype do NOT lock in quirks
+    // (the whitespace text itself stays at root — no before-html mode)
+    assert(flat("  <!-- c --> <!DOCTYPE html><p>a<table></table>b") ==
+      "   <p>a</p><table></table>b")
+    // every other p-closing start tag is mode-independent: a quirks
+    // <div> still closes the p
+    assert(flat("<p>a<div>b</div>") == "<p>a</p><div>b</div>")
+  }
+
+  test("malformed doctypes force quirks; quoted ids survive embedded '>'") {
+    // missing name
+    assert(flat("<!DOCTYPE><p>a<table></table>b") ==
+      "<p>a<table></table>b</p>")
+    // junk keyword after the name
+    assert(flat("<!DOCTYPE html BOGUS><p>a<table></table>b") ==
+      "<p>a<table></table>b</p>")
+    // PUBLIC with an unquoted id
+    assert(flat("<!DOCTYPE html PUBLIC foo><p>a<table></table>b") ==
+      "<p>a<table></table>b</p>")
+    // a '>' INSIDE a quoted id ends the doctype per the tokenizer's
+    // abrupt-system-identifier rule (force-quirks; the rest is text)
+    assert(flat("""<!DOCTYPE html SYSTEM "about:legacy>compat"><p>a<table></table>b""") ==
+      """compat"&gt;<p>a<table></table>b</p>""")
+    // abrupt public id (closed by '>' instead of the quote) → quirks,
+    // and the tag ends at that '>' so the content still parses
+    assert(flat("""<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01//EN><p>a<table></table>b""") ==
+      "<p>a<table></table>b</p>")
   }
 
   test("adoption agency no-AFE-entry fallback ignores across special barriers") {

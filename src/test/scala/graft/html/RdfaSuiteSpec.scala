@@ -40,7 +40,8 @@ class RdfaSuiteSpec extends AnyFunSuite {
     "implied-center-close", "implied-table-sections",
     "foster-text-in-table", "foster-element-in-table", "scope-close-p",
     "formatting-across-p", "formatting-in-list", "svg-in-property",
-    "scope-end-tag-ignored", "inlist-rev-unaffected", "inlist-rel-empty")
+    "scope-end-tag-ignored", "inlist-rev-unaffected", "inlist-rel-empty",
+    "quirks-table-in-p", "standards-table-in-p")
 
   // The FIXTURES.md §3a ledger is the conformance contract; its literal
   // case count drifted once (r13 added 3 cases without touching the
