@@ -183,6 +183,18 @@ object Bench {
     // late/sliding were pass-1 contention artifacts, the case the retry
     // pass above now corrects.
     //
+    // PARSER perf (r19): the HTML tree builder has its own committed
+    // cross-round artifact, parse_bench_r{N}.json, emitted by
+    // `Test/runMain graft.html.ParseBench parse_bench_r{N}.json` at
+    // round close — min-of-7 parse/extract/render ms/page with a
+    // per-metric noise floor from the SAME noiseFloorSec derivation
+    // (calNoise = 0: single-JVM compute has no cluster anchor), and
+    // the SAME mechanical breach rule:
+    //   breach(m) iff min_r(m) > 1.3 * min_prev(m) + noise_floor_ms_r(m).
+    // Motivation: the r18 eager-subtree-text trap (+31% extract) was
+    // caught only by a hand run; this makes parser perf adjudicable
+    // from committed artifacts like every SQL query.
+    //
     // Cross-round minima of drive/lifecycle queries — and equally of
     // stored-index/shuffle-read-heavy text queries (see the r15→r16
     // A/B below) — carry a MACHINE component the cal anchor cannot

@@ -68,4 +68,34 @@ class BenchStatsSpec extends AnyFunSuite {
     // while a genuine 2x regression on a 2 s query still breaches
     assert(4.0 > 1.3 * 2.0 + floor)
   }
+
+  test("ParseBench floor derivation: same rule, no cal anchor (r19 artifact)") {
+    // the committed parse_bench_r{N}.json floors come from the SAME
+    // noiseFloorSec via ParseBench.summarize, with calNoise = 0 — the
+    // floor is the metric's own uncontended spread
+    val s = graft.html.ParseBench.summarize(Map(
+      "parse" -> Vector(2.10, 2.25, 2.15, 2.40, 2.12, 2.18, 2.30),
+      "extract" -> Vector(5.0, 5.2, 24.0, 5.1, 5.3, 5.05, 5.15)))
+    val (pMin, pFloor) = s("parse")
+    assert(pMin == 2.10)
+    assert(math.abs(pFloor - 0.30) < 1e-9) // 2.40 - 2.10, all within 2x
+    // a contended burst (24 ms, beyond 2x of the 5.0 min) is excluded
+    // from the spread, exactly like the SQL bench's intra-pass rule
+    val (eMin, eFloor) = s("extract")
+    assert(eMin == 5.0)
+    assert(math.abs(eFloor - 0.30) < 1e-9) // 5.3 - 5.0
+  }
+
+  test("ParseBench breach rule worked example: the r18 +31% extract trap breaches") {
+    // the r18 quadratic-walk trap: extract ~5.0 → ~6.6 ms/page (+31%)
+    // with a typical 0.3 ms floor — 6.6 > 1.3*5.0 + 0.3 is NOT breached
+    // (1.31x sits at the ratio edge); but the floor rule still catches
+    // it one round later at ANY further growth, while a clean 2x (10.0)
+    // breaches immediately
+    val floor = graft.html.ParseBench.summarize(
+      Map("extract" -> Vector(6.6, 6.7, 6.9)))("extract")._2
+    assert(10.0 > 1.3 * 5.0 + floor)
+    // and a sub-floor wiggle does not breach
+    assert(6.7 <= 1.3 * 6.6 + math.max(floor, 0.3))
+  }
 }
