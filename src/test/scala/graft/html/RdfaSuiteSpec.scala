@@ -41,7 +41,13 @@ class RdfaSuiteSpec extends AnyFunSuite {
     "foster-text-in-table", "foster-element-in-table", "scope-close-p",
     "formatting-across-p", "formatting-in-list", "svg-in-property",
     "scope-end-tag-ignored", "inlist-rev-unaffected", "inlist-rel-empty",
-    "quirks-table-in-p", "standards-table-in-p")
+    "quirks-table-in-p", "standards-table-in-p",
+    // r19: distilled interaction cases around the r18 machinery —
+    // adoption agency × foster parenting × foreign content — pinned
+    // through rdf:HTML literals (byte-exact tree observables)
+    "aa-svg-split-by-block", "foster-svg-before-table",
+    "cell-marker-end-tag-ignored", "foster-reconstruct-around-table",
+    "foreign-breakout-in-formatting")
 
   // The FIXTURES.md §3a ledger is the conformance contract; its literal
   // case count drifted once (r13 added 3 cases without touching the
