@@ -63,10 +63,12 @@ import scala.collection.mutable
   * html/head/body wrappers are ordinary elements and are NOT
   * synthesized when absent (the RDFa walk and rdf:HTML literals never
   * include them, so tree shape above the first attributed element is
-  * immaterial); no in-frameset/after-body modes (frameset documents
-  * carry no besluit RDFa); input is an already-decoded String
-  * (charset sniffing is the ingest layer's concern,
-  * sources/PageSource).
+  * immaterial) — but, like the spec's merge-and-ignore, a <body>/
+  * <html> start tag below document level never creates an element
+  * (it merges new attributes into the open wrapper, if any); no
+  * in-frameset/after-body modes (frameset documents carry no besluit
+  * RDFa); input is an already-decoded String (charset sniffing is the
+  * ingest layer's concern, sources/PageSource).
   */
 object HtmlParser {
 
@@ -746,6 +748,26 @@ object HtmlParser {
       // in-body "<image>" is a parse error handled as "<img>" (spec +
       // jsdom: "Don't ask.")
       val tag = if (tag0 == "image") "img" else tag0
+      // <body>/<html> start tags mirror the spec's merge-and-ignore:
+      // wrapper ELEMENTS exist only at document level (above any real
+      // content element); a deeper token merges its new attributes
+      // into the open wrapper if one exists and is otherwise ignored.
+      // jsdom never nests a body inside content — and the r19 fixpoint
+      // hunt found that a body built inside an SVG integration point
+      // ('<p><svg><title><body') never re-converges: </body>'s no-pop
+      // rule keeps it open, its special-category rank blocks the
+      // foreign end tags, and every reparse synthesizes another stray
+      // empty paragraph inside it.
+      if (tag == "body" || tag == "html") {
+        val docLevel = stack.forall(b =>
+          b.tag == "#root" || b.tag == "html" || b.tag == "head")
+        if (!docLevel || stack.exists(_.tag == tag)) {
+          stack.find(_.tag == tag).foreach { b =>
+            b.attrs = b.attrs ++ attrs.filter(kv => !b.attrs.contains(kv._1))
+          }
+          return
+        }
+      }
       impliedEndTags(stack, tag, popFn, quirks)
         // nested-anchor rule (in-body <a>): an <a> in the formatting
         // list since the last marker is force-closed by the adoption
@@ -1188,7 +1210,7 @@ object HtmlParser {
     * nothing structurally); [[buildTree]] converts once at EOF. The
     * mutable form is what lets the adoption agency move and clone
     * subtrees that earlier eager-build designs could not. */
-  private final class Builder(val tag: String, val attrs: Map[String, String]) {
+  private final class Builder(val tag: String, var attrs: Map[String, String]) {
     val children = mutable.ArrayBuffer[AnyRef]() // Node | Builder
     var parent: Builder = null
     /** Element namespace: "html" | "svg" | "math" (foreign content). */

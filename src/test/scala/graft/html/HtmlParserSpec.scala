@@ -706,6 +706,31 @@ class HtmlParserSpec extends AnyFunSuite {
       "<p>a<table></table>b</p>")
   }
 
+  test("<body>/<html> below document level merge-and-ignore (jsdom never nests a body)") {
+    // the r19 fixpoint hunt's counterexample: a <body> built inside an
+    // SVG integration point never re-converged (</body> is no-pop, the
+    // special-rank body blocked </title>/</svg>, and each reparse
+    // synthesized another stray <p></p>) — now the token is ignored
+    assert(flat("<p><svg><title><body>x") ==
+      "<p><svg><title>x</title></svg></p>")
+    // same for <html> (its end tag shares the no-pop rule)
+    assert(flat("<p><math><mi><html>x") ==
+      "<p><math><mi>x</mi></math></p>")
+    // a deeper <body> merges NEW attributes into the open wrapper
+    val root = parse("""<body class="a"><p>x<body class="b" id="c">y""")
+    val body = root.children.head.asInstanceOf[Element]
+    assert(body.tag == "body" &&
+      body.attrs == Map("class" -> "a", "id" -> "c"))
+    // and y continues at the ignored token's insertion point (the p)
+    assert(body.children.head.asInstanceOf[Element].text == "xy")
+    // document-level wrappers still build normally (typeof-on-body)
+    val r2 = parse("""<html><body typeof="x:T"><b>t</b></body></html>""")
+    val html = r2.children.head.asInstanceOf[Element]
+    assert(html.tag == "html")
+    val b2 = html.children.head.asInstanceOf[Element]
+    assert(b2.tag == "body" && b2.attrs == Map("typeof" -> "x:T"))
+  }
+
   test("adoption agency no-AFE-entry fallback ignores across special barriers") {
     // Noah's Ark caps identical AFE entries at 3: the fourth <b>
     // evicts the first from the list but it stays on the stack; after
