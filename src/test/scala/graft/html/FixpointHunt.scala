@@ -15,7 +15,9 @@ object FixpointHunt {
       "svg", "math", "foreignobject", "mi", "annotation-xml", "circle",
       "g", "clippath", "mglyph", "desc",
       // RCDATA / extended raw text / leading-LF elements
-      "title", "textarea", "iframe", "xmp", "pre", "listing", "form")
+      "title", "textarea", "iframe", "xmp", "pre", "listing", "form",
+      // wrappers: merge-and-ignore + the no-pop end-tag path
+      "html", "head", "body", "frameset")
     val junk = Seq("<", ">", "&", "\"", "'", "=", "/", "<!--", "-->", "<!",
       "]]>", "&#x41;", "&#999999999;", "&bogus;", " ", "�", "<<>>",
       "</", "<a", "=\"", "a:b", "[a:b]", "_:x", "\n", "\t", "ab", "<![CDATA[", "<![CDATA[x]]>")
