@@ -849,8 +849,8 @@ object HtmlParser {
           if (docMode == null)
             docMode = classifyDoctype(name, pub, sys, force)
         case Tok.Text(t0) =>
-          if (t0.exists(c => c != ' ' && c != '\t' && c != '\n' &&
-            c != '\f' && c != '\r')) leaveInitial()
+          if (docMode == null && t0.exists(c => c != ' ' && c != '\t' &&
+            c != '\n' && c != '\f' && c != '\r')) docMode = "quirks"
           // EMPTY pseudo-text tokens (comments, doctypes, bogus end tags
           // emit these) are invisible: they must not consume the
           // leading-LF drop, or "<pre></>\n" would keep a newline that a
