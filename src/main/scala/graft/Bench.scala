@@ -264,6 +264,24 @@ object Bench {
     // composed quality∩dedup∩cluster shape, same shuffle-IO-bound
     // cause; the band note above covers it.
     //
+    // r18→r19 A/B, same method, on the round's 13 nominal floor-rule
+    // breaches (all ~1.4-1.5×, spread across UNRELATED families —
+    // filters, sims, dedups, ntriples — while the r19 diff touched
+    // ONLY html/HtmlParser in src/main, and the parser-backed queries
+    // rdfa_pipeline/rdfa_externalize are NOT in the breach list): the
+    // r18 round-close tree (d7fccd2, own worktree+compile) and HEAD
+    // ran a 5-breacher subset bench interleaved (HEAD/r18/HEAD/r18),
+    // twice each, same hour. HEAD is FASTER or equal on best-of-2 for
+    // 4 of 5 (jaccard_pp 1.705 vs 1.716, ngram_topk 0.570 vs 0.685,
+    // ntriples_roundtrip 0.343 vs 0.464, p7_in_filter 0.199 vs 0.208;
+    // sim_topk 0.490 vs 0.454 within noise), and BOTH trees run well
+    // above r18's recorded minima (sim_topk 0.45-0.55 vs the recorded
+    // 0.285; ntriples 0.34-0.46 vs 0.185) with the cal anchor reading
+    // 0.18-0.27 vs r18's 0.14-0.16 — the machine band again, which the
+    // diff surface makes the only physical possibility. The r19 full
+    // runs themselves drifted WITH the band (min-sum 83.5 at cal 0.18,
+    // then 89.9 at cal 0.26 an hour later).
+    //
     // r14→r15 named cause #2: the four corpus-validate queries
     // (p4_validate +0.10 s, k9_partition_sizes +0.08, a3_verdict_counts
     // +0.42, rdfa_pipeline +0.7 vs their r14 minima) carry the r15 URL-
