@@ -47,7 +47,10 @@ class RdfaSuiteSpec extends AnyFunSuite {
     // through rdf:HTML literals (byte-exact tree observables)
     "aa-svg-split-by-block", "foster-svg-before-table",
     "cell-marker-end-tag-ignored", "foster-reconstruct-around-table",
-    "foreign-breakout-in-formatting")
+    "foreign-breakout-in-formatting",
+    // r19: the round's own fixes in interaction — quirks × foster
+    // parenting, and the in-select-in-table recovery
+    "quirks-foster-in-p", "select-in-table-cell")
 
   // The FIXTURES.md §3a ledger is the conformance contract; its literal
   // case count drifted once (r13 added 3 cases without touching the
