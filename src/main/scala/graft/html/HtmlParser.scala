@@ -1350,7 +1350,15 @@ object HtmlParser {
       // open tag
       parseOpenTag() match {
         case Some(open) =>
-          if (rawTextElements(open.tag) && !open.selfClosing && !inForeign) {
+          if (open.tag == "plaintext" && !open.selfClosing && !inForeign) {
+            // PLAINTEXT state: EVERYTHING to EOF is character data —
+            // there is no end tag ('</plaintext>' is literal text);
+            // NUL maps to U+FFFD like script data
+            if (i < s.length) {
+              pendingRawText = s.substring(i).replace('\u0000', '\ufffd')
+              i = s.length
+            }
+          } else if (rawTextElements(open.tag) && !open.selfClosing && !inForeign) {
             val end = indexOfIgnoreCaseAscii(s, s"</${open.tag}", i)
             if (end >= 0) {
               // script-data tokenization maps NUL to U+FFFD (unlike
@@ -1668,14 +1676,17 @@ object HtmlParser {
       // jsdom's innerHTML emits "<br>", and the G2 externalized literal
       // must match the reference's bytes
       else if (voidElements(e.tag)) s"<${e.tag}$attrs>"
-      else if (rawTextElements(e.tag))
+      else if (rawTextElements(e.tag) || e.tag == "plaintext")
         // the HTML serialization of a raw-text element emits its text
         // UNescaped (the parser never entity-decodes it, so escaping
         // here would double-encode on every parse→render round trip —
         // and jsdom's outerHTML, which the reference externalizes,
-        // emits raw too). Always re-readable: the raw-text scan stops
-        // at the first "</tag", so parsed raw text can never contain
-        // its own terminator.
+        // emits raw too). Always re-readable for the rawTextElements:
+        // the raw-text scan stops at the first "</tag", so parsed raw
+        // text can never contain its own terminator. PLAINTEXT is the
+        // spec's own exception — its content runs to EOF, so the spec
+        // itself notes its serialization "cannot be parsed back" when
+        // anything follows; the fuzz fixpoint property exempts it.
         s"<${e.tag}$attrs>${e.children.collect { case TextNode(t) => t }.mkString}</${e.tag}>"
       else {
         // HTML serialization: pre/textarea/listing whose first child

@@ -192,8 +192,10 @@ class HtmlParserSpec extends AnyFunSuite {
     for (t <- Seq("center", "dialog", "dir", "search", "listing",
         "plaintext", "xmp")) {
       val d = parse(s"<div><p>a<$t>b</$t></div>").children.head.asInstanceOf[Element]
+      // PLAINTEXT consumes to EOF — its end tag and the </div> are text
+      val expectedText = if (t == "plaintext") "b</plaintext></div>" else "b"
       assert(d.children.collect { case e: Element => (e.tag, e.text) } ==
-        Vector(("p", "a"), (t, "b")), s"<$t> must close an open p")
+        Vector(("p", "a"), (t, expectedText)), s"<$t> must close an open p")
     }
   }
 
@@ -704,6 +706,22 @@ class HtmlParserSpec extends AnyFunSuite {
     // and the tag ends at that '>' so the content still parses
     assert(flat("""<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01//EN><p>a<table></table>b""") ==
       "<p>a<table></table>b</p>")
+  }
+
+  test("PLAINTEXT state: everything after <plaintext> is character data to EOF") {
+    // no end tag exists — '</plaintext>' is literal text (jsdom)
+    val root = parse("<p>a<plaintext>rest <of> file</plaintext>x")
+    val kids = root.children.collect { case e: Element => e }
+    assert(kids.map(_.tag) == Vector("p", "plaintext"))
+    // the plaintext start closes the open p first (closesP family)
+    assert(kids(0).text == "a")
+    assert(kids(1).text == "rest <of> file</plaintext>x")
+    // entities do NOT decode in PLAINTEXT
+    assert(parse("<plaintext>&amp;").children.head.asInstanceOf[Element]
+      .text == "&amp;")
+    // serialization emits the text raw (spec's serialize algorithm;
+    // the spec itself notes plaintext output can't always re-parse)
+    assert(flat("<plaintext>a<b") == "<plaintext>a<b</plaintext>")
   }
 
   test("<body>/<html> below document level merge-and-ignore (jsdom never nests a body)") {
