@@ -768,7 +768,34 @@ object HtmlParser {
           return
         }
       }
+      // in-body rule: table-structural start tags with NO table open
+      // are parse-error-IGNORED (jsdom: '<div><td>x' keeps only the
+      // text). Skipped inside a template, whose contents may legally
+      // hold table fragments.
+      if ((tableInner(tag) || tag == "col" || tag == "frame") &&
+          stack.top.ns == "html" &&
+          !stack.exists(b => b.tag == "table" && b.ns == "html") &&
+          !stack.exists(_.tag == "template")) return
       impliedEndTags(stack, tag, popFn, quirks)
+      // WHATWG in-table section synthesis (after the clear-back): a
+      // sectionless <tr> acts as if <tbody> was seen, a bare <td>/<th>
+      // synthesizes its row (and section), a stray <col> its
+      // <colgroup> — jsdom's innerHTML carries the synthesized
+      // elements, so rdf:HTML table literals must too.
+      if (stack.top.ns == "html") {
+        def synth(t: String): Unit = {
+          val b = new Builder(t, Map.empty)
+          appendTo(stack.top, b)
+          stack.push(b)
+        }
+        if (stack.top.tag == "table") {
+          if (tag == "tr") synth("tbody")
+          else if (tag == "td" || tag == "th") { synth("tbody"); synth("tr") }
+          else if (tag == "col") synth("colgroup")
+        } else if ((tag == "td" || tag == "th") &&
+            (stack.top.tag == "tbody" || stack.top.tag == "thead" ||
+              stack.top.tag == "tfoot")) synth("tr")
+      }
         // nested-anchor rule (in-body <a>): an <a> in the formatting
         // list since the last marker is force-closed by the adoption
         // agency before the new one opens — jsdom never nests anchors

@@ -154,10 +154,12 @@ class HtmlParserSpec extends AnyFunSuite {
     val ul = blk.children.collect { case e: Element if e.tag == "ul" => e }.head
     assert(ul.children.collect { case e: Element => (e.tag, e.text) } ==
       Vector(("li", "1"), ("li", "2")))
-    // table cells: <tr><td>a<td>b<tr><td>c
+    // table cells: <tr><td>a<td>b<tr><td>c (rows inside the
+    // synthesized tbody since r19, like jsdom)
     val tbl = parse("<table><tr><td>a<td>b<tr><td>c</table>")
       .children.head.asInstanceOf[Element]
-    val trs = tbl.children.collect { case e: Element if e.tag == "tr" => e }
+    val tb = tbl.children.collect { case e: Element if e.tag == "tbody" => e }.head
+    val trs = tb.children.collect { case e: Element if e.tag == "tr" => e }
     assert(trs.map(_.children.collect { case e: Element => e.text }) ==
       Vector(Vector("a", "b"), Vector("c")))
     // well-nested documents are untouched: p inside blockquote inside p-less div
@@ -180,7 +182,8 @@ class HtmlParserSpec extends AnyFunSuite {
       Vector(("dt", "t"), ("dd", "d")))
     val tbl = parse("<table><tr><td><p>a<td>b<tr><td>c</table>")
       .children.head.asInstanceOf[Element]
-    val trs = tbl.children.collect { case e: Element if e.tag == "tr" => e }
+    val tb = tbl.children.collect { case e: Element if e.tag == "tbody" => e }.head
+    val trs = tb.children.collect { case e: Element if e.tag == "tr" => e }
     assert(trs.map(_.children.collect { case e: Element => e.text }) ==
       Vector(Vector("a", "b"), Vector("c")))
   }
@@ -217,11 +220,12 @@ class HtmlParserSpec extends AnyFunSuite {
       .children.head.asInstanceOf[Element]
     assert(t2.children.collect { case e: Element => e.tag } ==
       Vector("tbody", "tfoot"))
-    // td/th starts also close an open caption ("in caption" mode exit)
+    // td/th starts also close an open caption ("in caption" mode
+    // exit); the sectionless row gets its synthesized tbody
     val t3 = parse("<table><caption>c<tr><td>x</table>")
       .children.head.asInstanceOf[Element]
     assert(t3.children.collect { case e: Element => (e.tag, e.text) } ==
-      Vector(("caption", "c"), ("tr", "x")))
+      Vector(("caption", "c"), ("tbody", "x")))
   }
 
   test("rt/rp close their open sibling inside ruby") {
@@ -299,14 +303,17 @@ class HtmlParserSpec extends AnyFunSuite {
     // a cell closes p, td and tr rather than nesting inside the p
     val tbl = parse("<table><tr><td><p>a<tbody><tr><td>b</table>")
       .children.head.asInstanceOf[Element]
+    // the sectionless first row got a synthesized tbody; the explicit
+    // <tbody> cleared back to the table and opened a SECOND one (jsdom)
     val tops = tbl.children.collect { case e: Element => e.tag }
-    assert(tops == Vector("tr", "tbody"), tops.mkString(","))
-    val tbody = tbl.children.collect { case e: Element if e.tag == "tbody" => e }.head
-    assert(tbody.text == "b")
+    assert(tops == Vector("tbody", "tbody"), tops.mkString(","))
+    val bodies = tbl.children.collect { case e: Element if e.tag == "tbody" => e }
+    assert(bodies.map(_.text) == Vector("a", "b"))
     // a td with a span open deep in the previous cell closes the chain
     val t2 = parse("<table><tr><td><span><b>x<td>y</table>")
       .children.head.asInstanceOf[Element]
     val tr = t2.children.collect { case e: Element => e }.head
+      .children.collect { case e: Element => e }.head
     assert(tr.children.collect { case e: Element => e.tag } == Vector("td", "td"))
   }
 
@@ -346,18 +353,18 @@ class HtmlParserSpec extends AnyFunSuite {
     // a STILL-OPEN b around a table needs no reconstruction — trailing
     // text lands in the original element
     assert(flat("<b><table><tr><td>x</td></tr></table>z") ==
-      "<b><table><tr><td>x</td></tr></table>z</b>")
+      "<b><table><tbody><tr><td>x</td></tr></tbody></table>z</b>")
     // a PENDING b (popped by the second <p>'s scope walk) must NOT
     // reconstruct inside the cell — td pushes a formatting-list marker —
     // while text after the table reconstructs it again (the td close
     // cleared the list back to the marker, re-exposing the pending b).
     // With a doctype (standards mode) the table start closes the second p
     assert(flat("<!DOCTYPE html><p><b>u<p><table><tr><td>x</td></tr></table>z") ==
-      "<p><b>u</b></p><p></p><table><tr><td>x</td></tr></table><b>z</b>")
+      "<p><b>u</b></p><p></p><table><tbody><tr><td>x</td></tr></tbody></table><b>z</b>")
     // doctype-less the page is QUIRKS (jsdom): the table stays INSIDE
     // the second paragraph; the marker rule is unchanged
     assert(flat("<p><b>u<p><table><tr><td>x</td></tr></table>z") ==
-      "<p><b>u</b></p><p><table><tr><td>x</td></tr></table><b>z</b></p>")
+      "<p><b>u</b></p><p><table><tbody><tr><td>x</td></tr></tbody></table><b>z</b></p>")
   }
 
   test("nested <a> start closes the open one (in-body anchor rule)") {
@@ -499,7 +506,7 @@ class HtmlParserSpec extends AnyFunSuite {
     // the td is a default-scope barrier — the stray </div> is IGNORED,
     // the table survives, and trailing text stays in the cell
     assert(flat("<div><table><tr><td>a</div>b</table></div>") ==
-      "<div><table><tr><td>ab</td></tr></table></div>")
+      "<div><table><tbody><tr><td>ab</td></tr></tbody></table></div>")
     // in-scope closes keep working, popping intervening elements
     assert(flat("<div><span>x</div>y") == "<div><span>x</span></div>y")
   }
@@ -557,7 +564,7 @@ class HtmlParserSpec extends AnyFunSuite {
     // in-table <form> inserts WITHOUT pushing: the row keeps parsing at
     // the table context and the form sits empty in the structure
     assert(flat("<table><form><tr><td>x</table>") ==
-      "<table><form></form><tr><td>x</td></tr></table>")
+      "<table><form></form><tbody><tr><td>x</td></tr></tbody></table>")
   }
 
   test("foreign end tags match foreign elements; namespaces recorded on the tree") {
@@ -603,13 +610,13 @@ class HtmlParserSpec extends AnyFunSuite {
     // a <td> start inside '<table><tr><td><select>' closes the select
     // and opens the next cell (jsdom) instead of being dropped
     assert(flat("<table><tr><td><select><option>a<td>b</table>") ==
-      "<table><tr><td><select><option>a</option></select></td><td>b</td></tr></table>")
+      "<table><tbody><tr><td><select><option>a</option></select></td><td>b</td></tr></tbody></table>")
     // <tr> likewise starts a new row
     assert(flat("<table><tr><td><select><tr><td>b</table>") ==
-      "<table><tr><td><select></select></td></tr><tr><td>b</td></tr></table>")
+      "<table><tbody><tr><td><select></select></td></tr><tr><td>b</td></tr></tbody></table>")
     // </table> whose table is open below the select closes both
     assert(flat("<table><tr><td><select><option>a</table>z") ==
-      "<table><tr><td><select><option>a</option></select></td></tr></table>z")
+      "<table><tbody><tr><td><select><option>a</option></select></td></tr></tbody></table>z")
     // a select NOT inside a table keeps plain in-select behavior:
     // the structural tag is ignored
     assert(flat("<select><option>a<td>b</select>") ==
@@ -661,18 +668,18 @@ class HtmlParserSpec extends AnyFunSuite {
 
   test("quirks mode: <table> does not close an open p (doctype-gated)") {
     // NO doctype → quirks: the table nests INSIDE the annotated p
-    assert(flat("<p>a<table><tr><td>x</td></tr></table>b</p>") ==
-      "<p>a<table><tr><td>x</td></tr></table>b</p>")
+    assert(flat("<p>a<table><tbody><tr><td>x</td></tr></tbody></table>b</p>") ==
+      "<p>a<table><tbody><tr><td>x</td></tr></tbody></table>b</p>")
     // modern doctype → standards: the table is hoisted past the p (and
     // the now-stray </p> synthesizes an empty paragraph, in-body rule)
     assert(flat("<!DOCTYPE html><p>a<table><tr><td>x</td></tr></table>b</p>") ==
-      "<p>a</p><table><tr><td>x</td></tr></table>b<p></p>")
+      "<p>a</p><table><tbody><tr><td>x</td></tr></tbody></table>b<p></p>")
     // an ANCIENT doctype (HTML 3.2) → quirks again
     assert(flat("""<!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 3.2//EN"><p>a<table><tr><td>x</td></tr></table>b""") ==
-      "<p>a<table><tr><td>x</td></tr></table>b</p>")
+      "<p>a<table><tbody><tr><td>x</td></tr></tbody></table>b</p>")
     // limited-quirks parses like standards (the gate is FULL quirks only)
     assert(flat("""<!DOCTYPE html PUBLIC "-//W3C//DTD XHTML 1.0 Transitional//EN" "http://www.w3.org/TR/xhtml1/DTD/xhtml1-transitional.dtd"><p>a<table><tr><td>x</td></tr></table>b""") ==
-      "<p>a</p><table><tr><td>x</td></tr></table>b")
+      "<p>a</p><table><tbody><tr><td>x</td></tr></tbody></table>b")
     // only the FIRST doctype counts, and only before content: a late
     // ancient doctype cannot flip an already-standards document
     assert(flat("""<!DOCTYPE html><!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 3.2//EN"><p>a<table></table>b""") ==
@@ -706,6 +713,36 @@ class HtmlParserSpec extends AnyFunSuite {
     // and the tag ends at that '>' so the content still parses
     assert(flat("""<!DOCTYPE html PUBLIC "-//W3C//DTD HTML 4.01//EN><p>a<table></table>b""") ==
       "<p>a<table></table>b</p>")
+  }
+
+  test("table section synthesis: sectionless rows get tbody, bare cells get tr, col gets colgroup") {
+    // jsdom's innerHTML carries the synthesized sections — rdf:HTML
+    // table literals must match byte-for-byte
+    assert(flat("<table><tr><td>x</table>") ==
+      "<table><tbody><tr><td>x</td></tr></tbody></table>")
+    assert(flat("<table><td>x</table>") ==
+      "<table><tbody><tr><td>x</td></tr></tbody></table>")
+    assert(flat("<table><col><tr><td>x</table>") ==
+      "<table><colgroup><col></colgroup><tbody><tr><td>x</td></tr></tbody></table>")
+    // a bare td inside an explicit section synthesizes only the row
+    assert(flat("<table><thead><td>h</table>") ==
+      "<table><thead><tr><td>h</td></tr></thead></table>")
+    // explicit sections are never doubled
+    assert(flat("<table><tbody><tr><td>x</table>") ==
+      "<table><tbody><tr><td>x</td></tr></tbody></table>")
+  }
+
+  test("stray table-structural tags outside a table are ignored (in-body rule)") {
+    // jsdom: '<div><td>x' keeps only the text; same for tr/tbody/caption
+    assert(flat("<div><td>x</td></div>") == "<div>x</div>")
+    assert(flat("<div><tr>x</tr>y</div>") == "<div>xy</div>")
+    assert(flat("<p>a<tbody>b") == "<p>ab</p>")
+    assert(flat("<span><caption>c</caption>d</span>") == "<span>cd</span>")
+    assert(flat("<div><col>x</div>") == "<div>x</div>")
+    // inside a template the structural tags survive (template content
+    // may legally hold table fragments)
+    assert(flat("<template><tr><td>x</td></tr></template>") ==
+      "<template><tr><td>x</td></tr></template>")
   }
 
   test("PLAINTEXT state: everything after <plaintext> is character data to EOF") {

@@ -50,7 +50,10 @@ class RdfaSuiteSpec extends AnyFunSuite {
     "foreign-breakout-in-formatting",
     // r19: the round's own fixes in interaction — quirks × foster
     // parenting, and the in-select-in-table recovery
-    "quirks-foster-in-p", "select-in-table-cell")
+    "quirks-foster-in-p", "select-in-table-cell",
+    // r19: table section synthesis (tbody in rdf:HTML bytes) + the
+    // in-body stray-structural-tag ignore
+    "tbody-synthesis")
 
   // The FIXTURES.md §3a ledger is the conformance contract; its literal
   // case count drifted once (r13 added 3 cases without touching the
