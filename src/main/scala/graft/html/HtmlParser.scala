@@ -824,8 +824,15 @@ object HtmlParser {
       // a table start never fosters: at a structural point the
       // implied-end step above just closed the outer table (WHATWG's
       // act-as-</table> rule), and inside a CELL a nested table is
-      // legal in-body content
-      val allowFoster = !tableLegal(tag) && tag != "table"
+      // legal in-body content. The in-table mode also keeps
+      // script/style/template (processed via in-head rules) and
+      // <input type=hidden> AT the table insertion point instead of
+      // fostering them — jsdom's innerHTML shows them inside the
+      // table, so rdf:HTML literals must too.
+      val allowFoster = !tableLegal(tag) && tag != "table" &&
+        tag != "script" && tag != "style" && tag != "template" &&
+        !(tag == "input" &&
+          attrs.get("type").exists(_.equalsIgnoreCase("hidden")))
       if (tag == "form") {
         // the spec's form-element pointer rule: a <form> start tag is
         // ignored whenever the pointer is non-null — even if the

@@ -732,6 +732,18 @@ class HtmlParserSpec extends AnyFunSuite {
       "<table><tbody><tr><td>x</td></tr></tbody></table>")
   }
 
+  test("in-table: style/script/template and hidden inputs stay inside the table") {
+    // the in-table mode processes these via in-head rules (no foster);
+    // jsdom's innerHTML shows them inside the table
+    assert(flat("<table><style>.a{}</style><tr><td>c</table>") ==
+      "<table><style>.a{}</style><tbody><tr><td>c</td></tr></tbody></table>")
+    assert(flat("""<table><input type="hidden" name="n"><tr><td>c</table>""") ==
+      """<table><input type="hidden" name="n"><tbody><tr><td>c</td></tr></tbody></table>""")
+    // a NON-hidden input is anything-else content and still fosters
+    assert(flat("""<table><input type="text"><tr><td>c</table>""") ==
+      """<input type="text"><table><tbody><tr><td>c</td></tr></tbody></table>""")
+  }
+
   test("stray table-structural tags outside a table are ignored (in-body rule)") {
     // jsdom: '<div><td>x' keeps only the text; same for tr/tbody/caption
     assert(flat("<div><td>x</td></div>") == "<div>x</div>")
