@@ -1393,16 +1393,22 @@ object HtmlParser {
               i = s.length
             }
           } else if (rawTextElements(open.tag) && !open.selfClosing && !inForeign) {
-            val end = indexOfIgnoreCaseAscii(s, s"</${open.tag}", i)
-            if (end >= 0) {
+            // missing end tag: the RAWTEXT state runs to EOF (spec) —
+            // falling through to markup parsing here both diverged
+            // from jsdom and let elements nest inside a raw-text
+            // element, which the raw serializer then silently dropped
+            val end0 = indexOfIgnoreCaseAscii(s, s"</${open.tag}", i)
+            val end = if (end0 >= 0) end0 else s.length
+            if (end0 >= 0 || end > i) {
               // script-data tokenization maps NUL to U+FFFD (unlike
               // body text, where NUL tokens are dropped)
               pendingRawText = s.substring(i, end).replace('\u0000', '\ufffd')
               i = end
             }
           } else if (rcdataElements(open.tag) && !open.selfClosing && !inForeign) {
-            val end = indexOfIgnoreCaseAscii(s, s"</${open.tag}", i)
-            if (end >= 0) {
+            val end0 = indexOfIgnoreCaseAscii(s, s"</${open.tag}", i)
+            val end = if (end0 >= 0) end0 else s.length // RCDATA to EOF too
+            if (end0 >= 0 || end > i) {
               val seg0 = s.substring(i, end)
               // a leading LF right after <textarea> is dropped (spec);
               // RCDATA decodes character references, NUL becomes U+FFFD

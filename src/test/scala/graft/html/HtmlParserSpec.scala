@@ -732,6 +732,19 @@ class HtmlParserSpec extends AnyFunSuite {
       "<table><tbody><tr><td>x</td></tr></tbody></table>")
   }
 
+  test("EOF-unclosed raw-text and RCDATA elements capture everything to EOF") {
+    // the RAWTEXT/RCDATA states run to EOF when the end tag never
+    // comes (spec/jsdom); previously the tail re-entered markup
+    // parsing, nesting elements inside script/style that the raw
+    // serializer then silently dropped
+    assert(flat("<script>if (a<b) x") == "<script>if (a<b) x</script>")
+    assert(flat("<style>.a{} <p>q") == "<style>.a{} <p>q</style>")
+    // RCDATA decodes on parse and re-escapes on serialization
+    assert(flat("<title>abc <b>x") == "<title>abc &lt;b&gt;x</title>")
+    assert(flat("<textarea>t &amp; <i>y") ==
+      "<textarea>t &amp; &lt;i&gt;y</textarea>")
+  }
+
   test("in-table: style/script/template and hidden inputs stay inside the table") {
     // the in-table mode processes these via in-head rules (no foster);
     // jsdom's innerHTML shows them inside the table
