@@ -1397,9 +1397,14 @@ object HtmlParser {
             // falling through to markup parsing here both diverged
             // from jsdom and let elements nest inside a raw-text
             // element, which the raw serializer then silently dropped
-            val end0 = indexOfIgnoreCaseAscii(s, s"</${open.tag}", i)
-            val end = if (end0 >= 0) end0 else s.length
-            if (end0 >= 0 || end > i) {
+            val end0 =
+              if (open.tag == "script") scriptEndIndex(s, i)
+              else {
+                val e = indexOfIgnoreCaseAscii(s, s"</${open.tag}", i)
+                if (e >= 0) e else s.length
+              }
+            val end = end0
+            if (end < s.length || end > i) {
               // script-data tokenization maps NUL to U+FFFD (unlike
               // body text, where NUL tokens are dropped)
               pendingRawText = s.substring(i, end).replace('\u0000', '\ufffd')
@@ -1543,6 +1548,37 @@ object HtmlParser {
     * (length-changing mappings like U+0130 shift offsets) and
     * locale-dependent ('I' under a Turkish default locale never matches
     * "</script") — and it copies the whole document per raw-text tag. */
+  /** Index where a `<script>` element's content ends, honoring the
+    * WHATWG script-data ESCAPE states: after `<!--` the scanner is
+    * escaped (a `</script>` still closes); a nested `<script>` while
+    * escaped enters DOUBLE-escaped, where `</script>` is literal text
+    * (the document.write('<script>…<\/script>') legacy pattern) and
+    * only exits double-escaping; `-->` returns to plain script data
+    * from either escaped state. Returns hay.length when the element
+    * never closes (RAWTEXT-to-EOF). */
+  private def scriptEndIndex(hay: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    var escaped = false
+    var doubled = false
+    while (i < hay.length) {
+      val c = hay(i)
+      if (c == '<') {
+        if (!escaped && hay.startsWith("<!--", i)) { escaped = true; i += 4 }
+        else if (hay.regionMatches(true, i, "</script", 0, 8)) {
+          if (doubled) { doubled = false; i += 8 } // literal text
+          else return i // closes from plain AND singly-escaped states
+        } else if (escaped && !doubled &&
+            hay.regionMatches(true, i, "<script", 0, 7)) {
+          doubled = true; i += 7
+        } else i += 1
+      } else if (c == '-' && (escaped || doubled) &&
+          hay.startsWith("-->", i)) {
+        escaped = false; doubled = false; i += 3
+      } else i += 1
+    }
+    hay.length
+  }
+
   private def indexOfIgnoreCaseAscii(hay: String, needle: String, from: Int): Int = {
     // ASCII-only fold: HTML mandates ASCII-case-insensitive end-tag
     // matching, and Unicode folding would false-match e.g. U+0130 'İ' or

@@ -732,6 +732,23 @@ class HtmlParserSpec extends AnyFunSuite {
       "<table><tbody><tr><td>x</td></tr></tbody></table>")
   }
 
+  test("script data escape states: a double-escaped </script> is literal text") {
+    // the document.write('<script>…</script>') legacy pattern: after
+    // <!-- a nested <script> enters DOUBLE-escaped state where
+    // </script> is text; --> exits; only then does </script> close
+    assert(flat("""<script><!-- document.write('<script src="x"></script>') --></script>after""") ==
+      """<script><!-- document.write('<script src="x"></script>') --></script>after""")
+    // singly-escaped (no nested <script>): </script> still closes
+    assert(flat("""<script><!-- x --></script>t""") ==
+      """<script><!-- x --></script>t""")
+    assert(flat("""<script><!-- x = 1; </script>t""") ==
+      """<script><!-- x = 1; </script>t""")
+    // --> inside a string still exits the escaped state (the tokenizer
+    // does not understand JS)
+    assert(flat("""<script><!-- x = "-->"; </script>t""") ==
+      """<script><!-- x = "-->"; </script>t""")
+  }
+
   test("EOF-unclosed raw-text and RCDATA elements capture everything to EOF") {
     // the RAWTEXT/RCDATA states run to EOF when the end tag never
     // comes (spec/jsdom); previously the tail re-entered markup
