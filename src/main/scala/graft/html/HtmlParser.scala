@@ -57,7 +57,18 @@ import scala.collection.mutable
   * jsdom's BackCompat for harvested legacy pages), and the one
   * quirks-gated tree-builder rule is honored: a <table> start does
   * not close an open p in quirks mode, so a table inside an annotated
-  * paragraph keeps jsdom's quirks literal extents.
+  * paragraph keeps jsdom's quirks literal extents. r19 also lands:
+  * list-item scope for </li>, the spec's form-pointer rule, the
+  * "in select in table" recovery, the adoption agency's
+  * any-other-end-tag fallback, table SECTION SYNTHESIS (sectionless
+  * <tr> gets its tbody, bare cells their row, stray <col> its
+  * colgroup — so rdf:HTML table literals carry jsdom's synthesized
+  * bytes), the in-body ignore of table-structural tags outside any
+  * table, in-table keep (not foster) of script/style/template and
+  * hidden inputs, the PLAINTEXT state, RAWTEXT/RCDATA running to EOF
+  * on a missing end tag, the script-data escape states (a
+  * double-escaped </script> is literal text), and the void set
+  * completed with keygen/basefont/bgsound/frame.
   *
   * Remaining divergences from a full WHATWG tree builder, ledgered:
   * html/head/body wrappers are ordinary elements and are NOT
@@ -105,7 +116,10 @@ object HtmlParser {
   }
 
   private val voidElements = Set("area", "base", "br", "col", "embed", "hr",
-    "img", "input", "link", "meta", "param", "source", "track", "wbr")
+    "img", "input", "link", "meta", "param", "source", "track", "wbr",
+    // insert-and-immediately-pop per the in-body rules (keygen "acts
+    // like input"); jsdom/parse5 serialize all four without end tags
+    "keygen", "basefont", "bgsound", "frame")
   /** RAWTEXT elements (WHATWG tokenizer states + the serializer's
     * emit-unescaped list): content is a single undecoded text node,
     * serialized raw. Safe to round-trip: the scan stops at the first
@@ -770,12 +784,13 @@ object HtmlParser {
       }
       // in-body rule: table-structural start tags with NO table open
       // are parse-error-IGNORED (jsdom: '<div><td>x' keeps only the
-      // text). Skipped inside a template, whose contents may legally
-      // hold table fragments.
-      if ((tableInner(tag) || tag == "col" || tag == "frame") &&
-          stack.top.ns == "html" &&
-          !stack.exists(b => b.tag == "table" && b.ns == "html") &&
-          !stack.exists(_.tag == "template")) return
+      // text), and <frame> is in-body-ignored unconditionally (no
+      // frameset mode). Skipped inside a template, whose contents may
+      // legally hold table fragments.
+      if (stack.top.ns == "html" && !stack.exists(_.tag == "template") &&
+          ((tag == "frame" && !stack.exists(_.tag == "frameset")) ||
+            ((tableInner(tag) || tag == "col") &&
+              !stack.exists(b => b.tag == "table" && b.ns == "html")))) return
       impliedEndTags(stack, tag, popFn, quirks)
       // WHATWG in-table section synthesis (after the clear-back): a
       // sectionless <tr> acts as if <tbody> was seen, a bare <td>/<th>

@@ -732,6 +732,16 @@ class HtmlParserSpec extends AnyFunSuite {
       "<table><tbody><tr><td>x</td></tr></tbody></table>")
   }
 
+  test("keygen/basefont/bgsound are void; frame is void inside frameset, ignored outside") {
+    // jsdom/parse5 serialize these with no end tag and no children
+    assert(flat("<p><keygen>x") == "<p><keygen>x</p>")
+    assert(flat("<p><basefont>x<bgsound>y") == "<p><basefont>x<bgsound>y</p>")
+    // frame survives only inside an open frameset (in-frameset mode)
+    assert(flat("""<frameset><frame src="a"><frame src="b"></frameset>""") ==
+      """<frameset><frame src="a"><frame src="b"></frameset>""")
+    assert(flat("<div><frame>x</div>") == "<div>x</div>")
+  }
+
   test("script data escape states: a double-escaped </script> is literal text") {
     // the document.write('<script>…</script>') legacy pattern: after
     // <!-- a nested <script> enters DOUBLE-escaped state where
