@@ -280,7 +280,13 @@ object Bench {
     // 0.18-0.27 vs r18's 0.14-0.16 — the machine band again, which the
     // diff surface makes the only physical possibility. The r19 full
     // runs themselves drifted WITH the band (min-sum 83.5 at cal 0.18,
-    // then 89.9 at cal 0.26 an hour later).
+    // then 89.9 at cal 0.26 an hour later, 91.5 at cal 0.21 in the
+    // evening). The committed bench_detail_r19 is the 83.5 run; the
+    // parser commits that landed after it were re-benched in the two
+    // later full runs — rdfa_externalize min 0.935 → 0.921 (equal or
+    // better on final code) and rdfa_pipeline inside the floor rule —
+    // and the parser path itself is pinned by the committed
+    // parse_bench_r19.json, which IS from the final code.
     //
     // r14→r15 named cause #2: the four corpus-validate queries
     // (p4_validate +0.10 s, k9_partition_sizes +0.08, a3_verdict_counts
