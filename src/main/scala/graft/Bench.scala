@@ -281,12 +281,18 @@ object Bench {
     // diff surface makes the only physical possibility. The r19 full
     // runs themselves drifted WITH the band (min-sum 83.5 at cal 0.18,
     // then 89.9 at cal 0.26 an hour later, 91.5 at cal 0.21 in the
-    // evening). The committed bench_detail_r19 is the 83.5 run; the
-    // parser commits that landed after it were re-benched in the two
-    // later full runs — rdfa_externalize min 0.935 → 0.921 (equal or
-    // better on final code) and rdfa_pipeline inside the floor rule —
-    // and the parser path itself is pinned by the committed
-    // parse_bench_r19.json, which IS from the final code.
+    // evening). The committed bench_detail_r19 is the FINAL-CODE
+    // evening run (91.5 at cal 0.21 — detail-from-final-code wins over
+    // detail-from-quietest-band; the 83.5 run predates the last six
+    // parser commits). The parser queries themselves got FASTER on
+    // final code across those runs — rdfa_externalize min 0.935 →
+    // 0.921, rdfa_pipeline inside the floor rule — and the parser path
+    // is pinned by the committed parse_bench_r19.json, which is also
+    // from the final code. A fresh-VM session the next day confirmed
+    // the band is environmental, not drift: cal read 0.20-0.28 on an
+    // otherwise idle machine (subset spot-check: jaccard_pp 1.716,
+    // ngram_topk 0.574, sim_topk 0.436 — all inside the floor rule vs
+    // the committed r19 detail).
     //
     // r14→r15 named cause #2: the four corpus-validate queries
     // (p4_validate +0.10 s, k9_partition_sizes +0.08, a3_verdict_counts
