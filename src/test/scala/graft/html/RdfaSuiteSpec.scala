@@ -53,7 +53,13 @@ class RdfaSuiteSpec extends AnyFunSuite {
     "quirks-foster-in-p", "select-in-table-cell",
     // r19: table section synthesis (tbody in rdf:HTML bytes) + the
     // in-body stray-structural-tag ignore
-    "tbody-synthesis")
+    "tbody-synthesis",
+    // r19: tokenizer-state machinery pinned through literals —
+    // PLAINTEXT (closes an open p, then raw bytes to EOF), the
+    // script-data double-escape states, raw text running to EOF on a
+    // missing end tag, and the completed void set's serialization
+    "plaintext-in-property", "script-double-escape", "rawtext-to-eof",
+    "void-keygen-basefont")
 
   // The FIXTURES.md §3a ledger is the conformance contract; its literal
   // case count drifted once (r13 added 3 cases without touching the
