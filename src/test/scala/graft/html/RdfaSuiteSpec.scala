@@ -59,7 +59,15 @@ class RdfaSuiteSpec extends AnyFunSuite {
     // script-data double-escape states, raw text running to EOF on a
     // missing end tag, and the completed void set's serialization
     "plaintext-in-property", "script-double-escape", "rawtext-to-eof",
-    "void-keygen-basefont")
+    "void-keygen-basefont",
+    // r19: Core-semantics constructs that had no pin yet —
+    // @property+@resource (object IRI, no literal), multi-valued
+    // @typeof, nested @prefix scoping, the §7.4 TERMorCURIEorAbsIRI
+    // fallback (undeclared prefix IS an absolute IRI; a bare invalid
+    // value is ignored → plain literal), and direct @rev+@resource
+    "property-resource", "typeof-multiple", "prefix-nested",
+    "datatype-unprefixed-absiri", "datatype-bare-invalid",
+    "rev-resource")
 
   // The FIXTURES.md §3a ledger is the conformance contract; its literal
   // case count drifted once (r13 added 3 cases without touching the
