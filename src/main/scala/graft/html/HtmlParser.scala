@@ -107,12 +107,25 @@ object HtmlParser {
       * fragment — its childNodes are empty, so its text contributes
       * NOTHING to an ancestor's literal (innerHTML still serializes
       * the contents, like the DOM's template.innerHTML does). */
-    def text: String = children.map {
-      case e: Element if e.tag == "template" => ""
-      case n => n.text
-    }.mkString
+    def text: String = {
+      // accumulator walk, not per-node mkString: textContent runs once
+      // per property element over its whole subtree, and intermediate
+      // per-child strings dominated the extract profile
+      val sb = new java.lang.StringBuilder
+      appendTextTo(sb)
+      sb.toString
+    }
+    private[html] def appendTextTo(sb: java.lang.StringBuilder): Unit =
+      children.foreach {
+        case TextNode(t) => sb.append(t)
+        case e: Element => if (e.tag != "template") e.appendTextTo(sb)
+      }
     /** Re-serialized inner HTML (for rdf:HTML literals, G2). */
-    def innerHtml: String = children.map(render).mkString
+    def innerHtml: String = {
+      val sb = new java.lang.StringBuilder
+      children.foreach(renderTo(_, sb))
+      sb.toString
+    }
   }
 
   private val voidElements = Set("area", "base", "br", "col", "embed", "hr",
@@ -1747,12 +1760,25 @@ object HtmlParser {
   /** Re-serialize a node (innerHtml support). Attributes emit in SOURCE
     * order (the tokenizer builds a VectorMap), matching jsdom's
     * order-preserving innerHTML at any attribute count. */
-  def render(n: Node): String = n match {
-    case TextNode(t) => escapeText(t)
+  def render(n: Node): String = {
+    val sb = new java.lang.StringBuilder
+    renderTo(n, sb)
+    sb.toString
+  }
+
+  /** Single-StringBuilder serialization core: render is called per
+    * rdf:HTML literal and for every externalized page, and the old
+    * per-node mkString recursion allocated an intermediate string for
+    * every element in the subtree. Output bytes are identical (the
+    * render→reparse fixpoint fuzz and every fixture pin them). */
+  private def renderTo(n: Node, sb: java.lang.StringBuilder): Unit = n match {
+    case TextNode(t) => escapeTextTo(t, sb)
     case e: Element =>
-      val attrs = e.attrs.map { case (k, v) =>
-        s""" $k="${v.replace("&", "&amp;").replace("\"", "&quot;")}""""
-      }.mkString
+      def appendAttrs(): Unit = e.attrs.foreach { case (k, v) =>
+        sb.append(' ').append(k).append('=').append('"')
+        escapeAttrTo(v, sb)
+        sb.append('"')
+      }
       // foreign elements serialize with their case-adjusted SVG DOM name
       // (attr names were adjusted at parse time) and ALWAYS take explicit
       // end tags — the HTML serializer's void/raw-text rules are
@@ -1761,13 +1787,17 @@ object HtmlParser {
       if (e.ns != "html") {
         val name = if (e.ns == "svg") svgTagAdjust.getOrElse(e.tag, e.tag)
           else e.tag
-        s"<$name$attrs>${e.children.map(render).mkString}</$name>"
+        sb.append('<').append(name); appendAttrs(); sb.append('>')
+        e.children.foreach(renderTo(_, sb))
+        sb.append('<').append('/').append(name).append('>')
       }
       // HTML serialization writes voids with NO self-closing slash —
       // jsdom's innerHTML emits "<br>", and the G2 externalized literal
       // must match the reference's bytes
-      else if (voidElements(e.tag)) s"<${e.tag}$attrs>"
-      else if (rawTextElements(e.tag) || e.tag == "plaintext")
+      else if (voidElements(e.tag)) {
+        sb.append('<').append(e.tag); appendAttrs(); sb.append('>')
+      }
+      else if (rawTextElements(e.tag) || e.tag == "plaintext") {
         // the HTML serialization of a raw-text element emits its text
         // UNescaped (the parser never entity-decodes it, so escaping
         // here would double-encode on every parse→render round trip —
@@ -1778,25 +1808,58 @@ object HtmlParser {
         // spec's own exception — its content runs to EOF, so the spec
         // itself notes its serialization "cannot be parsed back" when
         // anything follows; the fuzz fixpoint property exempts it.
-        s"<${e.tag}$attrs>${e.children.collect { case TextNode(t) => t }.mkString}</${e.tag}>"
+        sb.append('<').append(e.tag); appendAttrs(); sb.append('>')
+        e.children.foreach { case TextNode(t) => sb.append(t); case _ => () }
+        sb.append('<').append('/').append(e.tag).append('>')
+      }
       else {
+        sb.append('<').append(e.tag); appendAttrs(); sb.append('>')
         // HTML serialization: pre/textarea/listing whose first child
         // text starts with LF get an EXTRA LF appended after the start
         // tag — the parser drops one there, so serialize→parse is
         // stable (spec rule; jsdom's innerHTML does the same)
-        val lfFix =
-          if ((e.tag == "pre" || e.tag == "listing" || e.tag == "textarea") &&
-            (e.children.headOption match {
-              case Some(TextNode(t)) => t.startsWith("\n")
-              case _ => false
-            })) "\n"
-          else ""
-        s"<${e.tag}$attrs>$lfFix${e.children.map(render).mkString}</${e.tag}>"
+        if ((e.tag == "pre" || e.tag == "listing" || e.tag == "textarea") &&
+          (e.children.headOption match {
+            case Some(TextNode(t)) => t.startsWith("\n")
+            case _ => false
+          })) sb.append('\n')
+        e.children.foreach(renderTo(_, sb))
+        sb.append('<').append('/').append(e.tag).append('>')
       }
   }
 
-  private def escapeText(t: String): String =
-    t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  /** Text-node escaping (& < >), appended directly; the no-escape fast
+    * path appends the whole string without a scan-and-copy pass. */
+  private def escapeTextTo(t: String, sb: java.lang.StringBuilder): Unit = {
+    var i = 0
+    var plainFrom = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == '&' || c == '<' || c == '>') {
+        sb.append(t, plainFrom, i)
+        sb.append(if (c == '&') "&amp;" else if (c == '<') "&lt;" else "&gt;")
+        plainFrom = i + 1
+      }
+      i += 1
+    }
+    sb.append(t, plainFrom, t.length)
+  }
+
+  /** Attribute-value escaping (& "), same shape. */
+  private def escapeAttrTo(v: String, sb: java.lang.StringBuilder): Unit = {
+    var i = 0
+    var plainFrom = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '&' || c == '"') {
+        sb.append(v, plainFrom, i)
+        sb.append(if (c == '&') "&amp;" else "&quot;")
+        plainFrom = i + 1
+      }
+      i += 1
+    }
+    sb.append(v, plainFrom, v.length)
+  }
 
   /** Depth-first traversal of an element and its descendants. */
   def walk(root: Element)(f: Element => Unit): Unit = {
