@@ -38,6 +38,22 @@ import scala.collection.mutable
   */
 object RdfaExtractor {
 
+  // Hoisted hot-path patterns: String.split/matches compile a fresh
+  // java.util.regex.Pattern per call, and the walk hits these once or
+  // more per attributed element (~1k compiles/page on the ParseBench
+  // profile before hoisting).
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+  private def wsSplit(s: String): Array[String] = wsPattern.split(s.trim)
+  private val schemePattern =
+    java.util.regex.Pattern.compile("^[A-Za-z][A-Za-z0-9+.-]*:.*")
+  private val dtDateTime =
+    java.util.regex.Pattern.compile("^-?\\d{4,}-\\d\\d-\\d\\dT.*")
+  private val dtDate = java.util.regex.Pattern.compile("^-?\\d{4,}-\\d\\d-\\d\\d$")
+  private val dtTime =
+    java.util.regex.Pattern.compile("^\\d\\d:\\d\\d(:\\d\\d(\\.\\d+)?)?$")
+  private val dtYearMonth = java.util.regex.Pattern.compile("^-?\\d{4,}-\\d\\d$")
+  private val dtYear = java.util.regex.Pattern.compile("^-?\\d{4,}$")
+
   /** RDFa initial-context prefixes (W3C) + those observed in harvested
     * pages; page-level `prefix` attributes extend/override these. */
   val defaultPrefixes: Map[String, String] = Map(
@@ -214,8 +230,8 @@ object RdfaExtractor {
       .orElse(e.attr("href").flatMap(resolveResource(_, ctx)))
       .orElse(e.attr("src").flatMap(resolveResource(_, ctx)))
     val properties = e.attr("property").toSeq
-      .flatMap(_.trim.split("\\s+")).flatMap(resolveIri(_, ctx))
-    val typeofs = e.attr("typeof").map(_.trim.split("\\s+").toSeq
+      .flatMap(p0 => wsSplit(p0)).flatMap(resolveIri(_, ctx))
+    val typeofs = e.attr("typeof").map(t0 => wsSplit(t0).toSeq
       .flatMap(resolveIri(_, ctx)))
 
     // typeof without about on a property-bearing element types the
@@ -237,7 +253,7 @@ object RdfaExtractor {
     // feed @property per Core §7.5 step 11.
     val curieOnly = e.attr("property").isDefined
     def linkTokens(name: String): Seq[String] =
-      e.attr(name).toSeq.flatMap(_.trim.split("\\s+"))
+      e.attr(name).toSeq.flatMap(v0 => wsSplit(v0))
         .filter(t => !curieOnly || t.contains(":"))
     val rels = linkTokens("rel").flatMap(resolveIri(_, ctx))
     val revs = linkTokens("rev").flatMap(resolveIri(_, ctx))
@@ -443,7 +459,7 @@ object RdfaExtractor {
     * case-insensitive, so `prefix="EX: …"` must serve `ex:p` and
     * `EX:p` alike — lookups lowercase their prefix to match. */
   def parsePrefixAttr(v: String): Map[String, String] = {
-    val toks = v.trim.split("\\s+").filter(_.nonEmpty)
+    val toks = wsSplit(v).filter(_.nonEmpty)
     val pairs = mutable.Map[String, String]()
     var i = 0
     while (i + 1 < toks.length) {
@@ -507,7 +523,7 @@ object RdfaExtractor {
   }
 
   private def isAbsoluteIri(v: String): Boolean =
-    v.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")
+    schemePattern.matcher(v).matches()
 
   /** RFC-3986-lite relative resolution (enough for harvested pages). */
   def resolveAgainstBase(ref: String, base: String): String = {
@@ -575,14 +591,14 @@ object RdfaExtractor {
   /** HTML5 `datetime` attribute datatype inference (RDFa + HTML spec). */
   def inferDatetimeDatatype(v: String): String = {
     val t = v.trim
-    if (t.matches("^-?\\d{4,}-\\d\\d-\\d\\dT.*")) Vocab.xsdDateTime
-    else if (t.matches("^-?\\d{4,}-\\d\\d-\\d\\d$")) Vocab.xsdDate
-    else if (t.matches("^\\d\\d:\\d\\d(:\\d\\d(\\.\\d+)?)?$"))
+    if (dtDateTime.matcher(t).matches()) Vocab.xsdDateTime
+    else if (dtDate.matcher(t).matches()) Vocab.xsdDate
+    else if (dtTime.matcher(t).matches())
       "http://www.w3.org/2001/XMLSchema#time"
-    else if (t.matches("^-?\\d{4,}-\\d\\d$"))
+    else if (dtYearMonth.matcher(t).matches())
       "http://www.w3.org/2001/XMLSchema#gYearMonth"
-    else if (t.matches("^-?\\d{4,}$")) "http://www.w3.org/2001/XMLSchema#gYear"
-    else if (t.matches("^P.*")) "http://www.w3.org/2001/XMLSchema#duration"
+    else if (dtYear.matcher(t).matches()) "http://www.w3.org/2001/XMLSchema#gYear"
+    else if (t.startsWith("P")) "http://www.w3.org/2001/XMLSchema#duration"
     else Vocab.xsdString
   }
 }
