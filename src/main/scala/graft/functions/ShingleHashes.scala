@@ -48,10 +48,14 @@ case class ShingleHashes(child: Expression, n: Int)
 
 object ShingleHashes {
 
+  // compiled once: compute() runs per ROW, and String.split("\\s+")
+  // compiles a fresh Pattern per call (no single-char fast path)
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
   /** Mirrors `filter(split(text, "\s+"), _.nonEmpty)` + n-gram +
     * `xxhash64` (seed 42) + first-occurrence distinct. */
   def compute(text: UTF8String, n: Int): ArrayData = {
-    val words = text.toString.split("\\s+").filter(_.nonEmpty)
+    val words = ws.split(text.toString).filter(_.nonEmpty)
     if (words.length < n) return new GenericArrayData(Array.empty[Long])
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     val sb = new java.lang.StringBuilder
