@@ -281,18 +281,18 @@ object Bench {
     // diff surface makes the only physical possibility. The r19 full
     // runs themselves drifted WITH the band (min-sum 83.5 at cal 0.18,
     // then 89.9 at cal 0.26 an hour later, 91.5 at cal 0.21 in the
-    // evening). The committed bench_detail_r19 is the FINAL-CODE
-    // evening run (91.5 at cal 0.21 — detail-from-final-code wins over
-    // detail-from-quietest-band; the 83.5 run predates the last six
-    // parser commits). The parser queries themselves got FASTER on
-    // final code across those runs — rdfa_externalize min 0.935 →
-    // 0.921, rdfa_pipeline inside the floor rule — and the parser path
-    // is pinned by the committed parse_bench_r19.json, which is also
-    // from the final code. A fresh-VM session the next day confirmed
-    // the band is environmental, not drift: cal read 0.20-0.28 on an
-    // otherwise idle machine (subset spot-check: jaccard_pp 1.716,
-    // ngram_topk 0.574, sim_topk 0.436 — all inside the floor rule vs
-    // the committed r19 detail).
+    // evening). RESOLVED at round close: the next-day fresh-VM session
+    // re-ran the FULL 102-query bench on final code at cal 0.167
+    // (within 5% of r18's 0.159 anchor) — min-sum 75.05 s with ZERO
+    // floor-rule breaches vs r18, and that run is the committed
+    // bench_detail_r19. The 83.5/89.9/91.5 runs and the interleaved
+    // A/B above remain the record of WHY the mid-round numbers drifted
+    // (environmental band, cal 0.18-0.27 — confirmed: the same code
+    // returned to r18-level times the moment the anchor did). The
+    // final code is also FASTER where this round touched it: the
+    // StringBuilder serializer lands rdfa_externalize UNDER its r18
+    // min (0.897 → 0.835), and parse_bench_r19.json (same final code)
+    // carries extract 5.52 → 4.61 and render 1.36 → 0.30 ms/page.
     //
     // r14→r15 named cause #2: the four corpus-validate queries
     // (p4_validate +0.10 s, k9_partition_sizes +0.08, a3_verdict_counts
