@@ -55,9 +55,12 @@ object ParseBench {
       }.toVector
     // warmup (JIT): each measured path separately — extract warms the
     // parse+walk, but render has its own code paths, and min-of-7 on a
-    // still-compiling path reads as a huge noise floor
+    // still-compiling path reads as a huge noise floor. 300 iterations,
+    // not 100: at 100 the committed r19 samples still DESCENDED across
+    // passes (parse 6.25 → 2.14 ms, C2 compiling into pass 5), which
+    // inflates the floor and weakens the cross-round breach rule.
     val root = HtmlParser.parse(doc)
-    (0 until 100).foreach { _ =>
+    (0 until 300).foreach { _ =>
       RdfaExtractor.extract(doc, "https://x.org/p")
       HtmlParser.parse(doc)
       HtmlParser.render(root)
