@@ -849,4 +849,29 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(r.contains("y</div>") || r.matches(".*<div>.*y.*</div>.*"),
       s"div closed early: $r")
   }
+
+  test("serializer escaping matches the replace-chain reference semantics") {
+    // the StringBuilder fast paths (escapeTextTo/escapeAttrTo) must be
+    // byte-equivalent to the straightforward replace chains they
+    // replaced — property-checked over adversarial strings (escapes at
+    // ends, runs of escapes, empty, no-escape fast path)
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val charGen = Gen.frequency(
+      (3, Gen.oneOf('&', '<', '>', '"', '\'')),
+      (3, Gen.alphaNumChar), (1, Gen.oneOf(' ', '\n', 'é')))
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    val prop = Prop.forAll(strGen) { s =>
+      val text = HtmlParser.render(HtmlParser.TextNode(s))
+      val textRef = s.replace("&", "&amp;").replace("<", "&lt;")
+        .replace(">", "&gt;")
+      val attr = HtmlParser.render(
+        HtmlParser.Element("i", Map("a" -> s), Vector.empty))
+      val attrRef = "<i a=\"" +
+        s.replace("&", "&amp;").replace("\"", "&quot;") + "\"></i>"
+      text == textRef && attr == attrRef
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
