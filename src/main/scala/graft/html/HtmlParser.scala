@@ -92,6 +92,16 @@ object HtmlParser {
     def text: String = content
   }
 
+  /** A comment node. Invisible to textContent (DOM), but SERIALIZED by
+    * innerHTML as `<!--data-->` — jsdom preserves comments inside
+    * rdf:HTML literals and externalized pages, and legacy harvested
+    * markup is full of them. Bogus comments take the spec's data
+    * extents: `<?php x?>` → "?php x?" (the `?` is reconsumed into the
+    * data), `<!foo>` → "foo", `</3>` → "3". */
+  final case class CommentNode(data: String) extends Node {
+    def text: String = ""
+  }
+
   final case class Element(
       tag: String,
       attrs: Map[String, String],
@@ -119,6 +129,7 @@ object HtmlParser {
       children.foreach {
         case TextNode(t) => sb.append(t)
         case e: Element => if (e.tag != "template") e.appendTextTo(sb)
+        case _ => () // comments contribute nothing to textContent
       }
     /** Re-serialized inner HTML (for rdf:HTML literals, G2). */
     def innerHtml: String = {
@@ -464,7 +475,18 @@ object HtmlParser {
     // stray text OUT of a <table property=…> element's extracted
     // literal. Returns false when no fosterable spot exists (table
     // parentless — cannot happen below #root — or no table open).
-    def fosterInsert(node: AnyRef): Boolean =
+    def fosterInsert(node: AnyRef): Boolean = {
+      // the spec's LAST-TEMPLATE rule: when a template is MORE RECENT
+      // on the stack than the last table, the adjusted insertion
+      // location is inside the template's contents (appended) — table
+      // fragments in template content never hoist out past the
+      // template into the outer table's parent
+      val ti = stack.indexWhere(b => b.tag == "table" && b.ns == "html")
+      val mi = stack.indexWhere(b => b.tag == "template" && b.ns == "html")
+      if (mi >= 0 && (ti < 0 || mi < ti)) {
+        appendTo(stack(mi), node)
+        return true
+      }
       stack.find(_.tag == "table") match {
         case Some(t) if t.parent != null =>
           val owner = t.parent
@@ -475,6 +497,7 @@ object HtmlParser {
           true
         case _ => false
       }
+    }
     /** Insert at the appropriate place: fostered when the current node
       * is table-structural (and the caller allows it), else appended. */
     def insertAppropriately(node: AnyRef, allowFoster: Boolean): Unit =
@@ -910,6 +933,17 @@ object HtmlParser {
         case Tok.Doctype(name, pub, sys, force) =>
           if (docMode == null)
             docMode = classifyDoctype(name, pub, sys, force)
+        case Tok.Comment(d) =>
+          // "Insert a comment": appended at the CURRENT node — never
+          // foster-parented (the in-table mode handles comments on its
+          // own branch, so '<table><!--c--><tr>' keeps the comment
+          // inside the table), never reconstructing formatting, and
+          // never leaving the INITIAL mode (a comment before the
+          // doctype must not lock in quirks). It IS a token, though,
+          // so it spends the pre/listing leading-LF drop — the LF
+          // after '<pre><!--c-->' is no longer "the next token" (spec).
+          dropLeadingLf = false
+          appendTo(stack.top, CommentNode(d))
         case Tok.Text(t0) =>
           if (docMode == null && t0.exists(c => c != ' ' && c != '\t' &&
             c != '\n' && c != '\f' && c != '\r')) docMode = "quirks"
@@ -1127,7 +1161,13 @@ object HtmlParser {
     * closes p, td and tr before the tbody opens (WHATWG; a fostered
     * element left open is closed the same way). Outside a table the old
     * innermost-only rules apply: there is no table to clear back to. */
-  private val tableBodyCtx = Set("table", "tbody", "thead", "tfoot", "#root")
+  // every WHATWG "clear the stack back to a … context" loop stops at
+  // template too: a table fragment inside a <template> that itself sits
+  // in an outer table's cell must never clear through the template into
+  // the outer row ('<td><template><td>' keeps the second cell INSIDE
+  // the template, like jsdom's template.content)
+  private val tableBodyCtx = Set("table", "tbody", "thead", "tfoot",
+    "template", "#root")
   private val tableRowCtx = tableBodyCtx + "tr"
 
   /** WHATWG "has a `p` element in button scope": the search for the open
@@ -1197,9 +1237,18 @@ object HtmlParser {
         // with its table). Inside a cell or caption the content mode is
         // in-body again, where a nested table is legal and stays nested.
         if (!quirks) closePInButtonScope(stack, pop)
+        // template is a TABLE-SCOPE barrier: a <table> inside template
+        // content never acts as </table> for an outer table
         val idx = stack.indexWhere(b => b.tag == "table" || b.tag == "td" ||
-          b.tag == "th" || b.tag == "caption" || b.tag == "#root")
+          b.tag == "th" || b.tag == "caption" || b.tag == "template" ||
+          b.tag == "#root")
         if (idx >= 0 && stack(idx).tag == "table") popThrough(stack, idx, pop)
+      case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" =>
+        closePInButtonScope(stack, pop)
+        // in-body heading start: a CURRENT h1-h6 node is popped (parse
+        // error) — "<h1>a<h2>b" builds sibling headings, as jsdom does;
+        // only the current node is checked, never a scope walk
+        if (stack.top.ns == "html" && headingTags(stack.top.tag)) pop()
       case t if closesP(t) => closePInButtonScope(stack, pop)
       case "li" =>
         closeSibling(stack, Set("li"), pop); closePInButtonScope(stack, pop)
@@ -1213,7 +1262,8 @@ object HtmlParser {
         else innermostLegacy(stack, tag, pop)
       case t if tableSection(t) =>
         if (inTable)
-          while (stack.top.tag != "table" && stack.top.tag != "#root") pop()
+          while (stack.top.tag != "table" && stack.top.tag != "template" &&
+            stack.top.tag != "#root") pop()
         else innermostLegacy(stack, tag, pop)
       case "rt" | "rp" =>
         // in-body rt/rp: ONLY with a ruby element in scope do they
@@ -1319,6 +1369,8 @@ object HtmlParser {
       * classifies on. `name` is lowercased; ids are verbatim. */
     final case class Doctype(name: String, publicId: Option[String],
         systemId: Option[String], forceQuirks: Boolean) extends T
+    /** A comment token (real or bogus) — becomes a [[CommentNode]]. */
+    final case class Comment(data: String) extends T
   }
 
   private final class Tokenizer(s: String) extends Iterator[Tok.T] {
@@ -1330,6 +1382,11 @@ object HtmlParser {
     var inForeign: Boolean = false
     private var i = 0
     private var pendingRawText: String = null
+    /** Set by parseOpenTag when EOF arrived INSIDE the tag (WHATWG
+      * eof-in-tag): the partial tag is dropped entirely — a truncated
+      * harvested page cut mid-`<div property=…` yields no element and
+      * no triple, exactly as jsdom's tokenizer drops it. */
+    private var droppedAtEof = false
 
     def hasNext: Boolean = i < s.length || pendingRawText != null
 
@@ -1367,38 +1424,47 @@ object HtmlParser {
         // WHATWG comment endings: "<!-->" and "<!--->" close ABRUPTLY
         // (an empty comment, not a swallow-the-document scan), and
         // "--!>" (incorrectly-closed) ends a comment like "-->" does —
-        // whichever terminator comes first
+        // whichever terminator comes first; EOF emits the comment with
+        // the data so far (eof-in-comment). NUL in data → U+FFFD.
         val after = i + 4
-        if (s.startsWith(">", after)) i = after + 1
-        else if (s.startsWith("->", after)) i = after + 2
-        else {
-          val end1 = s.indexOf("-->", after)
-          val end2 = s.indexOf("--!>", after)
-          i =
-            if (end2 >= 0 && (end1 < 0 || end2 < end1)) end2 + 4
-            else if (end1 >= 0) end1 + 3
-            else s.length
-        }
-        return Tok.Text("")
+        if (s.startsWith(">", after)) { i = after + 1; return Tok.Comment("") }
+        if (s.startsWith("->", after)) { i = after + 2; return Tok.Comment("") }
+        val end1 = s.indexOf("-->", after)
+        val end2 = s.indexOf("--!>", after)
+        val (end, skip) =
+          if (end2 >= 0 && (end1 < 0 || end2 < end1)) (end2, end2 + 4)
+          else if (end1 >= 0) (end1, end1 + 3)
+          else (s.length, s.length)
+        i = skip
+        return Tok.Comment(s.substring(after, end).replace('\u0000', '\ufffd'))
       }
       if (i + 1 < s.length && s(i + 1) == '!' &&
           s.regionMatches(true, i + 2, "doctype", 0, 7))
         return parseDoctype()
       if (i + 1 < s.length && (s(i + 1) == '!' || s(i + 1) == '?')) {
+        // bogus comment (WHATWG): data runs to the first '>' (or EOF);
+        // after "<!" the data starts past the bang, after "<?" the '?'
+        // is RECONSUMED into the data — jsdom serializes "<?php x?>"
+        // back as "<!--?php x?-->"
+        val start = if (s(i + 1) == '!') i + 2 else i + 1
         val end = s.indexOf('>', i)
+        val data = if (end < 0) s.substring(start) else s.substring(start, end)
         i = if (end < 0) s.length else end + 1
-        return Tok.Text("")
+        return Tok.Comment(data.replace('\u0000', '\ufffd'))
       }
       if (i + 1 < s.length && s(i + 1) == '/') {
         // WHATWG end-tag-open: a letter starts an end tag whose NAME is
         // the leading run — trailing junk (attributes on an end tag,
         // "</div foo>") is parse-error noise and the div still closes;
-        // a NON-letter makes the whole thing a bogus comment ("</ div>",
-        // "</3>" close nothing)
+        // "</>" is missing-end-tag-name (ignored outright); a NON-letter
+        // makes the whole thing a bogus COMMENT ("</ div>" → " div",
+        // "</3>" → "3" — they close nothing but serialize as comments)
+        if (i + 2 >= s.length) { i = s.length; return Tok.Text("</") }
+        val c2 = s(i + 2)
         val end = s.indexOf('>', i)
-        if (end < 0) { i = s.length; return Tok.Text("") }
-        val c2 = if (i + 2 < s.length) s(i + 2) else ' '
         if ((c2 >= 'a' && c2 <= 'z') || (c2 >= 'A' && c2 <= 'Z')) {
+          // eof-in-tag: an end tag cut off by EOF is dropped entirely
+          if (end < 0) { i = s.length; return Tok.Text("") }
           var j = i + 2
           while (j < end && s(j) != ' ' && s(j) != '\t' && s(j) != '\n' &&
             s(j) != '\f' && s(j) != '\r' && s(j) != '/') j += 1
@@ -1406,8 +1472,10 @@ object HtmlParser {
           i = end + 1
           return Tok.Close(tag)
         }
-        i = end + 1 // bogus comment: consumed, emits nothing
-        return Tok.Text("")
+        if (c2 == '>') { i = i + 3; return Tok.Text("") }
+        val data = if (end < 0) s.substring(i + 2) else s.substring(i + 2, end)
+        i = if (end < 0) s.length else end + 1
+        return Tok.Comment(data.replace('\u0000', '\ufffd'))
       }
       // open tag
       parseOpenTag() match {
@@ -1456,9 +1524,12 @@ object HtmlParser {
           }
           open
         case None =>
-          // lone '<' that isn't a tag — treat literally
-          i += 1
-          Tok.Text("<")
+          if (droppedAtEof) { droppedAtEof = false; Tok.Text("") }
+          else {
+            // lone '<' that isn't a tag — treat literally
+            i += 1
+            Tok.Text("<")
+          }
       }
     }
 
@@ -1533,16 +1604,21 @@ object HtmlParser {
         if (!attrs.contains(name)) attrs = attrs.updated(name, value)
       var selfClosing = false
       var done = false
+      var closed = false // saw the '>' — EOF inside the tag drops it
       while (!done && j < s.length) {
         while (j < s.length && s(j).isWhitespace) j += 1
         if (j >= s.length) done = true
         else s(j) match {
-          case '>' => j += 1; done = true
+          case '>' => j += 1; done = true; closed = true
           case '/' =>
-            if (j + 1 < s.length && s(j + 1) == '>') { selfClosing = true; j += 2; done = true }
+            if (j + 1 < s.length && s(j + 1) == '>') { selfClosing = true; j += 2; done = true; closed = true }
             else j += 1
           case _ =>
             val aStart = j
+            // unexpected-equals-sign-before-attribute-name: a leading
+            // '=' joins the attribute NAME ('<div =x>' has an attribute
+            // named "=x"), per the spec's tokenizer
+            if (s(j) == '=') j += 1
             while (j < s.length && !s(j).isWhitespace && s(j) != '=' &&
               s(j) != '>' && s(j) != '/') j += 1
             // Locale.ROOT: a default Turkish locale would map 'I' to a
@@ -1567,6 +1643,10 @@ object HtmlParser {
         }
       }
       i = j
+      // WHATWG eof-in-tag: EOF before the closing '>' (in the tag name,
+      // an attribute name, or an attribute value) emits NO token — the
+      // truncated tag vanishes, like jsdom
+      if (!closed) { droppedAtEof = true; return None }
       Some(Tok.Open(tag, attrs, selfClosing))
     }
   }
@@ -1773,6 +1853,9 @@ object HtmlParser {
     * render→reparse fixpoint fuzz and every fixture pin them). */
   private def renderTo(n: Node, sb: java.lang.StringBuilder): Unit = n match {
     case TextNode(t) => escapeTextTo(t, sb)
+    // comment data emits RAW (jsdom does the same); parsed data can
+    // never contain its own terminator, so the round trip is exact
+    case CommentNode(d) => sb.append("<!--").append(d).append("-->")
     case e: Element =>
       def appendAttrs(): Unit = e.attrs.foreach { case (k, v) =>
         sb.append(' ').append(k).append('=').append('"')

@@ -244,6 +244,7 @@ class HtmlParserSpec extends AnyFunSuite {
     val kinds = div.children.map {
       case TextNode(t) => s"text:$t"
       case e: Element => s"el:${e.tag}"
+      case other => s"other:$other"
     }
     assert(kinds == Vector("text:stray", "el:table"), kinds.mkString(","))
     val table = div.children.collect { case e: Element => e }.head
@@ -419,11 +420,11 @@ class HtmlParserSpec extends AnyFunSuite {
 
   test("CDATA sections are character data in foreign content only") {
     // in SVG: raw text to ]]>, no entity decoding (the & re-escapes on
-    // serialization); in HTML: a bogus comment that vanishes
+    // serialization); in HTML: a cdata-in-html-content BOGUS COMMENT —
+    // browsers serialize '<![CDATA[x]]>' back as '<!--[CDATA[x]]-->'
     assert(flat("<svg><text><![CDATA[a & b <i>]]></text></svg>") ==
       "<svg><text>a &amp; b &lt;i&gt;</text></svg>")
-    assert(flat("<p><![CDATA[gone]]>x</p>") == "<p>gone]]&gt;x</p>" ||
-      flat("<p><![CDATA[gone]]>x</p>") == "<p>x</p>")
+    assert(flat("<p><![CDATA[gone]]>x</p>") == "<p><!--[CDATA[gone]]-->x</p>")
   }
 
   test("script inside SVG is not raw text (element children parse)") {
@@ -687,9 +688,10 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(flat("""x<!DOCTYPE html><p>a<table></table>b""") ==
       "x<p>a<table></table>b</p>")
     // whitespace and comments before the doctype do NOT lock in quirks
-    // (the whitespace text itself stays at root — no before-html mode)
+    // (the whitespace text itself stays at root — no before-html mode;
+    // the comment is a real node now, like jsdom's pre-doctype comments)
     assert(flat("  <!-- c --> <!DOCTYPE html><p>a<table></table>b") ==
-      "   <p>a</p><table></table>b")
+      "  <!-- c --> <p>a</p><table></table>b")
     // every other p-closing start tag is mode-independent: a quirks
     // <div> still closes the p
     assert(flat("<p>a<div>b</div>") == "<p>a</p><div>b</div>")
@@ -873,5 +875,91 @@ class HtmlParserSpec extends AnyFunSuite {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("comments are real nodes: preserved by innerHTML, invisible to text") {
+    // jsdom keeps comments in innerHTML (so rdf:HTML literals carry
+    // them) while textContent skips them
+    val root = parse("<div>a<!-- c -->b</div>")
+    val div = root.children.head.asInstanceOf[Element]
+    assert(div.innerHtml == "a<!-- c -->b", div.innerHtml)
+    assert(div.text == "ab", div.text)
+    // in-table comments are NOT foster-parented (the in-table mode
+    // inserts comments at the current node, unlike character tokens)
+    assert(flat("<table><!--c--><tr><td>y") ==
+      "<table><!--c--><tbody><tr><td>y</td></tr></tbody></table>")
+    // a comment between <pre> and the newline spends the leading-LF
+    // rule: the LF is no longer "the next token", so it survives
+    assert(flat("<pre><!--c-->\nx</pre>") == "<pre><!--c-->\nx</pre>")
+    // abrupt and incorrectly-closed endings keep their data extents
+    assert(flat("<!-->x") == "<!---->x")
+    assert(flat("<!--a--!>b") == "<!--a-->b")
+    // eof-in-comment EMITS the comment with the data so far
+    assert(flat("x<!-- tail") == "x<!-- tail-->")
+  }
+
+  test("bogus comments serialize with the spec's data extents") {
+    // "<?" reconsumes the '?' into the data; "<!" starts past the bang;
+    // a non-letter end tag reconsumes its first char; "</>" is
+    // missing-end-tag-name and vanishes without a comment
+    assert(flat("<?php x?>") == "<!--?php x?-->")
+    assert(flat("<!foo>") == "<!--foo-->")
+    assert(flat("</3>x") == "<!--3-->x")
+    assert(flat("</ div>x") == "<!-- div-->x")
+    assert(flat("</>x") == "x")
+    // cdata-in-html-content is one of these: data keeps the brackets
+    assert(flat("<p><![CDATA[q]]>r") == "<p><!--[CDATA[q]]-->r</p>")
+    // a comment BEFORE the doctype neither locks quirks nor vanishes
+    assert(flat("<!--pre--><!DOCTYPE html><p>a<table></table>") ==
+      "<!--pre--><p>a</p><table></table>")
+  }
+
+  test("eof-in-tag drops the truncated tag (WHATWG tokenizer)") {
+    // a page cut off mid-tag yields NO element — jsdom's tokenizer
+    // emits nothing for a tag interrupted by EOF, in any tag state
+    assert(flat("a<div") == "a")
+    assert(flat("a<div ") == "a")
+    assert(flat("a<div foo") == "a")
+    assert(flat("a<div foo=\"bar") == "a")
+    assert(flat("a<div foo='bar") == "a")
+    assert(flat("a<div foo=bar") == "a")
+    assert(flat("a<div/") == "a")
+    assert(flat("a</div") == "a")
+    // eof-before-tag-name: a bare "</" at EOF is TEXT
+    assert(flat("a</") == "a&lt;/")
+    // and a truncated raw-text START tag never enters raw-text state
+    assert(flat("a<script") == "a")
+  }
+
+  test("a heading start tag pops a current heading: h1-h6 never nest") {
+    assert(flat("<h1>a<h2>b") == "<h1>a</h1><h2>b</h2>")
+    assert(flat("<h3>a<h3>b</h3>") == "<h3>a</h3><h3>b</h3>")
+    // only the CURRENT node is checked — a heading deeper in the stack
+    // does not close (no scope walk on the start-tag side)
+    assert(flat("<h1>a<span><h2>b") == "<h1>a<span><h2>b</h2></span></h1>")
+  }
+
+  test("a leading '=' joins the attribute name (<div =x> has attr \"=x\")") {
+    val root = parse("<div =x>y</div>")
+    val div = root.children.head.asInstanceOf[Element]
+    assert(div.attrs == Map("=x" -> ""), div.attrs.toString)
+  }
+
+  test("template is a barrier for every table clear-back and for fostering") {
+    // a <td> inside a template that sits in an outer table's cell stays
+    // INSIDE the template (the clear-back-to-row-context loop stops at
+    // template), like jsdom's template.content
+    assert(flat("<table><td><template><td>t</template>") ==
+      "<table><tbody><tr><td><template><td>t</td></template></td></tr></tbody></table>")
+    // a <table> inside template content never acts as </table> for the
+    // outer table (template is a table-scope barrier)
+    assert(flat("<table><td><template><table><td>x</table></template>z") ==
+      "<table><tbody><tr><td><template><table><tbody><tr><td>x</td></tr>" +
+        "</tbody></table></template>z</td></tr></tbody></table>")
+    // the LAST-TEMPLATE foster rule: content at a table-structural point
+    // inside a template appends into the template's contents — it never
+    // hoists out past the template to before the outer table
+    assert(flat("<table><td>a<template><tr>r</template>b") ==
+      "<table><tbody><tr><td>a<template><tr></tr>r</template>b</td></tr></tbody></table>")
   }
 }

@@ -67,7 +67,12 @@ class RdfaSuiteSpec extends AnyFunSuite {
     // value is ignored → plain literal), and direct @rev+@resource
     "property-resource", "typeof-multiple", "prefix-nested",
     "datatype-unprefixed-absiri", "datatype-bare-invalid",
-    "rev-resource")
+    "rev-resource",
+    // r19 (second pass): comments are DOM nodes (kept in rdf:HTML
+    // literals, skipped by textContent), eof-in-tag drops a truncated
+    // tag entirely, and a heading start pops a current heading
+    "comment-in-html-literal", "truncated-tag-dropped",
+    "heading-sibling-close")
 
   // The FIXTURES.md §3a ledger is the conformance contract; its literal
   // case count drifted once (r13 added 3 cases without touching the
