@@ -827,6 +827,12 @@ object HtmlParser {
           ((tag == "frame" && !stack.exists(_.tag == "frameset")) ||
             ((tableInner(tag) || tag == "col") &&
               !stack.exists(b => b.tag == "table" && b.ns == "html")))) return
+      // "in column group": any start tag other than col/template acts
+      // as </colgroup> first and reprocesses (spec's anything-else
+      // branch) — '<table><colgroup><div>' pops the colgroup, then the
+      // div fosters before the table like any stray table content
+      if (stack.top.ns == "html" && stack.top.tag == "colgroup" &&
+          tag != "col" && tag != "template") finish()
       impliedEndTags(stack, tag, popFn, quirks)
       // WHATWG in-table section synthesis (after the clear-back): a
       // sectionless <tr> acts as if <tbody> was seen, a bare <td>/<th>
@@ -951,11 +957,24 @@ object HtmlParser {
           // emit these) are invisible: they must not consume the
           // leading-LF drop, or "<pre></>\n" would keep a newline that a
           // reparse of the serialization then drops (non-convergent)
-          val t =
+          var t =
             if (t0.nonEmpty && dropLeadingLf && t0.startsWith("\n"))
               t0.substring(1)
             else t0
           if (t0.nonEmpty) dropLeadingLf = false
+          // "in column group" text: whitespace is inserted in place;
+          // the first non-whitespace character acts as </colgroup> and
+          // reprocesses (so the rest of the run fosters before the
+          // table) — split the run at that boundary, like jsdom
+          if (t.nonEmpty && stack.top.ns == "html" &&
+              stack.top.tag == "colgroup" && t.trim.nonEmpty &&
+              !foreignMode(None)) {
+            val k = t.indexWhere(c => c != ' ' && c != '\t' && c != '\n' &&
+              c != '\f' && c != '\r')
+            if (k > 0) appendTo(stack.top, TextNode(t.substring(0, k)))
+            finish()
+            t = t.substring(k)
+          }
           if (t.nonEmpty) {
             if (foreignMode(None)) appendTo(stack.top, TextNode(t))
             else {

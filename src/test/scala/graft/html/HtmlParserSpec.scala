@@ -945,6 +945,21 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(div.attrs == Map("=x" -> ""), div.attrs.toString)
   }
 
+  test("in column group: anything but col/template acts as </colgroup>") {
+    // the spec's anything-else branch: the colgroup pops and the token
+    // reprocesses in table — text fosters (its whitespace prefix stays
+    // inside the colgroup), a later <col> synthesizes a NEW colgroup
+    assert(flat("<table><colgroup>x<col>") ==
+      "x<table><colgroup></colgroup><colgroup><col></colgroup></table>")
+    assert(flat("<table><colgroup><div>y") ==
+      "<div>y</div><table><colgroup></colgroup></table>")
+    assert(flat("<table><colgroup>  <col>z") ==
+      "z<table><colgroup>  <col></colgroup></table>")
+    // col and template stay inside (template via the in-head rules)
+    assert(flat("<table><colgroup><template><td>t</template><col>") ==
+      "<table><colgroup><template><td>t</td></template><col></colgroup></table>")
+  }
+
   test("template is a barrier for every table clear-back and for fostering") {
     // a <td> inside a template that sits in an outer table's cell stays
     // INSIDE the template (the clear-back-to-row-context loop stops at
