@@ -1515,7 +1515,7 @@ object HtmlParser {
             val end0 =
               if (open.tag == "script") scriptEndIndex(s, i)
               else {
-                val e = indexOfIgnoreCaseAscii(s, s"</${open.tag}", i)
+                val e = rawEndIndex(s, open.tag, i)
                 if (e >= 0) e else s.length
               }
             val end = end0
@@ -1526,18 +1526,20 @@ object HtmlParser {
               i = end
             }
           } else if (rcdataElements(open.tag) && !open.selfClosing && !inForeign) {
-            val end0 = indexOfIgnoreCaseAscii(s, s"</${open.tag}", i)
+            val end0 = rawEndIndex(s, open.tag, i)
             val end = if (end0 >= 0) end0 else s.length // RCDATA to EOF too
             if (end0 >= 0 || end > i) {
               val seg0 = s.substring(i, end)
-              // a leading LF right after <textarea> is dropped (spec);
-              // RCDATA decodes character references, NUL becomes U+FFFD
-              val seg =
-                if (open.tag == "textarea" && seg0.startsWith("\n"))
-                  seg0.substring(1)
-                else seg0
+              // RCDATA decodes character references, NUL becomes U+FFFD;
+              // the leading-LF drop after <textarea> applies to the
+              // DECODED character token (an "&#10;" newline drops too —
+              // the tree builder sees only character tokens)
+              val decoded =
+                decodeEntities(seg0.replace('\u0000', '\ufffd'), isAttr = false)
               pendingRawText =
-                decodeEntities(seg.replace('\u0000', '\ufffd'), isAttr = false)
+                if (open.tag == "textarea" && decoded.startsWith("\n"))
+                  decoded.substring(1)
+                else decoded
               i = end
             }
           }
@@ -1691,11 +1693,13 @@ object HtmlParser {
       val c = hay(i)
       if (c == '<') {
         if (!escaped && hay.startsWith("<!--", i)) { escaped = true; i += 4 }
-        else if (hay.regionMatches(true, i, "</script", 0, 8)) {
+        else if (hay.regionMatches(true, i, "</script", 0, 8) &&
+            tagBoundary(hay, i + 8)) {
           if (doubled) { doubled = false; i += 8 } // literal text
           else return i // closes from plain AND singly-escaped states
         } else if (escaped && !doubled &&
-            hay.regionMatches(true, i, "<script", 0, 7)) {
+            hay.regionMatches(true, i, "<script", 0, 7) &&
+            tagBoundary(hay, i + 7)) {
           doubled = true; i += 7
         } else i += 1
       } else if (c == '-' && (escaped || doubled) &&
@@ -1704,6 +1708,32 @@ object HtmlParser {
       } else i += 1
     }
     hay.length
+  }
+
+  /** WHATWG end-tag-name boundary inside raw-text/RCDATA scanning: the
+    * char after "</tag" must be whitespace, '/', or '>' for the tag to
+    * count — "</scriptx>" inside a script is literal text, and a
+    * "</script" cut by EOF never terminates (the content runs to EOF,
+    * the spec's anything-else branch). */
+  @inline private def tagBoundary(hay: String, at: Int): Boolean =
+    at < hay.length && {
+      val c = hay(at)
+      c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r' ||
+        c == '/' || c == '>'
+    }
+
+  /** First index of "</tag" followed by a proper end-tag boundary, or
+    * -1 — the raw-text/RCDATA terminator search. */
+  private def rawEndIndex(hay: String, tag: String, from: Int): Int = {
+    val needle = "</" + tag
+    var i = from
+    while (i >= 0) {
+      val at = indexOfIgnoreCaseAscii(hay, needle, i)
+      if (at < 0) return -1
+      if (tagBoundary(hay, at + needle.length)) return at
+      i = at + 1
+    }
+    -1
   }
 
   private def indexOfIgnoreCaseAscii(hay: String, needle: String, from: Int): Int = {

@@ -945,6 +945,28 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(div.attrs == Map("=x" -> ""), div.attrs.toString)
   }
 
+  test("raw-text/RCDATA end tags need a name boundary; near-matches are text") {
+    // "</titlex>" inside a <title> is literal text (the end-tag-name
+    // state only terminates on whitespace, '/' or '>' after the name);
+    // same for script/style; a terminator cut off by EOF never closes
+    assert(flat("<title>a</titlex>b</title>c") ==
+      "<title>a&lt;/titlex&gt;b</title>c")
+    assert(flat("<script>a</scriptx>b</script>c") ==
+      "<script>a</scriptx>b</script>c")
+    assert(flat("<title>a</title") == "<title>a&lt;/title</title>")
+    // boundary variants that DO close: "</style/>" and "</title foo>"
+    assert(flat("<style>a</style/>x") == "<style>a</style>x")
+    assert(flat("<title>t</title foo=1>u") == "<title>t</title>u")
+    // "<scripty>" while escaped does not enter double-escaping, so the
+    // first real "</script>" still closes
+    assert(flat("<script><!--<scripty></script>x") ==
+      "<script><!--<scripty></script>x")
+    // the textarea leading-LF drop applies to the DECODED token:
+    // "&#10;" is a U+000A character token and drops like a literal LF
+    assert(flat("<textarea>&#10;x</textarea>") == "<textarea>x</textarea>")
+    assert(flat("<textarea>\nx</textarea>") == "<textarea>x</textarea>")
+  }
+
   test("in column group: anything but col/template acts as </colgroup>") {
     // the spec's anything-else branch: the colgroup pops and the token
     // reprocesses in table — text fosters (its whitespace prefix stays
