@@ -23,7 +23,11 @@ object FixpointHunt {
       "plaintext")
     val junk = Seq("<", ">", "&", "\"", "'", "=", "/", "<!--", "-->", "<!",
       "]]>", "&#x41;", "&#999999999;", "&bogus;", " ", "�", "<<>>",
-      "</", "<a", "=\"", "a:b", "[a:b]", "_:x", "\n", "\t", "ab", "<![CDATA[", "<![CDATA[x]]>")
+      "</", "<a", "=\"", "a:b", "[a:b]", "_:x", "\n", "\t", "ab", "<![CDATA[", "<![CDATA[x]]>",
+      // r19 second pass: bogus-comment openers, near-miss raw-text
+      // terminators, missing-end-tag-name, decoded-LF, '='-led attrs
+      "<?", "<?php x?>", "</3>", "</ x>", "</>", "<!x>", "</titlex>",
+      "</scriptx>", "&#10;", "<div =x>", "--!>", "<!-->")
     // r19: doctype preambles (quirks vs standards gates table-in-p) and
     // foreign-content shapes — case-adjusted attrs, self-closing syntax,
     // integration-point encodings — per the r18 verdict's item 7
