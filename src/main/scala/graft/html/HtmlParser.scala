@@ -68,7 +68,21 @@ import scala.collection.mutable
   * hidden inputs, the PLAINTEXT state, RAWTEXT/RCDATA running to EOF
   * on a missing end tag, the script-data escape states (a
   * double-escaped </script> is literal text), and the void set
-  * completed with keygen/basefont/bgsound/frame.
+  * completed with keygen/basefont/bgsound/frame. A second r19 pass
+  * (hand-probed against the spec) adds: COMMENT NODES — kept in the
+  * tree and in innerHTML like jsdom (bogus comments included, with
+  * the spec's data extents: `<?php x?>` re-serializes as
+  * `<!--?php x?-->`), invisible to textContent, inserted at the
+  * current node (never fostered), and silent in the initial mode —
+  * eof-in-tag (a tag truncated by EOF emits nothing), sibling
+  * headings (an h1-h6 start pops a current heading), the
+  * '='-led-attribute-name tokenizer rule, the in-column-group
+  * anything-else branch (acts as </colgroup> and reprocesses),
+  * TEMPLATE as a barrier for the table clear-backs/table scope plus
+  * the last-template foster rule (fostered content lands in the
+  * template's contents), raw-text/RCDATA terminators requiring a
+  * name boundary ("</titlex>" is literal text inside a <title>),
+  * and the textarea leading-LF drop applying to the DECODED token.
   *
   * Remaining divergences from a full WHATWG tree builder, ledgered:
   * html/head/body wrappers are ordinary elements and are NOT
