@@ -72,7 +72,12 @@ class RdfaSuiteSpec extends AnyFunSuite {
     // literals, skipped by textContent), eof-in-tag drops a truncated
     // tag entirely, and a heading start pops a current heading
     "comment-in-html-literal", "truncated-tag-dropped",
-    "heading-sibling-close")
+    "heading-sibling-close",
+    // r19 (second pass, Core §7.5 edges): @property+@typeof with no
+    // resource attrs mints a typed-bnode OBJECT, and one rdf:List per
+    // (subject, predicate) merges IRI and literal @inlist members in
+    // document order
+    "property-typeof-object", "inlist-mixed-terms")
 
   // The FIXTURES.md §3a ledger is the conformance contract; its literal
   // case count drifted once (r13 added 3 cases without touching the
