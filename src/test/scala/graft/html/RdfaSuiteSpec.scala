@@ -77,7 +77,10 @@ class RdfaSuiteSpec extends AnyFunSuite {
     // resource attrs mints a typed-bnode OBJECT, and one rdf:List per
     // (subject, predicate) merges IRI and literal @inlist members in
     // document order
-    "property-typeof-object", "inlist-mixed-terms")
+    "property-typeof-object", "inlist-mixed-terms",
+    // comments × foster parenting in one rdf:HTML literal: the comment
+    // keeps its in-table slot while the text hoists before the table
+    "comment-foster-interaction")
 
   // The FIXTURES.md §3a ledger is the conformance contract; its literal
   // case count drifted once (r13 added 3 cases without touching the
