@@ -947,13 +947,50 @@ object HtmlParser {
 
     // a leading LF right after <pre>/<listing> is dropped (in-body rule)
     var dropLeadingLf = false
+    // "in table text" (13.2.6.4.10): character tokens arriving at a
+    // table-structural insertion point are BATCHED until the next
+    // NON-character token — if any character in the batch is
+    // non-whitespace the WHOLE batch is foster-parented (leading
+    // whitespace included), otherwise it stays in the table. Per-token
+    // handling diverges when the tokenizer splits a run: a stray '<'
+    // before a non-letter, or an ignored '</>' stub — in '<table>  <3'
+    // jsdom (parse5) fosters "  <3" wholly before the table; a
+    // per-token walk would leave the "  " inside it. Empty
+    // pseudo-text tokens (bogus end tags) emit no character in the
+    // spec, so they do NOT end the batch here either.
+    var pendingTableText: java.lang.StringBuilder = null
+    // HTML whitespace is exactly TAB/LF/FF/CR/SPACE — String.trim would
+    // also strip U+000B (vertical tab), which the spec (and parse5)
+    // treat as a NON-whitespace character that forces fostering
+    def htmlWsOnly(t: String): Boolean = t.forall(c => c == ' ' ||
+      c == '\t' || c == '\n' || c == '\f' || c == '\r')
+    def flushTableText(): Unit = if (pendingTableText != null) {
+      val t = pendingTableText.toString
+      pendingTableText = null
+      if (t.nonEmpty) {
+        if (htmlWsOnly(t)) appendTo(stack.top, TextNode(t))
+        else {
+          // in-body character handling with fostering: reconstruct
+          // first — it may RETARGET the insertion point to a fostered
+          // formatting clone (then the text belongs INSIDE the clone,
+          // not fostered again beside it); only a still-table-structural
+          // insertion point fosters the text itself
+          reconstructAfe()
+          if (stack.top.ns == "html" && fosterContext(stack.top.tag)) {
+            if (!fosterInsert(TextNode(t))) appendTo(stack.top, TextNode(t))
+          } else appendTo(stack.top, TextNode(t))
+        }
+      }
+    }
     def leaveInitial(): Unit = if (docMode == null) docMode = "quirks"
     tokens.foreach { tok =>
       tok match {
         case Tok.Doctype(name, pub, sys, force) =>
+          flushTableText()
           if (docMode == null)
             docMode = classifyDoctype(name, pub, sys, force)
         case Tok.Comment(d) =>
+          flushTableText()
           // "Insert a comment": appended at the CURRENT node — never
           // foster-parented (the in-table mode handles comments on its
           // own branch, so '<table><!--c--><tr>' keeps the comment
@@ -981,7 +1018,7 @@ object HtmlParser {
           // reprocesses (so the rest of the run fosters before the
           // table) — split the run at that boundary, like jsdom
           if (t.nonEmpty && stack.top.ns == "html" &&
-              stack.top.tag == "colgroup" && t.trim.nonEmpty &&
+              stack.top.tag == "colgroup" && !htmlWsOnly(t) &&
               !foreignMode(None)) {
             val k = t.indexWhere(c => c != ' ' && c != '\t' && c != '\n' &&
               c != '\f' && c != '\r')
@@ -991,19 +1028,22 @@ object HtmlParser {
           }
           if (t.nonEmpty) {
             if (foreignMode(None)) appendTo(stack.top, TextNode(t))
-            else {
-              // whitespace-only text at a table-structural point stays
-              // in-table (no foster, no reconstruct); anything else is
+            else if (stack.top.ns == "html" && fosterContext(stack.top.tag)) {
+              // batch into the in-table-text run; whether it stays in
+              // the table (all-whitespace) or fosters wholly is decided
+              // at the next non-character token (flushTableText)
+              if (pendingTableText == null)
+                pendingTableText = new java.lang.StringBuilder
+              pendingTableText.append(t)
+            } else {
               // in-body character handling: reconstruct, then insert (the
               // reconstruction may retarget the insertion point to a clone)
-              val tableWs = fosterContext(stack.top.tag) && t.trim.isEmpty
-              if (!tableWs) reconstructAfe()
-              if (fosterContext(stack.top.tag) && t.trim.nonEmpty) {
-                if (!fosterInsert(TextNode(t))) appendTo(stack.top, TextNode(t))
-              } else appendTo(stack.top, TextNode(t))
+              reconstructAfe()
+              appendTo(stack.top, TextNode(t))
             }
           }
         case Tok.Open(tag, attrs, selfClosing) =>
+          flushTableText()
           leaveInitial()
           if (foreignMode(Some(tag))) {
             val breakout = foreignBreakout(tag) || (tag == "font" &&
@@ -1075,6 +1115,7 @@ object HtmlParser {
           }
           dropLeadingLf = tag == "pre" || tag == "listing"
         case Tok.Close(tag) =>
+          flushTableText()
           leaveInitial()
           dropLeadingLf = false
           var handled = false
@@ -1121,6 +1162,7 @@ object HtmlParser {
           !isMathTextIntegrationPoint(t)
       }
     }
+    flushTableText()
     while (stack.top.tag != "#root") finish()
     buildTree(root)
   }

@@ -982,6 +982,33 @@ class HtmlParserSpec extends AnyFunSuite {
       "<table><colgroup><template><td>t</td></template><col></colgroup></table>")
   }
 
+  test("in table text batches a split character run before deciding to foster") {
+    // WHATWG 13.2.6.4.10 collects character tokens until the next
+    // NON-character token and fosters the WHOLE batch if any character
+    // is non-whitespace. The tokenizer can split one spec-level run
+    // into several Text tokens — a stray '<' before a non-letter emits
+    // its own "<" token — and a per-token walk would wrongly leave the
+    // leading whitespace inside the table. jsdom (parse5) fosters
+    // "  <3" wholly before the table:
+    assert(flat("<table>  <3<tr><td>c</table>") ==
+      "  &lt;3<table><tbody><tr><td>c</td></tr></tbody></table>")
+    // an ignored '</>' stub emits NO character token in the spec, so it
+    // does not end the batch either — "  x" fosters as one run
+    assert(flat("<table>  </>x<tr><td>c</table>") ==
+      "  x<table><tbody><tr><td>c</td></tr></tbody></table>")
+    // a comment IS a non-character token: it flushes the pending
+    // whitespace-only batch IN the table, then "x" starts a new run
+    assert(flat("<table> <!--c-->x<tr><td>d</table>") ==
+      "x<table> <!--c--><tbody><tr><td>d</td></tr></tbody></table>")
+    // HTML whitespace is exactly TAB/LF/FF/CR/SPACE: U+000B (vertical
+    // tab) is a NON-whitespace character and forces fostering (a
+    // String.trim-based check would wrongly keep it in the table)
+    assert(flat("<table>\u000b<tr><td>e</table>") ==
+      "\u000b<table><tbody><tr><td>e</td></tr></tbody></table>")
+    // end of input flushes the batch too
+    assert(flat("<table>  <3") == "  &lt;3<table></table>")
+  }
+
   test("template is a barrier for every table clear-back and for fostering") {
     // a <td> inside a template that sits in an outer table's cell stays
     // INSIDE the template (the clear-back-to-row-context loop stops at
