@@ -1457,6 +1457,32 @@ object HtmlParser {
     var inForeign: Boolean = false
     private var i = 0
     private var pendingRawText: String = null
+    /** HTML tokenizer whitespace is exactly TAB/LF/FF/SPACE (CR is
+      * normalized to LF in preprocessing) — Character.isWhitespace
+      * also matches U+000B and Unicode spaces, which the spec treats
+      * as ordinary NAME/value characters inside a tag. */
+    private def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+    /** ASCII-only case fold: the tokenizer lowercases ONLY A-Z in tag
+      * and attribute names (parse5/jsdom likewise) — a Locale.ROOT
+      * toLowerCase would also map non-ASCII (É→é; U+0130 even
+      * length-shifts), changing innerHTML bytes on exotic names. */
+    private def asciiLower(str: String): String = {
+      var k = 0
+      while (k < str.length &&
+        !(str.charAt(k) >= 'A' && str.charAt(k) <= 'Z')) k += 1
+      if (k == str.length) str
+      else {
+        val b = new java.lang.StringBuilder(str.length)
+        var m = 0
+        while (m < str.length) {
+          val c = str.charAt(m)
+          b.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+          m += 1
+        }
+        b.toString
+      }
+    }
     /** Set by parseOpenTag when EOF arrived INSIDE the tag (WHATWG
       * eof-in-tag): the partial tag is dropped entirely — a truncated
       * harvested page cut mid-`<div property=…` yields no element and
@@ -1538,13 +1564,42 @@ object HtmlParser {
         val c2 = s(i + 2)
         val end = s.indexOf('>', i)
         if ((c2 >= 'a' && c2 <= 'z') || (c2 >= 'A' && c2 <= 'Z')) {
-          // eof-in-tag: an end tag cut off by EOF is dropped entirely
-          if (end < 0) { i = s.length; return Tok.Text("") }
           var j = i + 2
-          while (j < end && s(j) != ' ' && s(j) != '\t' && s(j) != '\n' &&
-            s(j) != '\f' && s(j) != '\r' && s(j) != '/') j += 1
-          val tag = s.substring(i + 2, j).toLowerCase(java.util.Locale.ROOT)
-          i = end + 1
+          while (j < s.length && !isWs(s(j)) && s(j) != '/' && s(j) != '>')
+            j += 1
+          val tag = asciiLower(s.substring(i + 2, j))
+            .replace('\u0000', '\ufffd')
+          // consume (and discard) end-tag attribute junk with the
+          // open-tag attribute states, so a QUOTED '>' does not end the
+          // tag: jsdom swallows all of '</div a=">">' — a bare
+          // indexOf('>') would close at the quote and leak '">' as text
+          var closed = false
+          while (!closed && j < s.length) {
+            while (j < s.length && isWs(s(j))) j += 1
+            if (j < s.length) s(j) match {
+              case '>' => j += 1; closed = true
+              case '/' => j += 1
+              case _ =>
+                if (s(j) == '=') j += 1
+                while (j < s.length && !isWs(s(j)) && s(j) != '=' &&
+                  s(j) != '>' && s(j) != '/') j += 1
+                while (j < s.length && isWs(s(j))) j += 1
+                if (j < s.length && s(j) == '=') {
+                  j += 1
+                  while (j < s.length && isWs(s(j))) j += 1
+                  if (j < s.length && (s(j) == '"' || s(j) == '\'')) {
+                    val q = s(j); j += 1
+                    while (j < s.length && s(j) != q) j += 1
+                    if (j < s.length) j += 1
+                  } else {
+                    while (j < s.length && !isWs(s(j)) && s(j) != '>') j += 1
+                  }
+                }
+            }
+          }
+          // eof-in-tag: an end tag cut off by EOF is dropped entirely
+          if (!closed) { i = s.length; return Tok.Text("") }
+          i = j
           return Tok.Close(tag)
         }
         if (c2 == '>') { i = i + 3; return Tok.Text("") }
@@ -1670,8 +1725,15 @@ object HtmlParser {
       if (j >= s.length ||
           !((s(j) >= 'a' && s(j) <= 'z') || (s(j) >= 'A' && s(j) <= 'Z')))
         return None
-      while (j < s.length && (s(j).isLetterOrDigit || s(j) == '-' || s(j) == ':')) j += 1
-      val tag = s.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+      // tag-name state: the name runs to HTML whitespace, '/', or '>' —
+      // EVERY other character joins it ("anything else: append"), so
+      // namespaced Word-export tags (<o:p>), underscores, dots and
+      // non-ASCII survive with their spec names (jsdom keeps <o:p> as
+      // an element named "o:p"; a letters-only scan would split it
+      // into <o :p=""> and change innerHTML bytes on exactly the
+      // legacy-CMS markup this pipeline harvests)
+      while (j < s.length && !isWs(s(j)) && s(j) != '/' && s(j) != '>') j += 1
+      val tag = asciiLower(s.substring(nameStart, j)).replace('\u0000', '\ufffd')
       // Insertion-ordered: re-serialization (render/innerHtml) must emit
       // attributes in source order like jsdom's innerHTML — a hash Map
       // goes hash-order above 4 entries. First occurrence wins on
@@ -1683,7 +1745,7 @@ object HtmlParser {
       var done = false
       var closed = false // saw the '>' — EOF inside the tag drops it
       while (!done && j < s.length) {
-        while (j < s.length && s(j).isWhitespace) j += 1
+        while (j < s.length && isWs(s(j))) j += 1
         if (j >= s.length) done = true
         else s(j) match {
           case '>' => j += 1; done = true; closed = true
@@ -1696,25 +1758,29 @@ object HtmlParser {
             // '=' joins the attribute NAME ('<div =x>' has an attribute
             // named "=x"), per the spec's tokenizer
             if (s(j) == '=') j += 1
-            while (j < s.length && !s(j).isWhitespace && s(j) != '=' &&
+            while (j < s.length && !isWs(s(j)) && s(j) != '=' &&
               s(j) != '>' && s(j) != '/') j += 1
-            // Locale.ROOT: a default Turkish locale would map 'I' to a
-            // dotless ı and break PROPERTY/ABOUT lookups
-            val name = s.substring(aStart, j).toLowerCase(java.util.Locale.ROOT)
-            while (j < s.length && s(j).isWhitespace) j += 1
+            // ASCII-only fold (spec): also immune to a Turkish default
+            // locale mapping 'I' to dotless ı, which would break
+            // PROPERTY/ABOUT lookups
+            val name = asciiLower(s.substring(aStart, j))
+              .replace('\u0000', '\ufffd')
+            while (j < s.length && isWs(s(j))) j += 1
             if (j < s.length && s(j) == '=') {
               j += 1
-              while (j < s.length && s(j).isWhitespace) j += 1
+              while (j < s.length && isWs(s(j))) j += 1
               if (j < s.length && (s(j) == '"' || s(j) == '\'')) {
                 val quote = s(j); j += 1
                 val vStart = j
                 while (j < s.length && s(j) != quote) j += 1
-                putAttr(name, decodeEntities(s.substring(vStart, j), isAttr = true))
+                putAttr(name, decodeEntities(s.substring(vStart, j), isAttr = true)
+                  .replace('\u0000', '\ufffd'))
                 if (j < s.length) j += 1
               } else {
                 val vStart = j
-                while (j < s.length && !s(j).isWhitespace && s(j) != '>') j += 1
-                putAttr(name, decodeEntities(s.substring(vStart, j), isAttr = true))
+                while (j < s.length && !isWs(s(j)) && s(j) != '>') j += 1
+                putAttr(name, decodeEntities(s.substring(vStart, j), isAttr = true)
+                  .replace('\u0000', '\ufffd'))
               }
             } else if (name.nonEmpty) putAttr(name, "")
         }
@@ -1908,7 +1974,13 @@ object HtmlParser {
                 val ref = "&" + run + ";"
                 val un = org.apache.commons.text.StringEscapeUtils.unescapeHtml4(ref)
                 if (un != ref) Some(un) else None
-              }
+              }.orElse(
+                // the spec table carries WITH-semicolon uppercase
+                // variants for the six legacy names (&AMP; &LT; &GT;
+                // &QUOT; &COPY; &REG;) — commons' HTML4 table does not,
+                // and falling through to the semicolon-LESS prefix
+                // match would leave a stray ';' in the text
+                legacyEntities.get(run))
             else None
           semiDecoded match {
             case Some(d) => sb.append(d); i = j + 1

@@ -10,6 +10,9 @@ object FixpointHunt {
       "x-widget", "table", "tbody", "thead", "tfoot", "tr", "td", "th",
       "caption", "colgroup", "button", "ul", "li", "dl", "dt", "dd",
       "select", "option", "optgroup", "ruby", "rt", "rp",
+      // spec tag names run to whitespace/'/'/'>' (Word-export <o:p>,
+      // underscores/dots/braces, non-ASCII preserved by the ASCII fold)
+      "o:p", "foo_bar", "x.y", "b{c}", "xÉy",
       "col", "hr", "input", "img",
       "b", "i", "em", "strong", "nobr", "code", "u", "small", "font",
       "svg", "math", "foreignobject", "mi", "annotation-xml", "circle",
@@ -27,7 +30,10 @@ object FixpointHunt {
       // r19 second pass: bogus-comment openers, near-miss raw-text
       // terminators, missing-end-tag-name, decoded-LF, '='-led attrs
       "<?", "<?php x?>", "</3>", "</ x>", "</>", "<!x>", "</titlex>",
-      "</scriptx>", "&#10;", "<div =x>", "--!>", "<!-->")
+      "</scriptx>", "&#10;", "<div =x>", "--!>", "<!-->",
+      // r19 third pass: uppercase legacy entities (with-semicolon
+      // variants), end-tag attribute junk with a quoted '>'
+      "&AMP;", "&COPY;", "&GT", "</div a=\">\">", "</b x='>'>")
     // r19: doctype preambles (quirks vs standards gates table-in-p) and
     // foreign-content shapes — case-adjusted attrs, self-closing syntax,
     // integration-point encodings — per the r18 verdict's item 7

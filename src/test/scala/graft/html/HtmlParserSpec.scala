@@ -93,11 +93,28 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(a.attrs("title") == "x\ny")
   }
 
+  test("tag names run to whitespace, '/' or '>' — not just letters (WHATWG tag-name state)") {
+    // legacy Word exports are full of namespaced <o:p> tags; jsdom keeps
+    // the whole name — a letters-only scan would split <foo_bar> into
+    // an element "foo" with a junk attribute and change innerHTML bytes
+    def flat2(d: String) = parse(d).children.map(render).mkString
+    assert(flat2("<o:p>x</o:p>") == "<o:p>x</o:p>")
+    assert(flat2("<foo_bar a=1>x</foo_bar>") == "<foo_bar a=\"1\">x</foo_bar>")
+    assert(flat2("<x.y>x</x.y>") == "<x.y>x</x.y>")
+    assert(flat2("<b{c}>x</b{c}>") == "<b{c}>x</b{c}>")
+    // the fold is ASCII-only: A-Z lowercases, non-ASCII stays verbatim
+    // (Locale.ROOT would map É to é and change the name)
+    assert(flat2("<xÉY>t</xÉy>") == "<xÉy>t</xÉy>")
+    assert(flat2("<DIV CLASS=a>x</DIV>") == "<div class=\"a\">x</div>")
+    // U+000B is NOT tokenizer whitespace: it joins the tag name
+    assert(flat2("<a\u000bb>x") == "<a\u000bb>x</a\u000bb>")
+  }
+
   test("a '<' before a non-letter is literal text, not a tag") {
     assert(parse("<p>i <3 u < 5></p>").text == "i <3 u < 5>")
   }
 
-  test("end-tag names are the leading letter run; non-letter end tags are bogus comments") {
+  test("end-tag names run to whitespace or '/'; non-letter end tags are bogus comments") {
     // "</div foo>" still closes the div (attr junk ignored); "</ div>"
     // and "</3>" are bogus comments and close NOTHING
     val a = parse("<div><b>x</div foo>y")
@@ -105,6 +122,26 @@ class HtmlParserSpec extends AnyFunSuite {
     val b = parse("<div>x</ div>y</div>z")
     assert(b.children.head.text == "xy" && b.text == "xyz")
     assert(parse("<p>a</3>b</p>").text == "ab")
+  }
+
+  test("uppercase legacy entity names decode with their semicolons (&AMP; is '&', not '&;')") {
+    // the WHATWG table carries with-semicolon uppercase variants for
+    // exactly six legacy names; matching only the semicolon-less form
+    // would emit the value and leave a stray ';' behind
+    assert(parse("<p>&AMP; &GT; &LT; &QUOT; &COPY; &REG;</p>").text ==
+      "& > < \" © ®")
+    // no other uppercase/mixed-case forms exist in the table
+    assert(parse("<p>&TRADE; &CoPy; &Amp;</p>").text == "&TRADE; &CoPy; &Amp;")
+  }
+
+  test("end-tag attribute junk is consumed with the attribute states (quoted '>' protected)") {
+    // jsdom swallows the whole end tag: a '>' inside a quoted attribute
+    // value does not terminate it, and no '">' text leaks
+    def flat2(d: String) = parse(d).children.map(render).mkString
+    assert(flat2("<div><b>x</div a=\">\">y") == "<div><b>x</b></div><b>y</b>")
+    // eof inside the quoted value: the truncated end tag emits nothing
+    // and swallows to EOF (WHATWG eof-in-tag)
+    assert(flat2("<div>x</div a=\"unterminated") == "<div>x</div>")
   }
 
   test("mismatched and stray end tags are tolerated") {
