@@ -2088,16 +2088,20 @@ object HtmlParser {
       }
   }
 
-  /** Text-node escaping (& < >), appended directly; the no-escape fast
-    * path appends the whole string without a scan-and-copy pass. */
+  /** Text-node escaping (& < > and U+00A0 → &nbsp;, per the WHATWG
+    * "escaping a string" algorithm — jsdom's innerHTML re-emits every
+    * NBSP as &nbsp;, and legacy harvested markup is full of them),
+    * appended directly; the no-escape fast path appends the whole
+    * string without a scan-and-copy pass. */
   private def escapeTextTo(t: String, sb: java.lang.StringBuilder): Unit = {
     var i = 0
     var plainFrom = 0
     while (i < t.length) {
       val c = t.charAt(i)
-      if (c == '&' || c == '<' || c == '>') {
+      if (c == '&' || c == '<' || c == '>' || c == '\u00a0') {
         sb.append(t, plainFrom, i)
-        sb.append(if (c == '&') "&amp;" else if (c == '<') "&lt;" else "&gt;")
+        sb.append(if (c == '&') "&amp;" else if (c == '<') "&lt;"
+          else if (c == '>') "&gt;" else "&nbsp;")
         plainFrom = i + 1
       }
       i += 1
@@ -2105,15 +2109,16 @@ object HtmlParser {
     sb.append(t, plainFrom, t.length)
   }
 
-  /** Attribute-value escaping (& "), same shape. */
+  /** Attribute-value escaping (& " and U+00A0 → &nbsp;), same shape. */
   private def escapeAttrTo(v: String, sb: java.lang.StringBuilder): Unit = {
     var i = 0
     var plainFrom = 0
     while (i < v.length) {
       val c = v.charAt(i)
-      if (c == '&' || c == '"') {
+      if (c == '&' || c == '"' || c == '\u00a0') {
         sb.append(v, plainFrom, i)
-        sb.append(if (c == '&') "&amp;" else "&quot;")
+        sb.append(if (c == '&') "&amp;" else if (c == '"') "&quot;"
+          else "&nbsp;")
         plainFrom = i + 1
       }
       i += 1

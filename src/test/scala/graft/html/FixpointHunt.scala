@@ -33,7 +33,8 @@ object FixpointHunt {
       "</scriptx>", "&#10;", "<div =x>", "--!>", "<!-->",
       // r19 third pass: uppercase legacy entities (with-semicolon
       // variants), end-tag attribute junk with a quoted '>'
-      "&AMP;", "&COPY;", "&GT", "</div a=\">\">", "</b x='>'>")
+      "&AMP;", "&COPY;", "&GT", "</div a=\">\">", "</b x='>'>",
+      "\u00a0", "&nbsp;")
     // r19: doctype preambles (quirks vs standards gates table-in-p) and
     // foreign-content shapes — case-adjusted attrs, self-closing syntax,
     // integration-point encodings — per the r18 verdict's item 7

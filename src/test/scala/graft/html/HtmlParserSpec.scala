@@ -896,22 +896,37 @@ class HtmlParserSpec extends AnyFunSuite {
     // ends, runs of escapes, empty, no-escape fast path)
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val charGen = Gen.frequency(
-      (3, Gen.oneOf('&', '<', '>', '"', '\'')),
+      (3, Gen.oneOf('&', '<', '>', '"', '\'', '\u00a0')),
       (3, Gen.alphaNumChar), (1, Gen.oneOf(' ', '\n', 'é')))
     val strGen = Gen.listOf(charGen).map(_.mkString)
     val prop = Prop.forAll(strGen) { s =>
       val text = HtmlParser.render(HtmlParser.TextNode(s))
       val textRef = s.replace("&", "&amp;").replace("<", "&lt;")
-        .replace(">", "&gt;")
+        .replace(">", "&gt;").replace("\u00a0", "&nbsp;")
       val attr = HtmlParser.render(
         HtmlParser.Element("i", Map("a" -> s), Vector.empty))
       val attrRef = "<i a=\"" +
-        s.replace("&", "&amp;").replace("\"", "&quot;") + "\"></i>"
+        s.replace("&", "&amp;").replace("\"", "&quot;")
+          .replace("\u00a0", "&nbsp;") + "\"></i>"
       text == textRef && attr == attrRef
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("U+00A0 serializes as &nbsp; in text and attribute values (WHATWG escaping)") {
+    // jsdom's innerHTML re-emits every NBSP as &nbsp; — legacy CMS
+    // markup is full of them, so rdf:HTML literal bytes depend on it
+    def flat2(d: String) = parse(d).children.map(render).mkString
+    assert(flat2("<p>a\u00a0b</p>") == "<p>a&nbsp;b</p>")
+    assert(flat2("<p>a&nbsp;b</p>") == "<p>a&nbsp;b</p>") // round trip
+    assert(flat2("<p title=\"a\u00a0b\">x</p>") ==
+      "<p title=\"a&nbsp;b\">x</p>")
+    // textContent still carries the real character, not the entity
+    assert(parse("<p>a&nbsp;b</p>").text == "a\u00a0b")
+    // raw-text contents stay raw: no entity decoding, no re-escaping
+    assert(flat2("<style>a\u00a0b</style>") == "<style>a\u00a0b</style>")
   }
 
   test("comments are real nodes: preserved by innerHTML, invisible to text") {
