@@ -80,7 +80,14 @@ class RdfaSuiteSpec extends AnyFunSuite {
     "property-typeof-object", "inlist-mixed-terms",
     // comments × foster parenting in one rdf:HTML literal: the comment
     // keeps its in-table slot while the text hoists before the table
-    "comment-foster-interaction")
+    "comment-foster-interaction",
+    // r19 (third pass, tokenizer/serializer spec alignment): in-table
+    // character-run batching across tokenizer splits, NBSP → &nbsp; in
+    // serialized literals, spec tag names (Word-export <o:p>),
+    // with-semicolon uppercase legacy entities, and end-tag attribute
+    // consumption protecting a quoted '>'
+    "table-text-batching", "nbsp-literal-bytes", "word-export-tag-names",
+    "uppercase-entity-semicolon", "end-tag-attr-quoted-gt")
 
   // The FIXTURES.md §3a ledger is the conformance contract; its literal
   // case count drifted once (r13 added 3 cases without touching the
