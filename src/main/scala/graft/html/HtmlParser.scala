@@ -83,6 +83,20 @@ import scala.collection.mutable
   * template's contents), raw-text/RCDATA terminators requiring a
   * name boundary ("</titlex>" is literal text inside a <title>),
   * and the textarea leading-LF drop applying to the DECODED token.
+  * A third r19 pass aligns the tokenizer and serializer: IN-TABLE
+  * CHARACTER RUNS BATCH until the next non-character token before the
+  * foster decision (a tokenizer-split run — stray '<' before a
+  * non-letter, ignored '</>' stubs — fosters wholly, leading
+  * whitespace included); tag and attribute names run to
+  * whitespace/'/'/'>' with an ASCII-only case fold (Word-export
+  * <o:p>, underscores, dots and non-ASCII keep their spec names);
+  * the six legacy entities decode in their WITH-semicolon uppercase
+  * forms (&AMP; is '&', no stray ';'); end-tag attribute junk is
+  * consumed with the attribute states (a quoted '>' cannot truncate
+  * an end tag); tokenizer whitespace is exactly TAB/LF/FF/SPACE; and
+  * the serializer escapes U+00A0 as &nbsp; in text and attribute
+  * values per the spec's escaping algorithm (jsdom innerHTML parity
+  * on NBSP-riddled legacy markup).
   *
   * Remaining divergences from a full WHATWG tree builder, ledgered:
   * html/head/body wrappers are ordinary elements and are NOT
