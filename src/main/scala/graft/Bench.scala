@@ -292,7 +292,17 @@ object Bench {
     // paths: the StringBuilder serializer landed rdfa_externalize
     // UNDER its r18 min (0.897 → 0.835).
     //
-    // The committed bench_detail_r19 is the SECOND-PASS final run:
+    // The committed bench_detail_r19 is the THIRD-PASS final run: after
+    // the tokenizer/serializer spec alignment (in-table text batching,
+    // spec tag names + ASCII fold, uppercase legacy entities, end-tag
+    // attribute consumption, &nbsp; escaping) the full 102-query bench
+    // re-ran at cal 0.128 — min-sum 69.04 s, ZERO floor-rule breaches
+    // vs both the second-pass run and r18, and all five drive medians
+    // at or under their r18 values (262-336 ms). parse_bench_r19.json
+    // (same final code) reads parse 1.88 / extract 4.10 / render 0.27
+    // ms/page — all under the second-pass mins; no breach.
+    //
+    // The second-pass run it replaced, for the record:
     // after the same-round parser fidelity batch (comment nodes,
     // eof-in-tag, raw-text terminator boundaries, colgroup/template
     // rules) the full 102-query bench re-ran at cal 0.178 — min-sum
