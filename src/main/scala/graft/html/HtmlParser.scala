@@ -948,7 +948,12 @@ object HtmlParser {
         b.ns = ns
         insertAppropriately(b, allowFoster)
         if (!selfClosing) stack.push(b)
-      } else if (selfClosing || voidElements(tag)) {
+      } else if (voidElements(tag)) {
+        // the self-closing flag is IGNORED on non-void HTML elements
+        // (spec: non-void-html-element-start-tag-with-trailing-solidus
+        // is a parse error and the tag is treated as ordinary) — jsdom
+        // nests '<o:p/>x' as <o:p>x</o:p>, and legacy Word exports
+        // write exactly that; only voids and FOREIGN content honor it
         insertAppropriately(Element(tag, attrs, Vector.empty), allowFoster)
       } else {
         val b = new Builder(tag, attrs)
@@ -973,11 +978,10 @@ object HtmlParser {
     // pseudo-text tokens (bogus end tags) emit no character in the
     // spec, so they do NOT end the batch here either.
     var pendingTableText: java.lang.StringBuilder = null
-    // HTML whitespace is exactly TAB/LF/FF/CR/SPACE — String.trim would
-    // also strip U+000B (vertical tab), which the spec (and parse5)
-    // treat as a NON-whitespace character that forces fostering
-    def htmlWsOnly(t: String): Boolean = t.forall(c => c == ' ' ||
-      c == '\t' || c == '\n' || c == '\f' || c == '\r')
+    // String.trim would also strip U+000B (vertical tab), which the
+    // spec (and parse5) treat as a NON-whitespace character that
+    // forces fostering — hence the spec class, not trim
+    def htmlWsOnly(t: String): Boolean = t.forall(isHtmlWs)
     def flushTableText(): Unit = if (pendingTableText != null) {
       val t = pendingTableText.toString
       pendingTableText = null
@@ -1016,8 +1020,8 @@ object HtmlParser {
           dropLeadingLf = false
           appendTo(stack.top, CommentNode(d))
         case Tok.Text(t0) =>
-          if (docMode == null && t0.exists(c => c != ' ' && c != '\t' &&
-            c != '\n' && c != '\f' && c != '\r')) docMode = "quirks"
+          if (docMode == null && t0.exists(c => !isHtmlWs(c)))
+            docMode = "quirks"
           // EMPTY pseudo-text tokens (comments, doctypes, bogus end tags
           // emit these) are invisible: they must not consume the
           // leading-LF drop, or "<pre></>\n" would keep a newline that a
@@ -1034,8 +1038,7 @@ object HtmlParser {
           if (t.nonEmpty && stack.top.ns == "html" &&
               stack.top.tag == "colgroup" && !htmlWsOnly(t) &&
               !foreignMode(None)) {
-            val k = t.indexWhere(c => c != ' ' && c != '\t' && c != '\n' &&
-              c != '\f' && c != '\r')
+            val k = t.indexWhere(c => !isHtmlWs(c))
             if (k > 0) appendTo(stack.top, TextNode(t.substring(0, k)))
             finish()
             t = t.substring(k)
@@ -1097,13 +1100,13 @@ object HtmlParser {
                 if (stack.top.tag == "option") finish()
                 val b = new Builder(tag, attrs)
                 appendTo(stack.top, b)
-                if (!selfClosing) stack.push(b)
+                stack.push(b) // self-closing ignored on non-void HTML
               case "optgroup" =>
                 if (stack.top.tag == "option") finish()
                 if (stack.top.tag == "optgroup") finish()
                 val b = new Builder(tag, attrs)
                 appendTo(stack.top, b)
-                if (!selfClosing) stack.push(b)
+                stack.push(b)
               case "hr" =>
                 if (stack.top.tag == "option") finish()
                 if (stack.top.tag == "optgroup") finish()
@@ -1471,12 +1474,7 @@ object HtmlParser {
     var inForeign: Boolean = false
     private var i = 0
     private var pendingRawText: String = null
-    /** HTML tokenizer whitespace is exactly TAB/LF/FF/SPACE (CR is
-      * normalized to LF in preprocessing) — Character.isWhitespace
-      * also matches U+000B and Unicode spaces, which the spec treats
-      * as ordinary NAME/value characters inside a tag. */
-    private def isWs(c: Char): Boolean =
-      c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+    private def isWs(c: Char): Boolean = isHtmlWs(c)
     /** ASCII-only case fold: the tokenizer lowercases ONLY A-Z in tag
       * and attribute names (parse5/jsdom likewise) — a Locale.ROOT
       * toLowerCase would also map non-ASCII (É→é; U+0130 even
@@ -1584,36 +1582,13 @@ object HtmlParser {
           val tag = asciiLower(s.substring(i + 2, j))
             .replace('\u0000', '\ufffd')
           // consume (and discard) end-tag attribute junk with the
-          // open-tag attribute states, so a QUOTED '>' does not end the
-          // tag: jsdom swallows all of '</div a=">">' — a bare
+          // SHARED open-tag attribute states, so a QUOTED '>' does not
+          // end the tag: jsdom swallows all of '</div a=">">' — a bare
           // indexOf('>') would close at the quote and leak '">' as text
-          var closed = false
-          while (!closed && j < s.length) {
-            while (j < s.length && isWs(s(j))) j += 1
-            if (j < s.length) s(j) match {
-              case '>' => j += 1; closed = true
-              case '/' => j += 1
-              case _ =>
-                if (s(j) == '=') j += 1
-                while (j < s.length && !isWs(s(j)) && s(j) != '=' &&
-                  s(j) != '>' && s(j) != '/') j += 1
-                while (j < s.length && isWs(s(j))) j += 1
-                if (j < s.length && s(j) == '=') {
-                  j += 1
-                  while (j < s.length && isWs(s(j))) j += 1
-                  if (j < s.length && (s(j) == '"' || s(j) == '\'')) {
-                    val q = s(j); j += 1
-                    while (j < s.length && s(j) != q) j += 1
-                    if (j < s.length) j += 1
-                  } else {
-                    while (j < s.length && !isWs(s(j)) && s(j) != '>') j += 1
-                  }
-                }
-            }
-          }
+          val after = scanAttrs(j, (_, _) => ())
           // eof-in-tag: an end tag cut off by EOF is dropped entirely
-          if (!closed) { i = s.length; return Tok.Text("") }
-          i = j
+          if (!scanClosed) { i = s.length; return Tok.Text("") }
+          i = after
           return Tok.Close(tag)
         }
         if (c2 == '>') { i = i + 3; return Tok.Text("") }
@@ -1624,7 +1599,7 @@ object HtmlParser {
       // open tag
       parseOpenTag() match {
         case Some(open) =>
-          if (open.tag == "plaintext" && !open.selfClosing && !inForeign) {
+          if (open.tag == "plaintext" && !inForeign) {
             // PLAINTEXT state: EVERYTHING to EOF is character data —
             // there is no end tag ('</plaintext>' is literal text);
             // NUL maps to U+FFFD like script data
@@ -1632,7 +1607,7 @@ object HtmlParser {
               pendingRawText = s.substring(i).replace('\u0000', '\ufffd')
               i = s.length
             }
-          } else if (rawTextElements(open.tag) && !open.selfClosing && !inForeign) {
+          } else if (rawTextElements(open.tag) && !inForeign) {
             // missing end tag: the RAWTEXT state runs to EOF (spec) —
             // falling through to markup parsing here both diverged
             // from jsdom and let elements nest inside a raw-text
@@ -1650,7 +1625,7 @@ object HtmlParser {
               pendingRawText = s.substring(i, end).replace('\u0000', '\ufffd')
               i = end
             }
-          } else if (rcdataElements(open.tag) && !open.selfClosing && !inForeign) {
+          } else if (rcdataElements(open.tag) && !inForeign) {
             val end0 = rawEndIndex(s, open.tag, i)
             val end = if (end0 >= 0) end0 else s.length // RCDATA to EOF too
             if (end0 >= 0 || end > i) {
@@ -1687,8 +1662,7 @@ object HtmlParser {
       * on a case-insensitive "<!doctype" at `i`. */
     private def parseDoctype(): Tok.Doctype = {
       var j = i + 9 // past "<!doctype"
-      def isWs(c: Char) =
-        c == ' ' || c == '\t' || c == '\n' || c == '\f'
+      def isWs(c: Char) = isHtmlWs(c)
       def skipWs(): Unit = while (j < s.length && isWs(s(j))) j += 1
       var force = false
       skipWs()
@@ -1731,6 +1705,64 @@ object HtmlParser {
       Tok.Doctype(name, publicId, systemId, force)
     }
 
+    /** The WHATWG attribute states, shared by OPEN and END tags (end
+      * tags pass a no-op `put` — their attributes are parse-error junk
+      * that must still be consumed so a quoted '>' cannot truncate the
+      * tag). Starts just past the tag name; sets `scanSelfClosing` /
+      * `scanClosed` and returns the index after the tag (or s.length
+      * at EOF-in-tag, with scanClosed=false). */
+    private var scanSelfClosing = false
+    private var scanClosed = false
+    private def scanAttrs(from: Int, put: (String, String) => Unit): Int = {
+      var j = from
+      scanSelfClosing = false
+      scanClosed = false
+      var done = false
+      while (!done && j < s.length) {
+        while (j < s.length && isWs(s(j))) j += 1
+        if (j >= s.length) done = true
+        else s(j) match {
+          case '>' => j += 1; done = true; scanClosed = true
+          case '/' =>
+            if (j + 1 < s.length && s(j + 1) == '>') {
+              scanSelfClosing = true; j += 2; done = true; scanClosed = true
+            } else j += 1
+          case _ =>
+            val aStart = j
+            // unexpected-equals-sign-before-attribute-name: a leading
+            // '=' joins the attribute NAME ('<div =x>' has an attribute
+            // named "=x"), per the spec's tokenizer
+            if (s(j) == '=') j += 1
+            while (j < s.length && !isWs(s(j)) && s(j) != '=' &&
+              s(j) != '>' && s(j) != '/') j += 1
+            // ASCII-only fold (spec): also immune to a Turkish default
+            // locale mapping 'I' to dotless ı, which would break
+            // PROPERTY/ABOUT lookups
+            val name = asciiLower(s.substring(aStart, j))
+              .replace('\u0000', '\ufffd')
+            while (j < s.length && isWs(s(j))) j += 1
+            if (j < s.length && s(j) == '=') {
+              j += 1
+              while (j < s.length && isWs(s(j))) j += 1
+              if (j < s.length && (s(j) == '"' || s(j) == '\'')) {
+                val quote = s(j); j += 1
+                val vStart = j
+                while (j < s.length && s(j) != quote) j += 1
+                put(name, decodeEntities(s.substring(vStart, j), isAttr = true)
+                  .replace('\u0000', '\ufffd'))
+                if (j < s.length) j += 1
+              } else {
+                val vStart = j
+                while (j < s.length && !isWs(s(j)) && s(j) != '>') j += 1
+                put(name, decodeEntities(s.substring(vStart, j), isAttr = true)
+                  .replace('\u0000', '\ufffd'))
+              }
+            } else if (name.nonEmpty) put(name, "")
+        }
+      }
+      j
+    }
+
     private def parseOpenTag(): Option[Tok.Open] = {
       var j = i + 1
       val nameStart = j
@@ -1755,56 +1787,12 @@ object HtmlParser {
       var attrs = scala.collection.immutable.VectorMap.empty[String, String]
       def putAttr(name: String, value: String): Unit =
         if (!attrs.contains(name)) attrs = attrs.updated(name, value)
-      var selfClosing = false
-      var done = false
-      var closed = false // saw the '>' — EOF inside the tag drops it
-      while (!done && j < s.length) {
-        while (j < s.length && isWs(s(j))) j += 1
-        if (j >= s.length) done = true
-        else s(j) match {
-          case '>' => j += 1; done = true; closed = true
-          case '/' =>
-            if (j + 1 < s.length && s(j + 1) == '>') { selfClosing = true; j += 2; done = true; closed = true }
-            else j += 1
-          case _ =>
-            val aStart = j
-            // unexpected-equals-sign-before-attribute-name: a leading
-            // '=' joins the attribute NAME ('<div =x>' has an attribute
-            // named "=x"), per the spec's tokenizer
-            if (s(j) == '=') j += 1
-            while (j < s.length && !isWs(s(j)) && s(j) != '=' &&
-              s(j) != '>' && s(j) != '/') j += 1
-            // ASCII-only fold (spec): also immune to a Turkish default
-            // locale mapping 'I' to dotless ı, which would break
-            // PROPERTY/ABOUT lookups
-            val name = asciiLower(s.substring(aStart, j))
-              .replace('\u0000', '\ufffd')
-            while (j < s.length && isWs(s(j))) j += 1
-            if (j < s.length && s(j) == '=') {
-              j += 1
-              while (j < s.length && isWs(s(j))) j += 1
-              if (j < s.length && (s(j) == '"' || s(j) == '\'')) {
-                val quote = s(j); j += 1
-                val vStart = j
-                while (j < s.length && s(j) != quote) j += 1
-                putAttr(name, decodeEntities(s.substring(vStart, j), isAttr = true)
-                  .replace('\u0000', '\ufffd'))
-                if (j < s.length) j += 1
-              } else {
-                val vStart = j
-                while (j < s.length && !isWs(s(j)) && s(j) != '>') j += 1
-                putAttr(name, decodeEntities(s.substring(vStart, j), isAttr = true)
-                  .replace('\u0000', '\ufffd'))
-              }
-            } else if (name.nonEmpty) putAttr(name, "")
-        }
-      }
-      i = j
+      i = scanAttrs(j, putAttr)
       // WHATWG eof-in-tag: EOF before the closing '>' (in the tag name,
       // an attribute name, or an attribute value) emits NO token — the
       // truncated tag vanishes, like jsdom
-      if (!closed) { droppedAtEof = true; return None }
-      Some(Tok.Open(tag, attrs, selfClosing))
+      if (!scanClosed) { droppedAtEof = true; return None }
+      Some(Tok.Open(tag, attrs, scanSelfClosing))
     }
   }
 
@@ -1851,11 +1839,19 @@ object HtmlParser {
     * count — "</scriptx>" inside a script is literal text, and a
     * "</script" cut by EOF never terminates (the content runs to EOF,
     * the spec's anything-else branch). */
+  /** The spec's whitespace class — exactly TAB/LF/FF/CR/SPACE (CR is
+    * normalized to LF in preprocessing, so it never matches in
+    * practice). Character.isWhitespace is WRONG here: it also matches
+    * U+000B and Unicode spaces, which the tokenizer and the in-table
+    * foster decision treat as ordinary characters. The ONE definition
+    * every ws check in this file routes through. */
+  @inline private[html] def isHtmlWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
   @inline private def tagBoundary(hay: String, at: Int): Boolean =
     at < hay.length && {
       val c = hay(at)
-      c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r' ||
-        c == '/' || c == '>'
+      isHtmlWs(c) || c == '/' || c == '>'
     }
 
   /** First index of "</tag" followed by a proper end-tag boundary, or
