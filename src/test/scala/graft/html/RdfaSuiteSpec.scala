@@ -87,7 +87,10 @@ class RdfaSuiteSpec extends AnyFunSuite {
     // with-semicolon uppercase legacy entities, and end-tag attribute
     // consumption protecting a quoted '>'
     "table-text-batching", "nbsp-literal-bytes", "word-export-tag-names",
-    "uppercase-entity-semicolon", "end-tag-attr-quoted-gt")
+    "uppercase-entity-semicolon", "end-tag-attr-quoted-gt",
+    // the self-closing flag is ignored on non-void HTML elements
+    // (<o:p/> nests; voids and foreign children keep honoring it)
+    "self-closing-ignored")
 
   // The FIXTURES.md §3a ledger is the conformance contract; its literal
   // case count drifted once (r13 added 3 cases without touching the
