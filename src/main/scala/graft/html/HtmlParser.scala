@@ -96,7 +96,10 @@ import scala.collection.mutable
   * an end tag); tokenizer whitespace is exactly TAB/LF/FF/SPACE; and
   * the serializer escapes U+00A0 as &nbsp; in text and attribute
   * values per the spec's escaping algorithm (jsdom innerHTML parity
-  * on NBSP-riddled legacy markup).
+  * on NBSP-riddled legacy markup); and the SELF-CLOSING flag is
+  * ignored on non-void HTML elements (a Word-export <o:p/> NESTS its
+  * following content; a self-closed <script/> still enters raw
+  * text) — only voids and foreign content honor it.
   *
   * Remaining divergences from a full WHATWG tree builder, ledgered:
   * html/head/body wrappers are ordinary elements and are NOT
