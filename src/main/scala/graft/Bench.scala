@@ -300,7 +300,8 @@ object Bench {
     // vs both the second-pass run and r18, and all five drive medians
     // at or under their r18 values (262-336 ms). parse_bench_r19.json
     // (same final code) reads parse 1.88 / extract 4.10 / render 0.27
-    // ms/page — all under the second-pass mins; no breach.
+    // ms/page — parse and extract under the second-pass mins, render
+    // 0.2653 vs 0.2576 (within its floor); no breach.
     //
     // The second-pass run it replaced, for the record:
     // after the same-round parser fidelity batch (comment nodes,

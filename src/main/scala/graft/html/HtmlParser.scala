@@ -1181,6 +1181,7 @@ object HtmlParser {
         t.ns != "html" && !isHtmlIntegrationPoint(t) &&
           !isMathTextIntegrationPoint(t)
       }
+      tokens.inSelect = openSelectIdx >= 0
     }
     flushTableText()
     while (stack.top.tag != "#root") finish()
@@ -1475,6 +1476,16 @@ object HtmlParser {
       * data, and NUL maps to U+FFFD instead of vanishing. Sound because
       * tokens are produced strictly on demand, one per next(). */
     var inForeign: Boolean = false
+    /** Set by the tree builder between tokens: the "in select" mode
+      * IGNORES most start tags, so the tokenizer must not switch into
+      * a text state for an element that will never be inserted — jsdom
+      * (parse5) couples the switch to actual insertion the same way. A
+      * <style/> inside a select would otherwise swallow the following
+      * options to EOF as raw text. script still engages (in-select
+      * processes it via the in-head rules) and textarea still engages
+      * (it POPS the select and reprocesses into body, where RCDATA is
+      * correct). */
+    var inSelect: Boolean = false
     private var i = 0
     private var pendingRawText: String = null
     private def isWs(c: Char): Boolean = isHtmlWs(c)
@@ -1588,7 +1599,7 @@ object HtmlParser {
           // SHARED open-tag attribute states, so a QUOTED '>' does not
           // end the tag: jsdom swallows all of '</div a=">">' — a bare
           // indexOf('>') would close at the quote and leak '">' as text
-          val after = scanAttrs(j, (_, _) => ())
+          val after = scanAttrs(j, null)
           // eof-in-tag: an end tag cut off by EOF is dropped entirely
           if (!scanClosed) { i = s.length; return Tok.Text("") }
           i = after
@@ -1602,7 +1613,7 @@ object HtmlParser {
       // open tag
       parseOpenTag() match {
         case Some(open) =>
-          if (open.tag == "plaintext" && !inForeign) {
+          if (open.tag == "plaintext" && !inForeign && !inSelect) {
             // PLAINTEXT state: EVERYTHING to EOF is character data —
             // there is no end tag ('</plaintext>' is literal text);
             // NUL maps to U+FFFD like script data
@@ -1610,7 +1621,8 @@ object HtmlParser {
               pendingRawText = s.substring(i).replace('\u0000', '\ufffd')
               i = s.length
             }
-          } else if (rawTextElements(open.tag) && !inForeign) {
+          } else if (rawTextElements(open.tag) && !inForeign &&
+              (!inSelect || open.tag == "script")) {
             // missing end tag: the RAWTEXT state runs to EOF (spec) —
             // falling through to markup parsing here both diverged
             // from jsdom and let elements nest inside a raw-text
@@ -1628,7 +1640,8 @@ object HtmlParser {
               pendingRawText = s.substring(i, end).replace('\u0000', '\ufffd')
               i = end
             }
-          } else if (rcdataElements(open.tag) && !inForeign) {
+          } else if (rcdataElements(open.tag) && !inForeign &&
+              (!inSelect || open.tag == "textarea")) {
             val end0 = rawEndIndex(s, open.tag, i)
             val end = if (end0 >= 0) end0 else s.length // RCDATA to EOF too
             if (end0 >= 0 || end > i) {
@@ -1665,7 +1678,6 @@ object HtmlParser {
       * on a case-insensitive "<!doctype" at `i`. */
     private def parseDoctype(): Tok.Doctype = {
       var j = i + 9 // past "<!doctype"
-      def isWs(c: Char) = isHtmlWs(c)
       def skipWs(): Unit = while (j < s.length && isWs(s(j))) j += 1
       var force = false
       skipWs()
@@ -1717,6 +1729,7 @@ object HtmlParser {
     private var scanSelfClosing = false
     private var scanClosed = false
     private def scanAttrs(from: Int, put: (String, String) => Unit): Int = {
+      val collecting = put != null
       var j = from
       scanSelfClosing = false
       scanClosed = false
@@ -1741,8 +1754,10 @@ object HtmlParser {
             // ASCII-only fold (spec): also immune to a Turkish default
             // locale mapping 'I' to dotless ı, which would break
             // PROPERTY/ABOUT lookups
-            val name = asciiLower(s.substring(aStart, j))
-              .replace('\u0000', '\ufffd')
+            val name =
+              if (collecting) asciiLower(s.substring(aStart, j))
+                .replace('\u0000', '\ufffd')
+              else null // discarded junk: skip the substring + fold
             while (j < s.length && isWs(s(j))) j += 1
             if (j < s.length && s(j) == '=') {
               j += 1
@@ -1751,16 +1766,18 @@ object HtmlParser {
                 val quote = s(j); j += 1
                 val vStart = j
                 while (j < s.length && s(j) != quote) j += 1
-                put(name, decodeEntities(s.substring(vStart, j), isAttr = true)
-                  .replace('\u0000', '\ufffd'))
+                if (collecting)
+                  put(name, decodeEntities(s.substring(vStart, j), isAttr = true)
+                    .replace('\u0000', '\ufffd'))
                 if (j < s.length) j += 1
               } else {
                 val vStart = j
                 while (j < s.length && !isWs(s(j)) && s(j) != '>') j += 1
-                put(name, decodeEntities(s.substring(vStart, j), isAttr = true)
-                  .replace('\u0000', '\ufffd'))
+                if (collecting)
+                  put(name, decodeEntities(s.substring(vStart, j), isAttr = true)
+                    .replace('\u0000', '\ufffd'))
               }
-            } else if (name.nonEmpty) put(name, "")
+            } else if (collecting && j > aStart) put(name, "")
         }
       }
       j

@@ -143,6 +143,25 @@ class HtmlParserSpec extends AnyFunSuite {
       "<svg><circle></circle><rect></rect></svg>")
   }
 
+  test("in select, ignored text-state tags do not switch the tokenizer") {
+    // the in-select mode IGNORES style/title/xmp/plaintext start tags,
+    // so the tokenizer must not enter their text states — a <style/>
+    // with no end tag would otherwise swallow the options to EOF as
+    // raw text (jsdom couples the switch to actual insertion)
+    assert(flat("<select><style/>x<option>a</option></select>") ==
+      "<select>x<option>a</option></select>")
+    assert(flat("<select><title/>x<option>a</select>") ==
+      "<select>x<option>a</option></select>")
+    assert(flat("<select><plaintext>x<option>a</select>") ==
+      "<select>x<option>a</option></select>")
+    // script IS processed in select (in-head rules): raw text engages
+    assert(flat("<select><script><option></script><option>a</select>") ==
+      "<select><script><option></script><option>a</option></select>")
+    // textarea POPS the select and reprocesses into body: RCDATA engages
+    assert(flat("<select><textarea><option>a</textarea>") ==
+      "<select></select><textarea>&lt;option&gt;a</textarea>")
+  }
+
   test("uppercase legacy entity names decode with their semicolons (&AMP; is '&', not '&;')") {
     // the WHATWG table carries with-semicolon uppercase variants for
     // exactly six legacy names; matching only the semicolon-less form
