@@ -230,8 +230,8 @@ object RdfaExtractor {
       .orElse(e.attr("href").flatMap(resolveResource(_, ctx)))
       .orElse(e.attr("src").flatMap(resolveResource(_, ctx)))
     val properties = e.attr("property").toSeq
-      .flatMap(p0 => wsSplit(p0)).flatMap(resolveIri(_, ctx))
-    val typeofs = e.attr("typeof").map(t0 => wsSplit(t0).toSeq
+      .flatMap(wsSplit).flatMap(resolveIri(_, ctx))
+    val typeofs = e.attr("typeof").map(wsSplit(_).toSeq
       .flatMap(resolveIri(_, ctx)))
 
     // typeof without about on a property-bearing element types the
@@ -253,7 +253,7 @@ object RdfaExtractor {
     // feed @property per Core §7.5 step 11.
     val curieOnly = e.attr("property").isDefined
     def linkTokens(name: String): Seq[String] =
-      e.attr(name).toSeq.flatMap(v0 => wsSplit(v0))
+      e.attr(name).toSeq.flatMap(wsSplit)
         .filter(t => !curieOnly || t.contains(":"))
     val rels = linkTokens("rel").flatMap(resolveIri(_, ctx))
     val revs = linkTokens("rev").flatMap(resolveIri(_, ctx))
@@ -598,6 +598,11 @@ object RdfaExtractor {
     else if (dtYearMonth.matcher(t).matches())
       "http://www.w3.org/2001/XMLSchema#gYearMonth"
     else if (dtYear.matcher(t).matches()) "http://www.w3.org/2001/XMLSchema#gYear"
+    // startsWith, NOT a Java `matches("^P.*")`: the JS processors test
+    // durations with an anchored /^P/ (a substring test — newlines in
+    // the value are irrelevant), while Java's matches() demands a FULL
+    // match whose '.' cannot cross a newline, so "P1Y\nx" would fall
+    // through to xsd:string there. The JS semantics win.
     else if (t.startsWith("P")) "http://www.w3.org/2001/XMLSchema#duration"
     else Vocab.xsdString
   }

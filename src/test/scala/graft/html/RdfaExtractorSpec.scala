@@ -346,5 +346,14 @@ class RdfaExtractorSpec extends AnyFunSuite {
     assert(RdfaExtractor.inferDatetimeDatatype("10:30") == "http://www.w3.org/2001/XMLSchema#time")
     assert(RdfaExtractor.inferDatetimeDatatype("2023-05") == "http://www.w3.org/2001/XMLSchema#gYearMonth")
     assert(RdfaExtractor.inferDatetimeDatatype("P1D") == "http://www.w3.org/2001/XMLSchema#duration")
+    // the duration test is an ANCHORED PREFIX (/^P/ in the JS
+    // processors — a substring test), not a Java full-match: a newline
+    // later in the value must not demote the datatype to xsd:string
+    assert(RdfaExtractor.inferDatetimeDatatype("P1Y\nnote") ==
+      "http://www.w3.org/2001/XMLSchema#duration")
+    // the other shapes are full matches: interior junk fails them (a
+    // trailing newline is removed by the trim before matching)
+    assert(RdfaExtractor.inferDatetimeDatatype("2023-05-04 x") == Vocab.xsdString)
+    assert(RdfaExtractor.inferDatetimeDatatype("2023-05-04\n") == Vocab.xsdDate)
   }
 }
