@@ -1114,4 +1114,64 @@ class HtmlParserSpec extends AnyFunSuite {
     assert(flat("<table><td>a<template><tr>r</template>b") ==
       "<table><tbody><tr><td>a<template><tr></tr>r</template>b</td></tr></tbody></table>")
   }
+
+  test("adoption agency x foster parenting: the html5lib table classics") {
+    // <table><b>: the b fosters before the table; "bbb" reconstructs a
+    // SECOND b (the cell marker severed the first); </table> then "ccc"
+    // reconstructs a third — three sibling <b>s, exactly one non-empty
+    assert(flat("<table><b><tr><td>aaa</td></tr>bbb</table>ccc") ==
+      "<b></b><b>bbb</b><table><tbody><tr><td>aaa</td></tr></tbody></table><b>ccc</b>")
+    // nested <a> in a table: the second <a> runs the in-body duplicate-a
+    // adoption INSIDE the fostered position, and after </table> the
+    // still-listed second entry reconstructs around "x"
+    assert(flat("""<a href="a">a<table><a href="b">b</table>x""") ==
+      """<a href="a">a<a href="b">b</a><table></table></a><a href="b">x</a>""")
+    // fostered <a> then fostered <p>: the duplicate-a rule closes the
+    // first before the paragraph's clone opens, and "3" follows the
+    // clone inside the p
+    assert(flat("<table><a>1<p>2</a>3</p>") ==
+      "<a>1</a><p><a>2</a>3</p><table></table>")
+    // triple-formatting split across an explicit </p>: each element
+    // re-nests one level out as the adoption agency unwinds
+    assert(flat("""<p>1<s id="A">2<b id="B">3</p>4</s>5</b>6""") ==
+      """<p>1<s id="A">2<b id="B">3</b></s></p>""" +
+        """<s id="A"><b id="B">4</b></s><b id="B">5</b>6""")
+  }
+
+  test("in select: unknown start tags are ignored, their text content stays") {
+    // the spec's in-select anything-else branch ignores the <div> tokens
+    // entirely; the character tokens between them still insert
+    assert(flat("<select>a<div>b</div>c</select>d") == "<select>abc</select>d")
+  }
+
+  test("foreign content fosters out of tables like any non-table element") {
+    // an <svg> at an in-table insertion point hoists before the table,
+    // and its subtree parses in the foreign namespace at the new spot
+    assert(flat("<table><svg><circle>y</svg></table>") ==
+      "<svg><circle>y</circle></svg><table></table>")
+    // same from in-row; <td> is NOT on the breakout list, so it becomes
+    // an svg:td inside the fostered island rather than a table cell
+    val r = parse("<table><tr><svg><td>z")
+    val tops = r.children.collect { case e: Element => (e.ns, e.tag) }
+    assert(tops == Vector(("svg", "svg"), ("html", "table")), tops.mkString(","))
+    assert(flat("<table><tr><svg><td>z") ==
+      "<svg><td>z</td></svg><table><tbody><tr></tr></tbody></table>")
+  }
+
+  test("SVG a carries the xlink:href attribute adjustment") {
+    val svg = parse("""<svg><a xlink:href="u">t</a></svg>""")
+      .children.head.asInstanceOf[Element]
+    val a = svg.children.head.asInstanceOf[Element]
+    assert(a.ns == "svg" && a.attrs == Map("xlink:href" -> "u"))
+    assert(flat("""<svg><a xlink:href="u">t</a></svg>""") ==
+      """<svg><a xlink:href="u">t</a></svg>""")
+  }
+
+  test("noscript parses its children (scripting-disabled parity with jsdom)") {
+    // jsdom runs with scripting off by default — the reference therefore
+    // sees noscript CONTENT as elements, and so do we
+    assert(flat("<noscript><b>x</b></noscript>") == "<noscript><b>x</b></noscript>")
+    val el = parse("<noscript><b>x</b></noscript>").children.head.asInstanceOf[Element]
+    assert(el.children.head.isInstanceOf[Element])
+  }
 }
