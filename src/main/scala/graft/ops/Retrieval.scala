@@ -116,6 +116,18 @@ object Retrieval {
     *
     * Probing then joins stored postings against query terms with NO scan
     * of `documents` — corpus text is never re-tokenized. */
+  /** Layout contract of `postings/` as [[writeBm25Index]] writes it
+    * (denormalized dl/df ride each row; `bucket` is the partition
+    * column) — stated once so the serving-path probe reads the probed
+    * bucket directories without schema inference. */
+  private[ops] val PostingsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("doc_id", LongType),
+      StructField("term", StringType), StructField("tf", LongType),
+      StructField("df", LongType), StructField("dl", LongType),
+      StructField("bucket", IntegerType)))
+  }
+
   def writeBm25Index(s: SparkSession, d: String, outDir: String,
       nBuckets: Int = 64): Unit = {
     val ix = buildIndex(s, d)
@@ -175,9 +187,11 @@ object Retrieval {
     val buckets = qt
       .select(pmod(hash(col("term")), lit(nBuckets)).as("bucket"))
       .distinct().collect().map(_.getInt(0)).sorted
-    s.read.parquet(s"$outDir/postings")
-      // isin over the partition column: resolved against the directory
-      // listing (PartitionFilters), never against row data
+    // serving-path read of only the probed term-bucket directories
+    // (StoredIndex scaladoc — a full-store open lists all n_buckets
+    // per probe); the isin stays as the plan's explicit partition filter
+    StoredIndex.readProbed(s, s"$outDir/postings", "bucket",
+        buckets.toSeq, PostingsSchema)
       .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
       .join(qt, "term")
       .crossJoin(totals)

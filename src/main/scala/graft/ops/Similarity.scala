@@ -55,6 +55,23 @@ object Similarity {
     * plane table is this wide) instead of silently staying on one side. */
   private[ops] val IndexDims = 64
 
+  /** Layout contracts of the at-rest stores ([[writeLshPartitioned]] /
+    * [[writeIvfPartitioned]] write exactly these columns; the partition
+    * column is last) — stated once so the serving-path probes can read
+    * the probed directories without schema inference. */
+  private[ops] val LshStoreSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("sig", LongType)))
+  }
+  private[ops] val IvfStoreSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("cell", IntegerType)))
+  }
+
   private[ops] def signedEmbeddings(emb: DataFrame, nPlanes: Int,
       planeOffset: Int = 0): DataFrame =
     emb.select(col("vec_id"), col("embedding"),
@@ -142,9 +159,13 @@ object Similarity {
     }.toSeq
     val queries = queryRows.toDF("qid", "qe", "sig")
     val probedSigs = queryRows.map(_._3).distinct.sorted
-    val cands = s.read.parquet(s"$outDir/corpus")
-      // isin over the partition column: resolved against the directory
-      // listing (PartitionFilters), never against row data
+    // serving-path read: only the probed signature directories are
+    // enumerated (StoredIndex scaladoc — a full-store open pays an
+    // O(all buckets) listing per probe); the isin stays as a partition
+    // filter over the already-restricted paths, keeping the plan's
+    // prune explicit (ScaleDesignSpec pins both halves)
+    val cands = StoredIndex.readProbed(s, s"$outDir/corpus", "sig",
+        probedSigs, LshStoreSchema)
       .filter(col("sig").isin(probedSigs.map(java.lang.Long.valueOf): _*))
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("sig"))
     val scored = cands.join(broadcast(queries), Seq("sig"))
@@ -700,9 +721,10 @@ object Similarity {
     }.toSeq
     val queries = queryRows.toDF("qid", "qe", "probe_cell")
     val probedCells = queryRows.map(_._3).distinct.sorted
-    val cands = s.read.parquet(s"$outDir/corpus")
-      // isin over the partition column: resolved against the directory
-      // listing (PartitionFilters), never against row data
+    // serving-path read of only the probed cell directories (StoredIndex
+    // scaladoc); the isin stays as the plan's explicit partition filter
+    val cands = StoredIndex.readProbed(s, s"$outDir/corpus", "cell",
+        probedCells, IvfStoreSchema)
       .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
       .select(col("vec_id").as("cid"), col("embedding").as("ce"),
         col("cell").as("probe_cell"))
