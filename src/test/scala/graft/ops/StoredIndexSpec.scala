@@ -47,6 +47,25 @@ class StoredIndexSpec extends SparkSpec {
       s"scan listed more than the probed dirs: $scanPaths")
   }
 
+  test("wide probes take the single-listing branch and agree with point checks") {
+    val dir = writeStore()
+    // > ListingThreshold values forces the one-listing path; result must
+    // be identical to what the narrow (per-value exists) path returns
+    val wide = (0L until 40L).map(_ * 10L) // includes 10, 20, 30 + 37 misses
+    val viaListing = StoredIndex.readProbed(spark, dir, "bucket", wide, schema)
+      .select(col("id"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val viaPoints = StoredIndex.readProbed(spark, dir, "bucket",
+        Seq(10L, 20L, 30L), schema)
+      .select(col("id"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaListing == viaPoints)
+    assert(viaListing == Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 30L)))
+    // wide probe against a store path that doesn't exist at all
+    assert(StoredIndex.readProbed(spark, dir + "-nope", "bucket", wide,
+      schema).count() == 0)
+  }
+
   test("all probed buckets missing yields an empty frame with the contract schema") {
     val dir = writeStore()
     val df = StoredIndex.readProbed(spark, dir, "bucket", Seq(98L, 99L), schema)
