@@ -292,6 +292,22 @@ object Bench {
     // paths: the StringBuilder serializer landed rdfa_externalize
     // UNDER its r18 min (0.897 → 0.835).
     //
+    // FOURTH r19 pass (serving-path stored probes): the one mechanical
+    // floor-rule breach in the third-pass detail — x_sim_lsh_stored
+    // 0.708 → 1.033 min, code untouched — turned out to be REAL, not
+    // band: the probe was paying a full-store partition DISCOVERY
+    // (253-dir listing + footer schema inference) per invocation, an
+    // overhead that drifted with the machine's FS state across rounds.
+    // StoredIndex.readProbed now enumerates only the probed bucket
+    // directories with the store's explicit layout schema; steady-state
+    // mins moved x_sim_lsh_stored 1.40 → 0.33 s (2.1× UNDER its r18
+    // min), x_bm25_stored 2.5 → ~2.0 s (bm25's eval-slice queries probe
+    // nearly all 64 buckets, so listing was a smaller share; the
+    // remaining gap to r18's 1.885 is band — the interleaved A/B method
+    // above applies). Expect the final r19 detail to show these three
+    // DOWN, not up; any naive cross-round ratio on x_sim_lsh_stored
+    // should read the r18 1.3× bound as trivially satisfied.
+    //
     // The committed bench_detail_r19 is the THIRD-PASS FINAL-CODE run
     // (after the self-closing/in-select/scanAttrs parser commits):
     // min-sum 72.49 s at cal 0.138 — a slightly noisier anchor than
