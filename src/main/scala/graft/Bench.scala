@@ -292,32 +292,37 @@ object Bench {
     // paths: the StringBuilder serializer landed rdfa_externalize
     // UNDER its r18 min (0.897 → 0.835).
     //
-    // FOURTH r19 pass (serving-path stored probes): the one mechanical
-    // floor-rule breach in the third-pass detail — x_sim_lsh_stored
-    // 0.708 → 1.033 min, code untouched — turned out to be REAL, not
-    // band: the probe was paying a full-store partition DISCOVERY
-    // (253-dir listing + footer schema inference) per invocation, an
-    // overhead that drifted with the machine's FS state across rounds.
-    // StoredIndex.readProbed now enumerates only the probed bucket
-    // directories with the store's explicit layout schema; steady-state
-    // mins moved x_sim_lsh_stored 1.40 → 0.33 s (2.1× UNDER its r18
-    // min), x_bm25_stored 2.5 → ~2.0 s (bm25's eval-slice queries probe
-    // nearly all 64 buckets, so listing was a smaller share; the
-    // remaining gap to r18's 1.885 is band — the interleaved A/B method
-    // above applies). Expect the final r19 detail to show these three
-    // DOWN, not up; any naive cross-round ratio on x_sim_lsh_stored
-    // should read the r18 1.3× bound as trivially satisfied.
+    // The COMMITTED bench_detail_r19 is the FOURTH-PASS FINAL-CODE run
+    // (serving-path stored probes): min-sum 76.92 s at cal 0.128 with
+    // ZERO floor-rule breaches vs r18 and two drive samples per stream
+    // query (medians 275-378 ms, in band). Its story: the one
+    // mechanical breach in the third-pass detail it replaces —
+    // x_sim_lsh_stored 0.708 → 1.033 min, code untouched — turned out
+    // to be REAL, not band: the probe was paying a full-store partition
+    // DISCOVERY (253-dir listing + footer schema inference) per
+    // invocation, an overhead that drifted with the machine's FS state
+    // across rounds. StoredIndex.readProbed now enumerates only the
+    // probed bucket directories with the store's explicit layout
+    // schema; x_sim_lsh_stored runs 0.30-0.35 s steady (2.4× UNDER its
+    // r18 min), x_sim_ivf_stored 0.503. x_bm25_stored gained least
+    // (its eval-slice queries probe nearly all 64 buckets, so listing
+    // was a small share): subset runs measured 1.6-2.2 s steady, the
+    // committed full run sampled [4.67, 2.97, 3.21] in a contended
+    // window — above r18's 1.885 min but inside its 1.699 floor, the
+    // same machine-band class as the A/B method above. The fourth-pass
+    // min-sum is HIGHER than the third-pass 72.49 s for the same code
+    // minus the probe fix; per-query floors, not min-sums, are the
+    // adjudication rule precisely because whole-run sums ride the band.
     //
-    // The committed bench_detail_r19 is the THIRD-PASS FINAL-CODE run
+    // The replaced THIRD-PASS run, for the record
     // (after the self-closing/in-select/scanAttrs parser commits):
     // min-sum 72.49 s at cal 0.138 — a slightly noisier anchor than
     // the 69.04 s run it replaces (cal 0.128; the interim ParseBench
     // attempts in the same window read floors of 1-2 ms, confirming
     // the band). Zero floor-rule breaches vs r18 except
-    // x_sim_lsh_stored (0.708 → 1.033 min; untouched since r14, and
-    // its final-run samples [4.27, 1.09, 1.03, 1.04] show a contended
-    // first pass — the 1.03-1.09 steady band sits on the prior runs'
-    // 0.89-1.0); vs the replaced r19 run the one nominal breach is
+    // x_sim_lsh_stored (0.708 → 1.033 min; read as band at the time —
+    // the fourth pass above found it was the store-discovery overhead
+    // and fixed it); vs the replaced r19 run the one nominal breach is
     // t_ntriples_roundtrip (0.168 → 0.226; rdf/NTriples untouched this
     // pass, uniform samples, under the r18 rule). The parser-backed
     // queries absorbed the third-pass fidelity work at noise level:

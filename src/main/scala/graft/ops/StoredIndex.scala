@@ -36,32 +36,58 @@ private[ops] object StoredIndex {
     * checks, never paying an O(all buckets) listing. */
   private val ListingThreshold = 32
 
+  /** Hive-safe partition-value form: Spark percent-escapes specials in
+    * directory names on write, and this helper builds names by plain
+    * interpolation — so values outside this alphabet (currently every
+    * store partitions on Int/Long buckets) must be rejected loudly, not
+    * silently miss their escaped directory. */
+  private val HiveSafeValue = "[A-Za-z0-9_.+-]+".r
+
   /** Read only the `partCol=v` directories of `base` for the probed
-    * `values`, as a DataFrame with `dataSchema` (which INCLUDES the
-    * partition column). Returns an empty frame of the same schema when
-    * none of the probed directories exist. No listing/existence result
-    * is cached: `base` may be a caller-managed store rewritten in place
-    * (the content-keyed temp dirs of `cachedStore` are immutable, but
-    * the probe API cannot assume its input is one of them). */
+    * `values` (deduplicated — a repeated value must not scan its
+    * directory twice), as a DataFrame with `dataSchema` (which INCLUDES
+    * the partition column). Probed-but-unwritten buckets drop silently
+    * (an empty bucket is a normal serving outcome); a missing store
+    * root or a `partCol` that matches NO directory of a non-empty store
+    * throws — those are caller errors that the old whole-store read
+    * also surfaced, and an empty frame would disguise them as "no
+    * candidates". No listing/existence result is cached: `base` may be
+    * a caller-managed store rewritten in place (the content-keyed temp
+    * dirs of `cachedStore` are immutable, but the probe API cannot
+    * assume its input is one of them). */
   def readProbed(s: SparkSession, base: String, partCol: String,
       values: Seq[Any], dataSchema: StructType): DataFrame = {
+    val probed = values.distinct
+    probed.foreach(v => require(HiveSafeValue.matches(v.toString),
+      s"partition value '$v' needs Hive path escaping, which readProbed " +
+        "does not implement; store on a Hive-safe key (numeric buckets)"))
     val hconf = s.sessionState.newHadoopConf()
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(hconf)
+    if (!fs.exists(basePath))
+      throw new IllegalArgumentException(
+        s"stored-index root does not exist: $base (probe before write?)")
+    def storeDirs(): Array[String] =
+      fs.listStatus(basePath).filter(_.isDirectory).map(_.getPath.getName)
     val existing: Seq[String] =
-      if (values.size > ListingThreshold) {
-        val dirs =
-          if (fs.exists(basePath))
-            fs.listStatus(basePath).filter(_.isDirectory).map(_.getPath.getName).toSet
-          else Set.empty[String]
-        values.map(v => s"$partCol=$v").filter(dirs)
+      if (probed.size > ListingThreshold) {
+        val dirs = storeDirs().toSet
+        probed.map(v => s"$partCol=$v").filter(dirs)
           .map(n => new org.apache.hadoop.fs.Path(basePath, n).toString)
       } else
-        values.map(v => new org.apache.hadoop.fs.Path(basePath, s"$partCol=$v"))
+        probed.map(v => new org.apache.hadoop.fs.Path(basePath, s"$partCol=$v"))
           .filter(fs.exists).map(_.toString)
-    if (existing.isEmpty)
+    if (existing.isEmpty) {
+      // all probed buckets missing: legitimate only if the store's
+      // directories are at least KEYED on partCol — a wrong column name
+      // can never match and must not masquerade as an empty result
+      val dirs = storeDirs()
+      if (dirs.nonEmpty && !dirs.exists(_.startsWith(partCol + "=")))
+        throw new IllegalArgumentException(
+          s"store at $base is not partitioned by '$partCol' " +
+            s"(found: ${dirs.take(3).mkString(", ")}…)")
       s.createDataFrame(s.sparkContext.emptyRDD[Row], dataSchema)
-    else
+    } else
       s.read.schema(dataSchema).option("basePath", base).parquet(existing: _*)
   }
 }

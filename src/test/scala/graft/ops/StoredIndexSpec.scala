@@ -61,9 +61,31 @@ class StoredIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(viaListing == viaPoints)
     assert(viaListing == Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 30L)))
-    // wide probe against a store path that doesn't exist at all
-    assert(StoredIndex.readProbed(spark, dir + "-nope", "bucket", wide,
-      schema).count() == 0)
+  }
+
+  test("caller errors fail fast instead of masquerading as empty results") {
+    val dir = writeStore()
+    // a store root that was never written is a probe-before-write bug
+    intercept[IllegalArgumentException] {
+      StoredIndex.readProbed(spark, dir + "-nope", "bucket", Seq(1L), schema)
+    }
+    // a partition column the store isn't keyed on can never match
+    intercept[IllegalArgumentException] {
+      StoredIndex.readProbed(spark, dir, "sig", Seq(10L), schema)
+    }
+    // a value needing Hive path escaping is rejected, not silently missed
+    intercept[IllegalArgumentException] {
+      StoredIndex.readProbed(spark, dir, "bucket", Seq("a b"), schema)
+    }
+  }
+
+  test("duplicate probed values scan their directory once") {
+    val dir = writeStore()
+    val rows = StoredIndex.readProbed(spark, dir, "bucket",
+        Seq(10L, 10L, 30L), schema)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(rows == Seq((1L, 10L), (2L, 10L), (4L, 30L)),
+      s"duplicated probe values must not duplicate rows: $rows")
   }
 
   test("all probed buckets missing yields an empty frame with the contract schema") {
