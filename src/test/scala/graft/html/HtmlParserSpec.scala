@@ -1167,6 +1167,20 @@ class HtmlParserSpec extends AnyFunSuite {
       """<svg><a xlink:href="u">t</a></svg>""")
   }
 
+  test("in select: </optgroup> without an optgroup is ignored; a table-fostered select still pops for cells") {
+    // the spec's </optgroup> branch pops only when the node above the
+    // current option IS an optgroup — above a bare option sits the
+    // select, so the end tag is ignored and text continues in the option
+    assert(flat("<select><option>a</optgroup>b") ==
+      "<select><option>ab</option></select>")
+    // a <select> at an in-table insertion point fosters before the
+    // table like any non-table element, and the in-select-in-table rule
+    // still fires at the NEW location: <td> pops the fostered select
+    // and reprocesses as a cell
+    assert(flat("<table><select><option>o<td>c") ==
+      "<select><option>o</option></select><table><tbody><tr><td>c</td></tr></tbody></table>")
+  }
+
   test("noscript parses its children (scripting-disabled parity with jsdom)") {
     // jsdom runs with scripting off by default — the reference therefore
     // sees noscript CONTENT as elements, and so do we
