@@ -313,6 +313,17 @@ object Bench {
     // min-sum is HIGHER than the third-pass 72.49 s for the same code
     // minus the probe fix; per-query floors, not min-sums, are the
     // adjudication rule precisely because whole-run sums ride the band.
+    // A FIFTH full run on byte-identical code (cal 0.107, min-sum
+    // 70.2 s) reproduced zero breaches everywhere EXCEPT x_bm25_stored
+    // (2.734 vs threshold 2.639) — adjudicated by a same-JVM
+    // interleaved A/B of the serving-path probe against the old
+    // full-store-read shape: new [1.54,1.28,1.28,1.14,1.10] vs old
+    // [1.47,1.32,1.06,1.43,0.98] s — statistically equal, so the
+    // full-bench-context inflation (both shapes run 2.5-3.0 s there vs
+    // 1.0-1.5 fresh-JVM: accumulated heap/GC state after ~70 queries)
+    // is not attributable to the probe diff; r18's 1.885 was a band
+    // draw of the same phenomenon. The committed fourth-pass detail
+    // (zero breaches) stands.
     //
     // The replaced THIRD-PASS run, for the record
     // (after the self-closing/in-select/scanAttrs parser commits):
