@@ -100,6 +100,18 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_milli"))
       .orderBy(col("query_id"), col("rank"))
 
+  /** Layout contract of `postings/` as [[writeBm25Index]] writes it
+    * (denormalized dl/df ride each row; `bucket` is the partition
+    * column) — stated once so the serving-path probe reads the probed
+    * bucket directories without schema inference. */
+  private[ops] val PostingsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("doc_id", LongType),
+      StructField("term", StringType), StructField("tf", LongType),
+      StructField("df", LongType), StructField("dl", LongType),
+      StructField("bucket", IntegerType)))
+  }
+
   /** BM25 index AT REST — at 100 TB an index you rebuild per query set
     * isn't an index (r8 finding). One tokenization pass writes:
     *
@@ -116,18 +128,6 @@ object Retrieval {
     *
     * Probing then joins stored postings against query terms with NO scan
     * of `documents` — corpus text is never re-tokenized. */
-  /** Layout contract of `postings/` as [[writeBm25Index]] writes it
-    * (denormalized dl/df ride each row; `bucket` is the partition
-    * column) — stated once so the serving-path probe reads the probed
-    * bucket directories without schema inference. */
-  private[ops] val PostingsSchema: org.apache.spark.sql.types.StructType = {
-    import org.apache.spark.sql.types._
-    StructType(Seq(StructField("doc_id", LongType),
-      StructField("term", StringType), StructField("tf", LongType),
-      StructField("df", LongType), StructField("dl", LongType),
-      StructField("bucket", IntegerType)))
-  }
-
   def writeBm25Index(s: SparkSession, d: String, outDir: String,
       nBuckets: Int = 64): Unit = {
     val ix = buildIndex(s, d)

@@ -67,21 +67,35 @@ private[ops] object StoredIndex {
     if (!fs.exists(basePath))
       throw new IllegalArgumentException(
         s"stored-index root does not exist: $base (probe before write?)")
-    def storeDirs(): Array[String] =
-      fs.listStatus(basePath).filter(_.isDirectory).map(_.getPath.getName)
-    val existing: Seq[String] =
-      if (probed.size > ListingThreshold) {
-        val dirs = storeDirs().toSet
+    // a query routed to no buckets reads nothing — and must not pay the
+    // listing below (nothing to sanity-check either: no probed value
+    // could have matched any layout)
+    if (probed.isEmpty)
+      return s.createDataFrame(s.sparkContext.emptyRDD[Row], dataSchema)
+    // one store listing answers every existence question at once past
+    // the threshold; below it, per-value point checks — and the listing,
+    // when taken, is REUSED for the wrong-partCol check so the empty
+    // outcome never pays a second one
+    val listed: Option[Set[String]] =
+      if (probed.size > ListingThreshold)
+        Some(fs.listStatus(basePath)
+          .filter(_.isDirectory).map(_.getPath.getName).toSet)
+      else None
+    val existing: Seq[String] = listed match {
+      case Some(dirs) =>
         probed.map(v => s"$partCol=$v").filter(dirs)
           .map(n => new org.apache.hadoop.fs.Path(basePath, n).toString)
-      } else
+      case None =>
         probed.map(v => new org.apache.hadoop.fs.Path(basePath, s"$partCol=$v"))
           .filter(fs.exists).map(_.toString)
+    }
     if (existing.isEmpty) {
       // all probed buckets missing: legitimate only if the store's
       // directories are at least KEYED on partCol — a wrong column name
-      // can never match and must not masquerade as an empty result
-      val dirs = storeDirs()
+      // can never match and must not masquerade as an empty result.
+      // Narrow probes pay the one listing only on this failure path.
+      val dirs = listed.getOrElse(fs.listStatus(basePath)
+        .filter(_.isDirectory).map(_.getPath.getName).toSet)
       if (dirs.nonEmpty && !dirs.exists(_.startsWith(partCol + "=")))
         throw new IllegalArgumentException(
           s"store at $base is not partitioned by '$partCol' " +
