@@ -36,12 +36,31 @@ private[ops] object StoredIndex {
     * checks, never paying an O(all buckets) listing. */
   private val ListingThreshold = 32
 
-  /** Hive-safe partition-value form: Spark percent-escapes specials in
-    * directory names on write, and this helper builds names by plain
-    * interpolation — so values outside this alphabet (currently every
-    * store partitions on Int/Long buckets) must be rejected loudly, not
-    * silently miss their escaped directory. */
-  private val HiveSafeValue = "[A-Za-z0-9_.+-]+".r
+  /** Probed values must be integral (Int/Long and their boxed forms):
+    * the directory name is built by plain interpolation, and integral
+    * toString is the ONE rendering guaranteed to match Spark's
+    * partition-path escaping byte-for-byte. Anything else — strings
+    * needing Hive percent-escapes, floats whose toString ("1.0E7",
+    * "10.0" vs a store written from Double) differs from the writer's
+    * rendering — would silently miss an existing directory, so it is
+    * rejected loudly instead. Every store this class serves partitions
+    * on numeric buckets (LSH band hashes, IVF cells, term buckets). */
+  private def requireIntegral(v: Any): Unit = v match {
+    case _: Int | _: Long | _: java.lang.Integer | _: java.lang.Long => ()
+    case other => throw new IllegalArgumentException(
+      s"partition value '$other' (${other.getClass.getSimpleName}) is not " +
+        "an integral bucket id; readProbed builds directory names by " +
+        "interpolation, which only matches Spark's partition-path " +
+        "rendering for Int/Long (store on numeric buckets)")
+  }
+
+  /** Bounded concurrency for narrow-probe existence checks: each
+    * `fs.exists` is a driver metadata round trip (~20 ms against an
+    * object store), so running up to [[ListingThreshold]] of them
+    * serially costs ~640 ms of serving-path latency where eight in
+    * flight cost ~80. Eight is small enough never to look like a
+    * listing storm to an object store's request limiter. */
+  private val ExistsParallelism = 8
 
   /** Read only the `partCol=v` directories of `base` for the probed
     * `values` (deduplicated — a repeated value must not scan its
@@ -58,9 +77,7 @@ private[ops] object StoredIndex {
   def readProbed(s: SparkSession, base: String, partCol: String,
       values: Seq[Any], dataSchema: StructType): DataFrame = {
     val probed = values.distinct
-    probed.foreach(v => require(HiveSafeValue.matches(v.toString),
-      s"partition value '$v' needs Hive path escaping, which readProbed " +
-        "does not implement; store on a Hive-safe key (numeric buckets)"))
+    probed.foreach(requireIntegral)
     val hconf = s.sessionState.newHadoopConf()
     val basePath = new org.apache.hadoop.fs.Path(base)
     val fs = basePath.getFileSystem(hconf)
@@ -73,29 +90,55 @@ private[ops] object StoredIndex {
     if (probed.isEmpty)
       return s.createDataFrame(s.sparkContext.emptyRDD[Row], dataSchema)
     // one store listing answers every existence question at once past
-    // the threshold; below it, per-value point checks — and the listing,
-    // when taken, is REUSED for the wrong-partCol check so the empty
-    // outcome never pays a second one
-    val listed: Option[Set[String]] =
-      if (probed.size > ListingThreshold)
-        Some(fs.listStatus(basePath)
-          .filter(_.isDirectory).map(_.getPath.getName).toSet)
+    // the threshold; below it, per-value point checks (bounded-parallel:
+    // each is an independent metadata round trip, so up to
+    // ExistsParallelism run in flight) — and the listing, when taken, is
+    // REUSED for the layout sanity check so the empty outcome never pays
+    // a second one
+    val listed: Option[Array[org.apache.hadoop.fs.FileStatus]] =
+      if (probed.size > ListingThreshold) Some(fs.listStatus(basePath))
       else None
     val existing: Seq[String] = listed match {
-      case Some(dirs) =>
+      case Some(statuses) =>
+        val dirs = statuses.filter(_.isDirectory).map(_.getPath.getName).toSet
         probed.map(v => s"$partCol=$v").filter(dirs)
           .map(n => new org.apache.hadoop.fs.Path(basePath, n).toString)
       case None =>
-        probed.map(v => new org.apache.hadoop.fs.Path(basePath, s"$partCol=$v"))
-          .filter(fs.exists).map(_.toString)
+        val paths = probed.map(v =>
+          new org.apache.hadoop.fs.Path(basePath, s"$partCol=$v"))
+        if (paths.size <= 1) paths.filter(fs.exists).map(_.toString)
+        else {
+          val pool = java.util.concurrent.Executors
+            .newFixedThreadPool(math.min(paths.size, ExistsParallelism))
+          try {
+            val checks = paths.map(p =>
+              p -> pool.submit(new java.util.concurrent.Callable[Boolean] {
+                def call(): Boolean = fs.exists(p)
+              }))
+            checks.collect { case (p, hit) if hit.get() => p.toString }
+          } finally pool.shutdown()
+        }
     }
     if (existing.isEmpty) {
       // all probed buckets missing: legitimate only if the store's
-      // directories are at least KEYED on partCol — a wrong column name
-      // can never match and must not masquerade as an empty result.
+      // layout is at least KEYED on partCol — a wrong column name can
+      // never match, and a store whose data files sit at the root (an
+      // unpartitioned write) has no bucket directories to match either;
+      // both are caller errors the old whole-store read surfaced as an
+      // AnalysisException and must not masquerade as an empty result.
+      // Hidden entries (_SUCCESS, .crc) don't make a root "unpartitioned"
+      // — a partitioned write of an empty frame leaves only those.
       // Narrow probes pay the one listing only on this failure path.
-      val dirs = listed.getOrElse(fs.listStatus(basePath)
-        .filter(_.isDirectory).map(_.getPath.getName).toSet)
+      val statuses = listed.getOrElse(fs.listStatus(basePath))
+      val dirs = statuses.filter(_.isDirectory).map(_.getPath.getName)
+      val dataFiles = statuses.filter(st => !st.isDirectory &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      if (dataFiles.nonEmpty && !dirs.exists(_.startsWith(partCol + "=")))
+        throw new IllegalArgumentException(
+          s"store at $base is not partitioned at all (data files at the " +
+            s"root, e.g. ${dataFiles.head.getPath.getName}); readProbed " +
+            s"needs a store written with partitionBy('$partCol')")
       if (dirs.nonEmpty && !dirs.exists(_.startsWith(partCol + "=")))
         throw new IllegalArgumentException(
           s"store at $base is not partitioned by '$partCol' " +
