@@ -30,10 +30,12 @@ object Bench {
     *     samples within 2x of its min; beyond-2x samples are intra-pass
     *     contention the spread/min machinery already handles and would
     *     inflate the floor into meaninglessness).
-    * The cross-round breach rule is then MECHANICAL:
-    *   breach(q) iff min_r(q) > 1.3 * min_prev(q) + noise_floor_r(q)
-    * with noise_floor_r read from this round's bench_detail.json
-    * ("noise_floor_sec"). */
+    * The cross-round breach rule is then MECHANICAL (see [[floorBreach]]):
+    *   breach(q) iff min_r(q) > 1.3 * min_prev(q) + noise_floor_prev(q)
+    * with noise_floor_prev read from the PRIOR round's committed
+    * bench_detail_r{N-1}.json ("noise_floor_sec") — the floor both sides
+    * of the comparison can see, and the form the in-run adjudicator
+    * applies. */
   private[graft] def noiseFloorSec(
       acceptedSamples: Vector[Double], calNoise: Double): Double = {
     val own =
@@ -43,6 +45,101 @@ object Bench {
         if (uncontended.size >= 2) uncontended.max - uncontended.min else 0.0
       } else 0.0
     math.max(calNoise, own)
+  }
+
+  /** The frozen cross-round regression rule, as one predicate:
+    * a query breaches iff min_r > 1.3 * min_prev + floor, with floor
+    * read from the PRIOR round's committed bench_detail (the form the
+    * cross-round adjudicator applies — the prior floor is the one both
+    * sides of the comparison can see). */
+  private[graft] def floorBreach(minR: Double, minPrev: Double,
+      floor: Double): Boolean = minR > 1.3 * minPrev + floor
+
+  /** Verdict for a floor-rule breacher from its fresh-JVM re-time.
+    * Full-bench context inflates late-running queries 2-3x (accumulated
+    * heap/GC state after ~70 queries — both probe shapes of the r19
+    * x_bm25_stored study ran 2.5-3.0 s in-bench vs 1.0-1.5 s fresh), so
+    * an in-bench breach alone cannot distinguish a plan regression from
+    * that band. The discriminator is the SAME rule applied to a clean
+    * JVM's minimum: "band" when the fresh-JVM min clears the threshold
+    * (the code is fine; the full-run context was inflated), "regression"
+    * when even a fresh JVM reproduces the breach, "error" when the
+    * re-time produced no sample for the query. This mechanizes the
+    * hand-run fresh-JVM/interleaved A/B method of rounds 15-19. */
+  private[graft] def adjudicationVerdict(minPrev: Double, floor: Double,
+      freshMin: Option[Double]): String = freshMin match {
+    case Some(f) => if (floorBreach(f, minPrev, floor)) "regression" else "band"
+    case None => "error"
+  }
+
+  /** (per-query min over "runs", per-query "noise_floor_sec") of a
+    * bench_detail JSON document. json4s ships with Spark. */
+  private[graft] def parseDetailMins(
+      json: String): (Map[String, Double], Map[String, Double]) = {
+    import org.json4s._
+    val jv = org.json4s.jackson.JsonMethods.parse(json)
+    def num(v: JValue): Option[Double] = v match {
+      case JDouble(d) => Some(d)
+      case JDecimal(d) => Some(d.toDouble)
+      case JInt(i) => Some(i.toDouble)
+      case JLong(l) => Some(l.toDouble)
+      case _ => None
+    }
+    def numMap(field: String, reduce: Seq[Double] => Double,
+        arrays: Boolean): Map[String, Double] = jv \ field match {
+      case JObject(fields) => fields.flatMap {
+        case (n, JArray(vs)) if arrays =>
+          val ds = vs.flatMap(num)
+          if (ds.nonEmpty) Some(n -> reduce(ds)) else None
+        case (n, v) if !arrays => num(v).map(n -> _)
+        case _ => None
+      }.toMap
+      case _ => Map.empty
+    }
+    (numMap("runs", _.min, arrays = true),
+      numMap("noise_floor_sec", _.min, arrays = false))
+  }
+
+  /** Re-time `queries` in a FRESH JVM (same classpath and JVM flags as
+    * this one, minus any agents) via a subset bench run in a scratch
+    * working directory, and return each query's min over its runs. The
+    * child is itself graft.Bench with SPARK_GRAFT_BENCH_ONLY set and
+    * adjudication off (no recursion); its scratch cwd keeps its
+    * bench_detail.json from clobbering the full run's. */
+  private def freshJvmMins(queries: Seq[String],
+      timeoutMinutes: Long): Either[String, Map[String, Double]] = try {
+    import scala.jdk.CollectionConverters._
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq.filterNot(a =>
+        a.startsWith("-javaagent") || a.startsWith("-agentlib") ||
+          a.startsWith("-agentpath"))
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", sys.props("java.class.path"), "graft.Bench")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-adjudicate").toFile
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.directory(tmp)
+    pb.environment().put("SPARK_GRAFT_BENCH_ONLY", queries.mkString(","))
+    pb.environment().put("SPARK_GRAFT_BENCH_RUNS", "2")
+    pb.environment().put("SPARK_GRAFT_ADJUDICATE", "off")
+    pb.redirectOutput(new java.io.File(tmp, "stdout"))
+    pb.redirectError(new java.io.File(tmp, "stderr"))
+    val p = pb.start()
+    if (!p.waitFor(timeoutMinutes, java.util.concurrent.TimeUnit.MINUTES)) {
+      p.destroyForcibly()
+      Left(s"fresh-JVM re-time timed out after $timeoutMinutes min")
+    } else {
+      val detail = new java.io.File(tmp, "bench_detail.json")
+      if (!detail.isFile)
+        Left(s"fresh-JVM re-time wrote no bench_detail.json " +
+          s"(exit ${p.exitValue()})")
+      else Right(parseDetailMins(new String(
+        java.nio.file.Files.readAllBytes(detail.toPath), "UTF-8"))._1)
+    }
+  } catch {
+    case scala.util.control.NonFatal(t) =>
+      Left(s"fresh-JVM re-time failed: ${t.getClass.getName}: ${t.getMessage}")
   }
 
   def main(args: Array[String]): Unit = {
@@ -652,6 +749,73 @@ object Bench {
       case n if !errs.contains(n) =>
         n -> noiseFloorSec(accepted(genuine(n)), acceptedCalNoise)
     }
+    // ---- mechanized cross-round adjudication ----
+    // The breach rule (floorBreach) fires on full-run minima, but the
+    // full-bench context itself inflates late-running queries 2-3x
+    // (accumulated heap/GC state — see adjudicationVerdict). Rounds
+    // 15-19 resolved such breaches by HAND-RUN fresh-JVM subset benches
+    // and interleaved A/Bs (the five-run x_bm25_stored saga); that
+    // method is now part of the bench: every floor-rule breacher vs the
+    // prior round's committed detail is re-timed once in a fresh JVM
+    // and the machine-made verdict ships under "adjudications".
+    // Skipped in the child itself (SPARK_GRAFT_ADJUDICATE=off) and for
+    // subset dev runs — no cross-round meaning — unless forced
+    // (SPARK_GRAFT_ADJUDICATE=force, with SPARK_GRAFT_PREV_DETAIL
+    // pointing at the baseline to compare, for integration smokes).
+    val roundRe = "BENCH_r(\\d+)\\.json".r
+    val nextRound = 1 + Option(new java.io.File(".").listFiles).toSeq.flatten
+      .flatMap(f => roundRe.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      .foldLeft(0)(math.max)
+    val adjMode = sys.env.getOrElse("SPARK_GRAFT_ADJUDICATE", "on")
+    val adjEnabled = adjMode != "off" && (onlyEnv.isEmpty || adjMode == "force")
+    val prevDetailFile = new java.io.File(sys.env.getOrElse(
+      "SPARK_GRAFT_PREV_DETAIL", f"bench_detail_r${nextRound - 1}%02d.json"))
+    var adjNote: Option[String] = None
+    def minOf(n: String): Double = genuine(n).map(_._2).min
+    val adjRecords: Seq[String] =
+      if (!adjEnabled) Nil
+      else if (!prevDetailFile.isFile) {
+        adjNote = Some(s"no prior-round detail at ${prevDetailFile.getPath}")
+        Nil
+      } else {
+        val (prevMins, prevFloors) =
+          try parseDetailMins(new String(java.nio.file.Files
+            .readAllBytes(prevDetailFile.toPath), "UTF-8"))
+          catch {
+            case scala.util.control.NonFatal(t) =>
+              adjNote = Some(
+                s"unparseable ${prevDetailFile.getName}: ${t.getMessage}")
+              (Map.empty[String, Double], Map.empty[String, Double])
+          }
+        val breachers = names.filter(n => !errs.contains(n) &&
+          prevMins.contains(n) &&
+          floorBreach(minOf(n), prevMins(n), prevFloors.getOrElse(n, 0.0)))
+        if (breachers.isEmpty) Nil
+        else {
+          // worst ratios first; the cap bounds the subset run (a breach
+          // count past it is a machine-wide band by construction — the
+          // tail still ships, visibly "unadjudicated")
+          val capped = breachers.sortBy(n => -(minOf(n) / prevMins(n)))
+            .take(12)
+          System.err.println(s"BENCH ADJUDICATE re-timing ${capped.size} " +
+            s"floor-rule breacher(s) in a fresh JVM: ${capped.mkString(",")}")
+          val fresh = freshJvmMins(capped, timeoutMinutes = 30)
+          fresh.left.foreach(msg => adjNote = Some(msg))
+          breachers.map { n =>
+            val floor = prevFloors.getOrElse(n, 0.0)
+            val freshMin = fresh.toOption.flatMap(_.get(n))
+            val verdict =
+              if (!capped.contains(n)) "unadjudicated"
+              else adjudicationVerdict(prevMins(n), floor, freshMin)
+            def f3(v: Double) =
+              BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+            s"""{"query":"$n","min":${f3(minOf(n))},"min_prev":${f3(prevMins(n))},"floor_prev":${f3(floor)},"threshold":${f3(1.3 * prevMins(n) + floor)},"fresh_min":${freshMin.map(f3(_).toString).getOrElse("null")},"verdict":"$verdict"}"""
+          }
+        }
+      }
+    val adjJson = adjRecords.mkString("[", ",", "]")
+    val adjNoteJson = adjNote.map(m => "\"" +
+      m.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").getOrElse("null")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full-precision detail (all per-run samples) goes out FIRST; the
     // harness that collects our stdout keeps only the last ~2000 chars
@@ -704,7 +868,7 @@ object Bench {
       "\"" + n + "\":" +
         BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     }.mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"min":$totalMin,"unit":"sec","cal_sec":$calSec,"cal_samples":$calJson,"regular_passes":$regularPasses,"rejected_passes":$rejectedJson,"min_fallback":$minFallback,"single_sample":$singleJson,"cached_read":$cachedJson,"spread_min":$spreadJson,"drive_trigger_ms":$driveTrigJson,"noise_floor_sec":$noiseJson,"runs":$runsJson,"sample_passes":$passesJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"min":$totalMin,"unit":"sec","cal_sec":$calSec,"cal_samples":$calJson,"regular_passes":$regularPasses,"rejected_passes":$rejectedJson,"min_fallback":$minFallback,"single_sample":$singleJson,"cached_read":$cachedJson,"spread_min":$spreadJson,"drive_trigger_ms":$driveTrigJson,"noise_floor_sec":$noiseJson,"adjudications":$adjJson,"adjudication_note":$adjNoteJson,"runs":$runsJson,"sample_passes":$passesJson,"failed":$failedJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detail) finally w.close()
@@ -713,12 +877,9 @@ object Bench {
       // per-query MIN comparison (the round-over-round regression watch)
       // previously depended on the prior verdict quoting numbers. The
       // round index is inferred as 1 + the highest committed BENCH_r*.json
-      // (this bench run produces that next round's numbers); dev reruns
+      // (this bench run produces that next round's numbers, computed once
+      // above for the adjudication's prior-detail lookup); dev reruns
       // within a round just overwrite the same file.
-      val roundRe = "BENCH_r(\\d+)\\.json".r
-      val nextRound = 1 + Option(new java.io.File(".").listFiles).toSeq.flatten
-        .flatMap(f => roundRe.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-        .foldLeft(0)(math.max)
       val wr = new java.io.PrintWriter(f"bench_detail_r$nextRound%02d.json")
       try wr.println(detail) finally wr.close()
     } catch { case scala.util.control.NonFatal(_) => () } // detail is best-effort

@@ -86,6 +86,43 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(math.abs(eFloor - 0.30) < 1e-9) // 5.3 - 5.0
   }
 
+  test("floorBreach is the frozen rule: min_r > 1.3*min_prev + floor_prev") {
+    // r19's x_bm25_stored shape: prev min 1.885, floor 0.754 (its own
+    // sample spread) → threshold 3.205; the committed 2.97 min was NOT
+    // a breach, the fifth run's hypothetical 3.30 would be
+    assert(!Bench.floorBreach(2.97, 1.885, 0.754))
+    assert(Bench.floorBreach(3.30, 1.885, 0.754))
+    // a zero-floor query degenerates to the bare 1.3x ratio
+    assert(!Bench.floorBreach(1.29, 1.0, 0.0))
+    assert(Bench.floorBreach(1.31, 1.0, 0.0))
+  }
+
+  test("adjudication verdict: fresh-JVM min clearing the threshold is band") {
+    // the r19 x_bm25_stored study, as the machine would have run it:
+    // in-bench min 2.73 breached threshold 2.639; the fresh-JVM subset
+    // re-time came back at 1.10 — well under → band, not regression
+    assert(Bench.adjudicationVerdict(1.885, 0.189, Some(1.10)) == "band")
+    // a real plan regression reproduces in the clean JVM
+    assert(Bench.adjudicationVerdict(1.885, 0.189, Some(3.20)) == "regression")
+    // exactly at the threshold is NOT a breach (rule is strict >)
+    assert(Bench.adjudicationVerdict(1.0, 0.1, Some(1.4)) == "band")
+    // a re-time that produced no sample must not masquerade as either
+    assert(Bench.adjudicationVerdict(1.885, 0.189, None) == "error")
+  }
+
+  test("parseDetailMins reads per-query run minima and floors from a detail doc") {
+    val (mins, floors) = Bench.parseDetailMins(
+      """{"metric":"total","value":70.0,
+         "noise_floor_sec":{"q1":0.042,"q2":0.1},
+         "runs":{"q1":[1.5,1.2,1.9],"q2":[0.4],"q_empty":[]},
+         "failed":[]}""")
+    assert(mins == Map("q1" -> 1.2, "q2" -> 0.4)) // empty runs drop
+    assert(floors == Map("q1" -> 0.042, "q2" -> 0.1))
+    // and the two halves compose into the breach decision
+    assert(!Bench.floorBreach(1.4, mins("q1"), floors("q1")))
+    assert(Bench.floorBreach(1.7, mins("q1"), floors("q1")))
+  }
+
   test("ParseBench breach rule worked example: the r18 +31% extract trap breaches") {
     // the r18 quadratic-walk trap: extract ~5.0 → ~6.6 ms/page (+31%)
     // with a typical 0.3 ms floor — 6.6 > 1.3*5.0 + 0.3 is NOT breached
