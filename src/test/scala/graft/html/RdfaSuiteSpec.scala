@@ -93,7 +93,17 @@ class RdfaSuiteSpec extends AnyFunSuite {
     "self-closing-ignored",
     // the tokenizer's text-state switch couples to actual insertion:
     // an in-select-ignored <style/> must not raw-text the options away
-    "select-ignored-style")
+    "select-ignored-style",
+    // r20: pairwise interactions of the r19 machinery, distilled per
+    // the r19 verdict's item 4 fallback (network still closed) —
+    // quirks × foster × formatting, comments × foreign content,
+    // comments × foster × formatting (the fostered element takes the
+    // comment), script-in-SVG is foreign not raw-text, a mid-document
+    // DOCTYPE is ignored (not a comment node), and the classic
+    // adoption-agency b/p split byte-pinned through an rdf:HTML literal
+    "quirks-foster-formatting", "comment-in-foreign-literal",
+    "fostered-formatting-takes-comment", "svg-script-not-rawtext",
+    "stray-doctype-ignored", "aa-split-in-literal")
 
   // The FIXTURES.md §3a ledger is the conformance contract; its literal
   // case count drifted once (r13 added 3 cases without touching the
