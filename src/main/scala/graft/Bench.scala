@@ -771,6 +771,10 @@ object Bench {
     val prevDetailFile = new java.io.File(sys.env.getOrElse(
       "SPARK_GRAFT_PREV_DETAIL", f"bench_detail_r${nextRound - 1}%02d.json"))
     var adjNote: Option[String] = None
+    // queries the breach rule actually compared — an empty
+    // "adjudications" array is only meaningful alongside a non-zero
+    // checked count (zero breaches vs comparison-never-ran)
+    var adjChecked = 0
     def minOf(n: String): Double = genuine(n).map(_._2).min
     val adjRecords: Seq[String] =
       if (!adjEnabled) Nil
@@ -787,8 +791,10 @@ object Bench {
                 s"unparseable ${prevDetailFile.getName}: ${t.getMessage}")
               (Map.empty[String, Double], Map.empty[String, Double])
           }
-        val breachers = names.filter(n => !errs.contains(n) &&
-          prevMins.contains(n) &&
+        val comparable = names.filter(n =>
+          !errs.contains(n) && prevMins.contains(n))
+        adjChecked = comparable.size
+        val breachers = comparable.filter(n =>
           floorBreach(minOf(n), prevMins(n), prevFloors.getOrElse(n, 0.0)))
         if (breachers.isEmpty) Nil
         else {
@@ -868,7 +874,7 @@ object Bench {
       "\"" + n + "\":" +
         BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     }.mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"min":$totalMin,"unit":"sec","cal_sec":$calSec,"cal_samples":$calJson,"regular_passes":$regularPasses,"rejected_passes":$rejectedJson,"min_fallback":$minFallback,"single_sample":$singleJson,"cached_read":$cachedJson,"spread_min":$spreadJson,"drive_trigger_ms":$driveTrigJson,"noise_floor_sec":$noiseJson,"adjudications":$adjJson,"adjudication_note":$adjNoteJson,"runs":$runsJson,"sample_passes":$passesJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"min":$totalMin,"unit":"sec","cal_sec":$calSec,"cal_samples":$calJson,"regular_passes":$regularPasses,"rejected_passes":$rejectedJson,"min_fallback":$minFallback,"single_sample":$singleJson,"cached_read":$cachedJson,"spread_min":$spreadJson,"drive_trigger_ms":$driveTrigJson,"noise_floor_sec":$noiseJson,"adjudications":$adjJson,"adjudication_checked":$adjChecked,"adjudication_note":$adjNoteJson,"runs":$runsJson,"sample_passes":$passesJson,"failed":$failedJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detail) finally w.close()
