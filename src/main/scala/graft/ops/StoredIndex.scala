@@ -116,6 +116,12 @@ private[ops] object StoredIndex {
                 def call(): Boolean = fs.exists(p)
               }))
             checks.collect { case (p, hit) if hit.get() => p.toString }
+          } catch {
+            // a failing metadata call must surface as itself (the
+            // IOException the serial path threw), not wrapped in the
+            // pool's ExecutionException
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
           } finally pool.shutdown()
         }
     }

@@ -22,7 +22,8 @@ class StoreSchemaContractSpec extends SparkSpec {
     * directory (its own basePath) yields exactly the file columns — no
     * partition-column inference to blur the comparison. */
   private def observedLayout(store: String): (Seq[(String, String)], String) = {
-    val dirs = new java.io.File(store).listFiles()
+    val dirs = Option(new java.io.File(store).listFiles())
+      .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.contains("=")).sortBy(_.getName)
     assert(dirs.nonEmpty, s"no partition directories under $store")
     val leaf = spark.read.parquet(dirs.head.getPath).schema
