@@ -73,7 +73,15 @@ object Bench {
   }
 
   /** (per-query min over "runs", per-query "noise_floor_sec") of a
-    * bench_detail JSON document. json4s ships with Spark. */
+    * bench_detail JSON document. json4s ships with Spark.
+    *
+    * The min mirrors the headline's `genuine` rule: samples the detail
+    * flags as cached-checkpoint reads ("cached_read", cross-referenced
+    * through "sample_passes") are EXCLUDED — a cached read understates
+    * a drive's cost, and taking the raw min over it would manufacture a
+    * false breach (prior min artificially low) or launder a real one
+    * (this round's fresh re-time reading a cache). If every sample of a
+    * query is cached they are kept, exactly as the headline keeps them. */
   private[graft] def parseDetailMins(
       json: String): (Map[String, Double], Map[String, Double]) = {
     import org.json4s._
@@ -85,19 +93,83 @@ object Bench {
       case JLong(l) => Some(l.toDouble)
       case _ => None
     }
-    def numMap(field: String, reduce: Seq[Double] => Double,
-        arrays: Boolean): Map[String, Double] = jv \ field match {
+    val cached: Set[(String, Int)] = jv \ "cached_read" match {
+      case JArray(entries) => entries.flatMap {
+        case JArray(List(JString(n), p)) => num(p).map(d => (n, d.toInt))
+        case _ => None
+      }.toSet
+      case _ => Set.empty
+    }
+    val passes: Map[String, Vector[Int]] = jv \ "sample_passes" match {
+      case JObject(fields) => fields.collect {
+        case (n, JArray(vs)) => n -> vs.flatMap(num).map(_.toInt).toVector
+      }.toMap
+      case _ => Map.empty
+    }
+    val mins: Map[String, Double] = jv \ "runs" match {
       case JObject(fields) => fields.flatMap {
-        case (n, JArray(vs)) if arrays =>
+        case (n, JArray(vs)) =>
           val ds = vs.flatMap(num)
-          if (ds.nonEmpty) Some(n -> reduce(ds)) else None
-        case (n, v) if !arrays => num(v).map(n -> _)
+          val ps = passes.getOrElse(n, Vector.empty)
+          val genuine =
+            if (ps.size == ds.size)
+              ds.zip(ps).collect { case (d, p) if !cached((n, p)) => d }
+            else ds
+          val kept = if (genuine.nonEmpty) genuine else ds
+          if (kept.nonEmpty) Some(n -> kept.min) else None
         case _ => None
       }.toMap
       case _ => Map.empty
     }
-    (numMap("runs", _.min, arrays = true),
-      numMap("noise_floor_sec", _.min, arrays = false))
+    val floors: Map[String, Double] = jv \ "noise_floor_sec" match {
+      case JObject(fields) => fields.flatMap {
+        case (n, v) => num(v).map(n -> _)
+      }.toMap
+      case _ => Map.empty
+    }
+    (mins, floors)
+  }
+
+  /** Per-drive-query best steady-state triggerExecution median (ms) from
+    * a bench_detail document's "drive_trigger_ms" — the cross-round
+    * comparison metric for drive-backed queries (their wall time rides
+    * the machine's checkpoint/WAL IO band; see the drive methodology
+    * notes in main). Min over the per-drive medians: contention is
+    * one-sided. */
+  private[graft] def parseDriveTriggerMins(json: String): Map[String, Double] = {
+    import org.json4s._
+    val jv = org.json4s.jackson.JsonMethods.parse(json)
+    def num(v: JValue): Option[Double] = v match {
+      case JDouble(d) => Some(d)
+      case JDecimal(d) => Some(d.toDouble)
+      case JInt(i) => Some(i.toDouble)
+      case JLong(l) => Some(l.toDouble)
+      case _ => None
+    }
+    jv \ "drive_trigger_ms" match {
+      case JObject(fields) => fields.flatMap {
+        case (n, JArray(vs)) =>
+          val ds = vs.flatMap(num)
+          if (ds.nonEmpty) Some(n -> ds.min) else None
+        case _ => None
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** Verdict for a drive-backed floor-rule breacher. A drive's wall time
+    * is commit-latency-bound (it moves with the machine's IO band on
+    * byte-identical code — two same-day A/Bs pinned this), so a wall
+    * breach is adjudicated on the per-micro-batch triggerExecution
+    * metric instead of a fresh-JVM wall re-time: "band" when this
+    * round's best trigger median is within 1.3x of the prior round's
+    * (per-batch execution is flat; the wall moved with the band),
+    * "regression" past it, "error" when either side has no trigger
+    * record. */
+  private[graft] def driveAdjudicationVerdict(trigR: Option[Double],
+      trigPrev: Option[Double]): String = (trigR, trigPrev) match {
+    case (Some(r), Some(p)) => if (r > 1.3 * p) "regression" else "band"
+    case _ => "error"
   }
 
   /** Re-time `queries` in a FRESH JVM (same classpath and JVM flags as
@@ -117,7 +189,8 @@ object Bench {
           a.startsWith("-agentpath"))
     val cmd = Seq(javaBin) ++ jvmArgs ++
       Seq("-cp", sys.props("java.class.path"), "graft.Bench")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-adjudicate").toFile
+    val tmp = new java.io.File(graft.Scaffold.cleanupOnExit(java.nio.file
+      .Files.createTempDirectory("graft-adjudicate").toString))
     val pb = new ProcessBuilder(cmd.asJava)
     pb.directory(tmp)
     pb.environment().put("SPARK_GRAFT_BENCH_ONLY", queries.mkString(","))
@@ -762,6 +835,12 @@ object Bench {
     // subset dev runs — no cross-round meaning — unless forced
     // (SPARK_GRAFT_ADJUDICATE=force, with SPARK_GRAFT_PREV_DETAIL
     // pointing at the baseline to compare, for integration smokes).
+    // All timing is done — release the parent's Spark BEFORE any
+    // fresh-JVM re-time, so the child does not share executor threads
+    // and scheduler state with a still-live driver (the hand-run method
+    // this mechanizes always ran after the full bench had exited).
+    // Stopping here also keeps stdout quiet before the contract lines.
+    spark.stop()
     val roundRe = "BENCH_r(\\d+)\\.json".r
     val nextRound = 1 + Option(new java.io.File(".").listFiles).toSeq.flatten
       .flatMap(f => roundRe.findFirstMatchIn(f.getName).map(_.group(1).toInt))
@@ -782,9 +861,10 @@ object Bench {
         adjNote = Some(s"no prior-round detail at ${prevDetailFile.getPath}")
         Nil
       } else {
+        val prevText = new String(java.nio.file.Files
+          .readAllBytes(prevDetailFile.toPath), "UTF-8")
         val (prevMins, prevFloors) =
-          try parseDetailMins(new String(java.nio.file.Files
-            .readAllBytes(prevDetailFile.toPath), "UTF-8"))
+          try parseDetailMins(prevText)
           catch {
             case scala.util.control.NonFatal(t) =>
               adjNote = Some(
@@ -798,30 +878,71 @@ object Bench {
           floorBreach(minOf(n), prevMins(n), prevFloors.getOrElse(n, 0.0)))
         if (breachers.isEmpty) Nil
         else {
+          val prevTrig =
+            try parseDriveTriggerMins(prevText)
+            catch { case scala.util.control.NonFatal(_) =>
+              Map.empty[String, Double] }
+          // drive-backed wall minima ride the machine's IO band (the
+          // drive methodology notes above), so their breaches adjudicate
+          // on drive_trigger_ms — never on a wall re-time, which would
+          // burn a fresh-JVM slot re-measuring checkpoint latency
+          val (driveBr, wallBr) = breachers.partition(driveBacked)
           // worst ratios first; the cap bounds the subset run (a breach
           // count past it is a machine-wide band by construction — the
           // tail still ships, visibly "unadjudicated")
-          val capped = breachers.sortBy(n => -(minOf(n) / prevMins(n)))
-            .take(12)
-          System.err.println(s"BENCH ADJUDICATE re-timing ${capped.size} " +
-            s"floor-rule breacher(s) in a fresh JVM: ${capped.mkString(",")}")
-          val fresh = freshJvmMins(capped, timeoutMinutes = 30)
+          val capped = wallBr.sortBy(n => -(minOf(n) / prevMins(n))).take(12)
+          val fresh: Either[String, Map[String, Double]] =
+            if (capped.isEmpty) Right(Map.empty)
+            else {
+              System.err.println(s"BENCH ADJUDICATE re-timing " +
+                s"${capped.size} floor-rule breacher(s) in a fresh JVM: " +
+                capped.mkString(","))
+              freshJvmMins(capped, timeoutMinutes = 30)
+            }
           fresh.left.foreach(msg => adjNote = Some(msg))
+          if (driveBr.nonEmpty)
+            System.err.println("BENCH ADJUDICATE drive-trigger rule for " +
+              s"drive-backed breacher(s): ${driveBr.mkString(",")}")
           breachers.map { n =>
             val floor = prevFloors.getOrElse(n, 0.0)
-            val freshMin = fresh.toOption.flatMap(_.get(n))
-            val verdict =
-              if (!capped.contains(n)) "unadjudicated"
-              else adjudicationVerdict(prevMins(n), floor, freshMin)
             def f3(v: Double) =
               BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-            s"""{"query":"$n","min":${f3(minOf(n))},"min_prev":${f3(prevMins(n))},"floor_prev":${f3(floor)},"threshold":${f3(1.3 * prevMins(n) + floor)},"fresh_min":${freshMin.map(f3(_).toString).getOrElse("null")},"verdict":"$verdict"}"""
+            val head = s"""{"query":"$n","min":${f3(minOf(n))},""" +
+              s""""min_prev":${f3(prevMins(n))},"floor_prev":${f3(floor)},""" +
+              s""""threshold":${f3(1.3 * prevMins(n) + floor)}"""
+            if (driveBacked(n)) {
+              val trigR = driveTriggerMs.get(n).filter(_.nonEmpty).map(_.min)
+              val trigP = prevTrig.get(n)
+              val verdict = driveAdjudicationVerdict(trigR, trigP)
+              def opt(v: Option[Double]) =
+                v.map(f3(_).toString).getOrElse("null")
+              head + s""","method":"drive_trigger","trigger_ms":${opt(trigR)},"trigger_prev_ms":${opt(trigP)},"verdict":"$verdict"}"""
+            } else {
+              val freshMin = fresh.toOption.flatMap(_.get(n))
+              val verdict =
+                if (!capped.contains(n)) "unadjudicated"
+                else adjudicationVerdict(prevMins(n), floor, freshMin)
+              head + s""","method":"fresh_jvm","fresh_min":${freshMin.map(f3(_).toString).getOrElse("null")},"verdict":"$verdict"}"""
+            }
           }
         }
       }
     val adjJson = adjRecords.mkString("[", ",", "]")
-    val adjNoteJson = adjNote.map(m => "\"" +
-      m.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").getOrElse("null")
+    // full JSON string escaping: exception messages can carry newlines/
+    // tabs (Jackson parse errors quote the offending document), and one
+    // raw control character would make this round's committed detail
+    // unparseable — degrading NEXT round's adjudication forever after
+    def jsonEscape(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val adjNoteJson =
+      adjNote.map(m => "\"" + jsonEscape(m) + "\"").getOrElse("null")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Full-precision detail (all per-run samples) goes out FIRST; the
     // harness that collects our stdout keeps only the last ~2000 chars
@@ -918,10 +1039,8 @@ object Bench {
       else omitted += 1
     }
     val json = head + entries.mkString(",") + "}" + tailFor(omitted)
-    // stop FIRST, print LAST: Spark's console logging writes to stdout in
-    // the default log4j2 template, so the contract line is emitted after
-    // everything else that could print — the driver reads the last line.
-    spark.stop()
+    // print LAST (Spark was stopped before the adjudication step above):
+    // the driver reads the final stdout line as the contract JSON.
     println(detail)
     println(json)
     if (failed.nonEmpty) sys.exit(1)

@@ -59,8 +59,21 @@ private[ops] object StoredIndex {
     * object store), so running up to [[ListingThreshold]] of them
     * serially costs ~640 ms of serving-path latency where eight in
     * flight cost ~80. Eight is small enough never to look like a
-    * listing storm to an object store's request limiter. */
+    * listing storm to an object store's request limiter. The pool is
+    * shared (probes are latency-critical; constructing a pool per probe
+    * is avoidable work) and its threads are daemons, so an in-flight
+    * check can never hold the JVM open. */
   private val ExistsParallelism = 8
+
+  private lazy val existsPool = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    java.util.concurrent.Executors.newFixedThreadPool(ExistsParallelism,
+      (r: Runnable) => {
+        val t = new Thread(r, s"stored-index-exists-${counter.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      })
+  }
 
   /** Read only the `partCol=v` directories of `base` for the probed
     * `values` (deduplicated — a repeated value must not scan its
@@ -108,21 +121,21 @@ private[ops] object StoredIndex {
           new org.apache.hadoop.fs.Path(basePath, s"$partCol=$v"))
         if (paths.size <= 1) paths.filter(fs.exists).map(_.toString)
         else {
-          val pool = java.util.concurrent.Executors
-            .newFixedThreadPool(math.min(paths.size, ExistsParallelism))
-          try {
-            val checks = paths.map(p =>
-              p -> pool.submit(new java.util.concurrent.Callable[Boolean] {
-                def call(): Boolean = fs.exists(p)
-              }))
-            checks.collect { case (p, hit) if hit.get() => p.toString }
-          } catch {
+          val checks = paths.map(p =>
+            p -> existsPool.submit(new java.util.concurrent.Callable[Boolean] {
+              def call(): Boolean = fs.exists(p)
+            }))
+          try checks.collect { case (p, hit) if hit.get() => p.toString }
+          catch {
             // a failing metadata call must surface as itself (the
             // IOException the serial path threw), not wrapped in the
-            // pool's ExecutionException
+            // pool's ExecutionException — and the remaining checks are
+            // cancelled rather than left hammering a store that is
+            // already erroring
             case e: java.util.concurrent.ExecutionException =>
+              checks.foreach(_._2.cancel(true))
               throw e.getCause
-          } finally pool.shutdown()
+          }
         }
     }
     if (existing.isEmpty) {

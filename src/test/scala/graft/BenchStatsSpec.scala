@@ -110,6 +110,39 @@ class BenchStatsSpec extends AnyFunSuite {
     assert(Bench.adjudicationVerdict(1.885, 0.189, None) == "error")
   }
 
+  test("parseDetailMins excludes cached-read samples from prior-round minima") {
+    // a drive query whose pass-1 sample was a drained-checkpoint read
+    // (0.5 s, flagged in cached_read) plus a genuine 2.8 s retry: the
+    // raw min (0.5) would manufacture a false breach against a healthy
+    // 2.8 s this round — the genuine rule must yield 2.8
+    val doc = """{"runs":{"drv":[0.5,2.8],"plain":[1.0,1.1]},
+                  "sample_passes":{"drv":[1,4],"plain":[1,2]},
+                  "cached_read":[["drv",1]],
+                  "noise_floor_sec":{"drv":0.2,"plain":0.05}}"""
+    val (mins, _) = Bench.parseDetailMins(doc)
+    assert(mins("drv") == 2.8)
+    assert(mins("plain") == 1.0)
+    // all-cached degenerates to keeping the samples (headline parity)
+    val (allCached, _) = Bench.parseDetailMins(
+      """{"runs":{"drv":[0.5]},"sample_passes":{"drv":[1]},
+          "cached_read":[["drv",1]]}""")
+    assert(allCached("drv") == 0.5)
+  }
+
+  test("drive-backed breachers adjudicate on trigger medians, not wall re-times") {
+    // wall min moved with the IO band but per-batch execution is flat
+    assert(Bench.driveAdjudicationVerdict(Some(300.0), Some(290.0)) == "band")
+    // a real streaming regression shows up in triggerExecution itself
+    assert(Bench.driveAdjudicationVerdict(Some(450.0), Some(290.0)) == "regression")
+    // no trigger record on either side cannot masquerade as a verdict
+    assert(Bench.driveAdjudicationVerdict(None, Some(290.0)) == "error")
+    assert(Bench.driveAdjudicationVerdict(Some(300.0), None) == "error")
+    // and the prior-round trigger mins parse from the committed detail
+    val trig = Bench.parseDriveTriggerMins(
+      """{"drive_trigger_ms":{"x_stream_late":[732.0,290.0],"x_stream_hourly":[358.5]}}""")
+    assert(trig == Map("x_stream_late" -> 290.0, "x_stream_hourly" -> 358.5))
+  }
+
   test("parseDetailMins reads per-query run minima and floors from a detail doc") {
     val (mins, floors) = Bench.parseDetailMins(
       """{"metric":"total","value":70.0,
