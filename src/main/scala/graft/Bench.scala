@@ -224,6 +224,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE's coalescing floor (default 1 MB) collapses any shuffle under
+      // ~cores × 1 MB to very few partitions — at bench scale that serialized
+      // every CPU-dense post-shuffle stage (posting joins, candidate
+      // verification, checkpoint consumers) onto a single core of 32
+      // (measured: x_bm25_topk spent 3.4 s of its 4.6 s in one 1-task
+      // job). A 16 KB floor keeps parallelismFirst in charge: partitions
+      // target max(total/cores, 16 KB), so small-but-expensive shuffles
+      // still spread across the cluster while at scale (total ≫ cores ×
+      // 1 MB) the setting changes nothing (guide §2.2: partition count
+      // derived from input size, not a constant).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -15,6 +15,9 @@ object Verify {
       // Spark rejects by default — read those as long nanoseconds; the
       // temporal operators adapt to either encoding (Tables.eventMicros).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same AQE coalescing floor as Bench (see the comment there): keep
+      // small-but-CPU-dense shuffles parallel; no-op at scale
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

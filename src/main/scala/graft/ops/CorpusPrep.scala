@@ -64,7 +64,11 @@ object CorpusPrep {
     * materialized through a projection first: inlining tokens() into
     * wordGrams would re-run split() per element_at. */
   private def docGrams(s: SparkSession, d: String, n: Int): DataFrame =
-    Tables.documents(s, d)
+    // compute-dense scan consumer (Tables.parallelizeSmallScan): the
+    // n-gram build + per-doc distinct dominates, and a single-file corpus
+    // would otherwise evaluate it in one task
+    Tables.parallelizeSmallScan(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .select(col("doc_id"),
         explode(array_distinct(wordGrams(col("t"), n))).as("gram"))
@@ -106,6 +110,9 @@ object CorpusPrep {
     docGrams(s, d, n).filter(col("doc_id") % 97 === 0)
       .withColumnRenamed("doc_id", "eval_id")
       .withColumn("bucket", pmod(hash(col("gram")), lit(nBuckets)))
+      // hash-cluster by bucket before the partitioned write
+      // (Similarity.writeLshPartitioned): one file per bucket directory
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$outDir/grams")
     Seq(n).toDF("n").coalesce(1)

@@ -36,7 +36,11 @@ object Dedup {
     * bit-identical to hashing the materialized shingle strings, without
     * building the token/shingle/distinct string arrays per document. */
   private def hashPostings(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(ShingleHashes(col("text"))).as("h"))
+    // compute-dense scan consumer (Tables.parallelizeSmallScan): the
+    // fused shingle-hash expression is the dominant per-row cost, and a
+    // single-file corpus would otherwise evaluate it in one task
+    Tables.parallelizeSmallScan(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(ShingleHashes(col("text"))).as("h"))
 
   /** Exact n-gram Jaccard near-dup join via the inverted index, pairs with
     * J(a,b) ≥ `threshold` over distinct 3-gram sets.
@@ -118,6 +122,12 @@ object Dedup {
           slice(col("byRarity"), lit(1),
             (col("n") - ceil(lit(tSlack) * col("n")) + 1).cast("int")),
           p => p("h")).as("pref"))
+      // LAZY checkpoint (the minhashDupPairs rationale): the prefix and
+      // verification branches prune different columns, splitting the
+      // subtree into differently-pruned aggregates that each re-run the
+      // shingle+docFreq pipeline; materialized once, all three references
+      // read the per-doc array table
+      .localCheckpoint(eager = false)
     val prefix = base.select(col("doc_id"), explode(col("pref")).as("h"))
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -251,7 +261,12 @@ object Dedup {
   def semanticClusters(s: SparkSession, d: String,
       threshold: Double = 0.4): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    // parallelize the STREAMED side of the all-pairs nested-loop join
+    // (Tables.parallelizeSmallScan): the n² cosine evaluations fuse into
+    // the streamed scan's stage, which is one task on a one-file corpus —
+    // measured 4.0 s of 4.3 s single-threaded at sf0.1 on 32 cores
+    val a = Tables.parallelizeSmallScan(
+      emb.select(col("vec_id").as("a_id"), col("embedding").as("ea")))
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
     val pairs = a.join(b, col("a_id") < col("b_id"))
       .filter(round(graft.functions.CosineSimilarity(col("ea"), col("eb")), 4)
@@ -383,9 +398,12 @@ object Dedup {
     * rather than hardcoded arithmetic. */
   def semanticDupClusters(s: SparkSession, d: String, threshold: Double = 0.9,
       offset: Long = 100000L): DataFrame = {
-    val emb0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val emb = emb0.unionAll(emb0.select(
-      (col("vec_id") + offset).as("vec_id"), col("embedding")))
+    // one scan: planted copies are generated in-stream by explode-shifting
+    // the ids (same rows as the two-scan union, half the passes)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        explode(array(lit(0L), lit(offset))).as("off"))
+      .select((col("vec_id") + col("off")).as("vec_id"), col("embedding"))
     // high-threshold regime → pruning banding (8×8): wide bands pass only
     // ~5% of background pairs; planted copies match every band regardless
     semanticClustersLshOf(s, emb, threshold, bands = 8, bitsPerBand = 8)
@@ -416,18 +434,13 @@ object Dedup {
     * paid a full Exchange of the posting list just to reassemble
     * per-document rows; here nothing shuffles at all until banding. */
   private def minhashSignatures(s: SparkSession, d: String, k: Int): DataFrame =
-    Tables.documents(s, d)
+    // compute-dense scan consumer (Tables.parallelizeSmallScan): k seeded
+    // permutations over every shingle dominate; parallelize the scan
+    Tables.parallelizeSmallScan(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         graft.functions.MinHashSig(col("text"), k).as("sig"))
       .filter(col("sig").isNotNull)
-
-  /** Planted-duplicate corpus: the documents table plus an exact copy of
-    * every document at `doc_id + offset` — the deterministic ground truth
-    * for the dup-guarantee oracles below. */
-  private def dupCorpus(s: SparkSession, d: String, offset: Long): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    docs.unionAll(docs.select((col("doc_id") + offset).as("doc_id"), col("text")))
-  }
 
   /** Exact-duplicate detection in the production LSH shape, under the
     * DuckDB oracle: identical shingle sets ⇒ identical minhash
@@ -448,8 +461,12 @@ object Dedup {
     // hash set: every downstream reference (both candidate-join sides,
     // both verification sides) sits above the same Exchange, so the
     // shingle pipeline runs once (separate signature/set subtrees
-    // re-ran it per branch: 12 s vs 3 s at sf0.1).
-    val posts = hashPostings(dupCorpus(s, d, offset))
+    // re-ran it per branch: 12 s vs 3 s at sf0.1). The aggregate runs
+    // over the BASE corpus only — signatures and shingle sets are pure
+    // functions of the text, and the planted copy at doc_id + offset has
+    // the same text, so the copies are generated by explode-shifting the
+    // aggregated rows: identical rows at half the shingle/agg work.
+    val posts = hashPostings(Tables.documents(s, d))
     val mins = (0 until k).map(i => min(hash(col("h"), lit(i))).as(s"m$i"))
     val base = posts.groupBy(col("doc_id"))
       .agg(mins.head, (mins.tail :+
@@ -457,6 +474,16 @@ object Dedup {
       .select(col("doc_id"),
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"), col("shset"))
       .withColumn("key", hash(col("sig")))
+      .select(col("doc_id"), col("sig"), col("shset"), col("key"),
+        explode(array(lit(0L), lit(offset))).as("off"))
+      .select((col("doc_id") + col("off")).as("doc_id"),
+        col("sig"), col("shset"), col("key"))
+      // LAZY checkpoint (the minhashLsh sig pattern): the four downstream
+      // references prune different column sets, so as plan subtrees they
+      // split into TWO differently-pruned aggregates and the shingle
+      // pipeline runs twice; materialized once, everything reads the
+      // (doc_id, sig, shset, key) table — tiny beside the text it distills
+      .localCheckpoint(eager = false)
     val sigOnly = base.select(col("doc_id"), col("sig"), col("key"))
     val cands = sigOnly.as("a").join(sigOnly.as("b"),
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
@@ -535,8 +562,19 @@ object Dedup {
     * the equal-text pairs: on this corpus the (d, d+offset) copies. */
   def simhashDupPairs(s: SparkSession, d: String,
       offset: Long = 100000L): DataFrame = {
-    val fp = dupCorpus(s, d, offset).select(col("doc_id"),
-      SimHash64(col("text")).as("fp"), md5(col("text")).as("digest"))
+    // fingerprint + digest are pure functions of the text, and the
+    // planted copy at doc_id + offset carries the SAME text — so compute
+    // them once per base document and explode-shift the ids afterwards:
+    // identical rows to fingerprinting the doubled corpus, at half the
+    // SimHash/md5 work (the expensive part of this query)
+    val fp = Tables.parallelizeSmallScan(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        SimHash64(col("text")).as("fp"), md5(col("text")).as("digest"))
+      .select(col("doc_id"), col("fp"), col("digest"),
+        explode(array(lit(0L), lit(offset))).as("off"))
+      .select((col("doc_id") + col("off")).as("doc_id"),
+        col("fp"), col("digest"))
     fp.as("a").join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .filter(col("a.digest") === col("b.digest"))
@@ -555,7 +593,10 @@ object Dedup {
     * recall oracle for that path. */
   def embedCosinePairs(s: SparkSession, d: String, topN: Int = 20): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    // parallelize the streamed side of the all-pairs join (see
+    // semanticClusters — same single-task n² cosine stage otherwise)
+    val a = Tables.parallelizeSmallScan(
+      emb.select(col("vec_id").as("a_id"), col("embedding").as("ea")))
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
@@ -661,6 +702,9 @@ object Dedup {
     Tables.documents(s, d)
       .select(col("doc_id"), textFp.as("fp"))
       .withColumn("bucket", pmod(hash(col("fp")), lit(nBuckets)))
+      // hash-cluster by bucket before the partitioned write
+      // (Similarity.writeLshPartitioned): one file per bucket directory
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$outDir/fp")
     // train the bloom from the index JUST WRITTEN, not from a re-derived
@@ -698,7 +742,8 @@ object Dedup {
   /** SimHash near-dup pairs: fingerprint (custom expression) → 4×16-bit
     * band join → exact Hamming ≤ maxHamming filter via `bit_count(xor)`. */
   def simhash(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
-    val fp = Tables.documents(s, d)
+    val fp = Tables.parallelizeSmallScan(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"), SimHash64(col("text")).as("fp"))
     val banded = fp.select(col("doc_id"), col("fp"), posexplode(array(
       (0 until 4).map(b =>

@@ -55,7 +55,8 @@ object Retrieval {
       dl: DataFrame, df: DataFrame, totals: DataFrame)
 
   private def buildIndex(s: SparkSession, d: String): Bm25Index = {
-    val postings = Tables.documents(s, d)
+    val postings = Tables.parallelizeSmallScan(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(CorpusPrep.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -133,6 +134,9 @@ object Retrieval {
     val ix = buildIndex(s, d)
     ix.corpus.join(ix.df, "term").join(ix.dl, "doc_id")
       .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+      // hash-cluster by bucket before the partitioned write
+      // (Similarity.writeLshPartitioned): one file per bucket directory
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$outDir/postings")
     ix.qterms.write.mode("overwrite").parquet(s"$outDir/qterms")

@@ -112,6 +112,11 @@ object Similarity {
       nPlanes: Int = 8): Unit =
     signedEmbeddings(
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), nPlanes)
+      // hash-cluster by the partition column before the partitioned write
+      // (guide §6: distribution-mode hash): each bucket directory gets
+      // ONE file per writing task that owns it instead of one per input
+      // partition — serving probes then open O(1) files per bucket
+      .repartition(col("sig"))
       .write.mode("overwrite").partitionBy("sig").parquet(s"$outDir/corpus")
 
   /** Probe the stored LSH index: query signatures are computed ON THE
@@ -187,9 +192,12 @@ object Similarity {
     * (q, q+offset, 1.0, 1) per query. */
   def lshDupRetrieval(s: SparkSession, d: String, nQueries: Int = 8,
       nPlanes: Int = 8, offset: Long = 100000L): DataFrame = {
-    val emb0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val emb = emb0.unionAll(emb0.select(
-      (col("vec_id") + offset).as("vec_id"), col("embedding")))
+    // one scan: planted copies are generated in-stream by explode-shifting
+    // the ids (same rows as the two-scan union, half the passes)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        explode(array(lit(0L), lit(offset))).as("off"))
+      .select((col("vec_id") + col("off")).as("vec_id"), col("embedding"))
     // the PRODUCTION signature/bucket/score pipeline, k = 1: shared code
     // guarantees the oracle exercises exactly what lshTopK runs
     bucketTopK(signedEmbeddings(emb, nPlanes), nQueries, k = 1)
@@ -302,9 +310,12 @@ object Similarity {
     * output is SQL-expressible: (q, q's min identical partner, 1.0, 1). */
   def ivfDupRetrieval(s: SparkSession, d: String, nQueries: Int = 8,
       nCells: Int = 16, nProbe: Int = 4, offset: Long = 100000L): DataFrame = {
-    val emb0 = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val emb = emb0.unionAll(emb0.select(
-      (col("vec_id") + offset).as("vec_id"), col("embedding")))
+    // one scan: planted copies are generated in-stream by explode-shifting
+    // the ids (same rows as the two-scan union, half the passes)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        explode(array(lit(0L), lit(offset))).as("off"))
+      .select((col("vec_id") + col("off")).as("vec_id"), col("embedding"))
     // quantizer trained on the doubled corpus (uncached — guarantee-twin
     // corpus, not the serving index); the guarantee argument is rule-free:
     // IDENTICAL vectors get the same assignment under ANY deterministic rule
@@ -621,8 +632,10 @@ object Similarity {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val centroids = trainedCentroids(s, d, nCells, maxTrainRows)
     val assigned = voronoiAssign(emb, centroidFrame(s, centroids))
-    assigned.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$outDir/corpus")
+    // hash-cluster by cell before the partitioned write (see
+    // writeLshPartitioned): one file per cell directory
+    assigned.repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$outDir/corpus")
     s.createDataFrame(centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) })
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")

@@ -164,15 +164,25 @@ object TextAnalysis {
     * match. */
   def winnowDupPairs(s: SparkSession, d: String,
       offset: Long = 100000L): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"),
-      regexp_replace(col("text"), lit("\\s+"),
-        concat(lit(" "), col("doc_id").cast("string"), lit(" "))).as("text"))
-    val corpus = docs.unionAll(
-      docs.select((col("doc_id") + offset).as("doc_id"), col("text")))
-    val fps = corpus
+    val docs = Tables.parallelizeSmallScan(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        regexp_replace(col("text"), lit("\\s+"),
+          concat(lit(" "), col("doc_id").cast("string"), lit(" "))).as("text"))
+    // fingerprint set + digest key are pure functions of the (id-
+    // interleaved) text, and the planted copy at doc_id + offset keeps
+    // the ORIGINAL doc's interleaved text — so compute them once per base
+    // document and explode-shift the ids afterwards: identical rows to
+    // fingerprinting the doubled corpus at half the regexp+Winnow work
+    // (the dominant cost of this query)
+    val fps = docs
       .select(col("doc_id"), graft.functions.Winnow(col("text")).as("fp"))
       .filter(size(col("fp")) > 0) // texts shorter than the k-gram never pair
       .withColumn("key", xxhash64(to_json(struct(col("fp")))))
+      .select(col("doc_id"), col("fp"), col("key"),
+        explode(array(lit(0L), lit(offset))).as("off"))
+      .select((col("doc_id") + col("off")).as("doc_id"),
+        col("fp"), col("key"))
     fps.as("a").join(fps.as("b"),
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
       .filter(col("a.fp") === col("b.fp"))

@@ -9,6 +9,9 @@ object SparkSpec {
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
+    // match the engine entry points' AQE coalescing floor (Bench.scala):
+    // specs should pin the same plans production runs
+    .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
