@@ -35,11 +35,13 @@ object Profile {
       var stages: Seq[String] = Nil, var desc: String = "")
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
     val order = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val stageLines =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         val r = JobRec(j.jobId, j.time)
         r.stages = j.stageInfos.map(si =>
-          s"${si.name.takeWhile(_ != '\n').take(60)}[${si.numTasks}t]").toSeq
+          s"s${si.stageId}[${si.numTasks}t]").toSeq
         r.desc = Option(j.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .getOrElse("")
@@ -47,6 +49,13 @@ object Profile {
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
         Option(jobs.get(j.jobId)).foreach(_.end = j.time)
+      }
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val dur = (for (s <- si.submissionTime; c <- si.completionTime)
+          yield c - s).getOrElse(-1L)
+        stageLines.add(f"  stage ${si.stageId}%3d ${dur}%6d ms ${si.numTasks}%3dt " +
+          si.name.takeWhile(_ != '\n').take(90))
       }
     }
     for (n <- names) {
@@ -57,7 +66,7 @@ object Profile {
     }
     spark.sparkContext.addSparkListener(listener)
     for (n <- names; r <- 1 to nRuns) {
-      jobs.clear(); order.clear()
+      jobs.clear(); order.clear(); stageLines.clear()
       val fn = SparkEntry.queries(n)
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
@@ -72,6 +81,7 @@ object Profile {
         println(f"  job ${rec.id}%3d ${dur}%6d ms  ${rec.desc.take(40)}%-40s ${rec.stages.mkString(" | ").take(160)}")
       }
       println(f"  sum-of-jobs ${sumJobs} ms (gaps = driver/planning time)")
+      stageLines.forEach(l => println(l))
     }
     spark.stop()
   }

@@ -63,7 +63,13 @@ object Dedup {
     * corpora, a PPJoin prefix filter over the same hashed postings is the
     * escalation path. */
   def ngramJaccard(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+    // LAZY checkpoint (the BM25-postings pattern): `postings` feeds the
+    // sizes aggregate and both self-join sides; the join sides share one
+    // Exchange, but the sizes branch prunes differently and re-ran the
+    // whole shingle pipeline. Materialized once, every consumer reads the
+    // (doc_id, hash) table — 16 bytes/row against the text it distills.
     val postings = hashPostings(Tables.documents(s, d))
+      .localCheckpoint(eager = false)
     val sizes = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = postings.as("a").join(postings.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
